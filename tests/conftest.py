@@ -1,0 +1,19 @@
+from __future__ import annotations
+
+import pytest
+import ray
+
+
+@pytest.fixture(scope="session", autouse=True)
+def ray_session():
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ray.init(
+        address="local",
+        num_cpus=4,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    yield
+    ray.shutdown()

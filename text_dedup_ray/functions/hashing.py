@@ -1,0 +1,64 @@
+"""Base hash functions (reference parity: src/text_dedup/utils/hashfunc.py:63-105).
+
+The reference defaults to xxh3 (not installed in this environment) with sha1 as
+a config option. We keep the same interface; ``xxh3`` is used when the
+``xxhash`` wheel is importable, otherwise callers should pick ``sha1``.
+
+Parity notes:
+- ``sha1_hash(data, 32)`` = little-endian uint32 of the first 4 digest bytes
+  (reference utils/hashfunc.py:88-89).
+- ``xxh3_hash(data, seed, 32)`` = ``xxh3_64 & 0xFFFFFFFF`` (hashfunc.py:99) —
+  MinHash "64-bit" mode really uses 32-bit base hashes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Callable
+
+try:  # optional — not in this sandbox, but the public wheel is the fast path
+    import xxhash  # type: ignore
+
+    HAS_XXHASH = True
+except ImportError:  # pragma: no cover
+    xxhash = None
+    HAS_XXHASH = False
+
+
+def sha1_hash(data: bytes, d: int = 32) -> int:
+    """d-bit hash from sha1 digest, little-endian (reference hashfunc.py:63-93)."""
+    digest = hashlib.sha1(data, usedforsecurity=False).digest()
+    if d == 32:
+        return struct.unpack("<I", digest[:4])[0]
+    if d == 64:
+        return struct.unpack("<Q", digest[:8])[0]
+    return int.from_bytes(digest[: d // 8], byteorder="little")
+
+
+def xxh3_hash(data: bytes, seed: int = 0, bits: int = 32) -> int:
+    """xxh3 hash (reference hashfunc.py:96-105). Requires the xxhash wheel."""
+    if not HAS_XXHASH:  # pragma: no cover
+        raise ImportError("xxhash is not installed; use hash_func='sha1'")
+    if bits == 32:
+        return xxhash.xxh3_64_intdigest(data, seed) & 0xFFFFFFFF
+    if bits == 64:
+        return xxhash.xxh3_64_intdigest(data, seed)
+    if bits == 128:
+        return xxhash.xxh3_128_intdigest(data, seed)
+    return int.from_bytes(xxhash.xxh3_128_digest(data)[: bits // 8], byteorder="big")
+
+
+def make_hash_func(name: str, seed: int, bits: int) -> Callable[[bytes], int]:
+    """Resolve a base-hash callable like the reference config does
+    (config/algorithms/minhash.py:135-146): width is ``min(bits, 32)`` for
+    MinHash; SimHash passes the full fingerprint width."""
+    if name == "sha1":
+        d = bits
+        return lambda data: sha1_hash(data, d)
+    if name == "xxh3":
+        return lambda data: xxh3_hash(data, seed=seed, bits=bits)
+    raise ValueError(f"unknown hash function {name!r}")
+
+
+DEFAULT_HASH = "xxh3" if HAS_XXHASH else "sha1"

@@ -1,0 +1,180 @@
+"""SimHash fingerprint kernel — reference-parity math on uint64.
+
+Replicates ``config/algorithms/simhash.py`` (reference):
+
+- f-bit fingerprint via bit-majority over per-shingle hashes: strict ``> 0``
+  so ties -> 0 (simhash.py:222-253); empty shingle set -> all-zero signature
+  (simhash.py:363-365 — a deliberate quirk: all short/empty docs collide).
+- block decomposition: blocks of ``ceil(f/num_bucket)`` bits until f is
+  exhausted (last block truncated) (simhash.py:408-441 — the x/y solving
+  there never decrements x, so every block is max_block_size capped at f).
+- permutations: one per ordered (b-k)-tuple of blocks, P(b, b-k) total
+  (``itertools.permutations(indices, b - k)``, simhash.py:443-457); fixed
+  blocks move to the bit-prefix; the bucket key is the permuted signature
+  masked to the prefix of width ``sum(widths[:b-k])`` (simhash.py:116-120).
+- Hamming distance = popcount(xor) (simhash.py:163-186).
+
+Representation: the reference uses ``bitarray`` (index 0 = MSB). We store the
+signature as a Python/NumPy uint64 where bitarray index ``i`` is integer bit
+``f-1-i``; bitarray ``<< n`` (toward index 0) is integer ``<< n`` truncated to
+f bits. All mask/permute arithmetic below is in that integer domain and is
+bit-identical to the reference's bitarray version (unit-tested).
+
+Only f <= 64 is supported in the fast path (the reference default and all its
+published benchmark configs use f=64).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from itertools import permutations as iter_permutations
+from typing import Callable
+
+import numpy as np
+
+from .hashing import DEFAULT_HASH, make_hash_func
+from .tokenization import shingle_set
+
+
+def _mask_val(f: int, start: int, end: int) -> int:
+    """Integer mask with bitarray positions [start, end) set."""
+    return ((1 << (end - start)) - 1) << (f - end)
+
+
+@dataclass(frozen=True)
+class Permutation:
+    """One block permutation: apply = OR of (sig & mask) shifted by offset."""
+
+    f: int
+    masks: tuple[int, ...]      # block masks in permuted order
+    offsets: tuple[int, ...]    # signed shift per block (bitarray convention)
+    search_mask: int            # prefix mask of width sum(widths[:b-k])
+
+    def permute(self, x: int) -> int:
+        full = (1 << self.f) - 1
+        result = 0
+        for mask, off in zip(self.masks, self.offsets):
+            v = x & mask
+            result |= (v << off) & full if off > 0 else v >> -off
+        return result
+
+    def reverse(self, x: int) -> int:
+        full = (1 << self.f) - 1
+        result = 0
+        for mask, off in zip(self.masks, self.offsets):
+            rmask = (mask << off) & full if off > 0 else mask >> -off
+            v = x & rmask
+            result |= v >> off if off > 0 else (v << -off) & full
+        return result
+
+    def key(self, sig: int) -> int:
+        return self.permute(sig) & self.search_mask
+
+
+def block_masks(f: int, num_bucket: int) -> list[tuple[int, int]]:
+    """(start, end) block spans — ceil(f/b)-wide blocks, last truncated."""
+    size = -(-f // num_bucket)
+    spans = []
+    end = 0
+    for _ in range(num_bucket):
+        start, end = end, min(end + size, f)
+        if start >= end:
+            break
+        spans.append((start, end))
+    return spans
+
+
+def create_permutations(f: int, bit_diff: int, num_bucket: int) -> list[Permutation]:
+    """All P(b, b-k) ordered block-prefix permutations (simhash.py:408-457)."""
+    spans = block_masks(f, num_bucket)
+    n = len(spans)
+    results: list[Permutation] = []
+    for fixed in iter_permutations(range(n), num_bucket - bit_diff):
+        changing = sorted(set(range(n)) - set(fixed))
+        order = list(fixed) + changing
+        masks: list[int] = []
+        offsets: list[int] = []
+        width = 0
+        widths: list[int] = []
+        for i in order:
+            start, end = spans[i]
+            masks.append(_mask_val(f, start, end))
+            offsets.append(start - width)
+            widths.append(end - start)
+            width += end - start
+        prefix = sum(widths[: num_bucket - bit_diff])
+        results.append(
+            Permutation(
+                f=f,
+                masks=tuple(masks),
+                offsets=tuple(offsets),
+                search_mask=_mask_val(f, 0, prefix),
+            )
+        )
+    return results
+
+
+def hamming_distance(a: int, b: int) -> int:
+    return (a ^ b).bit_count()
+
+
+def compute_majority(hashes: list[int], f: int) -> int:
+    """Bit-majority signature; strict >0 so ties -> 0 (simhash.py:222-253)."""
+    if not hashes:
+        raise ValueError("cannot compute simhash from empty hash list")
+    arr = np.frombuffer(
+        b"".join(h.to_bytes(f // 8, "big") for h in hashes), dtype=np.uint8
+    ).reshape(len(hashes), f // 8)
+    bits = np.unpackbits(arr, axis=1)  # column j = bitarray index j
+    votes = 2 * bits.astype(np.int64).sum(axis=0) - len(hashes)
+    sig_bits = (votes > 0).astype(np.uint8)
+    return int.from_bytes(np.packbits(sig_bits).tobytes(), "big")
+
+
+@dataclass
+class SimHashConfig:
+    """Defaults mirror the reference config (f=64, bit_diff=3, num_bucket=4,
+    ngram=3)."""
+
+    f: int = 64
+    bit_diff: int = 3
+    num_bucket: int = 4
+    ngram_size: int = 3
+    min_length: int = 5
+    hash_func: str = DEFAULT_HASH
+    seed: int = 42
+    check_false_positive: bool = False
+    jaccard_threshold: float = 0.5
+
+    def __post_init__(self) -> None:
+        if self.num_bucket <= self.bit_diff:
+            raise ValueError("num_bucket must be greater than bit_diff")
+        if self.f % 8 != 0:
+            raise ValueError("f must be a multiple of 8")
+
+    def base_hash(self) -> Callable[[bytes], int]:
+        # reference uses the full-f-bit hash here (simhash.py:299-307)
+        return make_hash_func(self.hash_func, self.seed, self.f)
+
+
+class SimHasher:
+    """Stateful fingerprint kernel (SURVEY ST2): permutation tables built once."""
+
+    def __init__(self, cfg: SimHashConfig) -> None:
+        self.cfg = cfg
+        self.perms = create_permutations(cfg.f, cfg.bit_diff, cfg.num_bucket)
+        self.hash_func = cfg.base_hash()
+
+    def signature(self, text: str) -> int:
+        shingles = shingle_set(text, self.cfg.ngram_size, self.cfg.min_length)
+        if not shingles:
+            return 0  # simhash.py:363-365
+        return compute_majority([self.hash_func(s) for s in shingles], self.cfg.f)
+
+    def keys(self, sig: int) -> list[int]:
+        """Bucket key per permutation. We key buckets by (perm_idx, key) —
+        equivalent to the reference's (search_mask_bytes, masked_value) for
+        final clusters: any pair within bit_diff shares a same-permutation
+        bucket (LSH guarantee), and all candidates are Hamming-verified before
+        union, so only spurious cross-permutation candidates differ."""
+        return [p.key(sig) for p in self.perms]

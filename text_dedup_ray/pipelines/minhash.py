@@ -1,0 +1,128 @@
+"""MinHashLSH near-duplicate pipeline (Ray-Data-native).
+
+Reference lifecycle (minhash.py:187-228): load+index -> min-length filter ->
+per-doc fingerprint -> driver-local polars bucket/pair/CC -> dict assign ->
+optional Jaccard verify -> keep cluster roots -> save.
+
+This pipeline keeps the same semantics but streams end-to-end:
+
+  stamp row_id -> filter(min_length) -> [narrow: row_id+text]
+    -> map_batches(MinHashFingerprinter actor pool)      # vectorized batches
+    -> local bucket star-edges + per-bucket reps         # map_batches
+    -> groupby(part).map_groups rep merge                # the only shuffle
+    -> tree-reduced union-find                           # distributed CC
+    -> broadcast cluster map -> assign -> [verify] -> filter roots
+
+Payload columns (image bytes etc.) never enter the shuffle: signatures ride
+in a narrow side dataset and clusters re-join the full-schema rows by row_id
+(SURVEY §7.4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import ray.data
+
+from ..functions.minhash import MinHashConfig
+from ..functions.tokenization import token_count
+from ..sources.io import ROW_ID, stamp_row_ids_from_key
+from ..stages.assign import (
+    CLUSTER_COLUMN,
+    assign_clusters,
+    filter_cluster_roots,
+)
+from ..stages.cc import connected_components
+from ..stages.edges import (
+    minhash_local_buckets,
+    minhash_merge_reps,
+    split_edges_and_reps,
+)
+from ..stages.fingerprint import MinHashFingerprinter
+from .verify import verify_clusters
+
+
+@dataclass
+class MinHashDedupResult:
+    assigned: ray.data.Dataset  # full schema + __CLUSTER__/__duplicate__
+    deduped: ray.data.Dataset   # cluster roots only (or == assigned when skipped)
+    parents: dict[int, int]     # pre-verification cluster map (incl. root->root)
+    verified_parents: dict[int, int] | None = None
+
+
+def min_length_filter(
+    ds: ray.data.Dataset, text_column: str, min_length: int
+) -> ray.data.Dataset:
+    """Drop docs with fewer than ``min_length`` tokens (minhash.py:23-28)."""
+    if min_length <= 0:
+        return ds
+
+    def keep(batch: pa.Table) -> pa.Table:
+        texts = batch[text_column].to_pylist()
+        mask = pa.array([token_count(t) >= min_length for t in texts])
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def minhash_dedup(
+    ds: ray.data.Dataset,
+    text_column: str = "text",
+    cfg: MinHashConfig | None = None,
+    id_column: str | None = None,
+    skip_filtering: bool = False,
+    fingerprint_concurrency: int | tuple[int, int] = (1, 8),
+    fingerprint_batch_size: int = 2048,
+    merge_partitions: int = 64,
+) -> MinHashDedupResult:
+    """Run the full MinHashLSH dedup over a Dataset.
+
+    ``id_column``: an existing unique int column to use as row_id (e.g.
+    ``doc_id``); if None the Dataset must already carry ``row_id``.
+    """
+    cfg = cfg or MinHashConfig()
+    if id_column is not None:
+        ds = stamp_row_ids_from_key(ds, id_column)
+    elif ROW_ID not in ds.schema().names:
+        raise ValueError("dataset must have a row_id column or pass id_column")
+
+    filtered = min_length_filter(ds, text_column, cfg.min_length)
+
+    narrow = filtered.select_columns([ROW_ID, text_column])
+    sig = narrow.map_batches(
+        MinHashFingerprinter,
+        fn_constructor_args=(cfg, text_column),
+        batch_format="pyarrow",
+        batch_size=fingerprint_batch_size,
+        concurrency=fingerprint_concurrency,
+    )
+    local = sig.map_batches(minhash_local_buckets, batch_format="pyarrow", batch_size=None)
+    local_edges, reps = split_edges_and_reps(local)
+    cross_edges = minhash_merge_reps(reps, num_partitions=merge_partitions)
+    edges = local_edges.union(cross_edges)
+    parents = connected_components(edges)
+
+    assigned = assign_clusters(filtered, parents)
+
+    verified_parents = None
+    if cfg.check_false_positive:
+        verified_parents = verify_clusters(
+            assigned,
+            text_column,
+            cfg.ngram_size,
+            cfg.min_length,
+            cfg.threshold,
+            mode="minhash",
+        )
+        assigned = assign_clusters(
+            assigned, verified_parents
+        )  # re-derives __CLUSTER__; __duplicate__ becomes "in verified map"
+
+    deduped = assigned if skip_filtering else filter_cluster_roots(assigned)
+    return MinHashDedupResult(
+        assigned=assigned,
+        deduped=deduped,
+        parents=parents,
+        verified_parents=verified_parents,
+    )

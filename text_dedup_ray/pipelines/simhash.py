@@ -1,0 +1,115 @@
+"""SimHash near-duplicate pipeline (Ray-Data-native).
+
+Reference lifecycle (simhash.py:189-229): load+index -> per-doc fingerprint
+(one row per permutation) -> SEQUENTIAL driver loop bucketing by
+(search_mask, masked sig) and Hamming-checking each new member against every
+earlier bucket member (simhash.py:43-71; the reason SimHash is 50-200x slower
+than MinHash in the published benchmarks) -> assign (non-root members only)
+-> optional Jaccard verify -> filter ``not __duplicate__``.
+
+Ray version: the bucket scan becomes the same two-level exchange as MinHash,
+with in-bucket Hamming verification vectorized over *distinct signature
+values* (stages/edges.py simhash kernels) — exact w.r.t. the reference's
+union condition, and parallel.
+
+Quirk preserved (SURVEY M9): the final filter uses the PRE-verification
+``__duplicate__`` flag even when check_false_positive rewrote clusters.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import ray.data
+
+from ..functions.simhash import SimHashConfig
+from ..sources.io import ROW_ID, stamp_row_ids_from_key
+from ..stages.assign import assign_clusters, filter_non_duplicates
+from ..stages.cc import connected_components
+from ..stages.edges import (
+    simhash_local_buckets,
+    simhash_merge_reps,
+    split_edges_and_reps,
+)
+from ..stages.fingerprint import SimHashFingerprinter
+from .verify import verify_clusters
+
+
+@dataclass
+class SimHashDedupResult:
+    assigned: ray.data.Dataset
+    deduped: ray.data.Dataset
+    parents: dict[int, int]          # non-trivial members only (simhash.py:70-71)
+    verified_parents: dict[int, int] | None = None
+
+
+def simhash_dedup(
+    ds: ray.data.Dataset,
+    text_column: str = "text",
+    cfg: SimHashConfig | None = None,
+    id_column: str | None = None,
+    skip_filtering: bool = False,
+    fingerprint_concurrency: int | tuple[int, int] = (1, 8),
+    fingerprint_batch_size: int = 2048,
+    merge_partitions: int = 64,
+) -> SimHashDedupResult:
+    cfg = cfg or SimHashConfig()
+    if id_column is not None:
+        ds = stamp_row_ids_from_key(ds, id_column)
+    elif ROW_ID not in ds.schema().names:
+        raise ValueError("dataset must have a row_id column or pass id_column")
+
+    narrow = ds.select_columns([ROW_ID, text_column])
+    sig = narrow.map_batches(
+        SimHashFingerprinter,
+        fn_constructor_args=(cfg, text_column),
+        batch_format="pyarrow",
+        batch_size=fingerprint_batch_size,
+        concurrency=fingerprint_concurrency,
+    )
+    local = sig.map_batches(simhash_local_buckets, batch_format="pyarrow", batch_size=None)
+    local_edges, reps = split_edges_and_reps(local)
+    cross_edges = simhash_merge_reps(
+        reps, bit_diff=cfg.bit_diff, num_partitions=merge_partitions
+    )
+    edges = local_edges.union(cross_edges)
+    all_parents = connected_components(edges)
+    # simhash keeps only non-root members in the map (simhash.py:70-71), so
+    # __duplicate__ is False for cluster roots — unlike MinHash.
+    parents = {k: v for k, v in all_parents.items() if k != v}
+
+    assigned = assign_clusters(ds, parents)
+    deduped_source = assigned  # final filter reads the PRE-verification flag
+
+    verified_parents = None
+    if cfg.check_false_positive:
+        verified_parents = verify_clusters(
+            assigned,
+            text_column,
+            cfg.ngram_size,
+            cfg.min_length,
+            cfg.jaccard_threshold,
+            mode="simhash",
+        )
+        # update __CLUSTER__ only; keep the stale __duplicate__ flag by
+        # re-adding it from the pre-verification map (quirk parity)
+        reassigned = assign_clusters(assigned, verified_parents)
+        import pyarrow as pa
+
+        def restore_flag(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ids = batch[ROW_ID].to_numpy(zero_copy_only=False)
+            stale = pa.array(np.isin(ids, list(parents.keys())))
+            return batch.drop_columns(["__duplicate__"]).append_column("__duplicate__", stale)
+
+        assigned = reassigned.map_batches(restore_flag, batch_format="pyarrow")
+        deduped_source = assigned
+
+    deduped = deduped_source if skip_filtering else filter_non_duplicates(deduped_source)
+    return SimHashDedupResult(
+        assigned=assigned,
+        deduped=deduped,
+        parents=parents,
+        verified_parents=verified_parents,
+    )

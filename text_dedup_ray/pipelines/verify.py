@@ -1,0 +1,104 @@
+"""False-positive verification (Jaccard re-check of candidate clusters).
+
+Reference: MinHash verifies via a driver-local polars self-join on cluster id
+with per-pair ``map_elements`` Jaccard (minhash.py:101-170); SimHash loops
+clusters in Python (simhash.py:93-149). Here candidates are hash-partitioned
+by cluster id and verified with ONE ``map_groups`` call per partition;
+shingle sets are computed once per member, pairs only within clusters.
+
+Two reassignment semantics, faithfully distinct:
+- ``minhash``: verified members regroup under their OLD cluster id; new
+  representative = min verified member (minhash.py:136-148).
+- ``simhash``: verified pairs are re-unioned from scratch; only non-root
+  members enter the new map (simhash.py:142-149).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..functions.jaccard import jaccard_similarity
+from ..functions.tokenization import shingle_set
+from ..functions.unionfind import UnionFind
+from ..stages.assign import CLUSTER_COLUMN, DUPLICATE_COLUMN
+
+
+def verify_clusters(
+    assigned: ray.data.Dataset,
+    text_column: str,
+    ngram_size: int,
+    min_length: int,
+    threshold: float,
+    mode: str = "minhash",
+    id_column: str = "row_id",
+    num_partitions: int = 32,
+) -> dict[int, int]:
+    """Return the post-verification parents map {row_id: new_cluster}."""
+    import pyarrow.compute as pc
+
+    cands = assigned.map_batches(
+        lambda t: t.filter(t[DUPLICATE_COLUMN]).select([id_column, text_column, CLUSTER_COLUMN]),
+        batch_format="pyarrow",
+    )
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        cl = batch[CLUSTER_COLUMN].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (cl % num_partitions).astype(np.int32)
+        return batch.append_column("part", pa.array(part))
+
+    def verify_partition(group: pa.Table) -> pa.Table:
+        ids = group[id_column].to_pylist()
+        texts = group[text_column].to_pylist()
+        clusters = group[CLUSTER_COLUMN].to_pylist()
+        by_cluster: dict[int, list[int]] = defaultdict(list)
+        for pos, c in enumerate(clusters):
+            by_cluster[c].append(pos)
+        out_ids: list[int] = []
+        out_clusters: list[int] = []
+        for c, positions in by_cluster.items():
+            if len(positions) < 2:
+                continue
+            shingles = [shingle_set(texts[p], ngram_size, min_length) for p in positions]
+            member_ids = [ids[p] for p in positions]
+            if mode == "minhash":
+                verified: set[int] = set()
+                for i in range(len(positions)):
+                    for j in range(i + 1, len(positions)):
+                        if jaccard_similarity(shingles[i], shingles[j]) >= threshold:
+                            verified.add(member_ids[i])
+                            verified.add(member_ids[j])
+                if verified:
+                    new_c = min(verified)
+                    for m in sorted(verified):
+                        out_ids.append(m)
+                        out_clusters.append(new_c)
+            else:  # simhash: union verified pairs, keep non-roots only
+                uf = UnionFind()
+                for i in range(len(positions)):
+                    for j in range(i + 1, len(positions)):
+                        if jaccard_similarity(shingles[i], shingles[j]) >= threshold:
+                            uf.union(member_ids[i], member_ids[j])
+                for m, r in uf.non_trivial_clusters().items():
+                    out_ids.append(m)
+                    out_clusters.append(r)
+        return pa.table(
+            {
+                "row_id": pa.array(out_ids, pa.int64()),
+                "cluster_id": pa.array(out_clusters, pa.int64()),
+            }
+        )
+
+    result = (
+        cands.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(verify_partition, batch_format="pyarrow")
+    )
+    new_parents: dict[int, int] = {}
+    for batch in result.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for m, c in zip(batch["row_id"].to_pylist(), batch["cluster_id"].to_pylist()):
+            new_parents[m] = c
+    return new_parents

