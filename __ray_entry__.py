@@ -1,44 +1,417 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here calls ``ray.init`` / ``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship image+caption MinHashLSH dedup on a deterministic
+  synthetic corpus (the BASELINE input_hint table shape) at smoke scale.
+- ``queries()``: one entry per implemented operator family (SURVEY §2 +
+  the training-data extras); each callable takes an sf_dir.
+- ``oracle_sql()``: DuckDB-equivalent SQL for every SQL-expressible query
+  (same column names). Signature/LSH/suffix-array pipelines are not
+  SQL-expressible — those entries are intentionally absent (rows-only check).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+# driver-side robustness: make the package importable regardless of the
+# caller's cwd. (Worker processes resolve it via the raylet cwd — drive
+# scripts must run from the repo root or export PYTHONPATH=/root/repo.)
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+SMOKE_CORPUS_N = 1000
+_CORPUS_N = {"0.001": 1000, "0.01": 3000, "0.1": 20000}
+
+
+def _corpus_ds(sf_dir: str) -> ray.data.Dataset:
+    from text_dedup_ray.data.gen import corpus_parquet
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    n = _CORPUS_N.get(sf, SMOKE_CORPUS_N)
+    docs_path, _ = corpus_parquet(n, seed=42)
+    return ray.data.read_parquet(docs_path)
+
+
+def _docs(sf_dir: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _round_col(ds: ray.data.Dataset, col: str, digits: int = 3) -> ray.data.Dataset:
+    import pyarrow.compute as pc
+
+    return ds.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index(col), col, pc.round(t[col], ndigits=digits)
+        ),
+        batch_format="pyarrow",
+    )
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from text_dedup_ray.functions.minhash import MinHashConfig
+    from text_dedup_ray.pipelines.images import image_caption_dedup
+
+    ds = _corpus_ds("/root/testdata/sf0.001")
+    res = image_caption_dedup(
+        ds, cfg=MinHashConfig(num_perm=128, bands=32, rows=4, ngram_size=2, hash_func="sha1")
+    )
+    return res.deduped.drop_columns(["__CLUSTER__", "__duplicate__", "row_id"])
+
+
+# --------------------------------------------------------------- queries
+
+
+def _q_token_count(sf_dir: str):
+    from text_dedup_ray.pipelines.textops import with_token_counts
+
+    return with_token_counts(_docs(sf_dir, ["doc_id", "text"])).select_columns(
+        ["doc_id", "n_tokens"]
+    )
+
+
+def _q_quality(sf_dir: str):
+    from text_dedup_ray.pipelines.textops import with_quality
+
+    return with_quality(_docs(sf_dir, ["doc_id", "text"])).select_columns(
+        ["doc_id", "n_chars_q", "n_tokens", "alpha_ratio", "digit_ratio"]
+    )
+
+
+def _q_md5(sf_dir: str):
+    from text_dedup_ray.pipelines.textops import with_fingerprints
+
+    return with_fingerprints(_docs(sf_dir, ["doc_id", "text"])).select_columns(
+        ["doc_id", "content_md5"]
+    )
+
+
+def _q_winnowing(sf_dir: str):
+    from text_dedup_ray.pipelines.textops import with_fingerprints
+
+    return with_fingerprints(_docs(sf_dir, ["doc_id", "text"])).select_columns(
+        ["doc_id", "fp64"]
+    )
+
+
+def _q_normalize(sf_dir: str):
+    from text_dedup_ray.pipelines.textops import with_normalized
+
+    return with_normalized(_docs(sf_dir, ["doc_id", "text"])).select_columns(
+        ["doc_id", "text_norm"]
+    )
+
+
+def _q_lang_id(sf_dir: str):
+    from text_dedup_ray.pipelines.textops import with_language
+
+    return with_language(_docs(sf_dir, ["doc_id", "text"])).select_columns(
+        ["doc_id", "lang_pred"]
+    )
+
+
+def _q_min_length(sf_dir: str):
+    from text_dedup_ray.pipelines.minhash import min_length_filter
+
+    return min_length_filter(_docs(sf_dir, ["doc_id", "text"]), "text", 5)
+
+
+def _q_exact_dedup(sf_dir: str):
+    from text_dedup_ray.pipelines.exact import exact_dedup
+
+    return exact_dedup(
+        _docs(sf_dir, ["doc_id", "text"]), text_column="text", id_column="doc_id"
+    ).select_columns(["doc_id", "text"])
+
+
+def _q_exact_clusters(sf_dir: str):
+    from text_dedup_ray.pipelines.exact import exact_cluster_table
+
+    return exact_cluster_table(_docs(sf_dir, ["doc_id", "text"]), id_column="doc_id")
+
+
+def _q_cluster_histogram(sf_dir: str):
+    from text_dedup_ray.pipelines.agg import grouped_sum_count
+    from text_dedup_ray.pipelines.exact import exact_cluster_table
+
+    clusters = exact_cluster_table(_docs(sf_dir, ["doc_id", "text"]), id_column="doc_id")
+    sizes = grouped_sum_count(clusters, ["cluster_id"], [], count_alias="cluster_size")
+    return grouped_sum_count(sizes, ["cluster_size"], [], count_alias="n_clusters")
+
+
+def _q_top_sources(sf_dir: str):
+    from text_dedup_ray.pipelines.agg import grouped_sum_count
+
+    return grouped_sum_count(
+        _docs(sf_dir, ["doc_id", "source", "n_chars"]), ["source"], ["n_chars"], "n_docs"
+    )
+
+
+def _q_lang_counts(sf_dir: str):
+    from text_dedup_ray.pipelines.agg import grouped_sum_count
+
+    return grouped_sum_count(_docs(sf_dir, ["doc_id", "lang"]), ["lang"], [], "n_docs")
+
+
+def _q_events_hourly(sf_dir: str):
+    from text_dedup_ray.pipelines.agg import tumbling_window_agg
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    out = tumbling_window_agg(ev, "ts", "event_type", "value", window="hour")
+    return _round_col(out, "value")
+
+
+def _q_events_user(sf_dir: str):
+    from text_dedup_ray.pipelines.agg import grouped_sum_count
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    return _round_col(grouped_sum_count(ev, ["user_id"], ["value"], "n_events"), "value")
+
+
+def _q_lineitem_q1(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from text_dedup_ray.pipelines.agg import grouped_sum_count
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def add_disc(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", disc)
+
+    out = grouped_sum_count(
+        li.map_batches(add_disc, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        ["l_quantity", "l_extendedprice", "disc_price"],
+        "n",
+    )
+    for c in ("l_quantity", "l_extendedprice", "disc_price"):
+        out = _round_col(out, c, 2)
+    return out.rename_columns(
+        {"l_quantity": "sum_qty", "l_extendedprice": "sum_base_price", "disc_price": "sum_disc_price"}
+    )
+
+
+def _q_ann_topk(sf_dir: str):
+    from text_dedup_ray.pipelines.ann import brute_force_topk
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qtable = (
+        emb.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
+    )
+    queries = np.array([np.asarray(v, dtype=np.float64) for v in qtable["embedding"]])
+    out = brute_force_topk(emb, queries, k=10, dtype=np.float64)
+    return out.select(["query_idx", "vec_id"])
+
+
+def _q_ann_lsh(sf_dir: str):
+    from text_dedup_ray.pipelines.ann import lsh_bucket_topk
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qtable = emb.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
+    queries = np.array([np.asarray(v, dtype=np.float64) for v in qtable["embedding"]])
+    return lsh_bucket_topk(emb, queries, k=10).select(["query_idx", "vec_id", "score"])
+
+
+def _q_embedding_dedup(sf_dir: str):
+    from text_dedup_ray.pipelines.ann import embedding_cosine_dedup
+    from text_dedup_ray.stages.cc import cluster_map_to_table
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    parents = embedding_cosine_dedup(emb, threshold=0.98)
+    return cluster_map_to_table(parents)
+
+
+def _q_minhash_docs(sf_dir: str):
+    from text_dedup_ray.functions.minhash import MinHashConfig
+    from text_dedup_ray.pipelines.minhash import minhash_dedup
+
+    res = minhash_dedup(
+        _docs(sf_dir, ["doc_id", "text"]),
+        text_column="text",
+        id_column="doc_id",
+        cfg=MinHashConfig(num_perm=128, bands=32, rows=4, ngram_size=2, hash_func="sha1"),
+    )
+    return res.deduped.select_columns(["doc_id", "__CLUSTER__"]).rename_columns(
+        {"__CLUSTER__": "cluster_id"}
+    )
+
+
+def _q_simhash_docs(sf_dir: str):
+    from text_dedup_ray.functions.simhash import SimHashConfig
+    from text_dedup_ray.pipelines.simhash import simhash_dedup
+
+    res = simhash_dedup(
+        _docs(sf_dir, ["doc_id", "text"]),
+        text_column="text",
+        id_column="doc_id",
+        cfg=SimHashConfig(f=64, bit_diff=3, num_bucket=4, ngram_size=3, hash_func="sha1"),
+    )
+    return res.deduped.select_columns(["doc_id"])
+
+
+def _q_suffix_docs(sf_dir: str):
+    from text_dedup_ray.pipelines.suffix_array import suffix_array_dedup
+
+    return suffix_array_dedup(
+        _docs(sf_dir, ["doc_id", "text"]), text_column="text", length_threshold=100
+    ).select_columns(["doc_id", "text"])
+
+
+def _q_minhash_images(sf_dir: str):
+    from text_dedup_ray.functions.minhash import MinHashConfig
+    from text_dedup_ray.pipelines.images import image_caption_dedup
+
+    res = image_caption_dedup(
+        _corpus_ds(sf_dir),
+        cfg=MinHashConfig(num_perm=128, bands=32, rows=4, ngram_size=2, hash_func="sha1"),
+    )
+    return res.deduped.select_columns(["image_id", "caption", "phash"])
+
+
+def _q_simhash_images(sf_dir: str):
+    from text_dedup_ray.functions.simhash import SimHashConfig
+    from text_dedup_ray.pipelines.images import image_ids_to_row_ids
+    from text_dedup_ray.pipelines.simhash import simhash_dedup
+
+    ds = image_ids_to_row_ids(_corpus_ds(sf_dir))
+    res = simhash_dedup(
+        ds,
+        text_column="caption",
+        cfg=SimHashConfig(f=64, bit_diff=3, num_bucket=4, ngram_size=3, hash_func="sha1"),
+    )
+    return res.deduped.select_columns(["image_id", "caption"])
+
+
+def _q_phash_images(sf_dir: str):
+    from text_dedup_ray.pipelines.images import image_ids_to_row_ids, phash_near_dedup_parents
+    from text_dedup_ray.stages.cc import cluster_map_to_table
+
+    ds = image_ids_to_row_ids(_corpus_ds(sf_dir))
+    parents = phash_near_dedup_parents(ds, bit_diff=2, num_bucket=4)
+    return cluster_map_to_table(parents)
+
+
+def _q_image_decode(sf_dir: str):
+    from text_dedup_ray.pipelines.images import ImageDecodeStage
+
+    ds = _corpus_ds(sf_dir).map_batches(
+        ImageDecodeStage, batch_format="pyarrow", batch_size=256, concurrency=(1, 4)
+    )
+    return ds.select_columns(["image_id", "decode_ok", "phash_check"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- text analysis (SQL-checked) ---
+        "doc_token_count": _q_token_count,
+        "doc_quality": _q_quality,
+        "doc_fingerprint_md5": _q_md5,
+        "doc_normalize_ccnet": _q_normalize,
+        "min_length_filter": _q_min_length,
+        # --- dedup (SQL-checked where expressible) ---
+        "exact_dedup_docs": _q_exact_dedup,
+        "exact_clusters": _q_exact_clusters,
+        "cluster_size_histogram": _q_cluster_histogram,
+        # --- aggregates / windows (SQL-checked) ---
+        "top_sources": _q_top_sources,
+        "lang_counts": _q_lang_counts,
+        "events_hourly": _q_events_hourly,
+        "events_user_stats": _q_events_user,
+        "lineitem_pricing": _q_lineitem_q1,
+        # --- similarity search ---
+        "ann_topk": _q_ann_topk,
+        "ann_lsh_topk": _q_ann_lsh,              # rows-only (approximate by design)
+        "embedding_cosine_dedup": _q_embedding_dedup,  # rows-only
+        # --- near-dup pipelines (not SQL-expressible; rows-only) ---
+        "minhash_dedup_docs": _q_minhash_docs,
+        "simhash_dedup_docs": _q_simhash_docs,
+        "suffix_array_dedup_docs": _q_suffix_docs,
+        "lang_id": _q_lang_id,
+        "doc_winnowing_fp": _q_winnowing,
+        # --- image+caption corpus pipelines (rows-only) ---
+        "minhash_dedup_images": _q_minhash_images,
+        "simhash_dedup_images": _q_simhash_images,
+        "phash_near_dedup_images": _q_phash_images,
+        "image_decode_stats": _q_image_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_token_count": (
+            "SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9_]+'))::BIGINT AS n_tokens "
+            "FROM documents"
+        ),
+        "doc_quality": (
+            "SELECT doc_id, length(text)::BIGINT AS n_chars_q, "
+            "len(regexp_extract_all(text, '[A-Za-z0-9_]+'))::BIGINT AS n_tokens, "
+            "CASE WHEN length(text)=0 THEN 0.0 ELSE "
+            "length(regexp_replace(text,'[^A-Za-z]','','g'))::DOUBLE / length(text) END AS alpha_ratio, "
+            "CASE WHEN length(text)=0 THEN 0.0 ELSE "
+            "length(regexp_replace(text,'[^0-9]','','g'))::DOUBLE / length(text) END AS digit_ratio "
+            "FROM documents"
+        ),
+        "doc_fingerprint_md5": "SELECT doc_id, md5(text) AS content_md5 FROM documents",
+        "doc_normalize_ccnet": (
+            r"SELECT doc_id, regexp_replace(regexp_replace(lower(trim(text)), '\d', '0', 'g'), "
+            r"'[\p{P}\p{C}\p{S}]+', '', 'g') AS text_norm FROM documents"
+        ),
+        "min_length_filter": (
+            "SELECT doc_id, text FROM documents "
+            "WHERE len(regexp_extract_all(text, '[A-Za-z0-9_]+')) >= 5"
+        ),
+        "exact_dedup_docs": (
+            "SELECT doc_id, text FROM documents QUALIFY "
+            "doc_id = min(doc_id) OVER (PARTITION BY text)"
+        ),
+        "exact_clusters": (
+            "SELECT doc_id AS row_id, min(doc_id) OVER (PARTITION BY text) AS cluster_id "
+            "FROM documents"
+        ),
+        "cluster_size_histogram": (
+            "WITH c AS (SELECT count(*)::BIGINT AS cluster_size FROM documents GROUP BY text) "
+            "SELECT cluster_size, count(*)::BIGINT AS n_clusters FROM c GROUP BY cluster_size"
+        ),
+        "top_sources": (
+            "SELECT source, sum(n_chars)::BIGINT AS n_chars, count(*)::BIGINT AS n_docs "
+            "FROM documents GROUP BY source"
+        ),
+        "lang_counts": "SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang",
+        "events_hourly": (
+            "SELECT event_type, date_trunc('hour', ts) AS window_start, "
+            "round(sum(value), 3) AS value, count(*)::BIGINT AS n FROM events "
+            "GROUP BY event_type, window_start"
+        ),
+        "events_user_stats": (
+            "SELECT user_id, round(sum(value), 3) AS value, count(*)::BIGINT AS n_events "
+            "FROM events GROUP BY user_id"
+        ),
+        "lineitem_pricing": (
+            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_base_price, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+            "count(*)::BIGINT AS n FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "ann_topk": (
+            "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5) "
+            "SELECT q.qid AS query_idx, e.vec_id FROM q CROSS JOIN embeddings e "
+            "QUALIFY row_number() OVER (PARTITION BY q.qid ORDER BY "
+            "list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]) DESC, e.vec_id) <= 10"
+        ),
+    }

@@ -1,0 +1,207 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {...per-pipeline seconds...}, "sf": ..., "num_cpus": N,
+   "images_per_sec": ...}
+
+The headline is the flagship image+caption MinHashLSH dedup over the
+deterministic synthetic corpus (BASELINE input_hint shape); secondary
+pipelines run over the sf documents/embeddings/events tables.
+
+``--scaling`` re-runs the headline in two fresh processes at
+RAY_GRAFT_CPUS=8 and =32 and reports both throughputs + scaling efficiency
+(the sandbox stand-in for the N vs 4N cluster-size criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CORPUS_N = int(os.environ.get("GRAFT_CORPUS_N", "100000"))
+
+
+def run_benchmarks() -> None:
+    import ray
+    import ray.data
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+
+    from text_dedup_ray.data.gen import corpus_parquet
+    from text_dedup_ray.functions.minhash import MinHashConfig
+    from text_dedup_ray.functions.simhash import SimHashConfig
+
+    timings: dict[str, float] = {}
+
+    # ---- corpus generation is not part of the measured pipeline (cached) ----
+    docs_path, _ = corpus_parquet(CORPUS_N, seed=42)
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    ray.data.read_parquet(docs_path).count()
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # ---- headline: flagship image+caption MinHash dedup ----
+    def flagship():
+        from text_dedup_ray.pipelines.images import image_caption_dedup
+
+        ds = ray.data.read_parquet(docs_path)
+        res = image_caption_dedup(
+            ds,
+            cfg=MinHashConfig(num_perm=128, bands=32, rows=4, ngram_size=2, hash_func="sha1"),
+            fingerprint_concurrency=(2, max(4, NUM_CPUS // 2)),
+        )
+        return res.deduped.count()
+
+    survivors = timed("minhash_images", flagship)
+
+    # ---- simhash over the same corpus captions ----
+    def simhash_images():
+        from text_dedup_ray.pipelines.images import image_ids_to_row_ids
+        from text_dedup_ray.pipelines.simhash import simhash_dedup
+
+        ds = image_ids_to_row_ids(ray.data.read_parquet(docs_path))
+        res = simhash_dedup(
+            ds,
+            text_column="caption",
+            cfg=SimHashConfig(f=64, bit_diff=3, num_bucket=4, ngram_size=3, hash_func="sha1"),
+            fingerprint_concurrency=(2, max(4, NUM_CPUS // 2)),
+        )
+        return res.deduped.count()
+
+    timed("simhash_images", simhash_images)
+
+    # ---- exact dedup over corpus captions ----
+    def exact_images():
+        from text_dedup_ray.pipelines.exact import exact_dedup
+        from text_dedup_ray.pipelines.images import image_ids_to_row_ids
+
+        ds = image_ids_to_row_ids(
+            ray.data.read_parquet(docs_path, columns=["image_id", "caption"])
+        )
+        return exact_dedup(ds, text_column="caption").count()
+
+    timed("exact_images", exact_images)
+
+    # ---- phash near-dup over corpus ----
+    def phash_images():
+        from text_dedup_ray.pipelines.images import (
+            image_ids_to_row_ids,
+            phash_near_dedup_parents,
+        )
+
+        ds = image_ids_to_row_ids(
+            ray.data.read_parquet(docs_path, columns=["image_id", "phash"])
+        )
+        return len(phash_near_dedup_parents(ds, bit_diff=2, num_bucket=4))
+
+    timed("phash_images", phash_images)
+
+    # ---- sf-table pipelines ----
+    def docs_textops():
+        from text_dedup_ray.pipelines.textops import with_fingerprints, with_quality
+
+        ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        return with_fingerprints(with_quality(ds, "text"), "text").count()
+
+    timed("doc_textops", docs_textops)
+
+    def suffix_docs():
+        from text_dedup_ray.pipelines.suffix_array import suffix_array_dedup
+
+        ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        return suffix_array_dedup(ds, text_column="text", length_threshold=100).count()
+
+    timed("suffix_docs", suffix_docs)
+
+    def events_window():
+        from text_dedup_ray.pipelines.agg import tumbling_window_agg
+
+        ev = ray.data.read_parquet(
+            f"{SF_DIR}/events.parquet", columns=["event_type", "ts", "value"]
+        )
+        return tumbling_window_agg(ev, "ts", "event_type", "value").count()
+
+    timed("events_window", events_window)
+
+    def ann():
+        import numpy as np
+
+        from text_dedup_ray.pipelines.ann import brute_force_topk
+
+        emb = ray.data.read_parquet(
+            f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        sample = emb.limit(16).to_pandas()
+        q = np.array([np.asarray(v, dtype=np.float32) for v in sample["embedding"]])
+        return brute_force_topk(emb, q, k=10).num_rows
+
+    timed("ann_topk", ann)
+
+    headline = timings["minhash_images"]
+    result = {
+        "metric": "image+caption MinHashLSH dedup wall time (synthetic corpus)",
+        "value": headline,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "num_cpus": NUM_CPUS,
+        "corpus_rows": CORPUS_N,
+        "images_per_sec": round(CORPUS_N / headline, 1),
+        "survivors": survivors,
+    }
+    print(json.dumps(result))
+    ray.shutdown()
+
+
+def run_scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "sec_8": t_lo,
+                "sec_32": t_hi,
+                "images_per_sec_8": r_lo["images_per_sec"],
+                "images_per_sec_32": r_hi["images_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+                "corpus_rows": r_lo["corpus_rows"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        run_benchmarks()

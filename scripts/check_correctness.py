@@ -1,0 +1,92 @@
+"""Local stand-in for the driver's correctness gate: run every queries()
+entry at a given sf_dir and compare against oracle_sql() via DuckDB
+(row count + column names + order-insensitive value hash)."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import duckdb
+import pandas as pd
+import ray
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def to_pandas(result) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def main(sf_dir: str) -> None:
+    import __ray_entry__ as entrymod
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    report = {}
+    for name, fn in qs.items():
+        try:
+            ours = canon(to_pandas(fn(sf_dir)))
+            if name in oracles:
+                theirs = canon(con.execute(oracles[name]).fetchdf())
+                ok_rows = len(ours) == len(theirs)
+                ok_cols = list(ours.columns) == list(theirs.columns)
+                ok_vals = False
+                if ok_rows and ok_cols:
+                    try:
+                        pd.testing.assert_frame_equal(
+                            ours, theirs, check_dtype=False, check_exact=False, rtol=1e-9
+                        )
+                        ok_vals = True
+                    except AssertionError as e:
+                        report[name] = {"status": "VALUE_MISMATCH", "detail": str(e)[:300]}
+                if ok_rows and ok_cols and ok_vals:
+                    report[name] = {"status": "OK", "rows": len(ours)}
+                elif not ok_rows:
+                    report[name] = {"status": "ROWS", "ours": len(ours), "theirs": len(theirs)}
+                elif not ok_cols:
+                    report[name] = {
+                        "status": "COLS",
+                        "ours": list(ours.columns),
+                        "theirs": list(theirs.columns),
+                    }
+            else:
+                report[name] = {"status": "ROWS_ONLY", "rows": len(ours)}
+        except Exception as e:  # noqa: BLE001
+            report[name] = {"status": "ERROR", "detail": f"{type(e).__name__}: {e}"[:300]}
+    print(json.dumps(report, indent=1, default=str))
+    bad = [k for k, v in report.items() if v["status"] not in ("OK", "ROWS_ONLY")]
+    print("FAILURES:", bad if bad else "none")
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01")

@@ -1,0 +1,268 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Two paths (SURVEY/BASELINE "similarity search" requirement):
+
+- ``brute_force_topk``: exact cosine top-k. The query matrix is broadcast
+  once with ``ray.put``; every batch does one numpy matmul against it and
+  emits its LOCAL top-k per query (k rows per query per block — a partial
+  top-k combiner), then a tiny driver-side merge takes the global top-k.
+  Never materializes scores for the full dataset.
+- ``lsh_bucket_topk``: the scale path — random-hyperplane (SimHash-for-
+  vectors) bucket signatures; candidates share a bucket with the query in
+  at least one of ``num_tables`` hash tables; exact re-rank of candidates.
+
+Also ``embedding_cosine_dedup``: near-duplicate detection by embedding
+cosine >= threshold, via the same hyperplane-LSH bucketing + in-bucket
+verification + the shared connected-components stage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _batch_matrix(batch: pa.Table, col: str, dtype=np.float32) -> np.ndarray:
+    arr = batch[col].combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(dtype)
+    return flat.reshape(batch.num_rows, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def brute_force_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    embedding_column: str = "embedding",
+    id_column: str = "vec_id",
+    dtype=np.float32,
+) -> pa.Table:
+    """Exact top-k by cosine for each query row. Returns a small table
+    (query_idx, vec_id, score) sorted by (query_idx, -score)."""
+    qn = _normalize(np.asarray(queries, dtype=dtype))
+    q_ref = ray.put(qn)
+
+    class LocalTopK:
+        def __init__(self, q_ref, k: int) -> None:
+            self.q: np.ndarray = ray.get(q_ref)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_batch_matrix(batch, embedding_column, dtype))
+            ids = batch[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+            scores = self.q @ m.T  # (nq, nb)
+            nq, nb = scores.shape
+            kk = min(self.k, nb)
+            top = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            qi = np.repeat(np.arange(nq, dtype=np.int64), kk)
+            vi = top.reshape(-1)
+            return pa.table(
+                {
+                    "query_idx": qi,
+                    id_column: ids[vi],
+                    "score": scores[np.arange(nq)[:, None], top].reshape(-1).astype(np.float64),
+                }
+            )
+
+    partials = ds.map_batches(
+        LocalTopK, fn_constructor_args=(q_ref, k), batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    merged = partials.to_pandas()  # k rows x queries x blocks — small
+    merged = (
+        merged.sort_values(["query_idx", "score", id_column], ascending=[True, False, True])
+        .groupby("query_idx", as_index=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(merged, preserve_index=False)
+
+
+def hyperplane_signatures(
+    m: np.ndarray, planes: np.ndarray
+) -> np.ndarray:
+    """(n, dim) x (tables, bits, dim) -> (n, tables) uint64 bucket ids."""
+    n = m.shape[0]
+    tables = planes.shape[0]
+    out = np.zeros((n, tables), dtype=np.uint64)
+    for t in range(tables):
+        bits = (m @ planes[t].T) > 0  # (n, bits)
+        for b in range(planes.shape[1]):
+            out[:, t] = (out[:, t] << np.uint64(1)) | bits[:, b].astype(np.uint64)
+    return out
+
+
+def lsh_bucket_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    embedding_column: str = "embedding",
+    id_column: str = "vec_id",
+    num_tables: int = 8,
+    num_bits: int = 12,
+    seed: int = 42,
+) -> pa.Table:
+    """Approximate top-k: candidates co-bucket with a query in >= 1 table,
+    exact cosine re-rank of candidates only."""
+    qn = _normalize(np.asarray(queries, dtype=np.float32))
+    dim = qn.shape[1]
+    planes = np.random.RandomState(seed).randn(num_tables, num_bits, dim).astype(np.float32)
+    q_sigs = hyperplane_signatures(qn, planes)  # (nq, tables)
+    # bucket membership sets per table for fast query-side lookup
+    q_ref = ray.put((qn, planes, q_sigs))
+
+    class BucketScan:
+        def __init__(self, q_ref, k: int) -> None:
+            self.q, self.planes, self.q_sigs = ray.get(q_ref)
+            self.k = k
+            # per table: bucket -> query indices
+            self.lookup: list[dict[int, np.ndarray]] = []
+            for t in range(self.q_sigs.shape[1]):
+                d: dict[int, list[int]] = {}
+                for qi, s in enumerate(self.q_sigs[:, t].tolist()):
+                    d.setdefault(s, []).append(qi)
+                self.lookup.append({s: np.array(v) for s, v in d.items()})
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_batch_matrix(batch, embedding_column))
+            ids = batch[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+            sigs = hyperplane_signatures(m, self.planes)
+            nq = self.q.shape[0]
+            cand: list[set[int]] = [set() for _ in range(nq)]
+            for t in range(sigs.shape[1]):
+                table_lookup = self.lookup[t]
+                for row, s in enumerate(sigs[:, t].tolist()):
+                    hits = table_lookup.get(s)
+                    if hits is not None:
+                        for qi in hits.tolist():
+                            cand[qi].add(row)
+            out_q, out_id, out_score = [], [], []
+            for qi, rows in enumerate(cand):
+                if not rows:
+                    continue
+                rows_arr = np.fromiter(rows, dtype=np.int64, count=len(rows))
+                scores = m[rows_arr] @ self.q[qi]
+                kk = min(self.k, len(rows_arr))
+                top = np.argpartition(-scores, kk - 1)[:kk]
+                out_q.extend([qi] * kk)
+                out_id.extend(ids[rows_arr[top]].tolist())
+                out_score.extend(scores[top].astype(np.float64).tolist())
+            return pa.table(
+                {
+                    "query_idx": pa.array(out_q, pa.int64()),
+                    id_column: pa.array(out_id, pa.int64()),
+                    "score": pa.array(out_score, pa.float64()),
+                }
+            )
+
+    partials = ds.map_batches(
+        BucketScan, fn_constructor_args=(q_ref, k), batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    merged = partials.to_pandas()
+    if len(merged) == 0:
+        return pa.table(
+            {"query_idx": pa.array([], pa.int64()), id_column: pa.array([], pa.int64()),
+             "score": pa.array([], pa.float64())}
+        )
+    merged = (
+        merged.sort_values(["query_idx", "score", id_column], ascending=[True, False, True])
+        .groupby("query_idx", as_index=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(merged, preserve_index=False)
+
+
+def embedding_cosine_dedup(
+    ds: ray.data.Dataset,
+    threshold: float = 0.95,
+    embedding_column: str = "embedding",
+    id_column: str = "vec_id",
+    num_tables: int = 8,
+    num_bits: int = 10,
+    seed: int = 42,
+    merge_partitions: int = 32,
+) -> dict[int, int]:
+    """Embedding near-dup clusters: rows with cosine >= threshold connected.
+
+    Hyperplane-LSH buckets generate candidates; each bucket's members are
+    exactly re-ranked (pairwise cosine within bucket, vectorized); verified
+    edges feed the shared tree-reduced union-find. Recall depends on
+    (num_tables, num_bits) like any LSH — not exhaustive by design.
+    """
+    from ..stages.cc import connected_components
+
+    dim = None
+    planes_holder = {}
+
+    def sig_stage(batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, embedding_column))
+        if "planes" not in planes_holder:
+            planes_holder["planes"] = (
+                np.random.RandomState(seed).randn(num_tables, num_bits, m.shape[1]).astype(np.float32)
+            )
+        sigs = hyperplane_signatures(m, planes_holder["planes"])  # (n, tables)
+        ids = batch[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch.num_rows
+        return pa.table(
+            {
+                "row_id": np.repeat(ids, num_tables),
+                "table_idx": np.tile(np.arange(num_tables, dtype=np.int32), n),
+                "bucket": sigs.reshape(-1),
+                "vec": pa.array(
+                    list(np.repeat(m, num_tables, axis=0)), pa.list_(pa.float32())
+                ),
+            }
+        )
+
+    sig = ds.map_batches(sig_stage, batch_format="pyarrow")
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        b = batch["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        t = batch["table_idx"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = ((b * np.uint64(1000003) + t) % np.uint64(merge_partitions)).astype(np.int32)
+        return batch.append_column("part", pa.array(part))
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        ids = group["row_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = group["table_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = group["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vecs = _batch_matrix(group, "vec")
+        order = np.lexsort((ids, b, t))
+        ts, bs = t[order], b[order]
+        starts = np.flatnonzero(np.r_[True, (np.diff(ts) != 0) | (np.diff(bs) != 0)])
+        ends = np.r_[starts[1:], len(order)]
+        src_out, dst_out = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            idx = order[s:e]
+            mids = ids[idx]
+            mv = vecs[idx]
+            sims = mv @ mv.T
+            ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+            if len(ii):
+                a, c = mids[ii], mids[jj]
+                src_out.append(np.maximum(a, c))
+                dst_out.append(np.minimum(a, c))
+        if not src_out:
+            return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+        return pa.table(
+            {"src": np.concatenate(src_out).astype(np.int64),
+             "dst": np.concatenate(dst_out).astype(np.int64)}
+        )
+
+    edges = (
+        sig.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pyarrow")
+    )
+    return connected_components(edges)

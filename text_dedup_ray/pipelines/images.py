@@ -1,0 +1,209 @@
+"""Image (binary payload) operators + the flagship image+caption pipeline.
+
+The BASELINE input table is ``(image_id, bytes, w, h, fmt, caption, phash)``.
+Images are opaque binary with typed metadata; all pixel work happens in
+actor-pool ``map_batches`` stages whose codecs live in functions/codecs.py
+(real pure-python PNG; the lossy codec is a documented deterministic stub —
+no image libs in this environment — with real Ray-side plumbing).
+
+Key scale stance (SURVEY §7.4): image bytes NEVER enter a shuffle. Dedup
+runs over narrow (row_id, caption/phash) projections; survivors re-select
+full rows by row_id, so pixel fidelity is preserved trivially and verified
+explicitly by ``check_row_invariants``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..functions.codecs import average_phash, decode_image, psnr
+from ..functions.minhash import MinHashConfig
+from ..sources.io import ROW_ID
+from .minhash import MinHashDedupResult, minhash_dedup
+
+
+def image_ids_to_row_ids(ds: ray.data.Dataset, id_column: str = "image_id") -> ray.data.Dataset:
+    """'img-%012d' string keys -> deterministic int64 row_id."""
+
+    def add(batch: pa.Table) -> pa.Table:
+        ids = np.array(
+            [int(s.rsplit("-", 1)[1]) for s in batch[id_column].to_pylist()], dtype=np.int64
+        )
+        return batch.append_column(ROW_ID, pa.array(ids))
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+class ImageDecodeStage:
+    """Actor pool: decode payloads, verify metadata, emit pixel stats.
+
+    Output columns: decode_ok, mean_lum, phash_check (recomputed phash).
+    Small batches — binary payloads are wide (guide: memory-aware batching).
+    """
+
+    def __init__(self, strict: bool = False) -> None:
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        ws = batch["w"].to_pylist()
+        hs = batch["h"].to_pylist()
+        ok = np.zeros(len(blobs), dtype=bool)
+        lum = np.zeros(len(blobs), dtype=np.float64)
+        ph = np.zeros(len(blobs), dtype=np.int64)
+        for i, (blob, fmt) in enumerate(zip(blobs, fmts)):
+            try:
+                pix = decode_image(blob, fmt)
+                ok[i] = pix.shape[0] == hs[i] and pix.shape[1] == ws[i]
+                lum[i] = float(pix.mean())
+                ph[i] = average_phash(pix)
+            except Exception:
+                if self.strict:
+                    raise
+                ok[i] = False
+        return (
+            batch.append_column("decode_ok", pa.array(ok))
+            .append_column("mean_lum", pa.array(lum))
+            .append_column("phash_check", pa.array(ph))
+        )
+
+
+class ImageResizeStage:
+    """Actor pool: nearest-neighbor resize to (out_w, out_h), re-encoded with
+    the row's own codec. Real plumbing; swap the kernel for a real resampler
+    in production."""
+
+    def __init__(self, out_w: int = 16, out_h: int = 16) -> None:
+        self.out_w = out_w
+        self.out_h = out_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.codecs import encode_image
+
+        blobs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        out_bytes = []
+        for blob, fmt in zip(blobs, fmts):
+            pix = decode_image(blob, fmt)
+            ys = (np.arange(self.out_h) * pix.shape[0] // self.out_h).astype(int)
+            xs = (np.arange(self.out_w) * pix.shape[1] // self.out_w).astype(int)
+            small = pix[ys][:, xs]
+            out_bytes.append(encode_image(small, fmt))
+        batch = batch.drop_columns(["bytes"]).append_column("bytes", pa.array(out_bytes, pa.binary()))
+        batch = batch.drop_columns(["w"]).append_column(
+            "w", pa.array(np.full(len(out_bytes), self.out_w, dtype=np.int32))
+        )
+        return batch.drop_columns(["h"]).append_column(
+            "h", pa.array(np.full(len(out_bytes), self.out_h, dtype=np.int32))
+        )
+
+
+class FrameSampleStage:
+    """STUB: video frame sampling. No video codec exists in this
+    environment; the actor signature, batch plumbing, and output schema are
+    real, the decode is not."""
+
+    def __init__(self, every_n: int = 30) -> None:
+        self.every_n = every_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # pragma: no cover
+        raise NotImplementedError("video decoding unavailable in this environment")
+
+
+def phash_near_dedup_parents(
+    ds: ray.data.Dataset,
+    bit_diff: int = 2,
+    num_bucket: int = 4,
+    phash_column: str = "phash",
+    merge_partitions: int = 32,
+) -> dict[int, int]:
+    """Near-duplicate IMAGES by perceptual hash: cluster rows whose 64-bit
+    phash differs by <= bit_diff. Reuses the SimHash block-permutation
+    machinery (the phash IS a 64-bit fingerprint) and the shared edges/CC
+    stages."""
+    from ..functions.simhash import create_permutations
+    from ..stages.cc import connected_components
+    from ..stages.edges import simhash_local_buckets, simhash_merge_reps, split_edges_and_reps
+
+    perms = create_permutations(64, bit_diff, num_bucket)
+
+    def sig_stage(batch: pa.Table) -> pa.Table:
+        ph = batch[phash_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        sigs = ph.view(np.uint64)
+        ids = batch[ROW_ID].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        nperm = len(perms)
+        keys = np.empty(n * nperm, dtype=np.uint64)
+        for i in range(n):
+            s = int(sigs[i])
+            for j, p in enumerate(perms):
+                keys[i * nperm + j] = p.key(s)
+        return pa.table(
+            {
+                "row_id": np.repeat(ids, nperm),
+                "perm_idx": np.tile(np.arange(nperm, dtype=np.int32), n),
+                "key": keys,
+                "sig": np.repeat(sigs, nperm),
+            }
+        )
+
+    sig = ds.select_columns([ROW_ID, phash_column]).map_batches(sig_stage, batch_format="pyarrow")
+    local = sig.map_batches(simhash_local_buckets, batch_format="pyarrow", batch_size=None)
+    local_edges, reps = split_edges_and_reps(local)
+    cross = simhash_merge_reps(reps, bit_diff=bit_diff, num_partitions=merge_partitions)
+    return connected_components(local_edges.union(cross))
+
+
+def image_caption_dedup(
+    ds: ray.data.Dataset,
+    cfg: MinHashConfig | None = None,
+    **kwargs,
+) -> MinHashDedupResult:
+    """Flagship: MinHashLSH dedup of the image+caption table on captions.
+
+    The narrow (row_id, caption) projection feeds the standard MinHash
+    pipeline; assignment/filtering run over the full-schema rows, so
+    surviving rows carry their original bytes untouched.
+    """
+    ds = image_ids_to_row_ids(ds)
+    return minhash_dedup(ds, text_column="caption", cfg=cfg, **kwargs)
+
+
+def check_row_invariants(
+    source: pa.Table, survivors: pa.Table, min_psnr: float = 40.0
+) -> dict[str, float]:
+    """Per-surviving-row invariants vs the source table (BASELINE):
+    exact caption equality; decoded-pixel PSNR >= min_psnr (inf for
+    lossless). Driver-side checker for tests/small samples."""
+    src_by_id = {
+        i: (b, f, c)
+        for i, b, f, c in zip(
+            source["image_id"].to_pylist(),
+            source["bytes"].to_pylist(),
+            source["fmt"].to_pylist(),
+            source["caption"].to_pylist(),
+        )
+    }
+    worst = float("inf")
+    checked = 0
+    for i, b, f, c in zip(
+        survivors["image_id"].to_pylist(),
+        survivors["bytes"].to_pylist(),
+        survivors["fmt"].to_pylist(),
+        survivors["caption"].to_pylist(),
+    ):
+        sb, sf, sc = src_by_id[i]
+        if c != sc:
+            raise AssertionError(f"caption changed for {i}")
+        if b == sb:
+            p = float("inf")
+        else:
+            p = psnr(decode_image(sb, sf), decode_image(b, f))
+        if p < min_psnr:
+            raise AssertionError(f"PSNR {p:.1f} < {min_psnr} for {i}")
+        worst = min(worst, p)
+        checked += 1
+    return {"checked": checked, "worst_psnr": worst}

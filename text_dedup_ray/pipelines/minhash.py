@@ -126,3 +126,83 @@ def minhash_dedup(
         parents=parents,
         verified_parents=verified_parents,
     )
+
+
+def minhash_dedup_checkpointed(
+    ds: ray.data.Dataset,
+    checkpoint_root: str,
+    source_fingerprint: str,
+    text_column: str = "text",
+    cfg: MinHashConfig | None = None,
+    id_column: str | None = None,
+    skip_filtering: bool = False,
+    fingerprint_concurrency: int | tuple[int, int] = (1, 8),
+    fingerprint_batch_size: int = 2048,
+    merge_partitions: int = 64,
+) -> tuple[MinHashDedupResult, dict[str, bool]]:
+    """Resumable variant: the signature stage and the cluster map are
+    materialized through a :class:`CheckpointManager` keyed by
+    (stage, config hash, lineage). A rerun after a kill skips completed
+    stages; ``source_fingerprint`` identifies the immutable input (e.g. its
+    path + mtime or content hash) so stale checkpoints never resurrect.
+
+    Returns (result, {stage: was_cached}).
+    """
+    from dataclasses import asdict
+
+    import numpy as np
+
+    from ..state.checkpoint import CheckpointManager, checkpointed_minhash_signatures, config_hash
+
+    cfg = cfg or MinHashConfig()
+    if id_column is not None:
+        ds = stamp_row_ids_from_key(ds, id_column)
+    elif ROW_ID not in ds.schema().names:
+        raise ValueError("dataset must have a row_id column or pass id_column")
+
+    manager = CheckpointManager(checkpoint_root)
+    filtered = min_length_filter(ds, text_column, cfg.min_length)
+
+    sig, sig_cached = checkpointed_minhash_signatures(
+        filtered,
+        cfg,
+        text_column,
+        manager,
+        source_fingerprint,
+        fingerprint_concurrency=fingerprint_concurrency,
+        fingerprint_batch_size=fingerprint_batch_size,
+    )
+
+    sig_conf = config_hash(
+        {"algo": "minhash_signatures", "cfg": asdict(cfg), "text_column": text_column},
+        parents=[source_fingerprint],
+    )
+    cluster_conf = config_hash({"algo": "minhash_clusters"}, parents=[sig_conf])
+
+    hit = manager.lookup("minhash_clusters", cluster_conf)
+    if hit is not None:
+        tbl = manager.load(hit).to_pandas()
+        parents = dict(
+            zip(tbl["row_id"].astype(np.int64), tbl["cluster_id"].astype(np.int64))
+        )
+        cluster_cached = True
+    else:
+        local = sig.map_batches(minhash_local_buckets, batch_format="pyarrow", batch_size=None)
+        local_edges, reps = split_edges_and_reps(local)
+        cross_edges = minhash_merge_reps(reps, num_partitions=merge_partitions)
+        parents = connected_components(local_edges.union(cross_edges))
+        from ..stages.cc import cluster_map_to_table
+
+        manager.save(
+            ray.data.from_arrow(cluster_map_to_table(parents)),
+            "minhash_clusters",
+            cluster_conf,
+            parents=[sig_conf],
+            extra_meta={"n_members": len(parents)},
+        )
+        cluster_cached = False
+
+    assigned = assign_clusters(filtered, parents)
+    deduped = assigned if skip_filtering else filter_cluster_roots(assigned)
+    result = MinHashDedupResult(assigned=assigned, deduped=deduped, parents=parents)
+    return result, {"signatures": sig_cached, "clusters": cluster_cached}

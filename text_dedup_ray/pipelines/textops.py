@@ -1,0 +1,121 @@
+"""Text-analysis operators over a document Dataset.
+
+Beyond-the-reference operators a large-scale training-data pipeline needs
+(tasked in SURVEY/BASELINE): token counting, quality scoring, language id,
+document fingerprinting, plus the reference's normalizers (utils/preprocess)
+wired as batch stages. All are stateless vectorized ``map_batches`` stages;
+language id compiles its stopword tables once per actor.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..functions.preprocess import news_copy_preprocessing, normalize
+from ..functions.textstats import (
+    content_md5,
+    count_tokens,
+    detect_language,
+    quality_stats,
+    winnowing_fingerprint,
+)
+
+
+def with_token_counts(ds: ray.data.Dataset, text_column: str = "text") -> ray.data.Dataset:
+    def add(batch: pa.Table) -> pa.Table:
+        counts = np.fromiter(
+            (count_tokens(t) for t in batch[text_column].to_pylist()),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+        return batch.append_column("n_tokens", pa.array(counts))
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def with_quality(ds: ray.data.Dataset, text_column: str = "text") -> ray.data.Dataset:
+    """Adds n_chars_q, n_tokens, alpha_ratio, digit_ratio."""
+
+    def add(batch: pa.Table) -> pa.Table:
+        texts = batch[text_column].to_pylist()
+        n = len(texts)
+        n_chars = np.empty(n, np.int64)
+        n_tokens = np.empty(n, np.int64)
+        alpha = np.empty(n, np.float64)
+        digit = np.empty(n, np.float64)
+        for i, t in enumerate(texts):
+            n_chars[i], n_tokens[i], alpha[i], digit[i] = quality_stats(t)
+        return (
+            batch.append_column("n_chars_q", pa.array(n_chars))
+            .append_column("n_tokens", pa.array(n_tokens))
+            .append_column("alpha_ratio", pa.array(alpha))
+            .append_column("digit_ratio", pa.array(digit))
+        )
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+class LangIdStage:
+    """Actor: stopword tables resolved once per actor (SURVEY ST-pattern)."""
+
+    def __init__(self, text_column: str = "text") -> None:
+        from ..functions import textstats
+
+        self.detect = textstats.detect_language
+        self.text_column = text_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_column].to_pylist()
+        langs, scores = [], []
+        for t in texts:
+            lang, score = self.detect(t)
+            langs.append(lang)
+            scores.append(score)
+        return batch.append_column("lang_pred", pa.array(langs, pa.string())).append_column(
+            "lang_score", pa.array(scores, pa.float64())
+        )
+
+
+def with_language(
+    ds: ray.data.Dataset, text_column: str = "text", concurrency=(1, 8)
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        LangIdStage,
+        fn_constructor_args=(text_column,),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+def with_fingerprints(ds: ray.data.Dataset, text_column: str = "text") -> ray.data.Dataset:
+    """Adds content_md5 (exact, SQL-mirrorable) and fp64 (winnowing sketch)."""
+
+    def add(batch: pa.Table) -> pa.Table:
+        texts = batch[text_column].to_pylist()
+        md5s = [content_md5(t) for t in texts]
+        fps = np.fromiter(
+            (np.int64(np.uint64(winnowing_fingerprint(t)).astype(np.int64)) for t in texts),
+            dtype=np.int64,
+            count=len(texts),
+        )
+        return batch.append_column("content_md5", pa.array(md5s, pa.string())).append_column(
+            "fp64", pa.array(fps)
+        )
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def with_normalized(
+    ds: ray.data.Dataset, text_column: str = "text", mode: str = "ccnet"
+) -> ray.data.Dataset:
+    """Reference normalizers as a pre-stage (SURVEY M12)."""
+    fn = normalize if mode == "ccnet" else news_copy_preprocessing
+
+    def add(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "text_norm", pa.array([fn(t) for t in batch[text_column].to_pylist()], pa.string())
+        )
+
+    return ds.map_batches(add, batch_format="pyarrow")
