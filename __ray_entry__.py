@@ -34,13 +34,17 @@ SMOKE_CORPUS_N = 1000
 _CORPUS_N = {"0.001": 1000, "0.01": 3000, "0.1": 20000}
 
 
-def _corpus_ds(sf_dir: str) -> ray.data.Dataset:
+def _corpus_path(sf_dir: str) -> str:
     from text_dedup_ray.data.gen import corpus_parquet
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     n = _CORPUS_N.get(sf, SMOKE_CORPUS_N)
     docs_path, _ = corpus_parquet(n, seed=42)
-    return ray.data.read_parquet(docs_path)
+    return docs_path
+
+
+def _corpus_ds(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(_corpus_path(sf_dir))
 
 
 def _docs(sf_dir: str, columns=None) -> ray.data.Dataset:
@@ -62,9 +66,9 @@ def entry() -> Any:
     from text_dedup_ray.functions.minhash import MinHashConfig
     from text_dedup_ray.pipelines.images import image_caption_dedup
 
-    ds = _corpus_ds("/root/testdata/sf0.001")
     res = image_caption_dedup(
-        ds, cfg=MinHashConfig(num_perm=128, bands=32, rows=4, ngram_size=2, hash_func="sha1")
+        path=_corpus_path("/root/testdata/sf0.001"),
+        cfg=MinHashConfig(num_perm=128, bands=32, rows=4, ngram_size=2, hash_func="sha1"),
     )
     return res.deduped.drop_columns(["__CLUSTER__", "__duplicate__", "row_id"])
 
@@ -278,7 +282,7 @@ def _q_minhash_images(sf_dir: str):
     from text_dedup_ray.pipelines.images import image_caption_dedup
 
     res = image_caption_dedup(
-        _corpus_ds(sf_dir),
+        path=_corpus_path(sf_dir),
         cfg=MinHashConfig(num_perm=128, bands=32, rows=4, ngram_size=2, hash_func="sha1"),
     )
     return res.deduped.select_columns(["image_id", "caption", "phash"])

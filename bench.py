@@ -52,20 +52,21 @@ def run_benchmarks() -> None:
     ray.data.read_parquet(docs_path).count()
 
     def timed(name: str, fn):
+        print(f"[bench] {name} ...", file=sys.stderr, flush=True)
         t0 = time.perf_counter()
         out = fn()
         timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
         return out
 
     # ---- headline: flagship image+caption MinHash dedup ----
     def flagship():
         from text_dedup_ray.pipelines.images import image_caption_dedup
 
-        ds = ray.data.read_parquet(docs_path)
         res = image_caption_dedup(
-            ds,
+            path=docs_path,
             cfg=MinHashConfig(num_perm=128, bands=32, rows=4, ngram_size=2, hash_func="sha1"),
-            fingerprint_concurrency=(2, max(4, NUM_CPUS // 2)),
+            fingerprint_concurrency=max(4, NUM_CPUS // 2),
         )
         return res.deduped.count()
 
@@ -77,11 +78,15 @@ def run_benchmarks() -> None:
         from text_dedup_ray.pipelines.simhash import simhash_dedup
 
         ds = image_ids_to_row_ids(ray.data.read_parquet(docs_path))
+        narrow = image_ids_to_row_ids(
+            ray.data.read_parquet(docs_path, columns=["image_id", "caption"])
+        )
         res = simhash_dedup(
             ds,
             text_column="caption",
             cfg=SimHashConfig(f=64, bit_diff=3, num_bucket=4, ngram_size=3, hash_func="sha1"),
-            fingerprint_concurrency=(2, max(4, NUM_CPUS // 2)),
+            fingerprint_concurrency=max(4, NUM_CPUS // 2),
+            signature_source=narrow,
         )
         return res.deduped.count()
 

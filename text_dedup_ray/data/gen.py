@@ -183,8 +183,10 @@ def corpus_parquet(n: int, seed: int = 42, cache_dir: str = "/tmp/tdr_corpus") -
     truth_path = os.path.join(cache_dir, f"truth_n{n}_s{seed}.parquet")
     if not (os.path.exists(docs_path) and os.path.exists(truth_path)):
         docs, truth = generate_corpus(n, seed)
-        pq.write_table(docs, docs_path + ".tmp")
-        pq.write_table(truth, truth_path + ".tmp")
+        # small row groups so ray.data.read_parquet can split one file into
+        # many read tasks (a single giant row group serializes the read)
+        pq.write_table(docs, docs_path + ".tmp", row_group_size=4096)
+        pq.write_table(truth, truth_path + ".tmp", row_group_size=65536)
         os.replace(docs_path + ".tmp", docs_path)
         os.replace(truth_path + ".tmp", truth_path)
     return docs_path, truth_path

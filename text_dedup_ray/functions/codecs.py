@@ -125,11 +125,16 @@ def average_phash(pixels: np.ndarray, grid: int = 8) -> int:
     grayscale image -> signed int64 (fits the table's ``phash:int64``)."""
     gray = pixels.astype(np.float64).mean(axis=2)
     h, w = gray.shape
-    ys = (np.arange(grid + 1) * h // grid).astype(int)
-    xs = (np.arange(grid + 1) * w // grid).astype(int)
-    cells = np.empty((grid, grid))
-    for i in range(grid):
-        for j in range(grid):
-            cells[i, j] = gray[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)].mean()
+    if h % grid == 0 and w % grid == 0:  # fast path: exact block means
+        cells = gray.reshape(grid, h // grid, grid, w // grid).mean(axis=(1, 3))
+    else:
+        ys = (np.arange(grid + 1) * h // grid).astype(int)
+        xs = (np.arange(grid + 1) * w // grid).astype(int)
+        cells = np.empty((grid, grid))
+        for i in range(grid):
+            for j in range(grid):
+                cells[i, j] = gray[
+                    ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)
+                ].mean()
     bits = (cells > cells.mean()).astype(np.uint8).reshape(-1)
     return int.from_bytes(np.packbits(bits).tobytes(), "big", signed=True)

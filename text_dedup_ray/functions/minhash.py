@@ -119,7 +119,12 @@ class MinHashConfig:
 class MinHasher:
     """Stateful vectorized signature kernel; hold one per actor (SURVEY ST1)."""
 
-    def __init__(self, cfg: MinHashConfig, perm_chunk: int = 32) -> None:
+    # shingle slab size: bounds the (slab x perm_chunk) working buffers so
+    # per-batch allocations are reused, never freshly mmap'd (first-touch
+    # page faults cost ~0.5 ms/page on virtualized hosts — see _tune_allocator)
+    SLAB = 65536
+
+    def __init__(self, cfg: MinHashConfig, perm_chunk: int = 16) -> None:
         self.cfg = cfg
         self.dtype, max_hash, prime = HASH_CONFIG[cfg.hash_bits]
         self.max_hash = self.dtype(max_hash)
@@ -127,9 +132,14 @@ class MinHasher:
         self.a, self.b = cfg.permutations()
         self.hash_func = cfg.base_hash()
         self.perm_chunk = perm_chunk
+        self._hbuf = np.empty((self.SLAB, 1), dtype=self.dtype)
+        self._pbuf = np.empty((self.SLAB, perm_chunk), dtype=self.dtype)
 
     def signatures(self, texts: list[str]) -> np.ndarray:
-        """Return a (len(texts), num_perm) signature matrix."""
+        """Return a (len(texts), num_perm) signature matrix.
+
+        Shingles are processed in doc-aligned slabs through preallocated
+        buffers (in-place numpy ops) — zero large allocations per call."""
         cfg = self.cfg
         flat_hashes: list[int] = []
         counts = np.empty(len(texts), dtype=np.int64)
@@ -144,16 +154,37 @@ class MinHasher:
         if not flat_hashes:
             return out
 
-        h = np.asarray(flat_hashes, dtype=self.dtype)[:, None]
-        nonempty = counts > 0
-        # reduceat segment starts for docs with >=1 shingle
-        starts = np.concatenate(([0], np.cumsum(counts[nonempty])[:-1])).astype(np.int64)
+        h_all = np.asarray(flat_hashes, dtype=self.dtype)
+        doc_idx = np.flatnonzero(counts > 0)
+        offsets = np.concatenate(([0], np.cumsum(counts[doc_idx]))).astype(np.int64)
+
+        lo_doc = 0
+        n_nonempty = len(doc_idx)
         with np.errstate(over="ignore"):  # uint multiply wraps, same as reference
-            for lo in range(0, cfg.num_perm, self.perm_chunk):
-                hi = min(lo + self.perm_chunk, cfg.num_perm)
-                phv = (h * self.a[lo:hi] + self.b[lo:hi]) % self.prime & self.max_hash
-                mins = np.minimum.reduceat(phv, starts, axis=0)
-                out[nonempty, lo:hi] = np.minimum(mins, self.max_hash)
+            while lo_doc < n_nonempty:
+                # grow the doc slab until the shingle slab budget is hit
+                hi_doc = int(
+                    np.searchsorted(offsets, offsets[lo_doc] + self.SLAB, side="right") - 1
+                )
+                hi_doc = max(hi_doc, lo_doc + 1)  # always take >=1 doc
+                s0, s1 = int(offsets[lo_doc]), int(offsets[hi_doc])
+                m = s1 - s0
+                if m > self.SLAB:  # single doc larger than the slab: grow once
+                    self._hbuf = np.empty((m, 1), dtype=self.dtype)
+                    self._pbuf = np.empty((m, self.perm_chunk), dtype=self.dtype)
+                hbuf = self._hbuf[:m]
+                hbuf[:, 0] = h_all[s0:s1]
+                starts = (offsets[lo_doc:hi_doc] - s0).astype(np.int64)
+                rows = doc_idx[lo_doc:hi_doc]
+                for lo in range(0, cfg.num_perm, self.perm_chunk):
+                    hi = min(lo + self.perm_chunk, cfg.num_perm)
+                    pb = self._pbuf[:m, : hi - lo]
+                    np.multiply(hbuf, self.a[lo:hi], out=pb)
+                    np.add(pb, self.b[lo:hi], out=pb)
+                    np.mod(pb, self.prime, out=pb)
+                    np.bitwise_and(pb, self.max_hash, out=pb)
+                    out[rows, lo:hi] = np.minimum.reduceat(pb, starts, axis=0)
+                lo_doc = hi_doc
         return out
 
     def band_bytes(self, signatures: np.ndarray) -> list[list[bytes]]:

@@ -178,3 +178,60 @@ class SimHasher:
         bucket (LSH guarantee), and all candidates are Hamming-verified before
         union, so only spurious cross-permutation candidates differ."""
         return [p.key(sig) for p in self.perms]
+
+    def signatures_batch(self, texts: list[str]) -> np.ndarray:
+        """Vectorized across the batch (the reference computes one doc per
+        call): flatten all shingles, hash once each, per-doc bit-majority via
+        ``np.add.reduceat`` over the unpacked bit matrix."""
+        f = self.cfg.f
+        nbytes = f // 8
+        hfun = self.hash_func
+        counts = np.empty(len(texts), dtype=np.int64)
+        chunks: list[bytes] = []
+        for i, text in enumerate(texts):
+            sh = shingle_set(text, self.cfg.ngram_size, self.cfg.min_length)
+            counts[i] = len(sh)
+            for s in sh:
+                chunks.append(hfun(s).to_bytes(nbytes, "big"))
+        out = np.zeros(len(texts), dtype=np.uint64)
+        if not chunks:
+            return out
+        raw = np.frombuffer(b"".join(chunks), dtype=np.uint8).reshape(len(chunks), nbytes)
+        doc_idx = np.flatnonzero(counts > 0)
+        offsets = np.concatenate(([0], np.cumsum(counts[doc_idx]))).astype(np.int64)
+        SLAB = 16384  # shingle slab: keeps the unpacked bit matrix small/reused
+        lo_doc = 0
+        n_nonempty = len(doc_idx)
+        while lo_doc < n_nonempty:
+            hi_doc = int(np.searchsorted(offsets, offsets[lo_doc] + SLAB, side="right") - 1)
+            hi_doc = max(hi_doc, lo_doc + 1)
+            s0, s1 = int(offsets[lo_doc]), int(offsets[hi_doc])
+            bits = np.unpackbits(raw[s0:s1], axis=1).astype(np.int32)
+            starts = (offsets[lo_doc:hi_doc] - s0).astype(np.int64)
+            sums = np.add.reduceat(bits, starts, axis=0)
+            slab_counts = counts[doc_idx[lo_doc:hi_doc]][:, None]
+            maj = (2 * sums > slab_counts).astype(np.uint8)
+            packed = np.packbits(maj, axis=1).copy().view(">u8").reshape(-1).astype(np.uint64)
+            out[doc_idx[lo_doc:hi_doc]] = packed
+            lo_doc = hi_doc
+        return out
+
+    def keys_batch(self, sigs: np.ndarray) -> np.ndarray:
+        """(n,) uint64 sigs -> (n, num_perms) uint64 bucket keys, vectorized
+        per permutation with numpy shifts."""
+        n = len(sigs)
+        out = np.empty((n, len(self.perms)), dtype=np.uint64)
+        full = np.uint64((1 << self.cfg.f) - 1) if self.cfg.f < 64 else np.uint64(0xFFFFFFFFFFFFFFFF)
+        with np.errstate(over="ignore"):
+            for j, p in enumerate(self.perms):
+                acc = np.zeros(n, dtype=np.uint64)
+                for mask, off in zip(p.masks, p.offsets):
+                    v = sigs & np.uint64(mask)
+                    if off > 0:
+                        acc |= (v << np.uint64(off)) & full
+                    elif off < 0:
+                        acc |= v >> np.uint64(-off)
+                    else:
+                        acc |= v
+                out[:, j] = acc & np.uint64(p.search_mask)
+        return out

@@ -152,22 +152,34 @@ def phash_near_dedup_parents(
 
     sig = ds.select_columns([ROW_ID, phash_column]).map_batches(sig_stage, batch_format="pyarrow")
     local = sig.map_batches(simhash_local_buckets, batch_format="pyarrow", batch_size=None)
+    local = local.materialize()  # branches below; see minhash.py for rationale
     local_edges, reps = split_edges_and_reps(local)
     cross = simhash_merge_reps(reps, bit_diff=bit_diff, num_partitions=merge_partitions)
     return connected_components(local_edges.union(cross))
 
 
 def image_caption_dedup(
-    ds: ray.data.Dataset,
+    ds: ray.data.Dataset | None = None,
     cfg: MinHashConfig | None = None,
+    path: str | None = None,
     **kwargs,
 ) -> MinHashDedupResult:
     """Flagship: MinHashLSH dedup of the image+caption table on captions.
 
-    The narrow (row_id, caption) projection feeds the standard MinHash
-    pipeline; assignment/filtering run over the full-schema rows, so
-    surviving rows carry their original bytes untouched.
+    Pass ``path`` (preferred) to let the signature branch read ONLY
+    (image_id, caption) — payload bytes are pruned at the read and only the
+    final assignment/filter pass touches them. The narrow projection feeds
+    the standard MinHash pipeline; surviving rows carry their original bytes
+    untouched.
     """
+    if path is not None:
+        ds = image_ids_to_row_ids(ray.data.read_parquet(path))
+        narrow = image_ids_to_row_ids(
+            ray.data.read_parquet(path, columns=["image_id", "caption"])
+        )
+        return minhash_dedup(
+            ds, text_column="caption", cfg=cfg, signature_source=narrow, **kwargs
+        )
     ds = image_ids_to_row_ids(ds)
     return minhash_dedup(ds, text_column="caption", cfg=cfg, **kwargs)
 

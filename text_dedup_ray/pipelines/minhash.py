@@ -75,11 +75,17 @@ def minhash_dedup(
     fingerprint_concurrency: int | tuple[int, int] = (1, 8),
     fingerprint_batch_size: int = 2048,
     merge_partitions: int = 64,
+    signature_source: ray.data.Dataset | None = None,
 ) -> MinHashDedupResult:
     """Run the full MinHashLSH dedup over a Dataset.
 
     ``id_column``: an existing unique int column to use as row_id (e.g.
     ``doc_id``); if None the Dataset must already carry ``row_id``.
+
+    ``signature_source``: optional narrow Dataset (same rows, at least
+    [row_id | id_column, text_column]) to fingerprint from — lets wide
+    tables prune payload columns AT THE READ for the signature branch
+    instead of dragging image bytes through the fingerprint stage.
     """
     cfg = cfg or MinHashConfig()
     if id_column is not None:
@@ -89,7 +95,14 @@ def minhash_dedup(
 
     filtered = min_length_filter(ds, text_column, cfg.min_length)
 
-    narrow = filtered.select_columns([ROW_ID, text_column])
+    if signature_source is not None:
+        src = signature_source
+        if id_column is not None and ROW_ID not in src.schema().names:
+            src = stamp_row_ids_from_key(src, id_column)
+        narrow = min_length_filter(src, text_column, cfg.min_length)
+        narrow = narrow.select_columns([ROW_ID, text_column])
+    else:
+        narrow = filtered.select_columns([ROW_ID, text_column])
     sig = narrow.map_batches(
         MinHashFingerprinter,
         fn_constructor_args=(cfg, text_column),
@@ -98,6 +111,13 @@ def minhash_dedup(
         concurrency=fingerprint_concurrency,
     )
     local = sig.map_batches(minhash_local_buckets, batch_format="pyarrow", batch_size=None)
+    # materialize the narrow bucket-stage output ONCE before it branches into
+    # (local edges, reps): without this Ray plans the whole fingerprint
+    # sub-plan twice — two full actor pools (can deadlock the CPU budget with
+    # fixed-size pools) and double the fingerprint work. This is also the
+    # natural checkpoint artifact (state/checkpoint.py materializes the same
+    # boundary to parquet).
+    local = local.materialize()
     local_edges, reps = split_edges_and_reps(local)
     cross_edges = minhash_merge_reps(reps, num_partitions=merge_partitions)
     edges = local_edges.union(cross_edges)
@@ -187,7 +207,9 @@ def minhash_dedup_checkpointed(
         )
         cluster_cached = True
     else:
-        local = sig.map_batches(minhash_local_buckets, batch_format="pyarrow", batch_size=None)
+        local = sig.map_batches(
+            minhash_local_buckets, batch_format="pyarrow", batch_size=None
+        ).materialize()
         local_edges, reps = split_edges_and_reps(local)
         cross_edges = minhash_merge_reps(reps, num_partitions=merge_partitions)
         parents = connected_components(local_edges.union(cross_edges))

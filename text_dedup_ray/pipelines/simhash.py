@@ -52,6 +52,7 @@ def simhash_dedup(
     fingerprint_concurrency: int | tuple[int, int] = (1, 8),
     fingerprint_batch_size: int = 2048,
     merge_partitions: int = 64,
+    signature_source: ray.data.Dataset | None = None,
 ) -> SimHashDedupResult:
     cfg = cfg or SimHashConfig()
     if id_column is not None:
@@ -59,7 +60,13 @@ def simhash_dedup(
     elif ROW_ID not in ds.schema().names:
         raise ValueError("dataset must have a row_id column or pass id_column")
 
-    narrow = ds.select_columns([ROW_ID, text_column])
+    if signature_source is not None:
+        src = signature_source
+        if id_column is not None and ROW_ID not in src.schema().names:
+            src = stamp_row_ids_from_key(src, id_column)
+        narrow = src.select_columns([ROW_ID, text_column])
+    else:
+        narrow = ds.select_columns([ROW_ID, text_column])
     sig = narrow.map_batches(
         SimHashFingerprinter,
         fn_constructor_args=(cfg, text_column),
@@ -68,6 +75,7 @@ def simhash_dedup(
         concurrency=fingerprint_concurrency,
     )
     local = sig.map_batches(simhash_local_buckets, batch_format="pyarrow", batch_size=None)
+    local = local.materialize()  # branches below; see minhash.py for rationale
     local_edges, reps = split_edges_and_reps(local)
     cross_edges = simhash_merge_reps(
         reps, bit_diff=cfg.bit_diff, num_partitions=merge_partitions

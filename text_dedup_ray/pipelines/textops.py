@@ -107,6 +107,30 @@ def with_fingerprints(ds: ray.data.Dataset, text_column: str = "text") -> ray.da
     return ds.map_batches(add, batch_format="pyarrow")
 
 
+def concat_text_columns(
+    ds: ray.data.Dataset,
+    columns: list[str],
+    out_column: str = "text",
+    sep: str = " ",
+    lowercase: bool = True,
+) -> ray.data.Dataset:
+    """Reference M13: benchmark text join ``title + " " + abstract``
+    lowercased (benchmarks/run_benchmark.py:43), generalized."""
+    import pyarrow.compute as pc
+
+    def add(batch: pa.Table) -> pa.Table:
+        joined = batch[columns[0]]
+        for c in columns[1:]:
+            joined = pc.binary_join_element_wise(joined, batch[c], sep)
+        if lowercase:
+            joined = pc.utf8_lower(joined)
+        if out_column in batch.column_names:
+            batch = batch.drop_columns([out_column])
+        return batch.append_column(out_column, joined)
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
 def with_normalized(
     ds: ray.data.Dataset, text_column: str = "text", mode: str = "ccnet"
 ) -> ray.data.Dataset:

@@ -134,6 +134,23 @@ def read_parquet_with_row_ids(
     return ds
 
 
+def write_cluster_table(parents: dict[int, int], path: str) -> None:
+    """Persist a cluster map as parquet (row_id, cluster_id) — the engine's
+    replacement for the reference's clusters.pickle (io.py:72-77)."""
+    from ..stages.cc import cluster_map_to_table
+
+    pq.write_table(cluster_map_to_table(parents), path)
+
+
+def read_cluster_table(path: str) -> dict[int, int]:
+    """Reload a cluster map (reference S5: clusters.pickle reader,
+    benchmarks/benchmark_core.py:159-163)."""
+    t = pq.read_table(path)
+    return dict(
+        zip(t["row_id"].to_pylist(), t["cluster_id"].to_pylist())
+    )
+
+
 def write_output(
     ds: ray.data.Dataset,
     path: str,

@@ -74,18 +74,13 @@ class SimHashFingerprinter:
         row_ids = batch["row_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(texts)
         nperm = len(self.sh.perms)
-        sigs = np.empty(n, dtype=np.uint64)
-        keys = np.empty(n * nperm, dtype=np.uint64)
-        for i, text in enumerate(texts):
-            sig = self.sh.signature(text)
-            sigs[i] = sig
-            for j, k in enumerate(self.sh.keys(sig)):
-                keys[i * nperm + j] = k
+        sigs = self.sh.signatures_batch(texts)
+        keys = self.sh.keys_batch(sigs)
         return pa.table(
             {
                 "row_id": np.repeat(row_ids, nperm),
                 "perm_idx": np.tile(np.arange(nperm, dtype=np.int32), n),
-                "key": keys,
+                "key": keys.reshape(-1),
                 "sig": np.repeat(sigs, nperm),
             }
         )
