@@ -72,6 +72,8 @@ def run_benchmarks() -> None:
 
     survivors = timed("minhash_images", flagship)
 
+    headline_only = os.environ.get("GRAFT_HEADLINE_ONLY") == "1"
+
     # ---- simhash over the same corpus captions ----
     def simhash_images():
         from text_dedup_ray.pipelines.images import image_ids_to_row_ids
@@ -90,7 +92,8 @@ def run_benchmarks() -> None:
         )
         return res.deduped.count()
 
-    timed("simhash_images", simhash_images)
+    if not headline_only:
+        timed("simhash_images", simhash_images)
 
     # ---- exact dedup over corpus captions ----
     def exact_images():
@@ -102,7 +105,8 @@ def run_benchmarks() -> None:
         )
         return exact_dedup(ds, text_column="caption").count()
 
-    timed("exact_images", exact_images)
+    if not headline_only:
+        timed("exact_images", exact_images)
 
     # ---- phash near-dup over corpus ----
     def phash_images():
@@ -116,7 +120,8 @@ def run_benchmarks() -> None:
         )
         return len(phash_near_dedup_parents(ds, bit_diff=2, num_bucket=4))
 
-    timed("phash_images", phash_images)
+    if not headline_only:
+        timed("phash_images", phash_images)
 
     # ---- sf-table pipelines ----
     def docs_textops():
@@ -125,7 +130,8 @@ def run_benchmarks() -> None:
         ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
         return with_fingerprints(with_quality(ds, "text"), "text").count()
 
-    timed("doc_textops", docs_textops)
+    if not headline_only:
+        timed("doc_textops", docs_textops)
 
     def suffix_docs():
         from text_dedup_ray.pipelines.suffix_array import suffix_array_dedup
@@ -133,7 +139,8 @@ def run_benchmarks() -> None:
         ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
         return suffix_array_dedup(ds, text_column="text", length_threshold=100).count()
 
-    timed("suffix_docs", suffix_docs)
+    if not headline_only:
+        timed("suffix_docs", suffix_docs)
 
     def events_window():
         from text_dedup_ray.pipelines.agg import tumbling_window_agg
@@ -143,7 +150,8 @@ def run_benchmarks() -> None:
         )
         return tumbling_window_agg(ev, "ts", "event_type", "value").count()
 
-    timed("events_window", events_window)
+    if not headline_only:
+        timed("events_window", events_window)
 
     def ann():
         import numpy as np
@@ -157,7 +165,8 @@ def run_benchmarks() -> None:
         q = np.array([np.asarray(v, dtype=np.float32) for v in sample["embedding"]])
         return brute_force_topk(emb, q, k=10).num_rows
 
-    timed("ann_topk", ann)
+    if not headline_only:
+        timed("ann_topk", ann)
 
     headline = timings["minhash_images"]
     result = {
@@ -178,6 +187,7 @@ def run_benchmarks() -> None:
 def run_scaling() -> None:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env["GRAFT_HEADLINE_ONLY"] = "1"
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -188,18 +198,30 @@ def run_scaling() -> None:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    r_lo, r_hi = run(lo), run(hi)
-    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+    # this sandbox shows 2-3x wall-clock drift between identical runs
+    # (external host contention); interleave levels and take the min wall
+    # per level (capacity estimate) to keep the ratio meaningful
+    lo_secs, hi_secs = [], []
+    rows = None
+    for _ in range(repeats):
+        r_lo, r_hi = run(lo), run(hi)
+        lo_secs.append(r_lo["value"])
+        hi_secs.append(r_hi["value"])
+        rows = r_lo["corpus_rows"]
+    t_lo, t_hi = min(lo_secs), min(hi_secs)
     eff = (t_lo / t_hi) / (hi / lo)
     print(
         json.dumps(
             {
                 "sec_8": t_lo,
                 "sec_32": t_hi,
-                "images_per_sec_8": r_lo["images_per_sec"],
-                "images_per_sec_32": r_hi["images_per_sec"],
+                "all_sec_8": lo_secs,
+                "all_sec_32": hi_secs,
+                "images_per_sec_8": round(rows / t_lo, 1),
+                "images_per_sec_32": round(rows / t_hi, 1),
                 "scaling_efficiency": round(eff, 3),
-                "corpus_rows": r_lo["corpus_rows"],
+                "corpus_rows": rows,
             }
         )
     )

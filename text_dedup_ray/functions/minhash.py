@@ -134,6 +134,10 @@ class MinHasher:
         self.perm_chunk = perm_chunk
         self._hbuf = np.empty((self.SLAB, 1), dtype=self.dtype)
         self._pbuf = np.empty((self.SLAB, perm_chunk), dtype=self.dtype)
+        # shingle -> base-hash memo: shingles follow a Zipf distribution, so
+        # an actor-lifetime cache skips most sha1 calls (values unchanged)
+        self._memo: dict[bytes, int] = {}
+        self._memo_cap = 4_000_000
 
     def signatures(self, texts: list[str]) -> np.ndarray:
         """Return a (len(texts), num_perm) signature matrix.
@@ -144,10 +148,18 @@ class MinHasher:
         flat_hashes: list[int] = []
         counts = np.empty(len(texts), dtype=np.int64)
         hfun = self.hash_func
+        memo = self._memo
+        if len(memo) > self._memo_cap:
+            memo.clear()
         for i, text in enumerate(texts):
             sh = shingle_set(text, cfg.ngram_size, cfg.min_length)
             counts[i] = len(sh)
-            flat_hashes.extend(hfun(s) for s in sh)
+            for s in sh:
+                h = memo.get(s)
+                if h is None:
+                    h = hfun(s)
+                    memo[s] = h
+                flat_hashes.append(h)
 
         n_docs = len(texts)
         out = np.full((n_docs, cfg.num_perm), self.max_hash, dtype=self.dtype)

@@ -164,6 +164,8 @@ class SimHasher:
         self.cfg = cfg
         self.perms = create_permutations(cfg.f, cfg.bit_diff, cfg.num_bucket)
         self.hash_func = cfg.base_hash()
+        self._memo: dict[bytes, bytes] = {}  # shingle -> hash bytes (Zipf cache)
+        self._memo_cap = 4_000_000
 
     def signature(self, text: str) -> int:
         shingles = shingle_set(text, self.cfg.ngram_size, self.cfg.min_length)
@@ -188,11 +190,18 @@ class SimHasher:
         hfun = self.hash_func
         counts = np.empty(len(texts), dtype=np.int64)
         chunks: list[bytes] = []
+        memo = self._memo
+        if len(memo) > self._memo_cap:
+            memo.clear()
         for i, text in enumerate(texts):
             sh = shingle_set(text, self.cfg.ngram_size, self.cfg.min_length)
             counts[i] = len(sh)
             for s in sh:
-                chunks.append(hfun(s).to_bytes(nbytes, "big"))
+                h = memo.get(s)
+                if h is None:
+                    h = hfun(s).to_bytes(nbytes, "big")
+                    memo[s] = h
+                chunks.append(h)
         out = np.zeros(len(texts), dtype=np.uint64)
         if not chunks:
             return out

@@ -79,21 +79,15 @@ def exact_dedup(
     )  # winner set is ≤ #distinct texts; broadcast once
     winners_ref = ray.put(winner_ids)
 
-    class KeepWinners:
-        def __init__(self, ref) -> None:
-            self.winners: np.ndarray = ray.get(ref)
+    def keep_winners(batch: pa.Table) -> pa.Table:
+        winners: np.ndarray = ray.get(winners_ref)  # zero-copy from local plasma
+        ids = batch[ROW_ID].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(winners, ids)
+        pos = np.clip(pos, 0, max(len(winners) - 1, 0))
+        mask = (winners[pos] == ids) if len(winners) else np.zeros(len(ids), bool)
+        return batch.filter(pa.array(mask))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch[ROW_ID].to_numpy(zero_copy_only=False).astype(np.int64)
-            pos = np.searchsorted(self.winners, ids)
-            pos = np.clip(pos, 0, max(len(self.winners) - 1, 0))
-            mask = (self.winners[pos] == ids) if len(self.winners) else np.zeros(len(ids), bool)
-            return batch.filter(pa.array(mask))
-
-    out = hashed.map_batches(
-        KeepWinners, fn_constructor_args=(winners_ref,), batch_format="pyarrow",
-        concurrency=(1, 8),
-    )
+    out = hashed.map_batches(keep_winners, batch_format="pyarrow")
     if not keep_hash:
         out = out.drop_columns([hash_col])
     return out

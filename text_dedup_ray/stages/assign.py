@@ -22,30 +22,43 @@ CLUSTER_COLUMN = "__CLUSTER__"
 DUPLICATE_COLUMN = "__duplicate__"
 
 
-class _BroadcastAssigner:
-    """Actor: resolves (members, roots) refs once in __init__."""
+# worker-process-global cache of resolved broadcast arrays: assignment runs
+# as plain TASKS (reusing Ray's prestarted workers — no actor-pool process
+# spawn), and ray.get of the same ref is served zero-copy from local plasma;
+# the cache just skips repeated deserialization bookkeeping per batch.
+_BROADCAST_CACHE: dict[str, tuple[np.ndarray, np.ndarray]] = {}
 
-    def __init__(self, members_ref, roots_ref, cluster_column: str, id_column: str) -> None:
-        self.members: np.ndarray = ray.get(members_ref)
-        self.roots: np.ndarray = ray.get(roots_ref)
-        self.cluster_column = cluster_column
-        self.id_column = id_column
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_column].to_numpy(zero_copy_only=False).astype(np.int64)
-        pos = np.searchsorted(self.members, ids)
-        pos_c = np.clip(pos, 0, max(len(self.members) - 1, 0))
-        if len(self.members):
-            hit = self.members[pos_c] == ids
+def _resolve_refs(members_ref, roots_ref) -> tuple[np.ndarray, np.ndarray]:
+    key = str(members_ref)
+    hit = _BROADCAST_CACHE.get(key)
+    if hit is None:
+        hit = (ray.get(members_ref), ray.get(roots_ref))
+        _BROADCAST_CACHE.clear()
+        _BROADCAST_CACHE[key] = hit
+    return hit
+
+
+def _make_assigner(members_ref, roots_ref, cluster_column: str, id_column: str):
+    def assign(batch: pa.Table) -> pa.Table:
+        members, roots = _resolve_refs(members_ref, roots_ref)
+        ids = batch[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(members, ids)
+        pos_c = np.clip(pos, 0, max(len(members) - 1, 0))
+        if len(members):
+            hit = members[pos_c] == ids
         else:
             hit = np.zeros(len(ids), dtype=bool)
-        clusters = np.where(hit, self.roots[pos_c] if len(self.roots) else -1, ids)
-        for col in (self.cluster_column, DUPLICATE_COLUMN):
-            if col in batch.column_names:
-                batch = batch.drop_columns([col])
-        return batch.append_column(self.cluster_column, pa.array(clusters)).append_column(
+        clusters = np.where(hit, roots[pos_c] if len(roots) else -1, ids)
+        out = batch
+        for col in (cluster_column, DUPLICATE_COLUMN):
+            if col in out.column_names:
+                out = out.drop_columns([col])
+        return out.append_column(cluster_column, pa.array(clusters)).append_column(
             DUPLICATE_COLUMN, pa.array(hit)
         )
+
+    return assign
 
 
 def assign_clusters(
@@ -69,10 +82,8 @@ def assign_clusters(
     members_ref = ray.put(members)
     roots_ref = ray.put(roots)
     return ds.map_batches(
-        _BroadcastAssigner,
-        fn_constructor_args=(members_ref, roots_ref, cluster_column, id_column),
+        _make_assigner(members_ref, roots_ref, cluster_column, id_column),
         batch_format="pyarrow",
-        concurrency=concurrency or (1, 8),
     )
 
 

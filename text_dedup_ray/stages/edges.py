@@ -159,6 +159,8 @@ def minhash_merge_reps(reps: ray.data.Dataset, num_partitions: int = 64) -> ray.
 
     def per_partition(group: pa.Table) -> pa.Table:
         n = group.num_rows
+        if n == 0:
+            return _edge_table(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
         width = group.schema.field("key").type.byte_width
         keys = _void_view(_binary_to_u8(group["key"], width, n))
         row_ids = group["src"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -168,8 +170,10 @@ def minhash_merge_reps(reps: ray.data.Dataset, num_partitions: int = 64) -> ray.
         mask = rid_sorted != dst
         return _edge_table(rid_sorted[mask], dst[mask])
 
+    from .exchange import hash_partition_exchange
+
     reps = reps.map_batches(add_part, batch_format="pyarrow")
-    return reps.groupby("part").map_groups(per_partition, batch_format="pyarrow")
+    return hash_partition_exchange(reps, "part", num_partitions, per_partition)
 
 
 # ---------------------------------------------------------------- SimHash
@@ -233,6 +237,8 @@ def simhash_merge_reps(
 
     def per_partition(group: pa.Table) -> pa.Table:
         n = group.num_rows
+        if n == 0:
+            return _edge_table(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
         mat = _binary_to_u8(group["key"], 20, n)
         row_ids = group["src"].to_numpy(zero_copy_only=False).astype(np.int64)
         # 1) merge identical (bucket, sig) reps across blocks: star edges
@@ -286,8 +292,10 @@ def simhash_merge_reps(
             )
         return _edge_table(np.concatenate(out_src), np.concatenate(out_dst))
 
+    from .exchange import hash_partition_exchange
+
     reps = reps.map_batches(add_part, batch_format="pyarrow")
-    return reps.groupby("part").map_groups(per_partition, batch_format="pyarrow")
+    return hash_partition_exchange(reps, "part", num_partitions, per_partition)
 
 
 _POPCOUNT_TABLE = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
