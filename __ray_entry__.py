@@ -241,6 +241,34 @@ def _q_embedding_dedup(sf_dir: str):
     return cluster_map_to_table(parents)
 
 
+def _q_jaccard_pairs(sf_dir: str):
+    from text_dedup_ray.pipelines.jaccard_dedup import jaccard_pair_table
+
+    pairs = jaccard_pair_table(
+        _docs(sf_dir, ["doc_id", "text"]),
+        id_column="doc_id",
+        ngram_size=1,
+        min_length=0,
+        threshold=0.8,
+        df_cap=1_000_000_000,  # exact — no hot-shingle drops for the oracle
+    )
+    return _round_col(pairs, "jaccard", 4)
+
+
+def _q_jaccard_dedup(sf_dir: str):
+    from text_dedup_ray.pipelines.jaccard_dedup import ngram_jaccard_dedup
+    from text_dedup_ray.stages.cc import cluster_map_to_table
+
+    parents = ngram_jaccard_dedup(
+        _docs(sf_dir, ["doc_id", "text"]),
+        id_column="doc_id",
+        ngram_size=2,
+        min_length=0,
+        threshold=0.6,
+    )
+    return cluster_map_to_table(parents)
+
+
 def _q_minhash_docs(sf_dir: str):
     from text_dedup_ray.functions.minhash import MinHashConfig
     from text_dedup_ray.pipelines.minhash import minhash_dedup
@@ -338,6 +366,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "events_user_stats": _q_events_user,
         "lineitem_pricing": _q_lineitem_q1,
+        # --- exact n-gram Jaccard (SQL-checked pair table) ---
+        "ngram_jaccard_pairs": _q_jaccard_pairs,
+        "ngram_jaccard_dedup": _q_jaccard_dedup,  # rows-only
         # --- similarity search ---
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,              # rows-only (approximate by design)
@@ -411,6 +442,18 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(l_extendedprice), 2) AS sum_base_price, "
             "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
             "count(*)::BIGINT AS n FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "ngram_jaccard_pairs": (
+            "WITH tok AS (SELECT DISTINCT doc_id, tok FROM ("
+            "SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok "
+            "FROM documents)), "
+            "sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id), "
+            "co AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS co FROM tok a "
+            "JOIN tok b USING (tok) WHERE a.doc_id > b.doc_id GROUP BY 1, 2) "
+            "SELECT co.i AS src, co.j AS dst, "
+            "round(co.co::DOUBLE / (sa.sz + sb.sz - co.co), 4) AS jaccard "
+            "FROM co JOIN sizes sa ON sa.doc_id = co.i JOIN sizes sb ON sb.doc_id = co.j "
+            "WHERE co.co::DOUBLE / (sa.sz + sb.sz - co.co) >= 0.8"
         ),
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5) "

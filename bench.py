@@ -197,7 +197,8 @@ def run_scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
     repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
     # this sandbox shows 2-3x wall-clock drift between identical runs
     # (external host contention); interleave levels and take the min wall

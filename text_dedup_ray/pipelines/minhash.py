@@ -49,6 +49,7 @@ class MinHashDedupResult:
     deduped: ray.data.Dataset   # cluster roots only (or == assigned when skipped)
     parents: dict[int, int]     # pre-verification cluster map (incl. root->root)
     verified_parents: dict[int, int] | None = None
+    metrics: dict = field(default_factory=dict)  # per-stage counts (A6 parity)
 
 
 def min_length_filter(
@@ -123,6 +124,16 @@ def minhash_dedup(
     edges = local_edges.union(cross_edges)
     parents = connected_components(edges)
 
+    n_dup_members = sum(1 for m, r in parents.items() if m != r)
+    metrics = {
+        "signature_rows": local.count(),  # bucket-stage rows (edges + reps)
+        "cluster_members": len(parents),
+        "duplicate_rows": n_dup_members,
+        "clusters": len(parents) - n_dup_members,
+        "bands": cfg.bands,
+        "rows_per_band": cfg.rows,
+    }
+
     assigned = assign_clusters(filtered, parents)
 
     verified_parents = None
@@ -145,6 +156,7 @@ def minhash_dedup(
         deduped=deduped,
         parents=parents,
         verified_parents=verified_parents,
+        metrics=metrics,
     )
 
 
