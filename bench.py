@@ -66,7 +66,7 @@ def run_benchmarks() -> None:
         res = image_caption_dedup(
             path=docs_path,
             cfg=MinHashConfig(num_perm=128, bands=32, rows=4, ngram_size=2, hash_func="sha1"),
-            fingerprint_concurrency=max(4, NUM_CPUS // 2),
+            fingerprint_concurrency=max(1, min(NUM_CPUS - 1, NUM_CPUS // 2)),
         )
         return res.deduped.count()
 
@@ -87,7 +87,7 @@ def run_benchmarks() -> None:
             ds,
             text_column="caption",
             cfg=SimHashConfig(f=64, bit_diff=3, num_bucket=4, ngram_size=3, hash_func="sha1"),
-            fingerprint_concurrency=max(4, NUM_CPUS // 2),
+            fingerprint_concurrency=max(1, min(NUM_CPUS - 1, NUM_CPUS // 2)),
             signature_source=narrow,
         )
         return res.deduped.count()

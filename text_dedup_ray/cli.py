@@ -1,0 +1,149 @@
+"""Config-driven CLI — the engine's equivalent of the reference's
+``python -m text_dedup.<algo>`` entry points (reference: TOML +
+pydantic-settings, config/base.py:16-43; here: stdlib tomllib, same shape).
+
+Usage:
+    python -m text_dedup_ray --config run.toml
+    python -m text_dedup_ray --config run.toml --algorithm minhash
+
+Config shape (all algorithm fields optional — defaults mirror the
+reference's config.toml):
+
+    [input]
+    path = "/data/docs"          # file/dir/glob
+    format = "parquet"           # parquet | csv | json | lance
+    text_column = "text"
+    id_column = "doc_id"         # optional; else deterministic fragment ids
+
+    [output]
+    path = "/out/deduped"
+    skip_filtering = false       # keep all rows (annotated) instead of filtering
+    save_clusters = true         # write clusters.parquet next to the output
+
+    [algorithm]
+    name = "minhash"             # minhash | simhash | exact | suffix_array | jaccard
+    num_perm = 200
+    ngram_size = 2
+    ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+import tomllib
+
+
+def _load_input(cfg: dict):
+    import ray.data
+
+    from .sources.io import ROW_ID, read_parquet_with_row_ids, read_table, stamp_row_ids_from_key
+
+    inp = cfg.get("input", {})
+    path = inp["path"]
+    fmt = inp.get("format", "parquet")
+    id_column = inp.get("id_column")
+    if id_column is None and fmt == "parquet":
+        ds = read_parquet_with_row_ids(path)
+    else:
+        ds = read_table(path, fmt=fmt)
+        if id_column is not None:
+            ds = stamp_row_ids_from_key(ds, id_column)
+        elif ROW_ID not in ds.schema().names:
+            raise SystemExit("non-parquet inputs need input.id_column")
+    return ds, inp.get("text_column", "text")
+
+
+def _algo_kwargs(algo: dict, fields: set[str]) -> dict:
+    return {k: v for k, v in algo.items() if k in fields}
+
+
+def main(argv: list[str] | None = None) -> None:
+    parser = argparse.ArgumentParser(prog="text_dedup_ray")
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--algorithm", help="override [algorithm].name")
+    args = parser.parse_args(argv)
+
+    with open(args.config, "rb") as f:
+        cfg = tomllib.load(f)
+    algo = dict(cfg.get("algorithm", {}))
+    name = args.algorithm or algo.pop("name", "minhash")
+    out = cfg.get("output", {})
+    out_path = out.get("path", "./deduped")
+    skip_filtering = bool(out.get("skip_filtering", False))
+    save_clusters = bool(out.get("save_clusters", True))
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    ds, text_column = _load_input(cfg)
+    t0 = time.perf_counter()
+    stats: dict = {"algorithm": name}
+    parents = None
+
+    if name == "minhash":
+        from .functions.minhash import MinHashConfig
+        from .pipelines.minhash import minhash_dedup
+
+        fields = {f for f in MinHashConfig.__dataclass_fields__}
+        mh_cfg = MinHashConfig(**_algo_kwargs(algo, fields))
+        res = minhash_dedup(ds, text_column=text_column, cfg=mh_cfg, skip_filtering=skip_filtering)
+        result_ds, parents = res.deduped, res.parents
+        stats.update(res.metrics)
+    elif name == "simhash":
+        from .functions.simhash import SimHashConfig
+        from .pipelines.simhash import simhash_dedup
+
+        fields = {f for f in SimHashConfig.__dataclass_fields__}
+        sh_cfg = SimHashConfig(**_algo_kwargs(algo, fields))
+        res = simhash_dedup(ds, text_column=text_column, cfg=sh_cfg, skip_filtering=skip_filtering)
+        result_ds, parents = res.deduped, res.parents
+    elif name in ("exact", "bloom_filter"):  # bloom alias: exact first-wins
+        from .pipelines.exact import exact_dedup
+
+        result_ds = exact_dedup(ds, text_column=text_column)
+    elif name == "suffix_array":
+        from .pipelines.suffix_array import suffix_array_dedup
+
+        result_ds = suffix_array_dedup(
+            ds,
+            text_column=text_column,
+            length_threshold=int(algo.get("length_threshold", 100)),
+            merge_strategy=algo.get("merge_strategy", "longest"),
+        )
+    elif name == "jaccard":
+        from .pipelines.jaccard_dedup import ngram_jaccard_dedup
+        from .stages.assign import assign_clusters, filter_cluster_roots
+
+        parents = ngram_jaccard_dedup(
+            ds,
+            text_column=text_column,
+            ngram_size=int(algo.get("ngram_size", 3)),
+            min_length=int(algo.get("min_length", 5)),
+            threshold=float(algo.get("threshold", 0.8)),
+        )
+        assigned = assign_clusters(ds, parents)
+        result_ds = assigned if skip_filtering else filter_cluster_roots(assigned)
+    else:
+        raise SystemExit(f"unknown algorithm {name!r}")
+
+    from .sources.io import write_cluster_table, write_output
+
+    write_output(result_ds, out_path)
+    if save_clusters and parents is not None:
+        write_cluster_table(parents, out_path.rstrip("/") + ".clusters.parquet")
+
+    stats["seconds"] = round(time.perf_counter() - t0, 3)
+    stats["output"] = out_path
+    print(json.dumps(stats))
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()
