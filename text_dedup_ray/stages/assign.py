@@ -87,6 +87,86 @@ def assign_clusters(
     )
 
 
+def assign_clusters_join(
+    ds: ray.data.Dataset,
+    cluster_table: ray.data.Dataset,
+    id_column: str = "row_id",
+    cluster_column: str = CLUSTER_COLUMN,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Scale path for cluster maps too large to broadcast: co-partition the
+    data's (row_id, position-key) with the cluster table by hash(row_id) via
+    the explicit exchange and emit the joined assignment columns; the caller
+    re-joins them to payload rows by row_id order-independently.
+
+    NOTE: unlike the broadcast path this returns ONLY the narrow assignment
+    table (row_id, __CLUSTER__, __duplicate__) — at 10^12-row scale the wide
+    payload stays in place and downstream stages filter by row_id membership
+    (e.g. write survivors by re-reading payload with this table broadcast
+    per shard, or emitting row-id partition files next to the payload).
+    """
+    import pyarrow.compute as pc
+
+    from .exchange import hash_partition_exchange
+
+    ids_only = ds.select_columns([id_column])
+
+    def tag_data(t: pa.Table) -> pa.Table:
+        ids = t[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "row_id": ids,
+                "cluster_id": ids,  # placeholder; real value joined below
+                "role": pa.array(np.zeros(len(ids), dtype=np.int8)),
+                "part": pa.array((np.abs(ids) % num_partitions).astype(np.int64)),
+            }
+        )
+
+    def tag_map(t: pa.Table) -> pa.Table:
+        ids = t["row_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cl = t["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "row_id": ids,
+                "cluster_id": cl,
+                "role": pa.array(np.ones(len(ids), dtype=np.int8)),
+                "part": pa.array((np.abs(ids) % num_partitions).astype(np.int64)),
+            }
+        )
+
+    tagged = ids_only.map_batches(tag_data, batch_format="pyarrow").union(
+        cluster_table.map_batches(tag_map, batch_format="pyarrow")
+    )
+
+    def join_partition(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {"row_id": pa.array([], pa.int64()),
+                 CLUSTER_COLUMN: pa.array([], pa.int64()),
+                 DUPLICATE_COLUMN: pa.array([], pa.bool_())}
+            )
+        role = group["role"].to_numpy(zero_copy_only=False)
+        ids = group["row_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cl = group["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_map = role == 1
+        m_ids, m_cl = ids[is_map], cl[is_map]
+        order = np.argsort(m_ids, kind="stable")
+        m_ids, m_cl = m_ids[order], m_cl[order]
+        d_ids = ids[~is_map]
+        if len(m_ids):
+            pos = np.clip(np.searchsorted(m_ids, d_ids), 0, len(m_ids) - 1)
+            hit = m_ids[pos] == d_ids
+            out_cl = np.where(hit, m_cl[pos], d_ids)
+        else:
+            hit = np.zeros(len(d_ids), dtype=bool)
+            out_cl = d_ids
+        return pa.table(
+            {"row_id": d_ids, CLUSTER_COLUMN: out_cl, DUPLICATE_COLUMN: pa.array(hit)}
+        )
+
+    return hash_partition_exchange(tagged, "part", num_partitions, join_partition)
+
+
 def filter_cluster_roots(
     ds: ray.data.Dataset, id_column: str = "row_id", cluster_column: str = CLUSTER_COLUMN
 ) -> ray.data.Dataset:

@@ -19,9 +19,10 @@ retries), matching the reference's min-id representative convention
 
 Scale note: the map's final size is O(#duplicate rows). The tree reduction
 keeps every intermediate step distributed; only the (narrow, int64-pair)
-final map is driver-resident, which holds to ~10^8 duplicates. Beyond that,
-swap the last step for iterated min-label propagation (groupby-aggregate
-rounds) — the hook is ``driver_threshold``.
+final map is driver-resident, which holds to ~10^8 duplicates. Beyond that
+use :func:`connected_components_distributed` (contract + pointer-doubling
+rounds over the hash exchange; the cluster map stays a Dataset) together
+with :func:`..stages.assign.assign_clusters_join`.
 """
 
 from __future__ import annotations
@@ -66,6 +67,163 @@ def connected_components(
         for s, d in zip(src.tolist(), dst.tolist()):
             uf.union(s, d)
     return uf.get_clusters()
+
+
+def connected_components_distributed(
+    edges: ray.data.Dataset,
+    num_partitions: int = 64,
+    max_rounds: int = 30,
+) -> ray.data.Dataset:
+    """Fully distributed CC: returns the cluster map as a DATASET
+    (row_id, cluster_id) without ever holding it on the driver — the path for
+    cluster maps beyond ``driver_threshold`` (10^9+ duplicate rows).
+
+    1. one tree-reduce round collapses each block to star edges (parent map
+       fragments with parent = local component min);
+    2. pointer doubling to fixpoint: each round co-partitions parent entries
+       (keyed by node) with parent-lookups (keyed by parent) through the
+       hash exchange and rewrites parent -> parent(parent). Rounds =
+       O(log depth); each round touches only the narrow (node, parent) pairs.
+
+    Min-roots make the result order- and retry-independent.
+    """
+    from .exchange import hash_partition_exchange
+
+    def edges_to_parent_claims(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        node = np.maximum(src, dst)
+        parent = np.minimum(src, dst)
+        keep = node != parent
+        return pa.table({"node": node[keep], "parent": parent[keep]})
+
+    def add_node_part(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (np.abs(node) % num_partitions).astype(np.int64)
+        return t.append_column("part", pa.array(part))
+
+    def contract(group: pa.Table) -> pa.Table:
+        """All parent claims of the nodes owned by this partition: union
+        {node} ∪ {its claimed parents} per connected set via a local UF and
+        re-emit flattened claims. New claims for displaced parents carry
+        changed=1 so the driver can detect the fixpoint."""
+        if group.num_rows == 0:
+            return pa.table(
+                {"node": pa.array([], pa.int64()), "parent": pa.array([], pa.int64()),
+                 "changed": pa.array([], pa.int64())}
+            )
+        node = group["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        parent = group["parent"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uf = UnionFind()
+        union = uf.union
+        for n, p in zip(node.tolist(), parent.tolist()):
+            union(n, p)
+        out_n, out_p, out_c = [], [], []
+        seen_nodes = set(node.tolist())
+        for x in uf.parent:
+            r = uf.find(x)
+            if r != x:
+                out_n.append(x)
+                out_p.append(r)
+                # a claim is "new" if x was a displaced parent (not an owned
+                # node of this partition) or its parent changed
+                out_c.append(0 if x in seen_nodes else 1)
+        # detect changes among owned nodes: previous parent vs new root
+        prev = {}
+        order = np.argsort(node, kind="stable")
+        for n, p in zip(node[order].tolist(), parent[order].tolist()):
+            prev[n] = min(prev.get(n, p), p)
+        for i, x in enumerate(out_n):
+            if out_c[i] == 0 and prev.get(x) != out_p[i]:
+                out_c[i] = 1
+        return pa.table(
+            {
+                "node": pa.array(out_n, pa.int64()),
+                "parent": pa.array(out_p, pa.int64()),
+                "changed": pa.array(out_c, pa.int64()),
+            }
+        )
+
+    def tag_for_doubling(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        parent = t["parent"].to_numpy(zero_copy_only=False).astype(np.int64)
+        own = pa.table(
+            {
+                "node": node,
+                "parent": parent,
+                "role": pa.array(np.zeros(len(node), dtype=np.int8)),
+                "part": pa.array((np.abs(node) % num_partitions).astype(np.int64)),
+            }
+        )
+        req = pa.table(
+            {
+                "node": node,
+                "parent": parent,
+                "role": pa.array(np.ones(len(node), dtype=np.int8)),
+                "part": pa.array((np.abs(parent) % num_partitions).astype(np.int64)),
+            }
+        )
+        return pa.concat_tables([own, req])
+
+    def double(group: pa.Table) -> pa.Table:
+        """Rewrite each request claim's parent to its grandparent using the
+        owner partition's claims; claims pass through role-0 only as lookup
+        (the role-1 copy is the authoritative rewritten output)."""
+        if group.num_rows == 0:
+            return pa.table(
+                {"node": pa.array([], pa.int64()), "parent": pa.array([], pa.int64()),
+                 "changed": pa.array([], pa.int64())}
+            )
+        role = group["role"].to_numpy(zero_copy_only=False)
+        node = group["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        parent = group["parent"].to_numpy(zero_copy_only=False).astype(np.int64)
+        own = role == 0
+        order = np.argsort(node[own], kind="stable")
+        lookup_n = node[own][order]
+        lookup_p = parent[own][order]
+        req = ~own
+        r_node, r_parent = node[req], parent[req]
+        if len(lookup_n):
+            pos = np.clip(np.searchsorted(lookup_n, r_parent), 0, len(lookup_n) - 1)
+            hit = lookup_n[pos] == r_parent
+            gp = np.where(hit, lookup_p[pos], r_parent)
+        else:
+            gp = r_parent
+        changed = (gp != r_parent).astype(np.int64)
+        return pa.table({"node": r_node, "parent": gp, "changed": changed})
+
+    claims = edges.map_batches(edges_to_parent_claims, batch_format="pyarrow")
+    for _round in range(max_rounds):
+        # phase 1: per-node merge + local unions (connectivity-preserving)
+        claims = hash_partition_exchange(
+            claims.map_batches(add_node_part, batch_format="pyarrow"),
+            "part",
+            num_partitions,
+            contract,
+        ).materialize()
+        c1 = claims.sum("changed") or 0
+        claims = claims.drop_columns(["changed"])
+        # phase 2: pointer doubling (flattens cross-partition chains)
+        claims = hash_partition_exchange(
+            claims.map_batches(tag_for_doubling, batch_format="pyarrow", batch_size=None),
+            "part",
+            num_partitions,
+            double,
+        ).materialize()
+        c2 = claims.sum("changed") or 0
+        claims = claims.drop_columns(["changed"])
+        if c1 == 0 and c2 == 0:
+            break
+
+    return claims.map_batches(
+        lambda t: pa.table(
+            {
+                "row_id": t["node"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "cluster_id": t["parent"].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def cluster_map_to_table(parents: dict[int, int]) -> pa.Table:

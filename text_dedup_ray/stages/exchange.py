@@ -34,6 +34,8 @@ import ray.data
 
 
 def _split_block(block: pa.Table, part_col: str, num_partitions: int) -> list[pa.Table]:
+    if block.num_rows == 0:  # Ray emits schema-less empty blocks sometimes
+        return [block] * num_partitions
     part = block[part_col].to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(part, kind="stable")
     sorted_part = part[order]
