@@ -305,6 +305,17 @@ def _q_suffix_docs(sf_dir: str):
     ).select_columns(["doc_id", "text"])
 
 
+def _q_suffix_global_docs(sf_dir: str):
+    from text_dedup_ray.pipelines.suffix_array import suffix_array_dedup_global
+
+    return suffix_array_dedup_global(
+        _docs(sf_dir, ["doc_id", "text"]),
+        text_column="text",
+        id_column="doc_id",
+        length_threshold=100,
+    ).select_columns(["doc_id", "text"])
+
+
 def _q_minhash_images(sf_dir: str):
     from text_dedup_ray.functions.minhash import MinHashConfig
     from text_dedup_ray.pipelines.images import image_caption_dedup
@@ -377,6 +388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_docs": _q_minhash_docs,
         "simhash_dedup_docs": _q_simhash_docs,
         "suffix_array_dedup_docs": _q_suffix_docs,
+        "suffix_array_global_docs": _q_suffix_global_docs,
         "lang_id": _q_lang_id,
         "doc_winnowing_fp": _q_winnowing,
         # --- image+caption corpus pipelines (rows-only) ---

@@ -110,14 +110,22 @@ def main(argv: list[str] | None = None) -> None:
 
         result_ds = exact_dedup(ds, text_column=text_column)
     elif name == "suffix_array":
-        from .pipelines.suffix_array import suffix_array_dedup
+        from .pipelines.suffix_array import suffix_array_dedup, suffix_array_dedup_global
 
-        result_ds = suffix_array_dedup(
-            ds,
-            text_column=text_column,
-            length_threshold=int(algo.get("length_threshold", 100)),
-            merge_strategy=algo.get("merge_strategy", "longest"),
-        )
+        if algo.get("global", True):
+            result_ds = suffix_array_dedup_global(
+                ds,
+                text_column=text_column,
+                length_threshold=int(algo.get("length_threshold", 100)),
+                merge_strategy=algo.get("merge_strategy", "longest"),
+            )
+        else:
+            result_ds = suffix_array_dedup(
+                ds,
+                text_column=text_column,
+                length_threshold=int(algo.get("length_threshold", 100)),
+                merge_strategy=algo.get("merge_strategy", "longest"),
+            )
     elif name == "jaccard":
         from .pipelines.jaccard_dedup import ngram_jaccard_dedup
         from .stages.assign import assign_clusters, filter_cluster_roots

@@ -80,6 +80,35 @@ def adjacent_lcp(data: np.ndarray, sa: np.ndarray, chunk: int = 64) -> np.ndarra
     return lcp
 
 
+def minimizer_hashes(data: np.ndarray, k: int = 16, window: int | None = None,
+                     length_threshold: int = 100) -> np.ndarray:
+    """Winnowing minimizer fingerprints (Schleimer et al., SIGMOD'03).
+
+    Rolling k-gram hashes; per sliding window of ``window`` consecutive
+    grams, keep the minimum. Guarantee: two byte strings sharing a verbatim
+    run of length >= window + k - 1 share at least one minimizer REGARDLESS
+    of alignment — the content-defined anchor that lets cross-partition
+    suffix-array dedup co-locate candidate documents. Default window is
+    ``length_threshold - k + 1`` so the guarantee kicks in exactly at the
+    dedup threshold.
+    """
+    n = len(data)
+    if window is None:
+        window = max(1, length_threshold - k + 1)
+    if n < k:
+        return np.empty(0, dtype=np.uint64)
+    arr = data.astype(np.uint64)
+    base = np.uint64(1099511628211)
+    with np.errstate(over="ignore"):
+        pows = base ** np.arange(k, dtype=np.uint64)
+        windows = np.lib.stride_tricks.sliding_window_view(arr, k)
+        grams = (windows * pows[::-1]).sum(axis=1, dtype=np.uint64)
+    if len(grams) <= window:
+        return np.unique(grams.min(keepdims=True))
+    w = np.lib.stride_tricks.sliding_window_view(grams, window)
+    return np.unique(w.min(axis=1))
+
+
 def duplicate_byte_ranges(data: np.ndarray, length_threshold: int) -> list[Interval]:
     """Merged [start, stop) ranges covered by some repeat >= length_threshold."""
     n = len(data)
