@@ -215,12 +215,14 @@ def run_scaling() -> None:
     print(
         json.dumps(
             {
-                "sec_8": t_lo,
-                "sec_32": t_hi,
-                "all_sec_8": lo_secs,
-                "all_sec_32": hi_secs,
-                "images_per_sec_8": round(rows / t_lo, 1),
-                "images_per_sec_32": round(rows / t_hi, 1),
+                "cpus_lo": lo,
+                "cpus_hi": hi,
+                f"sec_{lo}": t_lo,
+                f"sec_{hi}": t_hi,
+                f"all_sec_{lo}": lo_secs,
+                f"all_sec_{hi}": hi_secs,
+                f"images_per_sec_{lo}": round(rows / t_lo, 1),
+                f"images_per_sec_{hi}": round(rows / t_hi, 1),
                 "scaling_efficiency": round(eff, 3),
                 "corpus_rows": rows,
             }
