@@ -228,10 +228,12 @@ def embedding_cosine_dedup(
     def add_part(batch: pa.Table) -> pa.Table:
         b = batch["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
         t = batch["table_idx"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        part = ((b * np.uint64(1000003) + t) % np.uint64(merge_partitions)).astype(np.int32)
+        part = ((b * np.uint64(1000003) + t) % np.uint64(merge_partitions)).astype(np.int64)
         return batch.append_column("part", pa.array(part))
 
     def per_partition(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
         ids = group["row_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         t = group["table_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
         b = group["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -260,9 +262,12 @@ def embedding_cosine_dedup(
              "dst": np.concatenate(dst_out).astype(np.int64)}
         )
 
-    edges = (
-        sig.map_batches(add_part, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(per_partition, batch_format="pyarrow")
+    from ..stages.exchange import hash_partition_exchange
+
+    edges = hash_partition_exchange(
+        sig.map_batches(add_part, batch_format="pyarrow"),
+        "part",
+        merge_partitions,
+        per_partition,
     )
     return connected_components(edges)

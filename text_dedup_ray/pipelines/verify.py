@@ -51,6 +51,10 @@ def verify_clusters(
         return batch.append_column("part", pa.array(part))
 
     def verify_partition(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {"row_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
+            )
         ids = group[id_column].to_pylist()
         texts = group[text_column].to_pylist()
         clusters = group[CLUSTER_COLUMN].to_pylist()
@@ -92,10 +96,13 @@ def verify_clusters(
             }
         )
 
-    result = (
-        cands.map_batches(add_part, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(verify_partition, batch_format="pyarrow")
+    from ..stages.exchange import hash_partition_exchange
+
+    result = hash_partition_exchange(
+        cands.map_batches(add_part, batch_format="pyarrow"),
+        "part",
+        num_partitions,
+        verify_partition,
     )
     new_parents: dict[int, int] = {}
     for batch in result.iter_batches(batch_size=None, batch_format="pyarrow"):
