@@ -8,10 +8,22 @@ Ray-native exact dedup needs no approximate state: hash the content in a
 vectorized ``map_batches``, then keep the minimum row_id per hash — the same
 "first occurrence in row order wins" semantics, exact, and fully parallel.
 
-The winner-per-hash selection is a two-level aggregation (partial min inside
-each block, tiny ``groupby().min()`` over the partials — a pre-aggregated
-shuffle, not a row shuffle), then survivors are selected with a broadcast
-membership filter. Only (hash, row_id) pairs ever shuffle; payloads stay put.
+Two survivor-selection paths, chosen by the winner-set size:
+
+- broadcast (winner set fits ``broadcast_limit``): two-level aggregation
+  (partial min inside each block, small exchange over the partials), winner
+  ids broadcast once via ``ray.put`` as a sorted array, vectorized
+  ``np.searchsorted`` membership filter per payload batch. Payloads never
+  move.
+- shuffle (winner set ~ corpus size — the 100 TB posture): the payload rows
+  themselves are hash-partitioned by content hash through the explicit
+  exchange and each partition keeps its min-row_id row per hash. One payload
+  shuffle, zero driver-resident state, no broadcast. This is the
+  "hash-partition + per-group first" shape.
+
+``exact_cluster_table`` never touches the driver at any size: one narrow
+(hash, row_id) exchange computes min-per-hash inside each partition and emits
+(row_id, cluster_id) directly.
 """
 
 from __future__ import annotations
@@ -24,6 +36,7 @@ import ray
 import ray.data
 
 from ..sources.io import ROW_ID, stamp_row_ids_from_key
+from ..stages.exchange import hash_partition_exchange
 
 
 def _hash64(texts: list[str]) -> np.ndarray:
@@ -44,22 +57,9 @@ def add_content_hash(
     return ds.map_batches(add, batch_format="pyarrow")
 
 
-def exact_dedup(
-    ds: ray.data.Dataset,
-    text_column: str = "text",
-    id_column: str | None = None,
-    keep_hash: bool = False,
-) -> ray.data.Dataset:
-    """Keep the min-row_id occurrence of each distinct text value."""
-    hash_col = "__content_hash__"
-    if id_column is not None:
-        ds = stamp_row_ids_from_key(ds, id_column)
-    elif ROW_ID not in ds.schema().names:
-        raise ValueError("dataset must have a row_id column or pass id_column")
+def _partial_min_kernel(hash_col: str):
+    """Per-block combiner: one (hash, min row_id) row per distinct hash."""
 
-    hashed = add_content_hash(ds, text_column, hash_col)
-
-    # partial min per block (narrow projection), then a small global min
     def partial_min(batch: pa.Table) -> pa.Table:
         h = batch[hash_col].to_numpy(zero_copy_only=False)
         r = batch[ROW_ID].to_numpy(zero_copy_only=False)
@@ -68,58 +68,152 @@ def exact_dedup(
         starts = np.flatnonzero(np.r_[True, np.diff(hs) != 0])
         return pa.table({hash_col: hs[starts], ROW_ID: np.minimum.reduceat(rs, starts)})
 
+    return partial_min
+
+
+def _add_hash_part(hash_col: str, num_partitions: int):
+    def add(batch: pa.Table) -> pa.Table:
+        h = batch[hash_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (np.abs(h) % num_partitions).astype(np.int64)
+        return batch.append_column("part", pa.array(part))
+
+    return add
+
+
+def _winners_dataset(
+    hashed: ray.data.Dataset, hash_col: str, num_partitions: int
+) -> ray.data.Dataset:
+    """(hash, winner) per distinct hash — pre-aggregated partials through the
+    sort-free exchange (never Ray's sort-based groupby)."""
     partials = hashed.select_columns([hash_col, ROW_ID]).map_batches(
-        partial_min, batch_format="pyarrow", batch_size=None
+        _partial_min_kernel(hash_col), batch_format="pyarrow", batch_size=None
     )
-    from ray.data.aggregate import Min
 
-    winners = partials.groupby(hash_col).aggregate(Min(ROW_ID, alias_name="winner"))
-    winner_ids = np.sort(
-        winners.to_pandas()["winner"].to_numpy().astype(np.int64)
-    )  # winner set is ≤ #distinct texts; broadcast once
-    winners_ref = ray.put(winner_ids)
+    def reduce_min(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {hash_col: pa.array([], pa.int64()), "winner": pa.array([], pa.int64())}
+            )
+        h = group[hash_col].to_numpy(zero_copy_only=False)
+        r = group[ROW_ID].to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        hs, rs = h[order], r[order]
+        starts = np.flatnonzero(np.r_[True, np.diff(hs) != 0])
+        return pa.table({hash_col: hs[starts], "winner": np.minimum.reduceat(rs, starts)})
 
-    def keep_winners(batch: pa.Table) -> pa.Table:
-        winners: np.ndarray = ray.get(winners_ref)  # zero-copy from local plasma
-        ids = batch[ROW_ID].to_numpy(zero_copy_only=False).astype(np.int64)
-        pos = np.searchsorted(winners, ids)
-        pos = np.clip(pos, 0, max(len(winners) - 1, 0))
-        mask = (winners[pos] == ids) if len(winners) else np.zeros(len(ids), bool)
-        return batch.filter(pa.array(mask))
+    return hash_partition_exchange(
+        partials.map_batches(_add_hash_part(hash_col, num_partitions), batch_format="pyarrow"),
+        "part",
+        num_partitions,
+        reduce_min,
+    )
 
-    out = hashed.map_batches(keep_winners, batch_format="pyarrow")
+
+def exact_dedup(
+    ds: ray.data.Dataset,
+    text_column: str = "text",
+    id_column: str | None = None,
+    keep_hash: bool = False,
+    num_partitions: int = 32,
+    broadcast_limit: int = 50_000_000,
+) -> ray.data.Dataset:
+    """Keep the min-row_id occurrence of each distinct text value.
+
+    Winner sets up to ``broadcast_limit`` (sorted int64 ids; 50M ≈ 400 MB)
+    broadcast once; larger winner sets switch to the payload-shuffle path
+    (see module docstring) so the driver never holds O(distinct texts) state.
+    """
+    hash_col = "__content_hash__"
+    if id_column is not None:
+        ds = stamp_row_ids_from_key(ds, id_column)
+    elif ROW_ID not in ds.schema().names:
+        raise ValueError("dataset must have a row_id column or pass id_column")
+
+    hashed = add_content_hash(ds, text_column, hash_col)
+    winners = _winners_dataset(hashed, hash_col, num_partitions).materialize()
+
+    if winners.count() > broadcast_limit:
+        # scale path: one payload shuffle keyed by content hash; each
+        # partition keeps the min-row_id row per hash. No driver state.
+        def keep_first(group: pa.Table) -> pa.Table:
+            if group.num_rows == 0:
+                return group.drop_columns(["part"]) if "part" in group.column_names else group
+            h = group[hash_col].to_numpy(zero_copy_only=False)
+            r = group[ROW_ID].to_numpy(zero_copy_only=False)
+            order = np.argsort(h, kind="stable")
+            hs, rs = h[order], r[order]
+            diff = np.r_[True, np.diff(hs) != 0]
+            starts = np.flatnonzero(diff)
+            mins = np.minimum.reduceat(rs, starts)
+            group_idx = np.cumsum(diff) - 1
+            keep_sorted = rs == mins[group_idx]  # row_ids unique -> one per hash
+            keep_rows = np.sort(np.asarray(order)[keep_sorted])
+            return group.take(pa.array(keep_rows)).drop_columns(["part"])
+
+        out = hash_partition_exchange(
+            hashed.map_batches(_add_hash_part(hash_col, num_partitions), batch_format="pyarrow"),
+            "part",
+            num_partitions,
+            keep_first,
+        )
+    else:
+        winner_ids = np.sort(
+            winners.to_pandas()["winner"].to_numpy().astype(np.int64)
+        )  # winner set is bounded by broadcast_limit; broadcast once
+        winners_ref = ray.put(winner_ids)
+
+        def keep_winners(batch: pa.Table) -> pa.Table:
+            w: np.ndarray = ray.get(winners_ref)  # zero-copy from local plasma
+            ids = batch[ROW_ID].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(w, ids)
+            pos = np.clip(pos, 0, max(len(w) - 1, 0))
+            mask = (w[pos] == ids) if len(w) else np.zeros(len(ids), bool)
+            return batch.filter(pa.array(mask))
+
+        out = hashed.map_batches(keep_winners, batch_format="pyarrow")
     if not keep_hash:
         out = out.drop_columns([hash_col])
     return out
 
 
 def exact_cluster_table(
-    ds: ray.data.Dataset, text_column: str = "text", id_column: str | None = None
+    ds: ray.data.Dataset,
+    text_column: str = "text",
+    id_column: str | None = None,
+    num_partitions: int = 32,
 ) -> ray.data.Dataset:
     """(row_id, cluster_id) where cluster_id = min row_id of identical text —
-    the exact-dedup analogue of the cluster map."""
+    the exact-dedup analogue of the cluster map.
+
+    One narrow (hash, row_id) exchange; each partition computes min-per-hash
+    and assigns every row in the same vectorized kernel. Nothing is ever
+    materialized on the driver (the round-1 driver dict + per-row Python
+    lookup is gone)."""
     hash_col = "__content_hash__"
     if id_column is not None:
         ds = stamp_row_ids_from_key(ds, id_column)
     hashed = add_content_hash(ds, text_column, hash_col).select_columns([hash_col, ROW_ID])
-    from ray.data.aggregate import Min
 
-    winners = hashed.groupby(hash_col).aggregate(Min(ROW_ID, alias_name="cluster_id"))
-    joined_map = {}
-    for b in winners.iter_batches(batch_size=None, batch_format="pyarrow"):
-        for h, w in zip(b[hash_col].to_pylist(), b["cluster_id"].to_pylist()):
-            joined_map[h] = w
-    ref = ray.put(joined_map)
+    def assign_partition(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {ROW_ID: pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
+            )
+        h = group[hash_col].to_numpy(zero_copy_only=False)
+        r = group[ROW_ID].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(h, kind="stable")
+        hs, rs = h[order], r[order]
+        starts = np.flatnonzero(np.r_[True, np.diff(hs) != 0])
+        mins = np.minimum.reduceat(rs, starts)
+        group_idx = np.cumsum(np.r_[False, np.diff(hs) != 0])
+        cluster_sorted = mins[group_idx]
+        out_cluster = np.empty(len(r), dtype=np.int64)
+        out_cluster[order] = cluster_sorted
+        return pa.table({ROW_ID: r, "cluster_id": out_cluster})
 
-    def assign(batch: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        hs = batch[hash_col].to_pylist()
-        ids = batch[ROW_ID].to_pylist()
-        return pa.table(
-            {
-                ROW_ID: pa.array(ids, pa.int64()),
-                "cluster_id": pa.array([m[h] for h in hs], pa.int64()),
-            }
-        )
-
-    return hashed.map_batches(assign, batch_format="pyarrow")
+    return hash_partition_exchange(
+        hashed.map_batches(_add_hash_part(hash_col, num_partitions), batch_format="pyarrow"),
+        "part",
+        num_partitions,
+        assign_partition,
+    )

@@ -27,11 +27,13 @@ from .minhash import MinHashDedupResult, minhash_dedup
 def image_ids_to_row_ids(ds: ray.data.Dataset, id_column: str = "image_id") -> ray.data.Dataset:
     """'img-%012d' string keys -> deterministic int64 row_id."""
 
+    import pyarrow.compute as pc
+
     def add(batch: pa.Table) -> pa.Table:
-        ids = np.array(
-            [int(s.rsplit("-", 1)[1]) for s in batch[id_column].to_pylist()], dtype=np.int64
-        )
-        return batch.append_column(ROW_ID, pa.array(ids))
+        # ids look like 'img-000000000042': strip the fixed 'img-' prefix and
+        # cast in-kernel (no per-row Python)
+        digits = pc.utf8_slice_codeunits(batch[id_column], 4)
+        return batch.append_column(ROW_ID, pc.cast(digits, pa.int64()))
 
     return ds.map_batches(add, batch_format="pyarrow")
 

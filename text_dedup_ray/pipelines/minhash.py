@@ -26,14 +26,16 @@ import pyarrow as pa
 import ray.data
 
 from ..functions.minhash import MinHashConfig
+from ..functions.timer import Timer
 from ..functions.tokenization import token_count
 from ..sources.io import ROW_ID, stamp_row_ids_from_key
 from ..stages.assign import (
     CLUSTER_COLUMN,
     assign_clusters,
+    assign_clusters_sharded,
     filter_cluster_roots,
 )
-from ..stages.cc import connected_components
+from ..stages.cc import connected_components, connected_components_auto
 from ..stages.edges import (
     minhash_local_buckets,
     minhash_merge_reps,
@@ -47,7 +49,10 @@ from .verify import verify_clusters
 class MinHashDedupResult:
     assigned: ray.data.Dataset  # full schema + __CLUSTER__/__duplicate__
     deduped: ray.data.Dataset   # cluster roots only (or == assigned when skipped)
-    parents: dict[int, int]     # pre-verification cluster map (incl. root->root)
+    # pre-verification cluster map (incl. root->root). A dict when it fits
+    # driver_threshold, else a Dataset (row_id, cluster_id) — the automatic
+    # distributed-CC fallback.
+    parents: dict[int, int] | ray.data.Dataset
     verified_parents: dict[int, int] | None = None
     metrics: dict = field(default_factory=dict)  # per-stage counts (A6 parity)
 
@@ -77,6 +82,8 @@ def minhash_dedup(
     fingerprint_batch_size: int = 2048,
     merge_partitions: int = 64,
     signature_source: ray.data.Dataset | None = None,
+    driver_threshold: int = 2_000_000,
+    collect_metrics: bool = True,
 ) -> MinHashDedupResult:
     """Run the full MinHashLSH dedup over a Dataset.
 
@@ -87,8 +94,14 @@ def minhash_dedup(
     [row_id | id_column, text_column]) to fingerprint from — lets wide
     tables prune payload columns AT THE READ for the signature branch
     instead of dragging image bytes through the fingerprint stage.
+
+    ``driver_threshold``: max reduced-edge count the driver union-find will
+    hold. Above it the pipeline automatically switches to the fully
+    distributed CC + sharded object-store assignment (the 10^12-row path) —
+    pass 0 to force that path (the parity test does).
     """
     cfg = cfg or MinHashConfig()
+    timer = Timer()
     if id_column is not None:
         ds = stamp_row_ids_from_key(ds, id_column)
     elif ROW_ID not in ds.schema().names:
@@ -118,37 +131,52 @@ def minhash_dedup(
     # fixed-size pools) and double the fingerprint work. This is also the
     # natural checkpoint artifact (state/checkpoint.py materializes the same
     # boundary to parquet).
-    local = local.materialize()
+    with timer("fingerprint+local_buckets"):
+        local = local.materialize()
     local_edges, reps = split_edges_and_reps(local)
-    cross_edges = minhash_merge_reps(reps, num_partitions=merge_partitions)
-    edges = local_edges.union(cross_edges)
-    parents = connected_components(edges)
+    with timer("rep_merge+cc"):
+        cross_edges = minhash_merge_reps(reps, num_partitions=merge_partitions)
+        edges = local_edges.union(cross_edges)
+        parents = connected_components_auto(
+            edges, driver_threshold=driver_threshold, num_partitions=merge_partitions
+        )
 
-    n_dup_members = sum(1 for m, r in parents.items() if m != r)
-    metrics = {
-        "signature_rows": local.count(),  # bucket-stage rows (edges + reps)
-        "cluster_members": len(parents),
-        "duplicate_rows": n_dup_members,
-        "clusters": len(parents) - n_dup_members,
-        "bands": cfg.bands,
-        "rows_per_band": cfg.rows,
-    }
+    metrics: dict = {"bands": cfg.bands, "rows_per_band": cfg.rows}
+    parents_is_dict = isinstance(parents, dict)
+    metrics["cc_path"] = "driver" if parents_is_dict else "distributed"
+    if collect_metrics:
+        # `local` is materialized, so count() is metadata-only (no extra pass)
+        metrics["signature_rows"] = local.count()
+        if parents_is_dict:
+            n_dup_members = sum(1 for m, r in parents.items() if m != r)
+            metrics["cluster_members"] = len(parents)
+            metrics["duplicate_rows"] = n_dup_members
+            metrics["clusters"] = len(parents) - n_dup_members
 
-    assigned = assign_clusters(filtered, parents)
+    with timer("assign"):
+        if parents_is_dict:
+            assigned = assign_clusters(filtered, parents)
+        else:
+            parents = parents.materialize()
+            assigned = assign_clusters_sharded(
+                filtered, parents, num_shards=merge_partitions
+            )
 
     verified_parents = None
     if cfg.check_false_positive:
-        verified_parents = verify_clusters(
-            assigned,
-            text_column,
-            cfg.ngram_size,
-            cfg.min_length,
-            cfg.threshold,
-            mode="minhash",
-        )
-        assigned = assign_clusters(
-            assigned, verified_parents
-        )  # re-derives __CLUSTER__; __duplicate__ becomes "in verified map"
+        with timer("verify"):
+            verified_parents = verify_clusters(
+                assigned,
+                text_column,
+                cfg.ngram_size,
+                cfg.min_length,
+                cfg.threshold,
+                mode="minhash",
+            )
+            assigned = assign_clusters(
+                assigned, verified_parents
+            )  # re-derives __CLUSTER__; __duplicate__ becomes "in verified map"
+    metrics["stage_seconds"] = timer.report()
 
     deduped = assigned if skip_filtering else filter_cluster_roots(assigned)
     return MinHashDedupResult(

@@ -24,8 +24,8 @@ import ray.data
 
 from ..functions.simhash import SimHashConfig
 from ..sources.io import ROW_ID, stamp_row_ids_from_key
-from ..stages.assign import assign_clusters, filter_non_duplicates
-from ..stages.cc import connected_components
+from ..stages.assign import assign_clusters, assign_clusters_sharded, filter_non_duplicates
+from ..stages.cc import connected_components, connected_components_auto
 from ..stages.edges import (
     simhash_local_buckets,
     simhash_merge_reps,
@@ -39,7 +39,9 @@ from .verify import verify_clusters
 class SimHashDedupResult:
     assigned: ray.data.Dataset
     deduped: ray.data.Dataset
-    parents: dict[int, int]          # non-trivial members only (simhash.py:70-71)
+    # non-trivial members only (simhash.py:70-71); a Dataset (row_id,
+    # cluster_id) above driver_threshold (automatic distributed-CC fallback)
+    parents: dict[int, int] | ray.data.Dataset
     verified_parents: dict[int, int] | None = None
 
 
@@ -53,6 +55,7 @@ def simhash_dedup(
     fingerprint_batch_size: int = 2048,
     merge_partitions: int = 64,
     signature_source: ray.data.Dataset | None = None,
+    driver_threshold: int = 2_000_000,
 ) -> SimHashDedupResult:
     cfg = cfg or SimHashConfig()
     if id_column is not None:
@@ -81,12 +84,21 @@ def simhash_dedup(
         reps, bit_diff=cfg.bit_diff, num_partitions=merge_partitions
     )
     edges = local_edges.union(cross_edges)
-    all_parents = connected_components(edges)
     # simhash keeps only non-root members in the map (simhash.py:70-71), so
-    # __duplicate__ is False for cluster roots — unlike MinHash.
-    parents = {k: v for k, v in all_parents.items() if k != v}
-
-    assigned = assign_clusters(ds, parents)
+    # __duplicate__ is False for cluster roots — unlike MinHash
+    # (include_roots=False on the distributed fallback).
+    all_parents = connected_components_auto(
+        edges,
+        driver_threshold=driver_threshold,
+        num_partitions=merge_partitions,
+        include_roots=False,
+    )
+    if isinstance(all_parents, dict):
+        parents = {k: v for k, v in all_parents.items() if k != v}
+        assigned = assign_clusters(ds, parents)
+    else:
+        parents = all_parents.materialize()
+        assigned = assign_clusters_sharded(ds, parents, num_shards=merge_partitions)
     deduped_source = assigned  # final filter reads the PRE-verification flag
 
     verified_parents = None
@@ -99,17 +111,24 @@ def simhash_dedup(
             cfg.jaccard_threshold,
             mode="simhash",
         )
-        # update __CLUSTER__ only; keep the stale __duplicate__ flag by
-        # re-adding it from the pre-verification map (quirk parity)
-        reassigned = assign_clusters(assigned, verified_parents)
+        # update __CLUSTER__ only; keep the stale PRE-verification
+        # __duplicate__ flag (quirk parity) — it is already a column on
+        # `assigned`, so stash it across the reassignment instead of
+        # recomputing membership against the (possibly Dataset-sized) map.
         import pyarrow as pa
 
-        def restore_flag(batch: pa.Table) -> pa.Table:
-            import numpy as np
+        stash = assigned.map_batches(
+            lambda t: t.append_column("__stale_dup__", t["__duplicate__"]),
+            batch_format="pyarrow",
+        )
+        reassigned = assign_clusters(stash, verified_parents)
 
-            ids = batch[ROW_ID].to_numpy(zero_copy_only=False)
-            stale = pa.array(np.isin(ids, list(parents.keys())))
-            return batch.drop_columns(["__duplicate__"]).append_column("__duplicate__", stale)
+        def restore_flag(batch: pa.Table) -> pa.Table:
+            return (
+                batch.drop_columns(["__duplicate__"])
+                .append_column("__duplicate__", batch["__stale_dup__"])
+                .drop_columns(["__stale_dup__"])
+            )
 
         assigned = reassigned.map_batches(restore_flag, batch_format="pyarrow")
         deduped_source = assigned

