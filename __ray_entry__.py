@@ -356,10 +356,15 @@ def _q_simhash_docs(sf_dir: str):
 
 
 def _q_suffix_docs(sf_dir: str):
+    """Reference-semantics suffix-array dedup: ONE corpus-wide partition
+    (sort + repartition(1) pins the concatenation to doc_id order so the
+    DuckDB oracle recomputes it exactly). The scale path with partitioned /
+    anchor-grouped corpora is suffix_array_global_docs."""
     from text_dedup_ray.pipelines.suffix_array import suffix_array_dedup
 
+    docs = _docs(sf_dir, ["doc_id", "text"]).sort("doc_id").repartition(1)
     return suffix_array_dedup(
-        _docs(sf_dir, ["doc_id", "text"]), text_column="text", length_threshold=100
+        docs, text_column="text", length_threshold=100
     ).select_columns(["doc_id", "text"])
 
 
@@ -542,4 +547,6 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dedup_docs": _oracles.simhash_dedup_sql(_SIMHASH_ORACLE_CFG()),
         "embedding_cosine_dedup": _oracles.embedding_dedup_sql(0.98, PLANT_OFFSET),
         "embedding_cosine_pairs": _oracles.embedding_pairs_sql(0.98, PLANT_OFFSET),
+        "doc_winnowing_fp": _oracles.winnowing_sql(),
+        "suffix_array_dedup_docs": _oracles.suffix_dedup_sql(100),
     }

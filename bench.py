@@ -60,6 +60,8 @@ def run_benchmarks() -> None:
         return out
 
     # ---- headline: flagship image+caption MinHash dedup ----
+    stage_seconds: dict = {}
+
     def flagship():
         from text_dedup_ray.pipelines.images import image_caption_dedup
 
@@ -67,10 +69,17 @@ def run_benchmarks() -> None:
             path=docs_path,
             cfg=MinHashConfig(num_perm=128, bands=32, rows=4, ngram_size=2, hash_func="sha1"),
             fingerprint_concurrency=max(1, min(NUM_CPUS - 1, NUM_CPUS // 2)),
+            prefetch_payload=True,  # overlap the wide payload read with the
+            # narrow signature/CC stages (see minhash_dedup docstring)
         )
-        return res.deduped.count()
+        t0 = time.perf_counter()
+        n = res.deduped.count()
+        stage_seconds.update(res.metrics.get("stage_seconds", {}))
+        stage_seconds["assign+filter+consume"] = round(time.perf_counter() - t0, 3)
+        return n
 
     survivors = timed("minhash_images", flagship)
+    print(f"[bench] flagship stages: {stage_seconds}", file=sys.stderr, flush=True)
 
     headline_only = os.environ.get("GRAFT_HEADLINE_ONLY") == "1"
 
@@ -179,6 +188,7 @@ def run_benchmarks() -> None:
         "corpus_rows": CORPUS_N,
         "images_per_sec": round(CORPUS_N / headline, 1),
         "survivors": survivors,
+        "flagship_stage_seconds": stage_seconds,
     }
     print(json.dumps(result))
     ray.shutdown()

@@ -26,6 +26,8 @@ CONVERTED = [
     "simhash_dedup_docs",
     "embedding_cosine_dedup",
     "embedding_cosine_pairs",
+    "doc_winnowing_fp",
+    "suffix_array_dedup_docs",
 ]
 
 

@@ -231,6 +231,125 @@ WHERE d.doc_id NOT IN (SELECT node FROM cc WHERE cluster_id <> node)
 """
 
 
+def winnowing_sql(k: int = 8, window: int = 16) -> str:
+    """The 64-bit winnowing fingerprint (functions/textstats.
+    winnowing_fingerprint) recomputed in SQL: rolling degree-(k-1) polynomial
+    hash mod 2^64 over the lowered bytes, per-window minima (distinct) when
+    more than ``window`` grams exist, all grams (with multiplicity) otherwise,
+    xor-folded after a golden-ratio multiply. Docs shorter than ``k`` bytes
+    use the little-endian md5 prefix. Valid for ASCII documents (the driver
+    tables are ASCII; byte == codepoint)."""
+    base = 1000003
+    pows = [pow(base, k - 1 - j, U64) for j in range(k)]
+    gold = 0x9E3779B97F4A7C15
+    pow_rows = ", ".join(f"({j + 1}, {p})" for j, p in enumerate(pows))
+    le_rows = ", ".join(f"({i + 1}, {256 ** i})" for i in range(8))
+    sign = lambda v: (  # noqa: E731 — uint64 -> two's-complement BIGINT
+        f"CASE WHEN {v} >= {1 << 63} THEN ({v} - {U64})::BIGINT ELSE ({v})::BIGINT END"
+    )
+    return f"""
+WITH chars AS (
+  SELECT doc_id, i, ascii(substr(lower(text), i, 1))::HUGEINT AS b,
+         length(text) AS n
+  FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text))) AS i)
+),
+pows(j, p) AS (VALUES {pow_rows}),
+grams AS (
+  SELECT c.doc_id, c.i - pw.j + 1 AS gi, (sum(c.b * pw.p) % {U64}) AS g
+  FROM chars c JOIN pows pw
+    ON c.i - pw.j + 1 >= 1 AND c.i - pw.j + 1 <= c.n - {k - 1}
+  GROUP BY c.doc_id, gi
+),
+gcounts AS (SELECT doc_id, count(*) AS ng FROM grams GROUP BY doc_id),
+small AS (
+  SELECT g.doc_id, g.g AS m FROM grams g JOIN gcounts c USING (doc_id)
+  WHERE c.ng <= {window}
+),
+winmin AS (
+  SELECT g.doc_id,
+         min(g.g) OVER (PARTITION BY g.doc_id ORDER BY g.gi
+                        ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS m,
+         g.gi, c.ng
+  FROM grams g JOIN gcounts c USING (doc_id) WHERE c.ng > {window}
+),
+big AS (SELECT DISTINCT doc_id, m FROM winmin WHERE gi <= ng - {window - 1}),
+folded AS (
+  SELECT doc_id, bit_xor({sign(f"(m * {gold}) % {U64}")}) AS fp64
+  FROM (SELECT * FROM small UNION ALL SELECT * FROM big) GROUP BY doc_id
+),
+le(kpos, mult) AS (VALUES {le_rows}),
+tiny AS (
+  SELECT d.doc_id,
+         {sign(f"(SELECT sum(('0x' || substr(md5(lower(d.text)), 2 * kpos - 1, 2))::HUGEINT * mult) FROM le)")} AS fp64
+  FROM documents d WHERE length(d.text) < {k}
+)
+SELECT doc_id, fp64 FROM folded
+UNION ALL
+SELECT doc_id, fp64 FROM tiny
+"""
+
+
+def suffix_dedup_sql(length_threshold: int = 100) -> str:
+    """Corpus-wide exact-substring dedup (pipelines/suffix_array.
+    suffix_array_dedup over ONE corpus partition) in SQL.
+
+    Equivalence used: a byte is inside some repeated substring of length >=
+    L iff it is covered by a span [q, q+L) whose L-gram occurs >= 2 times in
+    the doc-id-ordered concatenation (the SA+LCP adjacent-hit union in
+    functions/suffixarray.duplicate_byte_ranges equals that byte set, and
+    merge_intervals('overlapping') makes runs maximal). Per doc the cut set
+    is each maximal covered run clipped to the doc and kept iff still >= L
+    (restore_and_merge, intervals.py:86-102); remaining bytes are re-joined
+    and empty docs dropped. Valid for ASCII documents (byte == char).
+    L-gram identity via md5 (collisions negligible)."""
+    L = length_threshold
+    return f"""
+WITH offs AS (
+  SELECT doc_id, text, length(text) AS n,
+         1 + coalesce(sum(length(text)) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM documents
+),
+corpus AS (SELECT string_agg(text, '' ORDER BY doc_id) AS c FROM documents),
+grams AS (
+  SELECT i, md5(substr(c, i, {L})) AS g
+  FROM corpus, LATERAL (SELECT unnest(generate_series(1, length(c) - {L - 1})) AS i)
+),
+rep AS (SELECT i FROM grams QUALIFY count(*) OVER (PARTITION BY g) >= 2),
+isl AS (
+  SELECT i, CASE WHEN i - lag(i) OVER (ORDER BY i) <= {L} THEN 0 ELSE 1 END AS brk
+  FROM rep
+),
+grp AS (SELECT i, sum(brk) OVER (ORDER BY i) AS gid FROM isl),
+runs AS (SELECT min(i) AS s, max(i) + {L} AS e FROM grp GROUP BY gid),
+cuts AS (
+  SELECT o.doc_id, greatest(r.s, o.start) AS cs, least(r.e, o.start + o.n) AS ce
+  FROM runs r JOIN offs o ON r.s < o.start + o.n AND r.e > o.start
+  WHERE least(r.e, o.start + o.n) - greatest(r.s, o.start) >= {L}
+),
+loc AS (
+  SELECT c.doc_id, c.cs - o.start + 1 AS ls, c.ce - o.start + 1 AS le
+  FROM cuts c JOIN offs o ON o.doc_id = c.doc_id
+),
+seg AS (
+  SELECT doc_id, coalesce(lag(le) OVER (PARTITION BY doc_id ORDER BY ls), 1) AS ks,
+         ls AS ke
+  FROM loc
+  UNION ALL
+  SELECT o.doc_id, coalesce(max(l.le), 1) AS ks, o.n + 1 AS ke
+  FROM offs o LEFT JOIN loc l ON l.doc_id = o.doc_id
+  GROUP BY o.doc_id, o.n
+),
+rebuilt AS (
+  SELECT s.doc_id, string_agg(substr(o.text, s.ks::INT, (s.ke - s.ks)::INT), '' ORDER BY s.ks) AS text
+  FROM seg s JOIN offs o ON o.doc_id = s.doc_id
+  WHERE s.ke > s.ks
+  GROUP BY s.doc_id
+)
+SELECT doc_id, text FROM rebuilt WHERE length(text) > 0
+"""
+
+
 def embedding_dedup_sql(threshold: float, plant_offset: int) -> str:
     """Exact embedding-cosine dedup clusters over the deterministically
     planted table (originals UNION exact copies at vec_id + plant_offset):

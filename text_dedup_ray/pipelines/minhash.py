@@ -84,6 +84,7 @@ def minhash_dedup(
     signature_source: ray.data.Dataset | None = None,
     driver_threshold: int = 2_000_000,
     collect_metrics: bool = True,
+    prefetch_payload: bool = False,
 ) -> MinHashDedupResult:
     """Run the full MinHashLSH dedup over a Dataset.
 
@@ -99,6 +100,13 @@ def minhash_dedup(
     hold. Above it the pipeline automatically switches to the fully
     distributed CC + sharded object-store assignment (the 10^12-row path) —
     pass 0 to force that path (the parity test does).
+
+    ``prefetch_payload``: materialize the filtered payload branch in a
+    background thread WHILE the signature/CC stages run, overlapping the wide
+    read with the narrow compute (cuts several seconds of serial floor).
+    Costs one payload copy in the object store (spillable) — a latency
+    optimization for latency-bound corpora; leave False to stream the final
+    pass instead.
     """
     cfg = cfg or MinHashConfig()
     timer = Timer()
@@ -108,6 +116,20 @@ def minhash_dedup(
         raise ValueError("dataset must have a row_id column or pass id_column")
 
     filtered = min_length_filter(ds, text_column, cfg.min_length)
+
+    prefetch: dict = {}
+    prefetch_thread = None
+    if prefetch_payload:
+        import threading
+
+        def _materialize_payload(pf=filtered):
+            try:
+                prefetch["ds"] = pf.materialize()
+            except Exception as exc:  # pragma: no cover - falls back to lazy
+                prefetch["err"] = exc
+
+        prefetch_thread = threading.Thread(target=_materialize_payload, daemon=True)
+        prefetch_thread.start()
 
     if signature_source is not None:
         src = signature_source
@@ -152,6 +174,12 @@ def minhash_dedup(
             metrics["cluster_members"] = len(parents)
             metrics["duplicate_rows"] = n_dup_members
             metrics["clusters"] = len(parents) - n_dup_members
+
+    if prefetch_thread is not None:
+        with timer("payload_prefetch_join"):
+            prefetch_thread.join()
+        if "ds" in prefetch:
+            filtered = prefetch["ds"]
 
     with timer("assign"):
         if parents_is_dict:

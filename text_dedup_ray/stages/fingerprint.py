@@ -32,10 +32,19 @@ class MinHashFingerprinter:
     """Actor: batch of (row_id, text) -> exploded band rows."""
 
     def __init__(self, cfg: MinHashConfig, text_column: str = "text") -> None:
+        from ..functions.minhash import HASH_CONFIG
+
         self.mh = MinHasher(cfg)
         self.text_column = text_column
-        cfg_dtype = self.mh.dtype
-        self.band_width = cfg.rows * np.dtype(cfg_dtype).itemsize
+        # bucket identity only needs value equality, so serialize at the
+        # tightest width that holds max_hash: hash_bits=64 mode stores uint64
+        # values that are always <= 2^32-1 (minhash.py:101-108) — casting to
+        # uint32 is an equality-preserving bijection that HALVES the signature
+        # table and the rep-exchange volume. (The reference's byteswapped-
+        # uint64 band bytes are a serialization detail, not semantics.)
+        max_hash = HASH_CONFIG[cfg.hash_bits][1]
+        self.compact_dtype = np.uint32 if max_hash <= 0xFFFFFFFF else self.mh.dtype
+        self.band_width = cfg.rows * np.dtype(self.compact_dtype).itemsize
         self.schema_band_type = pa.binary(self.band_width)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -46,7 +55,7 @@ class MinHashFingerprinter:
         bands = cfg.bands
         sigs = self.mh.signatures(texts)  # (n, num_perm)
         # band matrix: (n, bands, rows) byteswapped -> contiguous bytes
-        swapped = sigs.byteswap()
+        swapped = sigs.astype(self.compact_dtype, copy=False).byteswap()
         rows = cfg.rows
         band_mat = np.ascontiguousarray(swapped[:, : bands * rows].reshape(n, bands, rows))
         band_vals = pa.FixedSizeBinaryArray.from_buffers(
