@@ -120,6 +120,15 @@ def minhash_dedup(
     prefetch: dict = {}
     prefetch_thread = None
     if prefetch_payload:
+        # the background materialize needs CPU slots alongside the
+        # fingerprint actor pool; on tiny clusters (<4 CPUs) the two can
+        # starve each other into a deadlock (a 1-CPU run hangs) — stream
+        # the final pass instead there.
+        import ray as _ray
+
+        if _ray.is_initialized() and _ray.cluster_resources().get("CPU", 0) < 4:
+            prefetch_payload = False
+    if prefetch_payload:
         import threading
 
         def _materialize_payload(pf=filtered):
@@ -156,9 +165,10 @@ def minhash_dedup(
     with timer("fingerprint+local_buckets"):
         local = local.materialize()
     local_edges, reps = split_edges_and_reps(local)
-    with timer("rep_merge+cc"):
+    with timer("rep_merge"):
         cross_edges = minhash_merge_reps(reps, num_partitions=merge_partitions)
         edges = local_edges.union(cross_edges)
+    with timer("cc"):
         parents = connected_components_auto(
             edges, driver_threshold=driver_threshold, num_partitions=merge_partitions
         )
