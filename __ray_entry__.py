@@ -380,18 +380,18 @@ def _q_suffix_global_docs(sf_dir: str):
 
 
 def _q_minhash_images(sf_dir: str):
-    from text_dedup_ray.functions.minhash import MinHashConfig
     from text_dedup_ray.pipelines.images import image_caption_dedup
 
+    # md5 base hash so the DuckDB oracle recomputes the identical clusters
+    # over the same corpus parquet (bench.py keeps the sha1 flagship config)
     res = image_caption_dedup(
         path=_corpus_path(sf_dir),
-        cfg=MinHashConfig(num_perm=128, bands=32, rows=4, ngram_size=2, hash_func="sha1"),
+        cfg=_MINHASH_ORACLE_CFG(),
     )
     return res.deduped.select_columns(["image_id", "caption", "phash"])
 
 
 def _q_simhash_images(sf_dir: str):
-    from text_dedup_ray.functions.simhash import SimHashConfig
     from text_dedup_ray.pipelines.images import image_ids_to_row_ids
     from text_dedup_ray.pipelines.simhash import simhash_dedup
 
@@ -399,7 +399,7 @@ def _q_simhash_images(sf_dir: str):
     res = simhash_dedup(
         ds,
         text_column="caption",
-        cfg=SimHashConfig(f=64, bit_diff=3, num_bucket=4, ngram_size=3, hash_func="sha1"),
+        cfg=_SIMHASH_ORACLE_CFG(),
     )
     return res.deduped.select_columns(["image_id", "caption"])
 
@@ -549,4 +549,17 @@ def oracle_sql() -> dict[str, str]:
         "embedding_cosine_pairs": _oracles.embedding_pairs_sql(0.98, PLANT_OFFSET),
         "doc_winnowing_fp": _oracles.winnowing_sql(),
         "suffix_array_dedup_docs": _oracles.suffix_dedup_sql(100),
+        # image-corpus pipelines: the oracle recomputes them in DuckDB
+        # directly over the deterministic corpus parquet (generated here so
+        # the file exists regardless of query/oracle execution order; the
+        # driver's correctness gate runs at sf=0.01 -> n=3000)
+        "minhash_dedup_images": _oracles.minhash_images_sql(
+            _MINHASH_ORACLE_CFG(), _corpus_path("/root/testdata/sf0.01")
+        ),
+        "simhash_dedup_images": _oracles.simhash_images_sql(
+            _SIMHASH_ORACLE_CFG(), _corpus_path("/root/testdata/sf0.01")
+        ),
+        "phash_near_dedup_images": _oracles.phash_dedup_sql(
+            2, 4, _corpus_path("/root/testdata/sf0.01")
+        ),
     }

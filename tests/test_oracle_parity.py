@@ -28,6 +28,9 @@ CONVERTED = [
     "embedding_cosine_pairs",
     "doc_winnowing_fp",
     "suffix_array_dedup_docs",
+    "phash_near_dedup_images",  # corpus-backed; oracle pins the sf0.01 corpus
+    "minhash_dedup_images",
+    "simhash_dedup_images",
 ]
 
 
@@ -41,11 +44,20 @@ def duck():
     return con
 
 
+# image-corpus oracles embed the driver-gate corpus (sf0.01, n=3000) in the
+# SQL text, so those queries must run at the matching sf dir
+_SF_OVERRIDE = {
+    "phash_near_dedup_images": "/root/testdata/sf0.01",
+    "minhash_dedup_images": "/root/testdata/sf0.01",
+    "simhash_dedup_images": "/root/testdata/sf0.01",
+}
+
+
 @pytest.mark.parametrize("name", CONVERTED)
 def test_oracle_matches_pipeline(name, duck):
     import __ray_entry__ as E
 
-    out = E.queries()[name](SF)
+    out = E.queries()[name](_SF_OVERRIDE.get(name, SF))
     df = out.to_pandas() if hasattr(out, "to_pandas") else out
     odf = duck.execute(E.oracle_sql()[name]).fetchdf()
 

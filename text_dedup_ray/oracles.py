@@ -44,12 +44,12 @@ cc AS (SELECT node, min(label) AS cluster_id FROM walk GROUP BY node)
 TOKENS = "regexp_extract_all(lower(text), '[a-z0-9_]+')"
 
 
-def _grams_cte(n: int, min_length: int) -> str:
+def _grams_cte(n: int, min_length: int, table: str = "documents") -> str:
     """CTE ``grams(doc_id, g)``: the reference shingle set (SURVEY M4) —
     distinct space-joined n-grams, with the two length edge cases
     (< min_length -> none; < n -> one whole-sequence gram)."""
     return f"""
-tk AS (SELECT doc_id, {TOKENS} AS ts FROM documents),
+tk AS (SELECT doc_id, {TOKENS} AS ts FROM {table}),
 grams AS (
   SELECT DISTINCT doc_id, g FROM (
     SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - {n - 1}),
@@ -117,11 +117,9 @@ SELECT node AS row_id, cluster_id FROM cc
 """
 
 
-def minhash_dedup_sql(cfg: MinHashConfig) -> str:
-    """The full MinHashLSH dedup (pipelines/minhash.minhash_dedup without FP
-    check) in SQL: shingles -> md5 base hash -> (h*a+b) wrap-mod-2^64 then
-    mod Mersenne-prime & max_hash -> per-band buckets -> star edges -> CC ->
-    survivors (cluster root == own id). Requires cfg.hash_func == 'md5'."""
+def _minhash_core(cfg: MinHashConfig, table: str) -> str:
+    """WITH-body (no final SELECT) computing CTEs ``docs`` (min-length
+    survivors) and ``cc`` for MinHashLSH over ``table(doc_id, text)``."""
     assert cfg.hash_func == "md5", "SQL oracle needs the md5 base hash"
     assert cfg.hash_bits == 64
     a, b = cfg.permutations()
@@ -130,8 +128,7 @@ def minhash_dedup_sql(cfg: MinHashConfig) -> str:
     )
     prime = (1 << 61) - 1
     max_hash = (1 << 32) - 1
-    return f"""
-WITH RECURSIVE {_grams_cte(cfg.ngram_size, cfg.min_length)},
+    return f"""{_grams_cte(cfg.ngram_size, cfg.min_length, table)},
 docs AS (SELECT doc_id FROM tk WHERE len(ts) >= {cfg.min_length}),
 hashes AS (
   SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT AS h FROM grams
@@ -151,10 +148,44 @@ buckets AS (
   SELECT doc_id, min(doc_id) OVER (PARTITION BY band_idx, band_val) AS m FROM bands
 ),
 edges AS (SELECT DISTINCT doc_id AS hi, m AS lo FROM buckets WHERE doc_id <> m),
-{CC_FRAGMENT}
+{CC_FRAGMENT}"""
+
+
+def minhash_dedup_sql(cfg: MinHashConfig) -> str:
+    """The full MinHashLSH dedup (pipelines/minhash.minhash_dedup without FP
+    check) in SQL: shingles -> md5 base hash -> (h*a+b) wrap-mod-2^64 then
+    mod Mersenne-prime & max_hash -> per-band buckets -> star edges -> CC ->
+    survivors (cluster root == own id). Requires cfg.hash_func == 'md5'."""
+    return f"""
+WITH RECURSIVE {_minhash_core(cfg, "documents")}
 SELECT d.doc_id, d.doc_id AS cluster_id
 FROM docs d LEFT JOIN cc ON cc.node = d.doc_id
 WHERE cc.node IS NULL OR cc.cluster_id = d.doc_id
+"""
+
+
+def _corpus_docs_cte(corpus_path: str) -> str:
+    """The generated image+caption corpus as (doc_id, text): row ids parse
+    out of 'img-%012d' keys exactly like pipelines/images.image_ids_to_row_ids."""
+    return (
+        f"corpus_docs AS (SELECT CAST(substr(image_id, 5) AS BIGINT) AS doc_id, "
+        f"caption AS text FROM read_parquet('{corpus_path}'))"
+    )
+
+
+def minhash_images_sql(cfg: MinHashConfig, corpus_path: str) -> str:
+    """The flagship image+caption MinHashLSH dedup recomputed in SQL over the
+    deterministic corpus parquet: survivors' (image_id, caption, phash)."""
+    return f"""
+WITH RECURSIVE {_corpus_docs_cte(corpus_path)},
+{_minhash_core(cfg, "corpus_docs")},
+surv AS (
+  SELECT d.doc_id FROM docs d LEFT JOIN cc ON cc.node = d.doc_id
+  WHERE cc.node IS NULL OR cc.cluster_id = d.doc_id
+)
+SELECT c.image_id, c.caption, c.phash
+FROM surv s JOIN read_parquet('{corpus_path}') c
+  ON CAST(substr(c.image_id, 5) AS BIGINT) = s.doc_id
 """
 
 
@@ -166,16 +197,9 @@ def _sig_ubigint_to_bigint(col: str) -> str:
     )
 
 
-def simhash_dedup_sql(cfg: SimHashConfig) -> str:
-    """SimHash dedup (pipelines/simhash.simhash_dedup without FP check) in
-    SQL: md5 f-bit hashes -> bit-majority signature (ties -> 0; empty shingle
-    set -> 0) -> block-permutation prefix keys (constants inlined) ->
-    in-bucket Hamming <= bit_diff pairs -> CC; survivors = docs that are not
-    non-root members (the pre-verification __duplicate__ filter semantics).
-    Requires cfg.hash_func == 'md5' and f == 64."""
-    assert cfg.hash_func == "md5", "SQL oracle needs the md5 base hash"
-    assert cfg.f == 64
-    perms = create_permutations(cfg.f, cfg.bit_diff, cfg.num_bucket)
+def _simhash_keys_cte(perms) -> str:
+    """UNION ALL of per-permutation bucket-key selects over ``all_sigs`` —
+    block masks/offsets/search masks inlined as integer constants."""
     key_selects = []
     for j, p in enumerate(perms):
         terms = []
@@ -188,34 +212,16 @@ def simhash_dedup_sql(cfg: SimHashConfig) -> str:
             else:
                 terms.append(base)
         expr = f"((({' + '.join(terms)}) % {U64})::UBIGINT & {p.search_mask}::UBIGINT)"
-        key_selects.append(
-            f"SELECT doc_id, {j} AS perm, {expr} AS key FROM all_sigs"
-        )
-    keys_cte = " UNION ALL ".join(key_selects)
+        key_selects.append(f"SELECT doc_id, {j} AS perm, {expr} AS key FROM all_sigs")
+    return " UNION ALL ".join(key_selects)
+
+
+def _hamming_edges_cte(bit_diff: int) -> str:
+    """CTEs cand/edges: in-bucket pairs Hamming-verified over ``keys`` and
+    ``all_sigs``."""
     sig_i = _sig_ubigint_to_bigint("s1.sig")
     sig_j = _sig_ubigint_to_bigint("s2.sig")
-    return f"""
-WITH RECURSIVE {_grams_cte(cfg.ngram_size, cfg.min_length)},
-h64 AS (
-  SELECT doc_id, ('0x' || substr(md5(g), 1, 16))::UBIGINT AS h FROM grams
-),
-counts AS (SELECT doc_id, count(*) AS n FROM h64 GROUP BY doc_id),
-bitsum AS (
-  SELECT doc_id, bs.b, sum(((h >> (63 - bs.b)) & 1::UBIGINT)::BIGINT) AS ones
-  FROM h64 CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bs
-  GROUP BY doc_id, bs.b
-),
-sigs AS (
-  SELECT s.doc_id,
-         sum(CASE WHEN 2 * ones > n THEN (1::HUGEINT << (63 - b)) ELSE 0 END)::UBIGINT AS sig
-  FROM bitsum s JOIN counts c USING (doc_id) GROUP BY s.doc_id
-),
-all_sigs AS (
-  SELECT d.doc_id, coalesce(s.sig, 0::UBIGINT) AS sig
-  FROM documents d LEFT JOIN sigs s ON s.doc_id = d.doc_id
-),
-keys AS ({keys_cte}),
-cand AS (
+    return f"""cand AS (
   SELECT a.doc_id AS i, b.doc_id AS j
   FROM keys a JOIN keys b ON a.perm = b.perm AND a.key = b.key AND a.doc_id > b.doc_id
   GROUP BY 1, 2
@@ -223,11 +229,83 @@ cand AS (
 edges AS (
   SELECT c.i AS hi, c.j AS lo
   FROM cand c JOIN all_sigs s1 ON s1.doc_id = c.i JOIN all_sigs s2 ON s2.doc_id = c.j
-  WHERE bit_count(xor({sig_i}, {sig_j})) <= {cfg.bit_diff}
+  WHERE bit_count(xor({sig_i}, {sig_j})) <= {bit_diff}
+)"""
+
+
+def _simhash_core(cfg: SimHashConfig, table: str) -> str:
+    """WITH-body computing ``cc`` for SimHash dedup over ``table(doc_id,
+    text)``: md5 f-bit hashes -> bit-majority signature (ties -> 0; empty
+    shingle set -> 0) -> block-permutation prefix keys -> in-bucket Hamming
+    pairs -> CC."""
+    assert cfg.hash_func == "md5", "SQL oracle needs the md5 base hash"
+    assert cfg.f == 64
+    perms = create_permutations(cfg.f, cfg.bit_diff, cfg.num_bucket)
+    # bit-majority as 64 aggregate terms in ONE scan of the hash rows (a
+    # 64x row expansion + re-group was ~25x slower at corpus scale)
+    majority_terms = " + ".join(
+        f"CASE WHEN 2 * sum(((h >> {63 - b}) & 1::UBIGINT)::BIGINT) > count(*) "
+        f"THEN {1 << (63 - b)}::HUGEINT ELSE 0::HUGEINT END"
+        for b in range(64)
+    )
+    return f"""{_grams_cte(cfg.ngram_size, cfg.min_length, table)},
+h64 AS (
+  SELECT doc_id, ('0x' || substr(md5(g), 1, 16))::UBIGINT AS h FROM grams
 ),
-{CC_FRAGMENT}
+sigs AS (
+  SELECT doc_id, ({majority_terms})::UBIGINT AS sig
+  FROM h64 GROUP BY doc_id
+),
+all_sigs AS (
+  SELECT d.doc_id, coalesce(s.sig, 0::UBIGINT) AS sig
+  FROM {table} d LEFT JOIN sigs s ON s.doc_id = d.doc_id
+),
+keys AS ({_simhash_keys_cte(perms)}),
+{_hamming_edges_cte(cfg.bit_diff)},
+{CC_FRAGMENT}"""
+
+
+def simhash_dedup_sql(cfg: SimHashConfig) -> str:
+    """SimHash dedup (pipelines/simhash.simhash_dedup without FP check) in
+    SQL; survivors = docs that are not non-root members (the
+    pre-verification __duplicate__ filter semantics). Requires
+    cfg.hash_func == 'md5' and f == 64."""
+    return f"""
+WITH RECURSIVE {_simhash_core(cfg, "documents")}
 SELECT d.doc_id FROM documents d
 WHERE d.doc_id NOT IN (SELECT node FROM cc WHERE cluster_id <> node)
+"""
+
+
+def simhash_images_sql(cfg: SimHashConfig, corpus_path: str) -> str:
+    """SimHash dedup of the image+caption corpus captions: survivors'
+    (image_id, caption)."""
+    return f"""
+WITH RECURSIVE {_corpus_docs_cte(corpus_path)},
+{_simhash_core(cfg, "corpus_docs")}
+SELECT c.image_id, c.caption
+FROM read_parquet('{corpus_path}') c
+WHERE CAST(substr(c.image_id, 5) AS BIGINT) NOT IN
+      (SELECT node FROM cc WHERE cluster_id <> node)
+"""
+
+
+def phash_dedup_sql(bit_diff: int, num_bucket: int, corpus_path: str) -> str:
+    """Perceptual-hash near-dup clusters (pipelines/images.
+    phash_near_dedup_parents — the SimHash block-permutation machinery
+    applied to the 64-bit phash column): (row_id, cluster_id) incl. roots."""
+    perms = create_permutations(64, bit_diff, num_bucket)
+    return f"""
+WITH RECURSIVE all_sigs AS (
+  SELECT CAST(substr(image_id, 5) AS BIGINT) AS doc_id,
+         CASE WHEN phash < 0 THEN (phash::HUGEINT + {U64})::UBIGINT
+              ELSE phash::UBIGINT END AS sig
+  FROM read_parquet('{corpus_path}')
+),
+keys AS ({_simhash_keys_cte(perms)}),
+{_hamming_edges_cte(bit_diff)},
+{CC_FRAGMENT}
+SELECT node AS row_id, cluster_id FROM cc
 """
 
 
