@@ -47,16 +47,28 @@ def md5_hash(data: bytes, d: int = 32) -> int:
 
 
 def xxh3_hash(data: bytes, seed: int = 0, bits: int = 32) -> int:
-    """xxh3 hash (reference hashfunc.py:96-105). Requires the xxhash wheel."""
-    if not HAS_XXHASH:  # pragma: no cover
-        raise ImportError("xxhash is not installed; use hash_func='sha1'")
+    """xxh3 hash (reference hashfunc.py:96-105). Uses the ``xxhash`` wheel
+    when importable; otherwise the vendored pure-python XXH3-64
+    (functions/xxh3.py) for the 32/64-bit widths, so the reference's DEFAULT
+    hash config runs in wheel-less environments (slower — C paths for
+    production)."""
+    if HAS_XXHASH:
+        if bits == 32:
+            return xxhash.xxh3_64_intdigest(data, seed) & 0xFFFFFFFF
+        if bits == 64:
+            return xxhash.xxh3_64_intdigest(data, seed)
+        if bits == 128:
+            return xxhash.xxh3_128_intdigest(data, seed)
+        return int.from_bytes(xxhash.xxh3_128_digest(data)[: bits // 8], byteorder="big")
+    from .xxh3 import xxh3_64 as _py_xxh3_64
+
     if bits == 32:
-        return xxhash.xxh3_64_intdigest(data, seed) & 0xFFFFFFFF
+        return _py_xxh3_64(data, seed) & 0xFFFFFFFF
     if bits == 64:
-        return xxhash.xxh3_64_intdigest(data, seed)
-    if bits == 128:
-        return xxhash.xxh3_128_intdigest(data, seed)
-    return int.from_bytes(xxhash.xxh3_128_digest(data)[: bits // 8], byteorder="big")
+        return _py_xxh3_64(data, seed)
+    raise ImportError(
+        "xxh3 widths beyond 64 bits need the xxhash wheel; use hash_func='sha1'"
+    )
 
 
 def make_hash_func(name: str, seed: int, bits: int) -> Callable[[bytes], int]:
