@@ -414,12 +414,34 @@ def _q_phash_images(sf_dir: str):
 
 
 def _q_image_decode(sf_dir: str):
+    """Per-row decode invariants, stated in SQL and PROVEN by the Ray decode
+    pass: every payload decodes against its metadata, and for the lossless
+    format the decoded pixels reproduce the generator-side phash exactly
+    (lossy rows are covered by the PSNR invariant in
+    pipelines/images.check_row_invariants / tests instead — their phash
+    legitimately shifts)."""
+    import pyarrow.compute as pc
+
     from text_dedup_ray.pipelines.images import ImageDecodeStage
 
     ds = _corpus_ds(sf_dir).map_batches(
         ImageDecodeStage, batch_format="pyarrow", batch_size=256, concurrency=(1, 4)
     )
-    return ds.select_columns(["image_id", "decode_ok", "phash_check"])
+
+    def invariants(t: pa.Table) -> pa.Table:
+        lossless_ok = pc.or_(
+            pc.not_equal(t["fmt"], pa.scalar("png")),
+            pc.equal(t["phash_check"], t["phash"]),
+        )
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "decode_ok": t["decode_ok"],
+                "lossless_phash_ok": lossless_ok,
+            }
+        )
+
+    return ds.map_batches(invariants, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -561,5 +583,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "phash_near_dedup_images": _oracles.phash_dedup_sql(
             2, 4, _corpus_path("/root/testdata/sf0.01")
+        ),
+        # invariant oracle: the SQL states what decoding MUST produce for
+        # every row; the Ray side actually decodes and proves it
+        "image_decode_stats": (
+            "SELECT image_id, true AS decode_ok, true AS lossless_phash_ok "
+            f"FROM read_parquet('{_corpus_path('/root/testdata/sf0.01')}')"
         ),
     }

@@ -11,7 +11,7 @@ reference's config.toml):
 
     [input]
     path = "/data/docs"          # file/dir/glob
-    format = "parquet"           # parquet | csv | json | lance
+    format = "parquet"           # parquet | csv | json | lance | hf_disk
     text_column = "text"
     id_column = "doc_id"         # optional; else deterministic fragment ids
 
