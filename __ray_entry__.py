@@ -260,10 +260,10 @@ def _q_embedding_dedup(sf_dir: str):
     """Exact-cosine dedup clusters over the planted table (oracle-checked);
     the LSH scale path is exercised by embedding_cosine_dedup_lsh."""
     from text_dedup_ray.pipelines.ann import embedding_cosine_dedup_exact
-    from text_dedup_ray.stages.cc import cluster_map_to_table
+    from text_dedup_ray.stages.cc import cluster_map_table
 
     parents = embedding_cosine_dedup_exact(_planted_embeddings(sf_dir), threshold=0.98)
-    return cluster_map_to_table(parents)
+    return cluster_map_table(parents)
 
 
 def _q_embedding_pairs(sf_dir: str):
@@ -277,10 +277,10 @@ def _q_embedding_dedup_lsh(sf_dir: str):
     """The LSH scale path over the same planted table (rows-only: bucket
     recall is probabilistic by design; exact copies are always caught)."""
     from text_dedup_ray.pipelines.ann import embedding_cosine_dedup
-    from text_dedup_ray.stages.cc import cluster_map_to_table
+    from text_dedup_ray.stages.cc import cluster_map_table
 
     parents = embedding_cosine_dedup(_planted_embeddings(sf_dir), threshold=0.98)
-    return cluster_map_to_table(parents)
+    return cluster_map_table(parents)
 
 
 def _q_jaccard_pairs(sf_dir: str):
@@ -299,7 +299,7 @@ def _q_jaccard_pairs(sf_dir: str):
 
 def _q_jaccard_dedup(sf_dir: str):
     from text_dedup_ray.pipelines.jaccard_dedup import ngram_jaccard_dedup
-    from text_dedup_ray.stages.cc import cluster_map_to_table
+    from text_dedup_ray.stages.cc import cluster_map_table
 
     parents = ngram_jaccard_dedup(
         _docs(sf_dir, ["doc_id", "text"]),
@@ -309,7 +309,7 @@ def _q_jaccard_dedup(sf_dir: str):
         threshold=0.6,
         df_cap=1_000_000_000,  # exact — no hot-shingle drops for the oracle
     )
-    return cluster_map_to_table(parents)
+    return cluster_map_table(parents)
 
 
 def _q_minhash_docs(sf_dir: str):
@@ -406,11 +406,11 @@ def _q_simhash_images(sf_dir: str):
 
 def _q_phash_images(sf_dir: str):
     from text_dedup_ray.pipelines.images import image_ids_to_row_ids, phash_near_dedup_parents
-    from text_dedup_ray.stages.cc import cluster_map_to_table
+    from text_dedup_ray.stages.cc import cluster_map_table
 
     ds = image_ids_to_row_ids(_corpus_ds(sf_dir))
     parents = phash_near_dedup_parents(ds, bit_diff=2, num_bucket=4)
-    return cluster_map_to_table(parents)
+    return cluster_map_table(parents)
 
 
 def _q_image_decode(sf_dir: str):

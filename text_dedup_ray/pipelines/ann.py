@@ -285,13 +285,15 @@ def embedding_cosine_dedup_exact(
     threshold: float = 0.95,
     embedding_column: str = "embedding",
     id_column: str = "vec_id",
-) -> dict[int, int]:
-    """Cluster map from EXACT cosine pairs (oracle-checkable)."""
-    from ..stages.cc import connected_components
+    driver_threshold: int = 2_000_000,
+):
+    """Cluster map from EXACT cosine pairs (oracle-checkable). Dict below
+    ``driver_threshold`` reduced edges, else a Dataset map."""
+    from ..stages.cc import connected_components_auto
 
     pairs = embedding_cosine_pairs(ds, threshold, embedding_column, id_column)
     edges = pairs.map_batches(lambda t: t.select(["src", "dst"]), batch_format="pyarrow")
-    return connected_components(edges)
+    return connected_components_auto(edges, driver_threshold=driver_threshold)
 
 
 def embedding_cosine_dedup(
@@ -303,8 +305,11 @@ def embedding_cosine_dedup(
     num_bits: int = 10,
     seed: int = 42,
     merge_partitions: int = 32,
-) -> dict[int, int]:
+    driver_threshold: int = 2_000_000,
+):
     """Embedding near-dup clusters: rows with cosine >= threshold connected.
+    Returns a dict below ``driver_threshold`` reduced edges, else a Dataset
+    map (automatic distributed-CC fallback).
 
     Hyperplane-LSH buckets generate candidates; each bucket's members are
     exactly re-ranked (pairwise cosine within bucket, vectorized); verified
@@ -315,7 +320,7 @@ def embedding_cosine_dedup(
     embedding vector is attached only to the FIRST bucket row per distinct
     (row, partition) — at most min(num_tables, merge_partitions) copies and
     typically far fewer, never a flat x num_tables replication."""
-    from ..stages.cc import connected_components
+    from ..stages.cc import connected_components_auto
     from ..stages.exchange import hash_partition_exchange
 
     planes_holder = {}
@@ -409,4 +414,4 @@ def embedding_cosine_dedup(
         )
 
     edges = hash_partition_exchange(sig, "part", merge_partitions, per_partition)
-    return connected_components(edges)
+    return connected_components_auto(edges, driver_threshold=driver_threshold)

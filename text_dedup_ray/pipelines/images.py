@@ -121,13 +121,15 @@ def phash_near_dedup_parents(
     num_bucket: int = 4,
     phash_column: str = "phash",
     merge_partitions: int = 32,
-) -> dict[int, int]:
+    driver_threshold: int = 2_000_000,
+):
     """Near-duplicate IMAGES by perceptual hash: cluster rows whose 64-bit
     phash differs by <= bit_diff. Reuses the SimHash block-permutation
     machinery (the phash IS a 64-bit fingerprint) and the shared edges/CC
-    stages."""
+    stages. Returns a dict below ``driver_threshold`` reduced edges, else a
+    Dataset map (automatic distributed-CC fallback)."""
     from ..functions.simhash import create_permutations
-    from ..stages.cc import connected_components
+    from ..stages.cc import connected_components_auto
     from ..stages.edges import simhash_local_buckets, simhash_merge_reps, split_edges_and_reps
 
     perms = create_permutations(64, bit_diff, num_bucket)
@@ -157,7 +159,9 @@ def phash_near_dedup_parents(
     local = local.materialize()  # branches below; see minhash.py for rationale
     local_edges, reps = split_edges_and_reps(local)
     cross = simhash_merge_reps(reps, bit_diff=bit_diff, num_partitions=merge_partitions)
-    return connected_components(local_edges.union(cross))
+    return connected_components_auto(
+        local_edges.union(cross), driver_threshold=driver_threshold
+    )
 
 
 def image_caption_dedup(

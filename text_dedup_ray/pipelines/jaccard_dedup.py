@@ -173,15 +173,18 @@ def ngram_jaccard_dedup(
     ngram_size: int = 1,
     min_length: int = 0,
     threshold: float = 0.8,
+    driver_threshold: int = 2_000_000,
     **kwargs,
-) -> dict[int, int]:
-    """Cluster map from exact-Jaccard verified pairs (min-id roots)."""
+):
+    """Cluster map from exact-Jaccard verified pairs (min-id roots). A dict
+    below ``driver_threshold`` reduced edges, else a Dataset (row_id,
+    cluster_id) from the automatic distributed-CC fallback."""
+    from ..stages.cc import connected_components_auto
+
     pairs = jaccard_pair_table(
         ds, text_column, id_column, ngram_size, min_length, threshold, **kwargs
     )
-    import pyarrow.compute as pc
-
     edges = pairs.map_batches(
         lambda t: t.select(["src", "dst"]), batch_format="pyarrow"
     )
-    return connected_components(edges)
+    return connected_components_auto(edges, driver_threshold=driver_threshold)

@@ -304,6 +304,15 @@ def _append_root_self_rows(
     return claims.union(roots)
 
 
+def cluster_map_table(parents) -> "pa.Table | ray.data.Dataset":
+    """Uniform view of a cluster map regardless of which CC path produced
+    it: a driver dict becomes the sorted Arrow table, a Dataset-backed map
+    (the distributed fallback) passes through as-is."""
+    if isinstance(parents, dict):
+        return cluster_map_to_table(parents)
+    return parents
+
+
 def cluster_map_to_table(parents: dict[int, int]) -> pa.Table:
     """Cluster map as an Arrow table (row_id, cluster_id) sorted by row_id —
     the engine's replacement for the reference's clusters.pickle."""
