@@ -474,7 +474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- near-dup pipelines (SQL-checked via md5 base hash + recursive-CTE CC) ---
         "minhash_dedup_docs": _q_minhash_docs,
         "simhash_dedup_docs": _q_simhash_docs,
-        # --- suffix-array pipelines (not SQL-expressible; rows-only) ---
+        # --- suffix-array pipelines (SQL-checked via corpus-gram recomputation) ---
         "suffix_array_dedup_docs": _q_suffix_docs,
         "suffix_array_global_docs": _q_suffix_global_docs,
         "lang_id": _q_lang_id,
@@ -571,6 +571,10 @@ def oracle_sql() -> dict[str, str]:
         "embedding_cosine_pairs": _oracles.embedding_pairs_sql(0.98, PLANT_OFFSET),
         "doc_winnowing_fp": _oracles.winnowing_sql(),
         "suffix_array_dedup_docs": _oracles.suffix_dedup_sql(100),
+        # the cross-partition global variant reproduces corpus-wide semantics
+        # exactly (tests/test_suffix_global.py), so it shares the same
+        # first-principles SQL recomputation
+        "suffix_array_global_docs": _oracles.suffix_dedup_sql(100),
         # image-corpus pipelines: the oracle recomputes them in DuckDB
         # directly over the deterministic corpus parquet (generated here so
         # the file exists regardless of query/oracle execution order; the

@@ -60,14 +60,32 @@ class MinHashDedupResult:
 def min_length_filter(
     ds: ray.data.Dataset, text_column: str, min_length: int
 ) -> ray.data.Dataset:
-    """Drop docs with fewer than ``min_length`` tokens (minhash.py:23-28)."""
+    """Drop docs with fewer than ``min_length`` tokens (minhash.py:23-28).
+
+    Vectorized: for ASCII text the reference tokenizer's count (split on
+    ``\\W`` dropping empties) equals the number of ``[A-Za-z0-9_]+`` matches,
+    which Arrow's re2 kernel counts in C. Non-ASCII rows (where Python's
+    unicode ``\\w`` and re2's ASCII classes can disagree) fall back to the
+    exact Python tokenizer — parity preserved, hot path vectorized."""
     if min_length <= 0:
         return ds
 
+    import pyarrow.compute as pc
+
     def keep(batch: pa.Table) -> pa.Table:
-        texts = batch[text_column].to_pylist()
-        mask = pa.array([token_count(t) >= min_length for t in texts])
-        return batch.filter(mask)
+        col = batch[text_column]
+        counts = pc.count_substring_regex(col, "[A-Za-z0-9_]+").to_numpy(
+            zero_copy_only=False
+        )
+        non_ascii = pc.invert(pc.string_is_ascii(col)).to_numpy(zero_copy_only=False)
+        if non_ascii.any():
+            import numpy as np
+
+            counts = counts.copy()
+            idx = np.flatnonzero(non_ascii)
+            texts = col.take(pa.array(idx)).to_pylist()
+            counts[idx] = [token_count(t) for t in texts]
+        return batch.filter(pa.array(counts >= min_length))
 
     return ds.map_batches(keep, batch_format="pyarrow")
 
@@ -148,14 +166,17 @@ def minhash_dedup(
         narrow = narrow.select_columns([ROW_ID, text_column])
     else:
         narrow = filtered.select_columns([ROW_ID, text_column])
-    sig = narrow.map_batches(
+    # the bucket kernel runs fused inside the fingerprint actor (emit=
+    # "buckets"): an actor-pool stage can't fuse with a downstream task
+    # stage, and the un-fused plan pays a full object-store round trip over
+    # the exploded band table (bands x the input row count)
+    local = narrow.map_batches(
         MinHashFingerprinter,
-        fn_constructor_args=(cfg, text_column),
+        fn_constructor_args=(cfg, text_column, "buckets"),
         batch_format="pyarrow",
         batch_size=fingerprint_batch_size,
         concurrency=fingerprint_concurrency,
     )
-    local = sig.map_batches(minhash_local_buckets, batch_format="pyarrow", batch_size=None)
     # materialize the narrow bucket-stage output ONCE before it branches into
     # (local edges, reps): without this Ray plans the whole fingerprint
     # sub-plan twice — two full actor pools (can deadlock the CPU budget with
