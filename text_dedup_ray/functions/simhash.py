@@ -114,6 +114,29 @@ def create_permutations(f: int, bit_diff: int, num_bucket: int) -> list[Permutat
     return results
 
 
+def permutation_keys_batch(
+    perms: list[Permutation], f: int, sigs: np.ndarray
+) -> np.ndarray:
+    """(n,) uint64 sigs -> (n, len(perms)) uint64 bucket keys — the
+    vectorized form of ``Permutation.key`` (no per-row Python)."""
+    n = len(sigs)
+    out = np.empty((n, len(perms)), dtype=np.uint64)
+    full = np.uint64((1 << f) - 1) if f < 64 else np.uint64(0xFFFFFFFFFFFFFFFF)
+    with np.errstate(over="ignore"):
+        for j, p in enumerate(perms):
+            acc = np.zeros(n, dtype=np.uint64)
+            for mask, off in zip(p.masks, p.offsets):
+                v = sigs & np.uint64(mask)
+                if off > 0:
+                    acc |= (v << np.uint64(off)) & full
+                elif off < 0:
+                    acc |= v >> np.uint64(-off)
+                else:
+                    acc |= v
+            out[:, j] = acc & np.uint64(p.search_mask)
+    return out
+
+
 def hamming_distance(a: int, b: int) -> int:
     return (a ^ b).bit_count()
 
@@ -228,19 +251,4 @@ class SimHasher:
     def keys_batch(self, sigs: np.ndarray) -> np.ndarray:
         """(n,) uint64 sigs -> (n, num_perms) uint64 bucket keys, vectorized
         per permutation with numpy shifts."""
-        n = len(sigs)
-        out = np.empty((n, len(self.perms)), dtype=np.uint64)
-        full = np.uint64((1 << self.cfg.f) - 1) if self.cfg.f < 64 else np.uint64(0xFFFFFFFFFFFFFFFF)
-        with np.errstate(over="ignore"):
-            for j, p in enumerate(self.perms):
-                acc = np.zeros(n, dtype=np.uint64)
-                for mask, off in zip(p.masks, p.offsets):
-                    v = sigs & np.uint64(mask)
-                    if off > 0:
-                        acc |= (v << np.uint64(off)) & full
-                    elif off < 0:
-                        acc |= v >> np.uint64(-off)
-                    else:
-                        acc |= v
-                out[:, j] = acc & np.uint64(p.search_mask)
-        return out
+        return permutation_keys_batch(self.perms, self.cfg.f, sigs)

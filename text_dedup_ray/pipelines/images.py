@@ -128,7 +128,7 @@ def phash_near_dedup_parents(
     machinery (the phash IS a 64-bit fingerprint) and the shared edges/CC
     stages. Returns a dict below ``driver_threshold`` reduced edges, else a
     Dataset map (automatic distributed-CC fallback)."""
-    from ..functions.simhash import create_permutations
+    from ..functions.simhash import create_permutations, permutation_keys_batch
     from ..stages.cc import connected_components_auto
     from ..stages.edges import simhash_local_buckets, simhash_merge_reps, split_edges_and_reps
 
@@ -140,16 +140,12 @@ def phash_near_dedup_parents(
         ids = batch[ROW_ID].to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(ids)
         nperm = len(perms)
-        keys = np.empty(n * nperm, dtype=np.uint64)
-        for i in range(n):
-            s = int(sigs[i])
-            for j, p in enumerate(perms):
-                keys[i * nperm + j] = p.key(s)
+        keys = permutation_keys_batch(perms, 64, sigs)  # (n, nperm), no row loop
         return pa.table(
             {
                 "row_id": np.repeat(ids, nperm),
                 "perm_idx": np.tile(np.arange(nperm, dtype=np.int32), n),
-                "key": keys,
+                "key": keys.reshape(-1),
                 "sig": np.repeat(sigs, nperm),
             }
         )

@@ -27,7 +27,6 @@ from ..sources.io import ROW_ID, stamp_row_ids_from_key
 from ..stages.assign import assign_clusters, assign_clusters_sharded, filter_non_duplicates
 from ..stages.cc import connected_components, connected_components_auto
 from ..stages.edges import (
-    simhash_local_buckets,
     simhash_merge_reps,
     split_edges_and_reps,
 )
@@ -70,14 +69,16 @@ def simhash_dedup(
         narrow = src.select_columns([ROW_ID, text_column])
     else:
         narrow = ds.select_columns([ROW_ID, text_column])
-    sig = narrow.map_batches(
+    # bucket kernel fused into the actor (emit="buckets") — see
+    # MinHashFingerprinter: actor->task stages don't fuse, and the split plan
+    # pays an object-store round trip over the exploded signature table
+    local = narrow.map_batches(
         SimHashFingerprinter,
-        fn_constructor_args=(cfg, text_column),
+        fn_constructor_args=(cfg, text_column, "buckets"),
         batch_format="pyarrow",
         batch_size=fingerprint_batch_size,
         concurrency=fingerprint_concurrency,
     )
-    local = sig.map_batches(simhash_local_buckets, batch_format="pyarrow", batch_size=None)
     local = local.materialize()  # branches below; see minhash.py for rationale
     local_edges, reps = split_edges_and_reps(local)
     cross_edges = simhash_merge_reps(

@@ -87,11 +87,17 @@ class MinHashFingerprinter:
 
 
 class SimHashFingerprinter:
-    """Actor: batch of (row_id, text) -> one row per (doc, permutation)."""
+    """Actor: batch of (row_id, text) -> one row per (doc, permutation).
 
-    def __init__(self, cfg: SimHashConfig, text_column: str = "text") -> None:
+    ``emit="buckets"`` fuses the stage-1 bucket kernel into the actor —
+    same rationale as :class:`MinHashFingerprinter`."""
+
+    def __init__(
+        self, cfg: SimHashConfig, text_column: str = "text", emit: str = "sig"
+    ) -> None:
         self.sh = SimHasher(cfg)
         self.text_column = text_column
+        self.emit = emit
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_column].to_pylist()
@@ -100,7 +106,7 @@ class SimHashFingerprinter:
         nperm = len(self.sh.perms)
         sigs = self.sh.signatures_batch(texts)
         keys = self.sh.keys_batch(sigs)
-        return pa.table(
+        out = pa.table(
             {
                 "row_id": np.repeat(row_ids, nperm),
                 "perm_idx": np.tile(np.arange(nperm, dtype=np.int32), n),
@@ -108,3 +114,8 @@ class SimHashFingerprinter:
                 "sig": np.repeat(sigs, nperm),
             }
         )
+        if self.emit == "buckets":
+            from .edges import simhash_local_buckets
+
+            return simhash_local_buckets(out)
+        return out
