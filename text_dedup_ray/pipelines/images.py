@@ -128,9 +128,12 @@ def phash_near_dedup_parents(
     machinery (the phash IS a 64-bit fingerprint) and the shared edges/CC
     stages. Returns a dict below ``driver_threshold`` reduced edges, else a
     Dataset map (automatic distributed-CC fallback)."""
+    from functools import partial
+
     from ..functions.simhash import create_permutations, permutation_keys_batch
     from ..stages.cc import connected_components_auto
-    from ..stages.edges import simhash_local_buckets, simhash_merge_reps, split_edges_and_reps
+    from ..stages.edges import simhash_local_buckets, simhash_rep_part, simhash_rep_reduce
+    from ..stages.exchange import tagged_split_exchange
 
     perms = create_permutations(64, bit_diff, num_bucket)
 
@@ -152,9 +155,14 @@ def phash_near_dedup_parents(
 
     sig = ds.select_columns([ROW_ID, phash_column]).map_batches(sig_stage, batch_format="pyarrow")
     local = sig.map_batches(simhash_local_buckets, batch_format="pyarrow", batch_size=None)
-    local = local.materialize()  # branches below; see minhash.py for rationale
-    local_edges, reps = split_edges_and_reps(local)
-    cross = simhash_merge_reps(reps, bit_diff=bit_diff, num_partitions=merge_partitions)
+    # one streaming split pass (see stages.exchange.tagged_split_exchange)
+    local_edges, cross, _rows, _reduced = tagged_split_exchange(
+        local,
+        "is_edge",
+        simhash_rep_part,
+        merge_partitions,
+        partial(simhash_rep_reduce, bit_diff=bit_diff),
+    )
     return connected_components_auto(
         local_edges.union(cross), driver_threshold=driver_threshold
     )

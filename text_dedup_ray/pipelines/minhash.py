@@ -23,6 +23,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 import pyarrow as pa
+import ray
 import ray.data
 
 from ..functions.minhash import MinHashConfig
@@ -39,8 +40,11 @@ from ..stages.cc import connected_components, connected_components_auto
 from ..stages.edges import (
     minhash_local_buckets,
     minhash_merge_reps,
+    minhash_rep_part,
+    minhash_rep_reduce,
     split_edges_and_reps,
 )
+from ..stages.exchange import tagged_split_exchange
 from ..stages.fingerprint import MinHashFingerprinter
 from .verify import verify_clusters
 
@@ -177,17 +181,22 @@ def minhash_dedup(
         batch_size=fingerprint_batch_size,
         concurrency=fingerprint_concurrency,
     )
-    # materialize the narrow bucket-stage output ONCE before it branches into
-    # (local edges, reps): without this Ray plans the whole fingerprint
-    # sub-plan twice — two full actor pools (can deadlock the CPU budget with
-    # fixed-size pools) and double the fingerprint work. This is also the
-    # natural checkpoint artifact (state/checkpoint.py materializes the same
-    # boundary to parquet).
+    # one streaming pass over the tagged bucket blocks: edges pass through,
+    # reps are hash-partitioned and merged — the split tasks launch while the
+    # fingerprint stage is still producing (no materialize barrier, and no
+    # re-reading the bucket table once per branch). The timer below covers
+    # the full fingerprint execution because the iterator drains it.
     with timer("fingerprint+local_buckets"):
-        local = local.materialize()
-    local_edges, reps = split_edges_and_reps(local)
+        local_edges, cross_edges, signature_rows, reduced_refs = tagged_split_exchange(
+            local,
+            "is_edge",
+            minhash_rep_part,
+            merge_partitions,
+            minhash_rep_reduce,
+        )
     with timer("rep_merge"):
-        cross_edges = minhash_merge_reps(reps, num_partitions=merge_partitions)
+        if reduced_refs:
+            ray.wait(list(reduced_refs), num_returns=len(reduced_refs))
         edges = local_edges.union(cross_edges)
     with timer("cc"):
         parents = connected_components_auto(
@@ -198,8 +207,8 @@ def minhash_dedup(
     parents_is_dict = isinstance(parents, dict)
     metrics["cc_path"] = "driver" if parents_is_dict else "distributed"
     if collect_metrics:
-        # `local` is materialized, so count() is metadata-only (no extra pass)
-        metrics["signature_rows"] = local.count()
+        # tallied from the streamed bundles — no extra pass
+        metrics["signature_rows"] = signature_rows
         if parents_is_dict:
             n_dup_members = sum(1 for m, r in parents.items() if m != r)
             metrics["cluster_members"] = len(parents)

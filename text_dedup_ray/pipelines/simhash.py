@@ -26,10 +26,8 @@ from ..functions.simhash import SimHashConfig
 from ..sources.io import ROW_ID, stamp_row_ids_from_key
 from ..stages.assign import assign_clusters, assign_clusters_sharded, filter_non_duplicates
 from ..stages.cc import connected_components, connected_components_auto
-from ..stages.edges import (
-    simhash_merge_reps,
-    split_edges_and_reps,
-)
+from ..stages.edges import simhash_rep_part, simhash_rep_reduce
+from ..stages.exchange import tagged_split_exchange
 from ..stages.fingerprint import SimHashFingerprinter
 from .verify import verify_clusters
 
@@ -79,10 +77,16 @@ def simhash_dedup(
         batch_size=fingerprint_batch_size,
         concurrency=fingerprint_concurrency,
     )
-    local = local.materialize()  # branches below; see minhash.py for rationale
-    local_edges, reps = split_edges_and_reps(local)
-    cross_edges = simhash_merge_reps(
-        reps, bit_diff=cfg.bit_diff, num_partitions=merge_partitions
+    # one streaming split pass over the tagged bucket blocks (see
+    # minhash.py / stages.exchange.tagged_split_exchange)
+    from functools import partial
+
+    local_edges, cross_edges, _sig_rows, _reduced = tagged_split_exchange(
+        local,
+        "is_edge",
+        simhash_rep_part,
+        merge_partitions,
+        partial(simhash_rep_reduce, bit_diff=cfg.bit_diff),
     )
     edges = local_edges.union(cross_edges)
     # simhash keeps only non-root members in the map (simhash.py:70-71), so

@@ -149,31 +149,40 @@ def minhash_local_buckets(batch: pa.Table) -> pa.Table:
     )
 
 
+def minhash_rep_part(reps: pa.Table, num_partitions: int) -> np.ndarray:
+    """Hash partition of rep rows by their full bucket key bytes."""
+    width = reps.schema.field("key").type.byte_width
+    keys = _binary_to_u8(reps["key"], width, reps.num_rows)
+    return _hash_part(keys, num_partitions)
+
+
+def minhash_rep_reduce(group: pa.Table) -> pa.Table:
+    """Stage-2 kernel: star edges among each bucket's per-scope reps."""
+    n = group.num_rows
+    if n == 0:
+        return _edge_table(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    width = group.schema.field("key").type.byte_width
+    keys = _void_view(_binary_to_u8(group["key"], width, n))
+    row_ids = group["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order, _starts, mins, inv_sorted = _group_min(keys, row_ids)
+    rid_sorted = row_ids[order]
+    dst = mins[inv_sorted]
+    mask = rid_sorted != dst
+    return _edge_table(rid_sorted[mask], dst[mask])
+
+
 def minhash_merge_reps(reps: ray.data.Dataset, num_partitions: int = 64) -> ray.data.Dataset:
     """Stage-2: star edges among each bucket's per-block representatives."""
 
     def add_part(batch: pa.Table) -> pa.Table:
-        width = batch.schema.field("key").type.byte_width
-        keys = _binary_to_u8(batch["key"], width, batch.num_rows)
-        return batch.append_column("part", pa.array(_hash_part(keys, num_partitions)))
-
-    def per_partition(group: pa.Table) -> pa.Table:
-        n = group.num_rows
-        if n == 0:
-            return _edge_table(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
-        width = group.schema.field("key").type.byte_width
-        keys = _void_view(_binary_to_u8(group["key"], width, n))
-        row_ids = group["src"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order, _starts, mins, inv_sorted = _group_min(keys, row_ids)
-        rid_sorted = row_ids[order]
-        dst = mins[inv_sorted]
-        mask = rid_sorted != dst
-        return _edge_table(rid_sorted[mask], dst[mask])
+        return batch.append_column(
+            "part", pa.array(minhash_rep_part(batch, num_partitions))
+        )
 
     from .exchange import hash_partition_exchange
 
     reps = reps.map_batches(add_part, batch_format="pyarrow")
-    return hash_partition_exchange(reps, "part", num_partitions, per_partition)
+    return hash_partition_exchange(reps, "part", num_partitions, minhash_rep_reduce)
 
 
 # ---------------------------------------------------------------- SimHash
@@ -215,6 +224,20 @@ def simhash_local_buckets(batch: pa.Table) -> pa.Table:
     )
 
 
+def simhash_rep_part(reps: pa.Table, num_partitions: int) -> np.ndarray:
+    """Partition by the bucket prefix (12 bytes of the 20B key) only."""
+    keys = _binary_to_u8(reps["key"], 20, reps.num_rows)
+    return _hash_part(keys[:, :12], num_partitions)
+
+
+def simhash_rep_reduce(
+    group: pa.Table, bit_diff: int, max_distinct_sigs: int = 8192
+) -> pa.Table:
+    """Stage-2 kernel for SimHash reps: merge same-sig reps across scopes,
+    then pairwise-Hamming the distinct signature values per bucket."""
+    return _simhash_per_partition(group, bit_diff, max_distinct_sigs)
+
+
 def simhash_merge_reps(
     reps: ray.data.Dataset,
     bit_diff: int,
@@ -231,71 +254,77 @@ def simhash_merge_reps(
     """
 
     def add_part(batch: pa.Table) -> pa.Table:
-        keys = _binary_to_u8(batch["key"], 20, batch.num_rows)
-        # partition by the bucket prefix (12 bytes) only
-        return batch.append_column("part", pa.array(_hash_part(keys[:, :12], num_partitions)))
+        return batch.append_column(
+            "part", pa.array(simhash_rep_part(batch, num_partitions))
+        )
 
     def per_partition(group: pa.Table) -> pa.Table:
-        n = group.num_rows
-        if n == 0:
-            return _edge_table(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
-        mat = _binary_to_u8(group["key"], 20, n)
-        row_ids = group["src"].to_numpy(zero_copy_only=False).astype(np.int64)
-        # 1) merge identical (bucket, sig) reps across blocks: star edges
-        full_keys = _void_view(mat)
-        order, starts, mins, inv_sorted = _group_min(full_keys, row_ids)
-        rid_sorted = row_ids[order]
-        dst = mins[inv_sorted]
-        mask = rid_sorted != dst
-        out_src = [rid_sorted[mask]]
-        out_dst = [dst[mask]]
-        # 2) distinct (bucket, sig) reps: group by bucket, compare sigs
-        rep_mat = mat[order][starts]
-        rep_min = mins
-        bucket_keys = _void_view(rep_mat[:, :12])
-        b_order = np.argsort(bucket_keys, kind="stable")
-        bk_sorted = bucket_keys[b_order]
-        b_starts = np.flatnonzero(np.r_[True, bk_sorted[1:] != bk_sorted[:-1]])
-        b_ends = np.r_[b_starts[1:], len(bk_sorted)]
-        sigs = rep_mat[:, 12:].copy().view(np.uint64).reshape(-1)
-        truncated = 0
-        for s, e in zip(b_starts, b_ends):
-            m = e - s
-            if m < 2:
-                continue
-            idx = b_order[s:e]
-            if m > max_distinct_sigs:
-                truncated += m - max_distinct_sigs
-                idx = idx[np.argsort(rep_min[idx], kind="stable")[:max_distinct_sigs]]
-                m = max_distinct_sigs
-            bucket_sigs = sigs[idx]
-            bucket_ids = rep_min[idx]
-            xor = bucket_sigs[:, None] ^ bucket_sigs[None, :]
-            ham = np.zeros((m, m), dtype=np.uint8)
-            x = xor.copy()
-            for _ in range(8):
-                ham += _POPCOUNT_TABLE[(x & np.uint64(0xFF)).astype(np.uint8)]
-                x >>= np.uint64(8)
-            ii, jj = np.nonzero(np.triu(ham <= bit_diff, k=1))
-            if len(ii):
-                a = bucket_ids[ii]
-                b = bucket_ids[jj]
-                out_src.append(np.maximum(a, b))
-                out_dst.append(np.minimum(a, b))
-        if truncated:
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "simhash bucket compare truncated %d distinct sigs (cap %d)",
-                truncated,
-                max_distinct_sigs,
-            )
-        return _edge_table(np.concatenate(out_src), np.concatenate(out_dst))
+        return _simhash_per_partition(group, bit_diff, max_distinct_sigs)
 
     from .exchange import hash_partition_exchange
 
     reps = reps.map_batches(add_part, batch_format="pyarrow")
     return hash_partition_exchange(reps, "part", num_partitions, per_partition)
+
+
+def _simhash_per_partition(
+    group: pa.Table, bit_diff: int, max_distinct_sigs: int
+) -> pa.Table:
+    n = group.num_rows
+    if n == 0:
+        return _edge_table(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    mat = _binary_to_u8(group["key"], 20, n)
+    row_ids = group["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # 1) merge identical (bucket, sig) reps across blocks: star edges
+    full_keys = _void_view(mat)
+    order, starts, mins, inv_sorted = _group_min(full_keys, row_ids)
+    rid_sorted = row_ids[order]
+    dst = mins[inv_sorted]
+    mask = rid_sorted != dst
+    out_src = [rid_sorted[mask]]
+    out_dst = [dst[mask]]
+    # 2) distinct (bucket, sig) reps: group by bucket, compare sigs
+    rep_mat = mat[order][starts]
+    rep_min = mins
+    bucket_keys = _void_view(rep_mat[:, :12])
+    b_order = np.argsort(bucket_keys, kind="stable")
+    bk_sorted = bucket_keys[b_order]
+    b_starts = np.flatnonzero(np.r_[True, bk_sorted[1:] != bk_sorted[:-1]])
+    b_ends = np.r_[b_starts[1:], len(bk_sorted)]
+    sigs = rep_mat[:, 12:].copy().view(np.uint64).reshape(-1)
+    truncated = 0
+    for s, e in zip(b_starts, b_ends):
+        m = e - s
+        if m < 2:
+            continue
+        idx = b_order[s:e]
+        if m > max_distinct_sigs:
+            truncated += m - max_distinct_sigs
+            idx = idx[np.argsort(rep_min[idx], kind="stable")[:max_distinct_sigs]]
+            m = max_distinct_sigs
+        bucket_sigs = sigs[idx]
+        bucket_ids = rep_min[idx]
+        xor = bucket_sigs[:, None] ^ bucket_sigs[None, :]
+        ham = np.zeros((m, m), dtype=np.uint8)
+        x = xor.copy()
+        for _ in range(8):
+            ham += _POPCOUNT_TABLE[(x & np.uint64(0xFF)).astype(np.uint8)]
+            x >>= np.uint64(8)
+        ii, jj = np.nonzero(np.triu(ham <= bit_diff, k=1))
+        if len(ii):
+            a = bucket_ids[ii]
+            b = bucket_ids[jj]
+            out_src.append(np.maximum(a, b))
+            out_dst.append(np.minimum(a, b))
+    if truncated:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "simhash bucket compare truncated %d distinct sigs (cap %d)",
+            truncated,
+            max_distinct_sigs,
+        )
+    return _edge_table(np.concatenate(out_src), np.concatenate(out_dst))
 
 
 _POPCOUNT_TABLE = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)

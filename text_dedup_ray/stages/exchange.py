@@ -82,3 +82,80 @@ def _reduce_partition(reduce_fn, *tables: pa.Table) -> pa.Table:
     if not parts:
         return reduce_fn(tables[0]) if tables else pa.table({})
     return reduce_fn(pa.concat_tables(parts))
+
+
+def _split_tagged_block(
+    block: pa.Table, tag_col: str, part_fn, num_partitions: int
+) -> list[pa.Table]:
+    """One pass over a tagged stage-1 block: rows with ``tag_col`` True pass
+    through as (src, dst) edges; the rest are (src, key) reps hash-partitioned
+    by ``part_fn``. Returns [edges, rep_part_0, ..., rep_part_P-1]."""
+    import pyarrow.compute as pc
+
+    if block.num_rows == 0:
+        empty_edges = pa.table(
+            {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+        )
+        return [empty_edges] + [block] * num_partitions
+    tag = block[tag_col]
+    edges = block.filter(tag).select(["src", "dst"])
+    reps = block.filter(pc.invert(tag)).select(["src", "key"])
+    part = part_fn(reps, num_partitions)
+    order = np.argsort(part, kind="stable")
+    sorted_part = part[order]
+    bounds = np.searchsorted(sorted_part, np.arange(num_partitions + 1))
+    sorted_reps = reps.take(pa.array(order))
+    return [edges] + [
+        sorted_reps.slice(int(bounds[p]), int(bounds[p + 1] - bounds[p]))
+        for p in range(num_partitions)
+    ]
+
+
+def tagged_split_exchange(
+    ds: ray.data.Dataset,
+    tag_col: str,
+    part_fn: Callable[[pa.Table, int], np.ndarray],
+    num_partitions: int,
+    reduce_fn: Callable[[pa.Table], pa.Table],
+) -> tuple[ray.data.Dataset, ray.data.Dataset, int]:
+    """Streaming one-pass split of a tagged (edges | reps) stage-1 dataset.
+
+    Consumes ``ds`` block-by-block AS IT EXECUTES (``iter_internal_ref_bundles``)
+    and launches one split task per block immediately, so the exchange's
+    map side overlaps the upstream fingerprint stage instead of waiting on a
+    ``materialize()`` barrier — and each block is read exactly once (the
+    materialize-then-filter-twice shape costs two extra passes over the
+    exploded bucket table).
+
+    Returns (edges_dataset, reduced_dataset, input_rows, reduced_refs) —
+    ``reduced_refs`` lets the caller ``ray.wait`` for stage-timing purposes.
+    """
+    split = ray.remote(num_returns=num_partitions + 1)(_split_tagged_block)
+    reduce_remote = ray.remote(_reduce_partition)
+
+    edge_refs: list[ray.ObjectRef] = []
+    columns: list[list[ray.ObjectRef]] = [[] for _ in range(num_partitions)]
+    total_rows = 0
+    for bundle in ds.iter_internal_ref_bundles():
+        total_rows += bundle.num_rows() or 0
+        for block_ref in bundle.block_refs:
+            outs = split.remote(block_ref, tag_col, part_fn, num_partitions)
+            edge_refs.append(outs[0])
+            for p in range(num_partitions):
+                columns[p].append(outs[p + 1])
+
+    if not edge_refs:
+        empty = pa.table(
+            {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+        )
+        return ray.data.from_arrow(empty), ray.data.from_arrow(empty), 0, []
+
+    reduced = [
+        reduce_remote.remote(reduce_fn, *columns[p]) for p in range(num_partitions)
+    ]
+    return (
+        ray.data.from_arrow_refs(edge_refs),
+        ray.data.from_arrow_refs(reduced),
+        total_rows,
+        reduced,
+    )
