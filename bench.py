@@ -114,6 +114,7 @@ def run_benchmarks() -> None:
             cfg=SimHashConfig(f=64, bit_diff=3, num_bucket=4, ngram_size=3, hash_func="sha1"),
             fingerprint_concurrency=max(1, min(NUM_CPUS - 1, NUM_CPUS // 2)),
             signature_source=narrow,
+            prefetch_payload=True,
         )
         return res.deduped.count()
 

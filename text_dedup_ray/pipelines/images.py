@@ -104,15 +104,77 @@ class ImageResizeStage:
 
 
 class FrameSampleStage:
-    """STUB: video frame sampling. No video codec exists in this
-    environment; the actor signature, batch plumbing, and output schema are
-    real, the decode is not."""
+    """Video frame sampling: actor-pool stage exploding each video row into
+    one output row per sampled frame.
+
+    No real video codec exists in this environment, so the only supported
+    container is ``rawv`` — concatenated ``w*h``-byte grayscale frames, a
+    deterministic format tests can construct and decode exactly. Any other
+    ``fmt`` raises NotImplementedError (documented stub). The Ray-side
+    plumbing — input schema (video_id, bytes, fmt, n_frames, w, h), actor
+    signature, small-batch exploded output (video_id, frame_idx, bytes,
+    w, h) — is real and tested (tests/test_video.py).
+    """
 
     def __init__(self, every_n: int = 30) -> None:
+        if every_n < 1:
+            raise ValueError("every_n must be >= 1")
         self.every_n = every_n
 
-    def __call__(self, batch: pa.Table) -> pa.Table:  # pragma: no cover
-        raise NotImplementedError("video decoding unavailable in this environment")
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids = batch["video_id"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        nfs = batch["n_frames"].to_pylist()
+        ws = batch["w"].to_pylist()
+        hs = batch["h"].to_pylist()
+        out_vid, out_idx, out_bytes, out_w, out_h = [], [], [], [], []
+        for vid, blob, fmt, nf, w, h in zip(vids, blobs, fmts, nfs, ws, hs):
+            if fmt != "rawv":
+                raise NotImplementedError(
+                    f"video format {fmt!r} unavailable in this environment "
+                    "(only the deterministic 'rawv' container decodes here)"
+                )
+            frame_size = w * h
+            if len(blob) != nf * frame_size:
+                raise ValueError(
+                    f"video {vid}: payload {len(blob)}B != n_frames*w*h "
+                    f"({nf}*{w}*{h})"
+                )
+            for i in range(0, nf, self.every_n):
+                out_vid.append(vid)
+                out_idx.append(i)
+                out_bytes.append(blob[i * frame_size : (i + 1) * frame_size])
+                out_w.append(w)
+                out_h.append(h)
+        return pa.table(
+            {
+                "video_id": pa.array(out_vid, pa.string()),
+                "frame_idx": pa.array(out_idx, pa.int32()),
+                "bytes": pa.array(out_bytes, pa.binary()),
+                "w": pa.array(out_w, pa.int32()),
+                "h": pa.array(out_h, pa.int32()),
+            }
+        )
+
+
+def sample_video_frames(
+    ds: ray.data.Dataset,
+    every_n: int = 30,
+    concurrency: int | tuple[int, int] = (1, 4),
+    batch_size: int = 16,
+) -> ray.data.Dataset:
+    """Explode videos into sampled frames (actor pool, small batches —
+    video payloads are wide, so batch_size stays low; guide: memory-aware
+    batching). Output rows are (video_id, frame_idx, bytes, w, h), ready for
+    the image stages (phash / decode-stats) downstream."""
+    return ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_args=(every_n,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
 
 
 def phash_near_dedup_parents(

@@ -53,12 +53,35 @@ def simhash_dedup(
     merge_partitions: int = 64,
     signature_source: ray.data.Dataset | None = None,
     driver_threshold: int = 2_000_000,
+    prefetch_payload: bool = False,
 ) -> SimHashDedupResult:
+    """``prefetch_payload``: materialize the (wide) payload dataset in a
+    background thread while the narrow signature/CC stages run — same
+    latency optimization (and same <4-CPU guard) as minhash_dedup."""
     cfg = cfg or SimHashConfig()
     if id_column is not None:
         ds = stamp_row_ids_from_key(ds, id_column)
     elif ROW_ID not in ds.schema().names:
         raise ValueError("dataset must have a row_id column or pass id_column")
+
+    prefetch: dict = {}
+    prefetch_thread = None
+    if prefetch_payload:
+        import ray as _ray
+
+        if _ray.is_initialized() and _ray.cluster_resources().get("CPU", 0) < 4:
+            prefetch_payload = False
+    if prefetch_payload:
+        import threading
+
+        def _materialize_payload(pf=ds):
+            try:
+                prefetch["ds"] = pf.materialize()
+            except Exception as exc:  # pragma: no cover - falls back to lazy
+                prefetch["err"] = exc
+
+        prefetch_thread = threading.Thread(target=_materialize_payload, daemon=True)
+        prefetch_thread.start()
 
     if signature_source is not None:
         src = signature_source
@@ -98,6 +121,11 @@ def simhash_dedup(
         num_partitions=merge_partitions,
         include_roots=False,
     )
+    if prefetch_thread is not None:
+        prefetch_thread.join()
+        if "ds" in prefetch:
+            ds = prefetch["ds"]
+
     if isinstance(all_parents, dict):
         parents = {k: v for k, v in all_parents.items() if k != v}
         assigned = assign_clusters(ds, parents)
