@@ -39,42 +39,72 @@ from ..sources.io import ROW_ID, stamp_row_ids_from_key
 from ..stages.exchange import hash_partition_exchange
 
 
-def _hash64(texts: list[str]) -> np.ndarray:
-    out = np.empty(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        out[i] = int.from_bytes(
-            hashlib.sha1(t.encode("utf-8")).digest()[:8], "little", signed=True
-        )
-    return out
+HASH_WIDTH = 16  # 128-bit content digests: collision-free in expectation even
+# at 10^12 rows (a 64-bit prefix would already expect ~30 birthday collisions
+# there, silently merging distinct texts)
+
+
+def _digest_bytes(texts: list[str]) -> bytes:
+    """Concatenated 16-byte sha1-prefix digests of each text."""
+    sha1 = hashlib.sha1
+    return b"".join(sha1(t.encode("utf-8")).digest()[:HASH_WIDTH] for t in texts)
 
 
 def add_content_hash(
     ds: ray.data.Dataset, text_column: str, hash_column: str = "__content_hash__"
 ) -> ray.data.Dataset:
     def add(batch: pa.Table) -> pa.Table:
-        return batch.append_column(hash_column, pa.array(_hash64(batch[text_column].to_pylist())))
+        texts = batch[text_column].to_pylist()
+        col = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(HASH_WIDTH), len(texts), [None, pa.py_buffer(_digest_bytes(texts))]
+        )
+        return batch.append_column(hash_column, col)
 
     return ds.map_batches(add, batch_format="pyarrow")
+
+
+def _hash_view(col: "pa.ChunkedArray | pa.Array", n: int) -> np.ndarray:
+    """Fixed-size-binary column -> (n,) void16 array (sortable/comparable)."""
+    if hasattr(col, "combine_chunks"):
+        col = col.combine_chunks()
+    buf = col.buffers()[1]
+    off = col.offset * HASH_WIDTH
+    return np.frombuffer(buf, dtype=f"V{HASH_WIDTH}", count=n, offset=off)
+
+
+def _void_to_fixed(arr: np.ndarray) -> pa.Array:
+    """(n,) void16 -> fixed_size_binary(16) Arrow array."""
+    return pa.FixedSizeBinaryArray.from_buffers(
+        pa.binary(HASH_WIDTH), len(arr), [None, pa.py_buffer(arr.tobytes())]
+    )
 
 
 def _partial_min_kernel(hash_col: str):
     """Per-block combiner: one (hash, min row_id) row per distinct hash."""
 
     def partial_min(batch: pa.Table) -> pa.Table:
-        h = batch[hash_col].to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        h = _hash_view(batch[hash_col], n)
         r = batch[ROW_ID].to_numpy(zero_copy_only=False)
         order = np.argsort(h, kind="stable")
         hs, rs = h[order], r[order]
-        starts = np.flatnonzero(np.r_[True, np.diff(hs) != 0])
-        return pa.table({hash_col: hs[starts], ROW_ID: np.minimum.reduceat(rs, starts)})
+        starts = np.flatnonzero(np.r_[True, hs[1:] != hs[:-1]])
+        return pa.table(
+            {hash_col: _void_to_fixed(hs[starts]), ROW_ID: np.minimum.reduceat(rs, starts)}
+        )
 
     return partial_min
 
 
 def _add_hash_part(hash_col: str, num_partitions: int):
     def add(batch: pa.Table) -> pa.Table:
-        h = batch[hash_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        part = (np.abs(h) % num_partitions).astype(np.int64)
+        n = batch.num_rows
+        h = _hash_view(batch[hash_col], n)
+        # partition on the first 8 digest bytes (uniform)
+        lead = np.ascontiguousarray(
+            h.view(np.uint8).reshape(n, HASH_WIDTH)[:, :8]
+        ).view(np.uint64).reshape(-1)
+        part = (lead % np.uint64(num_partitions)).astype(np.int64)
         return batch.append_column("part", pa.array(part))
 
     return add
@@ -92,14 +122,20 @@ def _winners_dataset(
     def reduce_min(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
             return pa.table(
-                {hash_col: pa.array([], pa.int64()), "winner": pa.array([], pa.int64())}
+                {
+                    hash_col: pa.array([], pa.binary(HASH_WIDTH)),
+                    "winner": pa.array([], pa.int64()),
+                }
             )
-        h = group[hash_col].to_numpy(zero_copy_only=False)
+        n = group.num_rows
+        h = _hash_view(group[hash_col], n)
         r = group[ROW_ID].to_numpy(zero_copy_only=False)
         order = np.argsort(h, kind="stable")
         hs, rs = h[order], r[order]
-        starts = np.flatnonzero(np.r_[True, np.diff(hs) != 0])
-        return pa.table({hash_col: hs[starts], "winner": np.minimum.reduceat(rs, starts)})
+        starts = np.flatnonzero(np.r_[True, hs[1:] != hs[:-1]])
+        return pa.table(
+            {hash_col: _void_to_fixed(hs[starts]), "winner": np.minimum.reduceat(rs, starts)}
+        )
 
     return hash_partition_exchange(
         partials.map_batches(_add_hash_part(hash_col, num_partitions), batch_format="pyarrow"),
@@ -138,11 +174,11 @@ def exact_dedup(
         def keep_first(group: pa.Table) -> pa.Table:
             if group.num_rows == 0:
                 return group.drop_columns(["part"]) if "part" in group.column_names else group
-            h = group[hash_col].to_numpy(zero_copy_only=False)
+            h = _hash_view(group[hash_col], group.num_rows)
             r = group[ROW_ID].to_numpy(zero_copy_only=False)
             order = np.argsort(h, kind="stable")
             hs, rs = h[order], r[order]
-            diff = np.r_[True, np.diff(hs) != 0]
+            diff = np.r_[True, hs[1:] != hs[:-1]]
             starts = np.flatnonzero(diff)
             mins = np.minimum.reduceat(rs, starts)
             group_idx = np.cumsum(diff) - 1
@@ -199,13 +235,13 @@ def exact_cluster_table(
             return pa.table(
                 {ROW_ID: pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
             )
-        h = group[hash_col].to_numpy(zero_copy_only=False)
+        h = _hash_view(group[hash_col], group.num_rows)
         r = group[ROW_ID].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(h, kind="stable")
         hs, rs = h[order], r[order]
-        starts = np.flatnonzero(np.r_[True, np.diff(hs) != 0])
+        starts = np.flatnonzero(np.r_[True, hs[1:] != hs[:-1]])
         mins = np.minimum.reduceat(rs, starts)
-        group_idx = np.cumsum(np.r_[False, np.diff(hs) != 0])
+        group_idx = np.cumsum(np.r_[False, hs[1:] != hs[:-1]])
         cluster_sorted = mins[group_idx]
         out_cluster = np.empty(len(r), dtype=np.int64)
         out_cluster[order] = cluster_sorted
