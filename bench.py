@@ -66,7 +66,7 @@ def run_benchmarks() -> None:
     # than a single draw from the host-noise distribution. All repeats are
     # reported alongside.
     stage_seconds: dict = {}
-    flagship_repeats = int(os.environ.get("GRAFT_FLAGSHIP_REPEATS", "2"))
+    flagship_repeats = int(os.environ.get("GRAFT_FLAGSHIP_REPEATS", "3"))
 
     def flagship_once():
         from text_dedup_ray.pipelines.images import image_caption_dedup

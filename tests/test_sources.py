@@ -64,6 +64,17 @@ class TestSinks:
         got = pq.read_table(out_dir)
         assert set(got.column_names) == {"doc_id", "text"}
 
+    def test_write_output_overwrites_stale_parts(self, tmp_path):
+        # write_parquet appends part files; write_output must replace them
+        # (a re-run into the same dir would otherwise double the output)
+        t = pa.table({"a": pa.array([1, 2, 3], pa.int64())})
+        out_dir = str(tmp_path / "out")
+        for _ in range(3):
+            write_output(ray.data.from_arrow(t), out_dir)
+        assert ray.data.read_parquet(out_dir).count() == 3
+        write_output(ray.data.from_arrow(t), out_dir, overwrite=False)
+        assert ray.data.read_parquet(out_dir).count() == 6
+
     def test_cluster_table_roundtrip(self, tmp_path):
         p = str(tmp_path / "clusters.parquet")
         parents = {5: 1, 9: 1, 1: 1}

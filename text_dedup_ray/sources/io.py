@@ -242,11 +242,23 @@ def write_output(
     path: str,
     drop_internal: bool = True,
     internal_columns: tuple[str, ...] = (ROW_ID, "__CLUSTER__", "__duplicate__"),
+    overwrite: bool = True,
 ) -> None:
     """Write a directory of parquet part files, pruning engine-internal
-    columns like the reference's save path (io.py:66-96)."""
+    columns like the reference's save path (io.py:66-96).
+
+    ``overwrite=True`` (default) clears existing ``*.parquet`` part files
+    first: ``Dataset.write_parquet`` otherwise APPENDS new part files, so a
+    re-run into the same directory would silently double the output — the
+    reference's save path replaces the dataset dir outright. Pass
+    ``overwrite=False`` to append (e.g. sharded runs writing disjoint parts
+    into one directory)."""
     if drop_internal:
         present = [c for c in internal_columns if c in ds.schema().names]
         if present:
             ds = ds.drop_columns(present)
+    if overwrite and os.path.isdir(path):
+        for f in os.listdir(path):
+            if f.endswith(".parquet"):
+                os.remove(os.path.join(path, f))
     ds.write_parquet(path)
