@@ -330,6 +330,71 @@ def _q_minhash_docs(sf_dir: str):
     )
 
 
+def _q_minhash_incremental(sf_dir: str):
+    """Tiered dedup: bootstrap on the first ~80% of doc ids, increment with
+    the rest; by the incremental-equivalence guarantee
+    (pipelines/incremental.py, tests/test_incremental.py) the final state
+    equals a full batch run — so the oracle is ``minhash_dedup_sql``
+    verbatim. Returns the combined corpus's survivors (doc_id, cluster_id)."""
+    import glob as _glob
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from text_dedup_ray.pipelines.incremental import (
+        minhash_bootstrap,
+        minhash_increment,
+    )
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    cut = int(docs.max("doc_id") * 0.8)
+
+    def split(keep_old: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = pc.less_equal(t["doc_id"], pa.scalar(cut, pa.int64()))
+            return t.filter(m if keep_old else pc.invert(m))
+
+        return f
+
+    state = tempfile.mkdtemp(prefix="lsh_state_", dir="/tmp")
+    cfg = _MINHASH_ORACLE_CFG()
+    minhash_bootstrap(
+        docs.map_batches(split(True), batch_format="pyarrow"),
+        state,
+        cfg=cfg,
+        id_column="doc_id",
+        num_partitions=16,
+    )
+    inc = minhash_increment(
+        docs.map_batches(split(False), batch_format="pyarrow"),
+        state,
+        cfg=cfg,
+        id_column="doc_id",
+    )
+    members = []
+    for f in _glob.glob(f"{state}/v{inc.state_version:05d}/clusters/*.parquet"):
+        t = pq.read_table(f, columns=["row_id"])
+        if t.num_rows:
+            members.append(t["row_id"].to_numpy(zero_copy_only=False))
+    dup_ids = np.sort(np.concatenate(members)) if members else np.empty(0, np.int64)
+    dup_ref = ray.put(dup_ids.astype(np.int64))
+
+    def survivors(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dups = ray.get(dup_ref)
+        pos = np.searchsorted(dups, ids)
+        in_range = pos < len(dups)
+        dup_mask = np.zeros(len(ids), dtype=bool)
+        dup_mask[in_range] = dups[pos[in_range]] == ids[in_range]
+        keep = t.filter(pa.array(~dup_mask))
+        return pa.table({"doc_id": keep["doc_id"], "cluster_id": keep["doc_id"]})
+
+    return docs.map_batches(survivors, batch_format="pyarrow")
+
+
 def _MINHASH_ORACLE_CFG():
     from text_dedup_ray.functions.minhash import MinHashConfig
 
@@ -473,6 +538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_cosine_dedup_lsh": _q_embedding_dedup_lsh,  # rows-only (LSH recall)
         # --- near-dup pipelines (SQL-checked via md5 base hash + recursive-CTE CC) ---
         "minhash_dedup_docs": _q_minhash_docs,
+        "minhash_incremental_docs": _q_minhash_incremental,
         "simhash_dedup_docs": _q_simhash_docs,
         # --- suffix-array pipelines (SQL-checked via corpus-gram recomputation) ---
         "suffix_array_dedup_docs": _q_suffix_docs,
@@ -566,6 +632,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _oracles.lang_id_sql(),
         "ngram_jaccard_dedup": _oracles.jaccard_dedup_sql(ngram_size=2, threshold=0.6),
         "minhash_dedup_docs": _oracles.minhash_dedup_sql(_MINHASH_ORACLE_CFG()),
+        # incremental state == full batch run (tests/test_incremental.py),
+        # so the same SQL is the oracle for the tiered path
+        "minhash_incremental_docs": _oracles.minhash_dedup_sql(_MINHASH_ORACLE_CFG()),
         "simhash_dedup_docs": _oracles.simhash_dedup_sql(_SIMHASH_ORACLE_CFG()),
         "embedding_cosine_dedup": _oracles.embedding_dedup_sql(0.98, PLANT_OFFSET),
         "embedding_cosine_pairs": _oracles.embedding_pairs_sql(0.98, PLANT_OFFSET),

@@ -1,0 +1,548 @@
+"""Incremental (tiered) MinHashLSH dedup: dedup NEW data against a saved index.
+
+The reference has no incremental mode — every run refingerprints the whole
+corpus (reference minhash.py:187-228 lifecycle). At 100 TB that is untenable
+for the daily case "dedup today's crawl against everything already ingested",
+so this module adds a first-class tiered path:
+
+- :func:`minhash_bootstrap`: full dedup over the initial corpus that ALSO
+  persists the LSH state — the global per-bucket representative table (one
+  ``(bucket key, min row_id)`` row per distinct band bucket), the non-trivial
+  cluster rows, and meta (config hash, max row id).
+- :func:`minhash_increment`: fingerprints ONLY the new batch, exchanges its
+  bucket reps against the saved rep table, and composes the resulting
+  components with the prior cluster map. The final cluster assignments are
+  IDENTICAL to a full re-run over old ∪ new (asserted by
+  tests/test_incremental.py) while fingerprinting/shuffling only the new
+  rows. The updated state is written back as a new version so increments
+  chain indefinitely.
+
+Scale posture (the part that matters at 10^12 rows):
+
+- The rep table is stored PRE-PARTITIONED by bucket-key hash — one parquet
+  file per exchange partition. An increment therefore never re-shuffles the
+  prior index: reduce task ``p`` reads prior partition ``p`` from storage
+  (no network exchange for the old side), merges the new batch's reps —
+  which ARE exchanged, but the new batch is the small side — emits cross
+  edges, and rewrites partition ``p`` into the next state version.
+- Per-increment cost: fingerprint(new) + shuffle(new reps) + sequential
+  read+rewrite of the index partitions + CC over collision edges. The index
+  rewrite is storage IO proportional to index size with zero shuffle; a
+  partition-skipping optimization (keep prior files for partitions that
+  received no new reps) is possible via the meta manifest but not needed at
+  default P=64 where every partition receives reps.
+- The only driver-resident data is O(nodes involved in new collisions):
+  the prior cluster map is consulted via a broadcast-filtered semi-join
+  (sorted-id ``np.isin`` inside ``map_batches``), never loaded whole, and
+  CC goes through :func:`connected_components_auto`, which spills to the
+  fully distributed path above ``driver_threshold``.
+
+Row-id discipline: increments require every new row id to be strictly
+greater than the saved ``max_row_id`` (old ids win min-based tie-breaks,
+which is exactly what makes incremental == full-rerun). Validated with one
+narrow aggregate pass unless ``validate_ids=False``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from ..functions.minhash import MinHashConfig
+from ..functions.timer import Timer
+from ..sources.io import ROW_ID, stamp_row_ids_from_key
+from ..stages.assign import assign_clusters, assign_clusters_sharded, filter_cluster_roots
+from ..stages.cc import connected_components_auto
+from ..stages.edges import _binary_to_u8, _fixed_binary, _group_min, _void_view, minhash_rep_part
+from ..stages.fingerprint import MinHashFingerprinter
+from ..state.checkpoint import config_hash
+from .minhash import min_length_filter
+
+META_NAME = "meta.json"
+
+
+@dataclass
+class IncrementResult:
+    """Outcome of one bootstrap/increment step over a batch."""
+
+    assigned: ray.data.Dataset   # the batch + __CLUSTER__/__duplicate__
+    deduped: ray.data.Dataset    # batch rows that survive vs old ∪ batch
+    parents: dict[int, int] | ray.data.Dataset  # composed cluster map for involved nodes
+    merged_old_roots: dict[int, int] = field(default_factory=dict)  # old root -> new root
+    state_version: int = 0
+    metrics: dict = field(default_factory=dict)
+
+
+# ------------------------------------------------------------------ state IO
+
+
+def _meta_path(state_dir: str) -> str:
+    return os.path.join(state_dir, META_NAME)
+
+
+def load_meta(state_dir: str) -> dict:
+    with open(_meta_path(state_dir)) as fh:
+        return json.load(fh)
+
+
+def _write_meta(state_dir: str, meta: dict) -> None:
+    tmp = _meta_path(state_dir) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh, indent=1)
+    os.replace(tmp, _meta_path(state_dir))  # atomic version flip
+
+
+def _version_dir(state_dir: str, version: int) -> str:
+    return os.path.join(state_dir, f"v{version:05d}")
+
+
+def _rep_file(state_dir: str, version: int, p: int) -> str:
+    return os.path.join(_version_dir(state_dir, version), "reps", f"part-{p:05d}.parquet")
+
+
+def _clusters_dir(state_dir: str, version: int) -> str:
+    return os.path.join(_version_dir(state_dir, version), "clusters")
+
+
+def _cfg_hash(cfg: MinHashConfig, text_column: str) -> str:
+    return config_hash({"algo": "minhash_lsh_state", "cfg": asdict(cfg), "text": text_column})
+
+
+def _key_width(cfg: MinHashConfig) -> int:
+    """Bucket-key byte width: 4B band_idx + band value bytes (the
+    fingerprinter's equality-preserving compact dtype — fingerprint.py)."""
+    from ..functions.minhash import HASH_CONFIG
+
+    dtype, max_hash, _ = HASH_CONFIG[cfg.hash_bits]
+    item = 4 if max_hash <= 0xFFFFFFFF else np.dtype(dtype).itemsize
+    return 4 + cfg.rows * item
+
+
+# ------------------------------------------------------- rep-partition reduce
+
+
+_EMPTY_EDGES = pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+
+
+@ray.remote
+def _rep_reduce_write(
+    out_path: str, prior_path: str | None, key_width: int, *tables: pa.Table
+) -> pa.Table:
+    """Reduce one rep partition: concat new-rep sub-tables with the prior
+    partition file (read locally, never shuffled), group-min by bucket key,
+    emit star edges among per-scope reps, and write the merged
+    ``(key, rep)`` table as the partition's next-version file."""
+    parts = [t.select(["src", "key"]) for t in tables if t.num_rows > 0]
+    if prior_path is not None:
+        prior = pq.read_table(prior_path)
+        if prior.num_rows:
+            parts.append(pa.table({"src": prior["rep"], "key": prior["key"]}))
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    if not parts:
+        empty = pa.table(
+            {"key": pa.array([], pa.binary(key_width)), "rep": pa.array([], pa.int64())}
+        )
+        pq.write_table(empty, out_path)
+        return _EMPTY_EDGES
+    group = pa.concat_tables(parts)
+    n = group.num_rows
+    width = group.schema.field("key").type.byte_width
+    keys = _void_view(_binary_to_u8(group["key"], width, n))
+    row_ids = group["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order, starts, mins, inv_sorted = _group_min(keys, row_ids)
+    rid_sorted = row_ids[order]
+    dst = mins[inv_sorted]
+    mask = rid_sorted != dst
+    merged = pa.table({"key": _fixed_binary(keys[order][starts]), "rep": mins})
+    pq.write_table(merged, out_path)
+    return pa.table(
+        {"src": rid_sorted[mask].astype(np.int64), "dst": dst[mask].astype(np.int64)}
+    )
+
+
+def _split_and_reduce_reps(
+    local: ray.data.Dataset,
+    state_dir: str,
+    new_version: int,
+    prior_version: int | None,
+    num_partitions: int,
+    key_width: int,
+) -> tuple[ray.data.Dataset, ray.data.Dataset, int]:
+    """Streaming tagged split of the fingerprint stage's (edges | reps)
+    blocks; each rep partition reduces against its prior index file and
+    writes the next version. Returns (local_edges, cross_edges, input_rows)."""
+    from ..stages.exchange import _split_tagged_block
+
+    split = ray.remote(num_returns=num_partitions + 1)(_split_tagged_block)
+    edge_refs: list[ray.ObjectRef] = []
+    columns: list[list[ray.ObjectRef]] = [[] for _ in range(num_partitions)]
+    total_rows = 0
+    for bundle in local.iter_internal_ref_bundles():
+        total_rows += bundle.num_rows() or 0
+        for block_ref in bundle.block_refs:
+            outs = split.remote(block_ref, "is_edge", minhash_rep_part, num_partitions)
+            edge_refs.append(outs[0])
+            for p in range(num_partitions):
+                columns[p].append(outs[p + 1])
+
+    reduced = []
+    for p in range(num_partitions):
+        prior = _rep_file(state_dir, prior_version, p) if prior_version is not None else None
+        reduced.append(
+            _rep_reduce_write.remote(
+                _rep_file(state_dir, new_version, p), prior, key_width, *columns[p]
+            )
+        )
+    local_edges = (
+        ray.data.from_arrow_refs(edge_refs) if edge_refs else ray.data.from_arrow(_EMPTY_EDGES)
+    )
+    return local_edges, ray.data.from_arrow_refs(reduced), total_rows
+
+
+# ------------------------------------------------------------- cluster state
+
+
+def _write_clusters(
+    parents: "dict[int, int] | ray.data.Dataset",
+    out_dir: str,
+    prior_dir: str | None = None,
+    merges: dict[int, int] | None = None,
+    min_new_id: int | None = None,
+) -> None:
+    """Persist non-trivial (row_id != cluster_id) cluster rows; when prior
+    rows exist they are streamed through with ``merges`` (old root -> new
+    root) applied — the driver never holds the full table. ``min_new_id``
+    restricts fresh entries to the new batch (old nodes' entries already
+    live in — or are remapped within — the prior stream)."""
+    os.makedirs(out_dir, exist_ok=True)
+    lo = min_new_id if min_new_id is not None else np.iinfo(np.int64).min
+    if isinstance(parents, dict):
+        items = [(m, r) for m, r in parents.items() if m != r and m >= lo]
+        new_tbl = pa.table(
+            {
+                "row_id": pa.array([m for m, _ in items], pa.int64()),
+                "cluster_id": pa.array([r for _, r in items], pa.int64()),
+            }
+        )
+        pq.write_table(new_tbl, os.path.join(out_dir, "new-00000.parquet"))
+    else:
+        def nontrivial(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            keep = pc.and_(
+                pc.invert(pc.equal(t["row_id"], t["cluster_id"])),
+                pc.greater_equal(t["row_id"], pa.scalar(lo, pa.int64())),
+            )
+            return t.filter(keep)
+
+        parents.map_batches(nontrivial, batch_format="pyarrow").write_parquet(out_dir)
+
+    if prior_dir is not None and os.path.isdir(prior_dir):
+        remap = dict(merges or {})
+
+        def remap_batch(t: pa.Table) -> pa.Table:
+            if not remap or t.num_rows == 0:
+                return t
+            c = t["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64).copy()
+            for old, new in remap.items():
+                c[c == old] = new
+            return pa.table({"row_id": t["row_id"], "cluster_id": pa.array(c)})
+
+        prior = ray.data.read_parquet(prior_dir).map_batches(
+            remap_batch, batch_format="pyarrow"
+        )
+        prior.write_parquet(out_dir)
+        if remap:
+            # losing old roots become non-trivial members of the winner
+            extra = pa.table(
+                {
+                    "row_id": pa.array(list(remap.keys()), pa.int64()),
+                    "cluster_id": pa.array(list(remap.values()), pa.int64()),
+                }
+            )
+            pq.write_table(extra, os.path.join(out_dir, "merged-roots.parquet"))
+
+
+def _prior_roots_for(
+    clusters_dir: str, node_ids: np.ndarray
+) -> dict[int, int]:
+    """Semi-join: prior cluster rows for exactly ``node_ids`` (sorted array
+    broadcast once; each task filters its blocks with ``np.isin``)."""
+    if len(node_ids) == 0 or not os.path.isdir(clusters_dir):
+        return {}
+    ids_ref = ray.put(np.sort(node_ids.astype(np.int64)))
+
+    def semi(t: pa.Table) -> pa.Table:
+        ids = ray.get(ids_ref)
+        r = t["row_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = np.zeros(len(r), dtype=bool)
+        pos = np.searchsorted(ids, r)
+        in_range = pos < len(ids)
+        mask[in_range] = ids[pos[in_range]] == r[in_range]
+        return t.filter(pa.array(mask))
+
+    hits = ray.data.read_parquet(clusters_dir).map_batches(semi, batch_format="pyarrow")
+    out: dict[int, int] = {}
+    for b in hits.iter_batches(batch_size=None, batch_format="pyarrow"):
+        out.update(
+            zip(
+                b["row_id"].to_numpy(zero_copy_only=False).tolist(),
+                b["cluster_id"].to_numpy(zero_copy_only=False).tolist(),
+            )
+        )
+    return out
+
+
+# ---------------------------------------------------------------- bootstrap
+
+
+def minhash_bootstrap(
+    ds: ray.data.Dataset,
+    state_dir: str,
+    text_column: str = "text",
+    cfg: MinHashConfig | None = None,
+    id_column: str | None = None,
+    fingerprint_concurrency: int | tuple[int, int] = (1, 8),
+    fingerprint_batch_size: int = 2048,
+    num_partitions: int = 64,
+    driver_threshold: int = 2_000_000,
+) -> IncrementResult:
+    """Full MinHashLSH dedup over the initial corpus, persisting the LSH
+    state (partitioned rep index + cluster rows + meta) to ``state_dir``."""
+    cfg = cfg or MinHashConfig()
+    timer = Timer()
+    if id_column is not None:
+        ds = stamp_row_ids_from_key(ds, id_column)
+    elif ROW_ID not in ds.schema().names:
+        raise ValueError("dataset must have a row_id column or pass id_column")
+
+    ds_max = ds.select_columns([ROW_ID]).max(ROW_ID)
+    max_row_id = -1 if ds_max is None else int(ds_max)
+    filtered = min_length_filter(ds, text_column, cfg.min_length)
+    narrow = filtered.select_columns([ROW_ID, text_column])
+    local = narrow.map_batches(
+        MinHashFingerprinter,
+        fn_constructor_args=(cfg, text_column, "buckets"),
+        batch_format="pyarrow",
+        batch_size=fingerprint_batch_size,
+        concurrency=fingerprint_concurrency,
+    )
+    version = 1
+    with timer("fingerprint+rep_index"):
+        local_edges, cross_edges, sig_rows = _split_and_reduce_reps(
+            local, state_dir, version, None, num_partitions, _key_width(cfg)
+        )
+        edges = local_edges.union(cross_edges)
+    with timer("cc"):
+        parents = connected_components_auto(
+            edges, driver_threshold=driver_threshold, num_partitions=num_partitions
+        )
+    with timer("assign+state"):
+        _write_clusters(parents, _clusters_dir(state_dir, version))
+        if isinstance(parents, dict):
+            assigned = assign_clusters(filtered, parents)
+        else:
+            assigned = assign_clusters_sharded(
+                filtered, parents.materialize(), num_shards=num_partitions
+            )
+    _write_meta(
+        state_dir,
+        {
+            "algo": "minhash",
+            "version": version,
+            "cfg_hash": _cfg_hash(cfg, text_column),
+            "max_row_id": max_row_id,
+            "num_partitions": num_partitions,
+        },
+    )
+    return IncrementResult(
+        assigned=assigned,
+        deduped=filter_cluster_roots(assigned),
+        parents=parents,
+        state_version=version,
+        metrics={"signature_rows": sig_rows, "stage_seconds": timer.report()},
+    )
+
+
+# ---------------------------------------------------------------- increment
+
+
+def minhash_increment(
+    new_ds: ray.data.Dataset,
+    state_dir: str,
+    text_column: str = "text",
+    cfg: MinHashConfig | None = None,
+    id_column: str | None = None,
+    fingerprint_concurrency: int | tuple[int, int] = (1, 8),
+    fingerprint_batch_size: int = 2048,
+    driver_threshold: int = 2_000_000,
+    validate_ids: bool = True,
+) -> IncrementResult:
+    """Dedup ``new_ds`` against the saved state AND itself; persist the next
+    state version. Cluster assignments equal a full re-run over old ∪ new."""
+    cfg = cfg or MinHashConfig()
+    meta = load_meta(state_dir)
+    if meta["cfg_hash"] != _cfg_hash(cfg, text_column):
+        raise ValueError(
+            "state was built with a different MinHash config/text column; "
+            "incremental dedup requires identical shingle/signature settings"
+        )
+    prior_version = int(meta["version"])
+    num_partitions = int(meta["num_partitions"])
+    prior_max = int(meta["max_row_id"])
+    timer = Timer()
+
+    if id_column is not None:
+        new_ds = stamp_row_ids_from_key(new_ds, id_column)
+    elif ROW_ID not in new_ds.schema().names:
+        raise ValueError("dataset must have a row_id column or pass id_column")
+    ids_narrow = new_ds.select_columns([ROW_ID])
+    batch_max = ids_narrow.max(ROW_ID)
+    new_max = prior_max if batch_max is None else int(batch_max)
+    if validate_ids:
+        new_min = ids_narrow.min(ROW_ID)
+        if new_min is not None and int(new_min) <= prior_max:
+            raise ValueError(
+                f"new row ids must exceed the saved max_row_id={prior_max} "
+                f"(got min={int(new_min)}); old ids must win min-tie-breaks"
+            )
+
+    filtered = min_length_filter(new_ds, text_column, cfg.min_length)
+    narrow = filtered.select_columns([ROW_ID, text_column])
+    local = narrow.map_batches(
+        MinHashFingerprinter,
+        fn_constructor_args=(cfg, text_column, "buckets"),
+        batch_format="pyarrow",
+        batch_size=fingerprint_batch_size,
+        concurrency=fingerprint_concurrency,
+    )
+    version = prior_version + 1
+    with timer("fingerprint+rep_index"):
+        local_edges, cross_edges, sig_rows = _split_and_reduce_reps(
+            local, state_dir, version, prior_version, num_partitions, _key_width(cfg)
+        )
+        edges = local_edges.union(cross_edges)
+    with timer("cc"):
+        cc = connected_components_auto(
+            edges, driver_threshold=driver_threshold, num_partitions=num_partitions
+        )
+
+    with timer("compose"):
+        parents, merges = _compose_with_prior(
+            cc, prior_max, _clusters_dir(state_dir, prior_version)
+        )
+
+    with timer("assign+state"):
+        _write_clusters(
+            parents,
+            _clusters_dir(state_dir, version),
+            prior_dir=_clusters_dir(state_dir, prior_version),
+            merges=merges,
+            min_new_id=prior_max + 1,
+        )
+        if isinstance(parents, dict):
+            # batch rows only need their own entries; old-node entries ride
+            # along harmlessly (searchsorted lookup)
+            assigned = assign_clusters(filtered, parents)
+        else:
+            assigned = assign_clusters_sharded(
+                filtered, parents.materialize(), num_shards=num_partitions
+            )
+    meta.update({"version": version, "max_row_id": max(prior_max, new_max)})
+    _write_meta(state_dir, meta)
+    return IncrementResult(
+        assigned=assigned,
+        deduped=filter_cluster_roots(assigned),
+        parents=parents,
+        merged_old_roots=merges,
+        state_version=version,
+        metrics={"signature_rows": sig_rows, "stage_seconds": timer.report()},
+    )
+
+
+def _compose_with_prior(
+    cc: "dict[int, int] | ray.data.Dataset",
+    prior_max: int,
+    prior_clusters_dir: str,
+) -> tuple["dict[int, int] | ray.data.Dataset", dict[int, int]]:
+    """Rewrite CC roots through the prior cluster map.
+
+    A component containing old nodes takes ``min(prior_root(old node))`` as
+    its final root (all old ids < all new ids, so min-consistency with a
+    full re-run is exact); components bridging several old clusters yield
+    ``merges`` (losing old root -> winning root). Driver state is O(involved
+    nodes) for the dict path and O(involved OLD nodes + components) for the
+    Dataset path."""
+    if isinstance(cc, dict):
+        node_arr = np.fromiter(cc.keys(), dtype=np.int64, count=len(cc))
+        root_arr = np.fromiter(cc.values(), dtype=np.int64, count=len(cc))
+    else:
+
+        def only_old(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.filter(pc.less_equal(t["row_id"], pa.scalar(prior_max, pa.int64())))
+
+        old_rows = cc.map_batches(only_old, batch_format="pyarrow").materialize()
+        parts = [
+            b
+            for b in old_rows.iter_batches(batch_size=None, batch_format="pyarrow")
+            if b.num_rows and b.num_columns  # Ray emits schema-less empties
+        ]
+        if not parts:
+            return cc, {}
+        collected = pa.concat_tables(parts)
+        node_arr = collected["row_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        root_arr = collected["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    old_mask = node_arr <= prior_max
+    old_nodes = node_arr[old_mask]
+    if len(old_nodes) == 0:
+        return cc, {}
+    prior_map = _prior_roots_for(prior_clusters_dir, old_nodes)
+    prior_roots = np.array(
+        [prior_map.get(int(n), int(n)) for n in old_nodes], dtype=np.int64
+    )
+    # per-CC-root min over the prior roots of its old members
+    cc_roots_of_old = root_arr[old_mask]
+    order = np.argsort(cc_roots_of_old, kind="stable")
+    rs, ps = cc_roots_of_old[order], prior_roots[order]
+    starts = np.flatnonzero(np.r_[True, np.diff(rs) != 0])
+    final_for_root = dict(
+        zip(rs[starts].tolist(), np.minimum.reduceat(ps, starts).tolist())
+    )
+    # merges: any prior root in a component that lost to a smaller one
+    merges: dict[int, int] = {}
+    for r, p in zip(cc_roots_of_old.tolist(), prior_roots.tolist()):
+        w = final_for_root[r]
+        if p != w:
+            merges[p] = w
+
+    if isinstance(cc, dict):
+        composed = {
+            int(n): int(final_for_root.get(int(r), r))
+            for n, r in zip(node_arr.tolist(), root_arr.tolist())
+        }
+        # old nodes themselves resolve through their prior root too
+        for n, p in zip(old_nodes.tolist(), prior_roots.tolist()):
+            composed[int(n)] = int(final_for_root.get(int(cc[int(n)]), p))
+        return composed, merges
+
+    fmap_ref = ray.put(final_for_root)
+
+    def remap(t: pa.Table) -> pa.Table:
+        fmap = ray.get(fmap_ref)
+        if t.num_rows == 0 or not fmap:
+            return t
+        c = t["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = np.array([fmap.get(int(x), int(x)) for x in c], dtype=np.int64)
+        return pa.table({"row_id": t["row_id"], "cluster_id": pa.array(out)})
+
+    return cc.map_batches(remap, batch_format="pyarrow"), merges
