@@ -46,3 +46,72 @@ hash_func = "sha1"
     assert t.num_rows > 0 and "__CLUSTER__" not in t.column_names
     clusters = pq.read_table(str(out_dir) + ".clusters.parquet")
     assert clusters.num_rows == stats["cluster_members"]
+
+
+def test_cli_minhash_incremental(tmp_path):
+    """Two runs of the same config: first bootstraps the state, second
+    (pointed at a later id range) increments against it."""
+    out1, out2 = tmp_path / "out1", tmp_path / "out2"
+    state = tmp_path / "lsh_state"
+
+    def cfg(out_dir: str) -> str:
+        return f"""
+[input]
+path = "/root/testdata/sf0.001/documents.parquet"
+text_column = "text"
+id_column = "doc_id"
+
+[output]
+path = "{out_dir}"
+save_clusters = false
+
+[algorithm]
+name = "minhash_incremental"
+state_dir = "{state}"
+num_perm = 64
+bands = 16
+rows = 4
+ngram_size = 2
+hash_func = "sha1"
+"""
+
+    config = tmp_path / "run.toml"
+    config.write_text(cfg(str(out1)))
+    proc = subprocess.run(
+        [sys.executable, "-m", "text_dedup_ray", "--config", str(config)],
+        capture_output=True, text=True, cwd="/root/repo", timeout=240,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert stats["mode"] == "bootstrap" and stats["state_version"] == 1
+
+    # second run over disjoint higher ids: shift doc_id by remapping is not
+    # available via CLI, so feed a copy with shifted ids
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    shifted = src.set_column(
+        src.column_names.index("doc_id"),
+        "doc_id",
+        pc.add(src["doc_id"], pa.scalar(10_000_000, pa.int64())),
+    )
+    shifted_path = tmp_path / "shifted.parquet"
+    pq.write_table(shifted, str(shifted_path))
+    config2 = tmp_path / "run2.toml"
+    config2.write_text(cfg(str(out2)).replace(
+        "/root/testdata/sf0.001/documents.parquet", str(shifted_path)
+    ))
+    proc2 = subprocess.run(
+        [sys.executable, "-m", "text_dedup_ray", "--config", str(config2)],
+        capture_output=True, text=True, cwd="/root/repo", timeout=240,
+    )
+    assert proc2.returncode == 0, proc2.stderr[-2000:]
+    stats2 = json.loads(proc2.stdout.strip().splitlines()[-1])
+    assert stats2["mode"] == "increment" and stats2["state_version"] == 2
+    # the shifted copy duplicates every old text -> nothing new survives
+    import glob as _glob
+
+    parts = _glob.glob(str(out2) + "/*.parquet")
+    assert sum(pq.read_table(p).num_rows for p in parts) == 0

@@ -126,6 +126,29 @@ def main(argv: list[str] | None = None) -> None:
                 length_threshold=int(algo.get("length_threshold", 100)),
                 merge_strategy=algo.get("merge_strategy", "longest"),
             )
+    elif name == "minhash_incremental":
+        # tiered dedup: [algorithm].state_dir carries the LSH index across
+        # runs; the first run bootstraps it, later runs increment against it
+        from .functions.minhash import MinHashConfig
+        from .pipelines.incremental import load_meta, minhash_bootstrap, minhash_increment
+
+        state_dir = algo.pop("state_dir", None)
+        if not state_dir:
+            raise SystemExit("minhash_incremental needs [algorithm].state_dir")
+        fields = {f for f in MinHashConfig.__dataclass_fields__}
+        mh_cfg = MinHashConfig(**_algo_kwargs(algo, fields))
+        import os as _os
+
+        if _os.path.exists(_os.path.join(state_dir, "meta.json")):
+            res = minhash_increment(ds, state_dir, text_column=text_column, cfg=mh_cfg)
+            stats["mode"] = "increment"
+            stats["merged_old_roots"] = len(res.merged_old_roots)
+        else:
+            res = minhash_bootstrap(ds, state_dir, text_column=text_column, cfg=mh_cfg)
+            stats["mode"] = "bootstrap"
+        result_ds = res.assigned if skip_filtering else res.deduped
+        stats["state_version"] = res.state_version
+        stats.update(res.metrics)
     elif name == "jaccard":
         from .pipelines.jaccard_dedup import ngram_jaccard_dedup
         from .stages.assign import assign_clusters, filter_cluster_roots

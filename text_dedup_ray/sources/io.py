@@ -257,6 +257,8 @@ def write_output(
         present = [c for c in internal_columns if c in ds.schema().names]
         if present:
             ds = ds.drop_columns(present)
+    if "://" not in path:
+        os.makedirs(path, exist_ok=True)  # 0-row results still yield a dir
     if overwrite and os.path.isdir(path):
         for f in os.listdir(path):
             if f.endswith(".parquet"):
