@@ -225,6 +225,19 @@ def _q_ann_topk(sf_dir: str):
     return out.select(["query_idx", "vec_id"])
 
 
+def _q_ann_ivf(sf_dir: str):
+    """IVF top-k at full probe (nprobe == n_cells) is exhaustive, so the
+    brute-force SQL oracle applies verbatim; the partial-probe scale path is
+    covered by recall tests (tests/test_ann_round2.py::TestIVF)."""
+    from text_dedup_ray.pipelines.ann import ivf_topk
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qtable = emb.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
+    queries = np.array([np.asarray(v, dtype=np.float64) for v in qtable["embedding"]])
+    out = ivf_topk(emb, queries, k=10, n_cells=16, nprobe=16, dtype=np.float64)
+    return out.select(["query_idx", "vec_id"])
+
+
 def _q_ann_lsh(sf_dir: str):
     from text_dedup_ray.pipelines.ann import lsh_bucket_topk
 
@@ -532,6 +545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_dedup": _q_jaccard_dedup,
         # --- similarity search ---
         "ann_topk": _q_ann_topk,
+        "ann_ivf_topk": _q_ann_ivf,
         "ann_lsh_topk": _q_ann_lsh,              # rows-only (approximate by design)
         "embedding_cosine_pairs": _q_embedding_pairs,
         "embedding_cosine_dedup": _q_embedding_dedup,
@@ -622,6 +636,13 @@ def oracle_sql() -> dict[str, str]:
             "WHERE co.co::DOUBLE / (sa.sz + sb.sz - co.co) >= 0.8"
         ),
         "ann_topk": (
+            "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5) "
+            "SELECT q.qid AS query_idx, e.vec_id FROM q CROSS JOIN embeddings e "
+            "QUALIFY row_number() OVER (PARTITION BY q.qid ORDER BY "
+            "list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]) DESC, e.vec_id) <= 10"
+        ),
+        # IVF at full probe is exhaustive -> brute-force oracle verbatim
+        "ann_ivf_topk": (
             "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5) "
             "SELECT q.qid AS query_idx, e.vec_id FROM q CROSS JOIN embeddings e "
             "QUALIFY row_number() OVER (PARTITION BY q.qid ORDER BY "

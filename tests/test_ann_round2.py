@@ -97,3 +97,58 @@ class TestVectorizedBucketScan:
         for _, row in out.head(20).iterrows():
             expect = float(vn[int(row.query_idx)] @ vn[int(row.vec_id)])
             assert abs(row.score - expect) < 1e-5
+
+
+class TestIVF:
+    def test_full_probe_matches_brute_force(self):
+        """nprobe == n_cells makes IVF exhaustive: result set must equal
+        brute force exactly (same ids per query; scores equal)."""
+        from text_dedup_ray.pipelines.ann import ivf_topk
+
+        rng = np.random.RandomState(21)
+        vecs = rng.randn(400, 16).astype(np.float32)
+        qs = rng.randn(5, 16).astype(np.float32)
+        ds = ray.data.from_arrow(_table(vecs)).repartition(4)
+        exact = brute_force_topk(ds, qs, k=10).to_pandas()
+        ivf = ivf_topk(
+            ds, qs, k=10, n_cells=16, nprobe=16, train_sample=400
+        ).to_pandas()
+        for q in range(5):
+            e = exact[exact.query_idx == q]
+            g = ivf[ivf.query_idx == q]
+            assert set(g["vec_id"]) == set(e["vec_id"])
+            assert np.allclose(
+                sorted(g["score"]), sorted(e["score"]), atol=1e-5
+            )
+
+    def test_partial_probe_recall(self):
+        """With clustered data and nprobe << n_cells, recall@10 stays high
+        and the planted nearest neighbor is found."""
+        from text_dedup_ray.pipelines.ann import ivf_topk
+
+        rng = np.random.RandomState(22)
+        # 8 well-separated clusters
+        centers = rng.randn(8, 24).astype(np.float32) * 6
+        vecs = np.concatenate(
+            [c + rng.randn(100, 24).astype(np.float32) for c in centers]
+        )
+        qs = centers[:4] + rng.randn(4, 24).astype(np.float32) * 0.1
+        ds = ray.data.from_arrow(_table(vecs)).repartition(4)
+        exact = brute_force_topk(ds, qs, k=10).to_pandas()
+        ivf = ivf_topk(
+            ds, qs, k=10, n_cells=16, nprobe=4, train_sample=800
+        ).to_pandas()
+        hits = 0
+        for q in range(4):
+            e = set(exact[exact.query_idx == q]["vec_id"])
+            g = set(ivf[ivf.query_idx == q]["vec_id"])
+            hits += len(e & g)
+        assert hits / (4 * 10) >= 0.9
+
+    def test_kmeans_reseeds_empty_cells(self):
+        from text_dedup_ray.pipelines.ann import spherical_kmeans
+
+        pts = np.ones((10, 4), dtype=np.float32)  # all identical
+        cents = spherical_kmeans(pts, n_cells=4, iters=3, seed=1)
+        assert cents.shape == (4, 4)
+        assert np.isfinite(cents).all()

@@ -203,6 +203,144 @@ def lsh_bucket_topk(
     return pa.Table.from_pandas(merged, preserve_index=False)
 
 
+def spherical_kmeans(
+    sample: np.ndarray, n_cells: int, iters: int = 10, seed: int = 42
+) -> np.ndarray:
+    """Plain Lloyd iterations on normalized vectors (cosine geometry):
+    centroids re-normalized each round, empty cells re-seeded from the
+    worst-fit points. Pure numpy — the coarse quantizer for IVF."""
+    rng = np.random.RandomState(seed)
+    sample = _normalize(np.asarray(sample, dtype=np.float32))
+    n = len(sample)
+    k = min(n_cells, n)
+    cents = sample[rng.choice(n, size=k, replace=False)].copy()
+    for _ in range(iters):
+        sims = sample @ cents.T  # (n, k)
+        assign = np.argmax(sims, axis=1)
+        best = sims[np.arange(n), assign]
+        new = np.zeros_like(cents)
+        np.add.at(new, assign, sample)
+        counts = np.bincount(assign, minlength=k)
+        empty = counts == 0
+        if empty.any():  # re-seed dead cells from the worst-fit points
+            worst = np.argsort(best)[: int(empty.sum())]
+            new[empty] = sample[worst]
+            counts[empty] = 1
+        cents = _normalize(new / counts[:, None])
+    return cents
+
+
+def ivf_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    embedding_column: str = "embedding",
+    id_column: str = "vec_id",
+    n_cells: int = 64,
+    nprobe: int = 8,
+    train_sample: int = 16384,
+    kmeans_iters: int = 10,
+    seed: int = 42,
+    dtype=np.float32,
+) -> pa.Table:
+    """Approximate top-k via an IVF coarse quantizer (the classic ANN scale
+    path next to ``lsh_bucket_topk``): spherical-k-means centroids trained on
+    a driver-side sample, broadcast once; each batch assigns its rows to
+    cells with one matmul and scores a row ONLY against queries probing that
+    row's cell (``nprobe`` closest cells per query). Compute per batch drops
+    from nq x nb to ~nq x nb x (nprobe / n_cells); the partial-top-k merge is
+    identical to the brute-force path.
+
+    At 10^12-row scale the training sample stays fixed-size (the quantizer
+    needs distribution coverage, not corpus coverage) and the scan remains a
+    single streaming pass — no cell-major re-layout is required, though one
+    (repartition by cell) would additionally prune whole blocks."""
+    qn = _normalize(np.asarray(queries, dtype=dtype))
+    sample_tbl = (
+        ds.select_columns([embedding_column]).limit(train_sample).to_arrow_refs()
+    )
+    parts = [t for t in map(ray.get, sample_tbl) if t.num_rows]
+    if not parts:
+        return pa.table(
+            {"query_idx": pa.array([], pa.int64()), id_column: pa.array([], pa.int64()),
+             "score": pa.array([], pa.float64())}
+        )
+    sample = np.concatenate(
+        [_batch_matrix(t, embedding_column, dtype) for t in parts], axis=0
+    )
+    cents = spherical_kmeans(sample, n_cells, iters=kmeans_iters, seed=seed)
+    # per-query probe cells -> inverted (cell -> probing queries) index
+    nprobe = min(nprobe, len(cents))
+    probe = np.argpartition(-(qn @ cents.T), nprobe - 1, axis=1)[:, :nprobe]
+    cell_of_pair = probe.reshape(-1)
+    query_of_pair = np.repeat(np.arange(len(qn), dtype=np.int64), nprobe)
+    order = np.argsort(cell_of_pair, kind="stable")
+    cells_sorted = cell_of_pair[order]
+    queries_sorted = query_of_pair[order]
+    bounds = np.searchsorted(cells_sorted, np.arange(len(cents) + 1))
+    state_ref = ray.put((qn, cents, queries_sorted, bounds))
+
+    class CellScan:
+        def __init__(self, state_ref, k: int) -> None:
+            self.q, self.cents, self.qs_sorted, self.bounds = ray.get(state_ref)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_batch_matrix(batch, embedding_column, dtype))
+            ids = batch[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+            assign = np.argmax(m @ self.cents.T, axis=1)
+            rows_all, qis_all, sc_all = [], [], []
+            order = np.argsort(assign, kind="stable")
+            cs = assign[order]
+            starts = np.flatnonzero(np.r_[True, np.diff(cs) != 0])
+            ends = np.r_[starts[1:], len(cs)]
+            for s, e in zip(starts, ends):
+                cell = int(cs[s])
+                ql, qh = int(self.bounds[cell]), int(self.bounds[cell + 1])
+                if qh == ql:
+                    continue  # no query probes this cell
+                ridx = order[s:e]
+                qidx = self.qs_sorted[ql:qh]
+                scores = m[ridx] @ self.q[qidx].T  # (rows_in_cell, probing_q)
+                nr, nq = scores.shape
+                kk = min(self.k, nr)
+                top = np.argpartition(-scores, kk - 1, axis=0)[:kk]  # (kk, nq)
+                rows_all.append(ridx[top.reshape(-1)])
+                qis_all.append(np.repeat(qidx[None, :], kk, axis=0).reshape(-1))
+                sc_all.append(scores[top, np.arange(nq)[None, :]].reshape(-1))
+            if not rows_all:
+                return pa.table(
+                    {"query_idx": pa.array([], pa.int64()),
+                     id_column: pa.array([], pa.int64()),
+                     "score": pa.array([], pa.float64())}
+                )
+            return pa.table(
+                {
+                    "query_idx": np.concatenate(qis_all).astype(np.int64),
+                    id_column: ids[np.concatenate(rows_all)],
+                    "score": np.concatenate(sc_all).astype(np.float64),
+                }
+            )
+
+    partials = ds.map_batches(
+        CellScan, fn_constructor_args=(state_ref, k), batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    merged = partials.to_pandas()
+    if len(merged) == 0:
+        return pa.table(
+            {"query_idx": pa.array([], pa.int64()), id_column: pa.array([], pa.int64()),
+             "score": pa.array([], pa.float64())}
+        )
+    merged = (
+        merged.sort_values(["query_idx", "score", id_column], ascending=[True, False, True])
+        .groupby("query_idx", as_index=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(merged, preserve_index=False)
+
+
 def first_occurrence_mask(part: np.ndarray) -> np.ndarray:
     """(n, tables) partition ids -> boolean mask of the FIRST occurrence of
     each distinct partition per row. The embedding vector is attached only to
