@@ -168,6 +168,68 @@ def run_benchmarks() -> None:
     if not headline_only:
         timed("suffix_docs", suffix_docs)
 
+    # ---- tiered dedup: bootstrap 90% of the corpus captions, then
+    # increment the last 10% against the saved index — the daily-crawl case.
+    # The increment leg is the evidence that dedup cost tracks the NEW data,
+    # not the corpus (compare with minhash_images = the full-corpus run).
+    inc_state: dict = {}
+
+    def incremental_bootstrap():
+        import shutil
+
+        from text_dedup_ray.pipelines.images import image_ids_to_row_ids
+        from text_dedup_ray.pipelines.incremental import minhash_bootstrap
+
+        state = "/tmp/bench_lsh_state"
+        shutil.rmtree(state, ignore_errors=True)
+        inc_state["state"] = state
+        inc_state["cut"] = int(CORPUS_N * 0.9)
+        cut = inc_state["cut"]
+        narrow = image_ids_to_row_ids(
+            ray.data.read_parquet(docs_path, columns=["image_id", "caption"])
+        )
+        import pyarrow.compute as pc
+
+        old = narrow.map_batches(
+            lambda t, c=cut: t.filter(pc.less(t["row_id"], c)),
+            batch_format="pyarrow",
+        )
+        res = minhash_bootstrap(
+            old,
+            state,
+            text_column="caption",
+            cfg=MinHashConfig(num_perm=128, bands=32, rows=4, ngram_size=2, hash_func="sha1"),
+            fingerprint_concurrency=max(1, min(NUM_CPUS - 1, NUM_CPUS // 2)),
+        )
+        return res.deduped.count()
+
+    def incremental_10pct():
+        from text_dedup_ray.pipelines.images import image_ids_to_row_ids
+        from text_dedup_ray.pipelines.incremental import minhash_increment
+
+        cut = inc_state["cut"]
+        narrow = image_ids_to_row_ids(
+            ray.data.read_parquet(docs_path, columns=["image_id", "caption"])
+        )
+        import pyarrow.compute as pc
+
+        new = narrow.map_batches(
+            lambda t, c=cut: t.filter(pc.greater_equal(t["row_id"], c)),
+            batch_format="pyarrow",
+        )
+        res = minhash_increment(
+            new,
+            inc_state["state"],
+            text_column="caption",
+            cfg=MinHashConfig(num_perm=128, bands=32, rows=4, ngram_size=2, hash_func="sha1"),
+            fingerprint_concurrency=max(1, min(NUM_CPUS - 1, NUM_CPUS // 2)),
+        )
+        return res.deduped.count()
+
+    if not headline_only:
+        timed("incremental_bootstrap", incremental_bootstrap)
+        timed("incremental_10pct", incremental_10pct)
+
     def events_window():
         from text_dedup_ray.pipelines.agg import tumbling_window_agg
 
