@@ -433,6 +433,71 @@ def _q_simhash_docs(sf_dir: str):
     return res.deduped.select_columns(["doc_id"])
 
 
+def _q_simhash_incremental(sf_dir: str):
+    """Tiered SimHash dedup (bootstrap ~80% by doc_id, increment the rest);
+    incremental state == full batch run (tests/test_incremental.py), so the
+    batch SimHash SQL oracle applies. Survivors = docs never flagged
+    duplicate, mirroring _q_simhash_docs."""
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from text_dedup_ray.pipelines.incremental import (
+        simhash_bootstrap,
+        simhash_increment,
+    )
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    cut = int(docs.max("doc_id") * 0.8)
+
+    def split(keep_old: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = pc.less_equal(t["doc_id"], pa.scalar(cut, pa.int64()))
+            return t.filter(m if keep_old else pc.invert(m))
+
+        return f
+
+    state = tempfile.mkdtemp(prefix="simhash_state_", dir="/tmp")
+    cfg = _SIMHASH_ORACLE_CFG()
+    boot = simhash_bootstrap(
+        docs.map_batches(split(True), batch_format="pyarrow"),
+        state,
+        cfg=cfg,
+        id_column="doc_id",
+        num_partitions=16,
+    )
+    inc = simhash_increment(
+        docs.map_batches(split(False), batch_format="pyarrow"),
+        state,
+        cfg=cfg,
+        id_column="doc_id",
+    )
+    # survivors over the combined corpus: every doc not in the final state's
+    # member set (the state holds non-root members only, simhash convention)
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    members = []
+    for f in _glob.glob(f"{state}/v{inc.state_version:05d}/clusters/*.parquet"):
+        t = pq.read_table(f, columns=["row_id"])
+        if t.num_rows:
+            members.append(t["row_id"].to_numpy(zero_copy_only=False))
+    dup_ids = np.sort(np.concatenate(members)) if members else np.empty(0, np.int64)
+    dup_ref = ray.put(dup_ids.astype(np.int64))
+
+    def survivors(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dups = ray.get(dup_ref)
+        pos = np.searchsorted(dups, ids)
+        in_range = pos < len(dups)
+        dup_mask = np.zeros(len(ids), dtype=bool)
+        dup_mask[in_range] = dups[pos[in_range]] == ids[in_range]
+        return pa.table({"doc_id": t.filter(pa.array(~dup_mask))["doc_id"]})
+
+    return docs.map_batches(survivors, batch_format="pyarrow")
+
+
 def _q_suffix_docs(sf_dir: str):
     """Reference-semantics suffix-array dedup: ONE corpus-wide partition
     (sort + repartition(1) pins the concatenation to doc_id order so the
@@ -554,6 +619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_docs": _q_minhash_docs,
         "minhash_incremental_docs": _q_minhash_incremental,
         "simhash_dedup_docs": _q_simhash_docs,
+        "simhash_incremental_docs": _q_simhash_incremental,
         # --- suffix-array pipelines (SQL-checked via corpus-gram recomputation) ---
         "suffix_array_dedup_docs": _q_suffix_docs,
         "suffix_array_global_docs": _q_suffix_global_docs,
@@ -657,6 +723,7 @@ def oracle_sql() -> dict[str, str]:
         # so the same SQL is the oracle for the tiered path
         "minhash_incremental_docs": _oracles.minhash_dedup_sql(_MINHASH_ORACLE_CFG()),
         "simhash_dedup_docs": _oracles.simhash_dedup_sql(_SIMHASH_ORACLE_CFG()),
+        "simhash_incremental_docs": _oracles.simhash_dedup_sql(_SIMHASH_ORACLE_CFG()),
         "embedding_cosine_dedup": _oracles.embedding_dedup_sql(0.98, PLANT_OFFSET),
         "embedding_cosine_pairs": _oracles.embedding_pairs_sql(0.98, PLANT_OFFSET),
         "doc_winnowing_fp": _oracles.winnowing_sql(),

@@ -229,3 +229,86 @@ class TestIncrementalEquivalence:
                 driver_threshold=thr,
             )
         assert _state_clusters(s1, 2) == _state_clusters(s2, 2)
+
+
+class TestSimHashIncremental:
+    def _cfg(self):
+        from text_dedup_ray.functions.simhash import SimHashConfig
+
+        return SimHashConfig(
+            f=64, bit_diff=3, num_bucket=4, ngram_size=3, hash_func="sha1", seed=42
+        )
+
+    def test_increment_matches_full_rerun(self, tmp_path):
+        from text_dedup_ray.pipelines.incremental import (
+            simhash_bootstrap,
+            simhash_increment,
+        )
+        from text_dedup_ray.pipelines.simhash import simhash_dedup
+
+        old_ids, old_texts, new_ids, new_texts = _corpus()
+        state = str(tmp_path / "state")
+        simhash_bootstrap(
+            _docs(old_ids, old_texts), state, cfg=self._cfg(), id_column="doc_id",
+            num_partitions=8,
+        )
+        inc = simhash_increment(
+            _docs(new_ids, new_texts), state, cfg=self._cfg(), id_column="doc_id"
+        )
+        full = simhash_dedup(
+            _docs(old_ids + new_ids, old_texts + new_texts),
+            cfg=self._cfg(),
+            id_column="doc_id",
+        )
+        assert isinstance(full.parents, dict)
+        # simhash parents are already non-root-only in the dict path
+        got = _state_clusters(state, inc.state_version)
+        assert got == _nontrivial(full.parents)
+        # survivors among the new batch equal the full run's new survivors
+        full_new = {
+            r for r in full.deduped.select_columns(["doc_id"]).to_pandas()["doc_id"]
+            if r >= 100
+        }
+        inc_survivors = set(
+            inc.deduped.select_columns(["doc_id"]).to_pandas()["doc_id"]
+        )
+        assert inc_survivors == full_new
+
+    def test_distributed_path_matches(self, tmp_path):
+        from text_dedup_ray.pipelines.incremental import (
+            simhash_bootstrap,
+            simhash_increment,
+        )
+
+        old_ids, old_texts, new_ids, new_texts = _corpus()
+        s1, s2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+        for s, thr in ((s1, 2_000_000), (s2, 0)):
+            simhash_bootstrap(
+                _docs(old_ids, old_texts), s, cfg=self._cfg(), id_column="doc_id",
+                num_partitions=4, driver_threshold=thr,
+            )
+            simhash_increment(
+                _docs(new_ids, new_texts), s, cfg=self._cfg(), id_column="doc_id",
+                driver_threshold=thr,
+            )
+        assert _state_clusters(s1, 2) == _state_clusters(s2, 2)
+
+    def test_algo_mismatch_rejected(self, tmp_path):
+        from text_dedup_ray.pipelines.incremental import (
+            minhash_bootstrap,
+            simhash_increment,
+        )
+
+        old_ids, old_texts, _, _ = _corpus()
+        state = str(tmp_path / "state")
+        minhash_bootstrap(
+            _docs(old_ids, old_texts), state, cfg=_cfg(), id_column="doc_id",
+            num_partitions=4,
+        )
+        with pytest.raises(ValueError, match="different SimHash"):
+            simhash_increment(
+                _docs([1000], ["whatever new text arrives later today ok"]),
+                state,
+                cfg=self._cfg(),
+                id_column="doc_id",
+            )

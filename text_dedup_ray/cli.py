@@ -149,6 +149,27 @@ def main(argv: list[str] | None = None) -> None:
         result_ds = res.assigned if skip_filtering else res.deduped
         stats["state_version"] = res.state_version
         stats.update(res.metrics)
+    elif name == "simhash_incremental":
+        from .functions.simhash import SimHashConfig
+        from .pipelines.incremental import simhash_bootstrap, simhash_increment
+
+        state_dir = algo.pop("state_dir", None)
+        if not state_dir:
+            raise SystemExit("simhash_incremental needs [algorithm].state_dir")
+        fields = {f for f in SimHashConfig.__dataclass_fields__}
+        sh_cfg = SimHashConfig(**_algo_kwargs(algo, fields))
+        import os as _os
+
+        if _os.path.exists(_os.path.join(state_dir, "meta.json")):
+            res = simhash_increment(ds, state_dir, text_column=text_column, cfg=sh_cfg)
+            stats["mode"] = "increment"
+            stats["merged_old_roots"] = len(res.merged_old_roots)
+        else:
+            res = simhash_bootstrap(ds, state_dir, text_column=text_column, cfg=sh_cfg)
+            stats["mode"] = "bootstrap"
+        result_ds = res.assigned if skip_filtering else res.deduped
+        stats["state_version"] = res.state_version
+        stats.update(res.metrics)
     elif name == "jaccard":
         from .pipelines.jaccard_dedup import ngram_jaccard_dedup
         from .stages.assign import assign_clusters, filter_cluster_roots

@@ -133,12 +133,20 @@ _EMPTY_EDGES = pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa
 
 @ray.remote
 def _rep_reduce_write(
-    out_path: str, prior_path: str | None, key_width: int, *tables: pa.Table
+    out_path: str,
+    prior_path: str | None,
+    key_width: int,
+    cross_spec: tuple[int, int] | None,
+    *tables: pa.Table,
 ) -> pa.Table:
     """Reduce one rep partition: concat new-rep sub-tables with the prior
     partition file (read locally, never shuffled), group-min by bucket key,
     emit star edges among per-scope reps, and write the merged
-    ``(key, rep)`` table as the partition's next-version file."""
+    ``(key, rep)`` table as the partition's next-version file.
+
+    ``cross_spec`` = (bit_diff, max_distinct_sigs) switches on the SimHash
+    cross-signature Hamming compare among the merged distinct reps (the
+    partition key is the 12-byte bucket prefix, so whole buckets co-locate)."""
     parts = [t.select(["src", "key"]) for t in tables if t.num_rows > 0]
     if prior_path is not None:
         prior = pq.read_table(prior_path)
@@ -160,10 +168,26 @@ def _rep_reduce_write(
     rid_sorted = row_ids[order]
     dst = mins[inv_sorted]
     mask = rid_sorted != dst
-    merged = pa.table({"key": _fixed_binary(keys[order][starts]), "rep": mins})
+    merged_keys = keys[order][starts]
+    merged = pa.table({"key": _fixed_binary(merged_keys), "rep": mins})
     pq.write_table(merged, out_path)
+    src_out = [rid_sorted[mask]]
+    dst_out = [dst[mask]]
+    if cross_spec is not None:
+        from ..stages.edges import simhash_distinct_sig_edges
+
+        bit_diff, max_distinct = cross_spec
+        rep_mat = (
+            np.ascontiguousarray(merged_keys).view(np.uint8).reshape(-1, width)
+        )
+        cs, cd = simhash_distinct_sig_edges(rep_mat, mins, bit_diff, max_distinct)
+        src_out.extend(cs)
+        dst_out.extend(cd)
     return pa.table(
-        {"src": rid_sorted[mask].astype(np.int64), "dst": dst[mask].astype(np.int64)}
+        {
+            "src": np.concatenate(src_out).astype(np.int64),
+            "dst": np.concatenate(dst_out).astype(np.int64),
+        }
     )
 
 
@@ -174,6 +198,8 @@ def _split_and_reduce_reps(
     prior_version: int | None,
     num_partitions: int,
     key_width: int,
+    part_fn=minhash_rep_part,
+    cross_spec: tuple[int, int] | None = None,
 ) -> tuple[ray.data.Dataset, ray.data.Dataset, int]:
     """Streaming tagged split of the fingerprint stage's (edges | reps)
     blocks; each rep partition reduces against its prior index file and
@@ -187,7 +213,7 @@ def _split_and_reduce_reps(
     for bundle in local.iter_internal_ref_bundles():
         total_rows += bundle.num_rows() or 0
         for block_ref in bundle.block_refs:
-            outs = split.remote(block_ref, "is_edge", minhash_rep_part, num_partitions)
+            outs = split.remote(block_ref, "is_edge", part_fn, num_partitions)
             edge_refs.append(outs[0])
             for p in range(num_partitions):
                 columns[p].append(outs[p + 1])
@@ -197,7 +223,8 @@ def _split_and_reduce_reps(
         prior = _rep_file(state_dir, prior_version, p) if prior_version is not None else None
         reduced.append(
             _rep_reduce_write.remote(
-                _rep_file(state_dir, new_version, p), prior, key_width, *columns[p]
+                _rep_file(state_dir, new_version, p), prior, key_width, cross_spec,
+                *columns[p],
             )
         )
     local_edges = (
@@ -464,6 +491,193 @@ def minhash_increment(
         merged_old_roots=merges,
         state_version=version,
         metrics={"signature_rows": sig_rows, "stage_seconds": timer.report()},
+    )
+
+
+# ------------------------------------------------------- SimHash variants
+
+
+def simhash_bootstrap(
+    ds: ray.data.Dataset,
+    state_dir: str,
+    text_column: str = "text",
+    cfg=None,
+    id_column: str | None = None,
+    fingerprint_concurrency: int | tuple[int, int] = (1, 8),
+    fingerprint_batch_size: int = 2048,
+    num_partitions: int = 64,
+    driver_threshold: int = 2_000_000,
+    max_distinct_sigs: int = 8192,
+) -> IncrementResult:
+    """SimHash twin of :func:`minhash_bootstrap`: the persisted rep index
+    holds one (bucket||sig, min row_id) row per distinct (bucket, signature)
+    pair, partitioned by the 12-byte bucket prefix so whole Hamming
+    neighborhoods co-locate. No min-length filter — simhash_dedup's
+    convention (reference simhash.py: empty-shingle docs share sig 0)."""
+    from ..functions.simhash import SimHashConfig
+    from ..stages.assign import filter_non_duplicates
+    from ..stages.edges import simhash_rep_part
+    from ..stages.fingerprint import SimHashFingerprinter
+
+    cfg = cfg or SimHashConfig()
+    timer = Timer()
+    if id_column is not None:
+        ds = stamp_row_ids_from_key(ds, id_column)
+    elif ROW_ID not in ds.schema().names:
+        raise ValueError("dataset must have a row_id column or pass id_column")
+    ds_max = ds.select_columns([ROW_ID]).max(ROW_ID)
+    max_row_id = -1 if ds_max is None else int(ds_max)
+    narrow = ds.select_columns([ROW_ID, text_column])
+    local = narrow.map_batches(
+        SimHashFingerprinter,
+        fn_constructor_args=(cfg, text_column, "buckets"),
+        batch_format="pyarrow",
+        batch_size=fingerprint_batch_size,
+        concurrency=fingerprint_concurrency,
+    )
+    version = 1
+    with timer("fingerprint+rep_index"):
+        local_edges, cross_edges, sig_rows = _split_and_reduce_reps(
+            local, state_dir, version, None, num_partitions, 20,
+            part_fn=simhash_rep_part,
+            cross_spec=(cfg.bit_diff, max_distinct_sigs),
+        )
+        edges = local_edges.union(cross_edges)
+    with timer("cc"):
+        parents = connected_components_auto(
+            edges, driver_threshold=driver_threshold,
+            num_partitions=num_partitions, include_roots=False,
+        )
+    with timer("assign+state"):
+        _write_clusters(parents, _clusters_dir(state_dir, version))
+        if isinstance(parents, dict):
+            nonroot = {k: v for k, v in parents.items() if k != v}
+            assigned = assign_clusters(ds, nonroot)
+        else:
+            assigned = assign_clusters_sharded(
+                ds, parents.materialize(), num_shards=num_partitions
+            )
+    _write_meta(
+        state_dir,
+        {
+            "algo": "simhash",
+            "version": version,
+            "cfg_hash": _simhash_cfg_hash(cfg, text_column),
+            "max_row_id": max_row_id,
+            "num_partitions": num_partitions,
+        },
+    )
+    return IncrementResult(
+        assigned=assigned,
+        deduped=filter_non_duplicates(assigned),
+        parents=parents,
+        state_version=version,
+        metrics={"signature_rows": sig_rows, "stage_seconds": timer.report()},
+    )
+
+
+def simhash_increment(
+    new_ds: ray.data.Dataset,
+    state_dir: str,
+    text_column: str = "text",
+    cfg=None,
+    id_column: str | None = None,
+    fingerprint_concurrency: int | tuple[int, int] = (1, 8),
+    fingerprint_batch_size: int = 2048,
+    driver_threshold: int = 2_000_000,
+    max_distinct_sigs: int = 8192,
+    validate_ids: bool = True,
+) -> IncrementResult:
+    """Dedup ``new_ds`` against a saved SimHash state AND itself; persist the
+    next state version. Same full-rerun-equivalence guarantee as the MinHash
+    path (tests/test_incremental.py::TestSimHashIncremental)."""
+    from ..functions.simhash import SimHashConfig
+    from ..stages.assign import filter_non_duplicates
+    from ..stages.edges import simhash_rep_part
+    from ..stages.fingerprint import SimHashFingerprinter
+
+    cfg = cfg or SimHashConfig()
+    meta = load_meta(state_dir)
+    if meta.get("algo") != "simhash" or meta["cfg_hash"] != _simhash_cfg_hash(
+        cfg, text_column
+    ):
+        raise ValueError(
+            "state was built with a different SimHash config/text column; "
+            "incremental dedup requires identical signature settings"
+        )
+    prior_version = int(meta["version"])
+    num_partitions = int(meta["num_partitions"])
+    prior_max = int(meta["max_row_id"])
+    timer = Timer()
+    if id_column is not None:
+        new_ds = stamp_row_ids_from_key(new_ds, id_column)
+    elif ROW_ID not in new_ds.schema().names:
+        raise ValueError("dataset must have a row_id column or pass id_column")
+    ids_narrow = new_ds.select_columns([ROW_ID])
+    batch_max = ids_narrow.max(ROW_ID)
+    new_max = prior_max if batch_max is None else int(batch_max)
+    if validate_ids:
+        new_min = ids_narrow.min(ROW_ID)
+        if new_min is not None and int(new_min) <= prior_max:
+            raise ValueError(
+                f"new row ids must exceed the saved max_row_id={prior_max} "
+                f"(got min={int(new_min)}); old ids must win min-tie-breaks"
+            )
+    narrow = new_ds.select_columns([ROW_ID, text_column])
+    local = narrow.map_batches(
+        SimHashFingerprinter,
+        fn_constructor_args=(cfg, text_column, "buckets"),
+        batch_format="pyarrow",
+        batch_size=fingerprint_batch_size,
+        concurrency=fingerprint_concurrency,
+    )
+    version = prior_version + 1
+    with timer("fingerprint+rep_index"):
+        local_edges, cross_edges, sig_rows = _split_and_reduce_reps(
+            local, state_dir, version, prior_version, num_partitions, 20,
+            part_fn=simhash_rep_part,
+            cross_spec=(cfg.bit_diff, max_distinct_sigs),
+        )
+        edges = local_edges.union(cross_edges)
+    with timer("cc"):
+        cc = connected_components_auto(
+            edges, driver_threshold=driver_threshold,
+            num_partitions=num_partitions, include_roots=False,
+        )
+    with timer("compose"):
+        parents, merges = _compose_with_prior(
+            cc, prior_max, _clusters_dir(state_dir, prior_version)
+        )
+    with timer("assign+state"):
+        _write_clusters(
+            parents,
+            _clusters_dir(state_dir, version),
+            prior_dir=_clusters_dir(state_dir, prior_version),
+            merges=merges,
+            min_new_id=prior_max + 1,
+        )
+        if isinstance(parents, dict):
+            nonroot = {k: v for k, v in parents.items() if k != v}
+            assigned = assign_clusters(new_ds, nonroot)
+        else:
+            assigned = assign_clusters_sharded(
+                new_ds, parents.materialize(), num_shards=num_partitions
+            )
+    meta.update({"version": version, "max_row_id": max(prior_max, new_max)})
+    _write_meta(state_dir, meta)
+    return IncrementResult(
+        assigned=assigned,
+        deduped=filter_non_duplicates(assigned),
+        parents=parents,
+        merged_old_roots=merges,
+        state_version=version,
+        metrics={"signature_rows": sig_rows, "stage_seconds": timer.report()},
+    )
+
+
+def _simhash_cfg_hash(cfg, text_column: str) -> str:
+    return config_hash(
+        {"algo": "simhash_lsh_state", "cfg": asdict(cfg), "text": text_column}
     )
 
 

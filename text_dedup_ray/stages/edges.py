@@ -267,25 +267,18 @@ def simhash_merge_reps(
     return hash_partition_exchange(reps, "part", num_partitions, per_partition)
 
 
-def _simhash_per_partition(
-    group: pa.Table, bit_diff: int, max_distinct_sigs: int
-) -> pa.Table:
-    n = group.num_rows
-    if n == 0:
-        return _edge_table(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
-    mat = _binary_to_u8(group["key"], 20, n)
-    row_ids = group["src"].to_numpy(zero_copy_only=False).astype(np.int64)
-    # 1) merge identical (bucket, sig) reps across blocks: star edges
-    full_keys = _void_view(mat)
-    order, starts, mins, inv_sorted = _group_min(full_keys, row_ids)
-    rid_sorted = row_ids[order]
-    dst = mins[inv_sorted]
-    mask = rid_sorted != dst
-    out_src = [rid_sorted[mask]]
-    out_dst = [dst[mask]]
-    # 2) distinct (bucket, sig) reps: group by bucket, compare sigs
-    rep_mat = mat[order][starts]
-    rep_min = mins
+def simhash_distinct_sig_edges(
+    rep_mat: np.ndarray,
+    rep_min: np.ndarray,
+    bit_diff: int,
+    max_distinct_sigs: int,
+) -> tuple[list[np.ndarray], list[np.ndarray]]:
+    """Cross-signature Hamming edges among DISTINCT (bucket, sig) reps:
+    group the (n, 20) key matrix by its 12-byte bucket prefix and pairwise-
+    compare the distinct uint64 sigs per bucket (vectorized XOR+popcount).
+    Shared by the batch exchange and the incremental index reduce."""
+    out_src: list[np.ndarray] = []
+    out_dst: list[np.ndarray] = []
     bucket_keys = _void_view(rep_mat[:, :12])
     b_order = np.argsort(bucket_keys, kind="stable")
     bk_sorted = bucket_keys[b_order]
@@ -324,6 +317,31 @@ def _simhash_per_partition(
             truncated,
             max_distinct_sigs,
         )
+    return out_src, out_dst
+
+
+def _simhash_per_partition(
+    group: pa.Table, bit_diff: int, max_distinct_sigs: int
+) -> pa.Table:
+    n = group.num_rows
+    if n == 0:
+        return _edge_table(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    mat = _binary_to_u8(group["key"], 20, n)
+    row_ids = group["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # 1) merge identical (bucket, sig) reps across blocks: star edges
+    full_keys = _void_view(mat)
+    order, starts, mins, inv_sorted = _group_min(full_keys, row_ids)
+    rid_sorted = row_ids[order]
+    dst = mins[inv_sorted]
+    mask = rid_sorted != dst
+    out_src = [rid_sorted[mask]]
+    out_dst = [dst[mask]]
+    # 2) distinct (bucket, sig) reps: group by bucket, compare sigs
+    cross_src, cross_dst = simhash_distinct_sig_edges(
+        mat[order][starts], mins, bit_diff, max_distinct_sigs
+    )
+    out_src.extend(cross_src)
+    out_dst.extend(cross_dst)
     return _edge_table(np.concatenate(out_src), np.concatenate(out_dst))
 
 
