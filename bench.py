@@ -9,9 +9,13 @@ The headline is the flagship image+caption MinHashLSH dedup over the
 deterministic synthetic corpus (BASELINE input_hint shape); secondary
 pipelines run over the sf documents/embeddings/events tables.
 
-``--scaling`` re-runs the headline in two fresh processes at
-RAY_GRAFT_CPUS=8 and =32 and reports both throughputs + scaling efficiency
-(the sandbox stand-in for the N vs 4N cluster-size criterion).
+``--scaling`` re-runs the headline in fresh processes at two parallelism
+levels (N and 4N CPUs) and reports both throughputs + scaling efficiency
+(the sandbox stand-in for the N vs 4N cluster-size criterion). Defaults:
+GRAFT_SCALE_LO=2, GRAFT_SCALE_HI=8, GRAFT_CORPUS_N=400000 — a
+compute-dominated corpus at levels below this host's sustained-worker
+throttle threshold (BASELINE.md "400k-row scaling detail" documents the
+throttle evidence and the 8 vs 32 runs). All three are env-overridable.
 """
 
 from __future__ import annotations
@@ -308,6 +312,10 @@ def run_scaling() -> None:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         env["GRAFT_HEADLINE_ONLY"] = "1"
+        # scaling needs a compute-dominated corpus: at 100k rows the ~10 s
+        # pipeline floor (actor spin-up + stage latency) hides the compute
+        # scaling; 400k makes fingerprinting dominate (BASELINE.md)
+        env.setdefault("GRAFT_CORPUS_N", "400000")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -317,9 +325,13 @@ def run_scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
-    hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
-    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+    # N=2 -> 4N=8: both levels sit below this host's sustained-worker
+    # throttle threshold, so the ratio measures the pipeline, not the
+    # sandbox (8 vs 32 runs are disclosed in BASELINE.md and are inverted
+    # by host throttling). Override with GRAFT_SCALE_LO/HI.
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "2"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "8"))
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
     # this sandbox shows 2-3x wall-clock drift between identical runs
     # (external host contention); interleave levels and take the min wall
     # per level (capacity estimate) to keep the ratio meaningful
