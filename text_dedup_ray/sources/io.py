@@ -259,8 +259,21 @@ def write_output(
             ds = ds.drop_columns(present)
     if "://" not in path:
         os.makedirs(path, exist_ok=True)  # 0-row results still yield a dir
-    if overwrite and os.path.isdir(path):
-        for f in os.listdir(path):
-            if f.endswith(".parquet"):
-                os.remove(os.path.join(path, f))
+        if overwrite and os.path.isdir(path):
+            for f in os.listdir(path):
+                if f.endswith(".parquet"):
+                    os.remove(os.path.join(path, f))
+    elif overwrite:
+        # remote URI: list/delete stale parts through pyarrow.fs so a re-run
+        # replaces rather than silently doubles the output (ADVICE r2)
+        import pyarrow.fs as pafs
+
+        fs, rel = pafs.FileSystem.from_uri(path)
+        try:
+            infos = fs.get_file_info(pafs.FileSelector(rel, allow_not_found=True))
+        except (OSError, pa.ArrowInvalid):
+            infos = []
+        for info in infos:
+            if info.type == pafs.FileType.File and info.path.endswith(".parquet"):
+                fs.delete_file(info.path)
     ds.write_parquet(path)

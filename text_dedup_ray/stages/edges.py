@@ -272,11 +272,19 @@ def simhash_distinct_sig_edges(
     rep_min: np.ndarray,
     bit_diff: int,
     max_distinct_sigs: int,
+    new_mask: np.ndarray | None = None,
 ) -> tuple[list[np.ndarray], list[np.ndarray]]:
     """Cross-signature Hamming edges among DISTINCT (bucket, sig) reps:
     group the (n, 20) key matrix by its 12-byte bucket prefix and pairwise-
     compare the distinct uint64 sigs per bucket (vectorized XOR+popcount).
-    Shared by the batch exchange and the incremental index reduce."""
+    Shared by the batch exchange and the incremental index reduce.
+
+    ``new_mask`` (incremental path, ADVICE r2): marks reps that entered the
+    index THIS increment. When given, only (new x new) and (new x old) pairs
+    are compared — old-old connectivity is already folded into the prior
+    cluster map, so re-emitting it costs O(index density) per increment for
+    nothing. Truncation under the cap then keeps ALL new sigs first (the old
+    ones it evicts were already compared in prior runs)."""
     out_src: list[np.ndarray] = []
     out_dst: list[np.ndarray] = []
     bucket_keys = _void_view(rep_mat[:, :12])
@@ -291,6 +299,46 @@ def simhash_distinct_sig_edges(
         if m < 2:
             continue
         idx = b_order[s:e]
+        if new_mask is not None:
+            nm = new_mask[idx]
+            sel_new = idx[nm]
+            if len(sel_new) == 0:
+                continue  # pure-old bucket: edges already in the prior map
+            sel_old = idx[~nm]
+            if len(idx) > max_distinct_sigs:
+                truncated += len(idx) - max_distinct_sigs
+                if len(sel_new) > max_distinct_sigs:
+                    sel_new = sel_new[
+                        np.argsort(rep_min[sel_new], kind="stable")[:max_distinct_sigs]
+                    ]
+                    sel_old = sel_old[:0]
+                else:
+                    keep = max_distinct_sigs - len(sel_new)
+                    sel_old = sel_old[np.argsort(rep_min[sel_old], kind="stable")[:keep]]
+            idx = np.concatenate([sel_old, sel_new])  # old first, new last
+            m = len(idx)
+            n_old = len(sel_old)
+            bucket_sigs = sigs[idx]
+            bucket_ids = rep_min[idx]
+            new_sigs = bucket_sigs[n_old:]
+            xor = new_sigs[:, None] ^ bucket_sigs[None, :]
+            ham = np.zeros(xor.shape, dtype=np.uint8)
+            x = xor.copy()
+            for _ in range(8):
+                ham += _POPCOUNT_TABLE[(x & np.uint64(0xFF)).astype(np.uint8)]
+                x >>= np.uint64(8)
+            # row i is bucket position n_old+i; allow old cols always, new
+            # cols only above the diagonal (dedupe new-new, skip self)
+            cols = np.arange(m)[None, :]
+            rows = (n_old + np.arange(m - n_old))[:, None]
+            allow = (cols < n_old) | (cols > rows)
+            ii, jj = np.nonzero((ham <= bit_diff) & allow)
+            if len(ii):
+                a = bucket_ids[n_old + ii]
+                b = bucket_ids[jj]
+                out_src.append(np.maximum(a, b))
+                out_dst.append(np.minimum(a, b))
+            continue
         if m > max_distinct_sigs:
             truncated += m - max_distinct_sigs
             idx = idx[np.argsort(rep_min[idx], kind="stable")[:max_distinct_sigs]]

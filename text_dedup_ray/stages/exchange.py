@@ -117,8 +117,9 @@ def tagged_split_exchange(
     part_fn: Callable[[pa.Table, int], np.ndarray],
     num_partitions: int,
     reduce_fn: Callable[[pa.Table], pa.Table],
-) -> tuple[ray.data.Dataset, ray.data.Dataset, int]:
-    """Streaming one-pass split of a tagged (edges | reps) stage-1 dataset.
+) -> tuple[ray.data.Dataset, ray.data.Dataset, int, list[ray.ObjectRef]]:
+    """Streaming one-pass split of a tagged (edges | reps) stage-1 dataset
+    returning (edges_dataset, reduced_dataset, input_rows, reduced_refs).
 
     Consumes ``ds`` block-by-block AS IT EXECUTES (``iter_internal_ref_bundles``)
     and launches one split task per block immediately, so the exchange's
