@@ -343,6 +343,27 @@ def _q_minhash_docs(sf_dir: str):
     )
 
 
+def _q_minhash_verified(sf_dir: str):
+    """MinHashLSH dedup WITH the false-positive Jaccard verify pass
+    (check_false_positive=True): verified members regroup under min(verified)
+    per cluster, everyone else reverts to their own id (reference
+    minhash.py:101-170; pipelines/verify.py). Survivors (doc_id, cluster_id
+    == doc_id) like the unverified query."""
+    from dataclasses import replace
+
+    from text_dedup_ray.pipelines.minhash import minhash_dedup
+
+    res = minhash_dedup(
+        _docs(sf_dir, ["doc_id", "text"]),
+        text_column="text",
+        id_column="doc_id",
+        cfg=replace(_MINHASH_ORACLE_CFG(), check_false_positive=True),
+    )
+    return res.deduped.select_columns(["doc_id", "__CLUSTER__"]).rename_columns(
+        {"__CLUSTER__": "cluster_id"}
+    )
+
+
 def _q_minhash_incremental(sf_dir: str):
     """Tiered dedup: bootstrap on the first ~80% of doc ids, increment with
     the rest; by the incremental-equivalence guarantee
@@ -617,6 +638,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_cosine_dedup_lsh": _q_embedding_dedup_lsh,  # rows-only (LSH recall)
         # --- near-dup pipelines (SQL-checked via md5 base hash + recursive-CTE CC) ---
         "minhash_dedup_docs": _q_minhash_docs,
+        "minhash_verified_docs": _q_minhash_verified,
         "minhash_incremental_docs": _q_minhash_incremental,
         "simhash_dedup_docs": _q_simhash_docs,
         "simhash_incremental_docs": _q_simhash_incremental,
@@ -721,6 +743,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup_docs": _oracles.minhash_dedup_sql(_MINHASH_ORACLE_CFG()),
         # incremental state == full batch run (tests/test_incremental.py),
         # so the same SQL is the oracle for the tiered path
+        "minhash_verified_docs": _oracles.minhash_verified_sql(_MINHASH_ORACLE_CFG()),
         "minhash_incremental_docs": _oracles.minhash_dedup_sql(_MINHASH_ORACLE_CFG()),
         "simhash_dedup_docs": _oracles.simhash_dedup_sql(_SIMHASH_ORACLE_CFG()),
         "simhash_incremental_docs": _oracles.simhash_dedup_sql(_SIMHASH_ORACLE_CFG()),

@@ -123,3 +123,57 @@ class TestExactShufflePath:
         expected = [expect_min[t] for t in texts]
         assert len(out) == N
         assert list(out["cluster_id"]) == expected
+
+
+class TestVerifyDistributedFallback:
+    """The verify stage's auto contract (VERDICT r2 #1): driver_threshold=0
+    forces the verified map to stay a Dataset and route reassignment through
+    assign_clusters_sharded — results must match the driver-dict path."""
+
+    def test_minhash_verified_forced_distributed(self, corpus_table):
+        cfg = MinHashConfig(
+            num_perm=64, bands=32, rows=2, ngram_size=2, hash_func="sha1",
+            threshold=0.6, check_false_positive=True,
+        )
+        ds = ray.data.from_arrow(corpus_table).repartition(4)
+        res_driver = minhash_dedup(ds, text_column="text", cfg=cfg, merge_partitions=8)
+        res_dist = minhash_dedup(
+            ds, text_column="text", cfg=cfg, merge_partitions=8, driver_threshold=0
+        )
+        assert isinstance(res_driver.verified_parents, dict)
+        assert isinstance(res_dist.verified_parents, ray.data.Dataset)
+
+        a = _cluster_frame(res_driver.assigned)
+        b = _cluster_frame(res_dist.assigned)
+        assert (a["__CLUSTER__"].to_numpy() == b["__CLUSTER__"].to_numpy()).all()
+        assert (a["__duplicate__"].to_numpy() == b["__duplicate__"].to_numpy()).all()
+        da = res_driver.deduped.to_pandas().sort_values("row_id").reset_index(drop=True)
+        db = res_dist.deduped.to_pandas().sort_values("row_id").reset_index(drop=True)
+        assert (da["row_id"].to_numpy() == db["row_id"].to_numpy()).all()
+        # the verify pass must have actually moved something vs no-verify,
+        # else this test exercises nothing
+        res_plain = minhash_dedup(
+            ds, text_column="text",
+            cfg=MinHashConfig(num_perm=64, bands=32, rows=2, ngram_size=2,
+                              hash_func="sha1"),
+            merge_partitions=8,
+        )
+        assert res_plain.deduped.count() != res_driver.deduped.count()
+
+    def test_simhash_verified_forced_distributed(self, corpus_table):
+        cfg = SimHashConfig(
+            f=64, bit_diff=3, num_bucket=4, ngram_size=3, hash_func="sha1",
+            check_false_positive=True, jaccard_threshold=0.5,
+        )
+        ds = ray.data.from_arrow(corpus_table).repartition(4)
+        res_driver = simhash_dedup(ds, text_column="text", cfg=cfg, merge_partitions=8)
+        res_dist = simhash_dedup(
+            ds, text_column="text", cfg=cfg, merge_partitions=8, driver_threshold=0
+        )
+        assert isinstance(res_driver.verified_parents, dict)
+        assert isinstance(res_dist.verified_parents, ray.data.Dataset)
+        a = _cluster_frame(res_driver.assigned)
+        b = _cluster_frame(res_dist.assigned)
+        assert (a["__CLUSTER__"].to_numpy() == b["__CLUSTER__"].to_numpy()).all()
+        # simhash keeps the stale PRE-verification flag on both paths
+        assert (a["__duplicate__"].to_numpy() == b["__duplicate__"].to_numpy()).all()

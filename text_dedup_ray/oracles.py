@@ -164,6 +164,46 @@ WHERE cc.node IS NULL OR cc.cluster_id = d.doc_id
 """
 
 
+def minhash_verified_sql(cfg: MinHashConfig) -> str:
+    """MinHashLSH dedup WITH the false-positive Jaccard verify pass
+    (pipelines/minhash.minhash_dedup with check_false_positive, reference
+    minhash.py:101-170 semantics via pipelines/verify.py): candidate members
+    = every CC node; per cluster, members appearing in some pair with
+    shingle-set Jaccard >= cfg.threshold are "verified" and regroup under
+    min(verified); everyone else reverts to their own id. Survivors =
+    min-length docs whose final cluster is themselves. Same column contract
+    as ``minhash_dedup_sql``."""
+    return f"""
+WITH RECURSIVE {_minhash_core(cfg, "documents")},
+gsz AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+pairco AS (
+  SELECT m1.cluster_id AS c, m1.node AS i, m2.node AS j, count(*) AS co
+  FROM cc m1 JOIN cc m2 ON m1.cluster_id = m2.cluster_id AND m1.node > m2.node
+  JOIN grams ga ON ga.doc_id = m1.node
+  JOIN grams gb ON gb.doc_id = m2.node AND ga.g = gb.g
+  GROUP BY 1, 2, 3
+),
+vpairs AS (
+  SELECT p.c, p.i, p.j
+  FROM pairco p JOIN gsz sa ON sa.doc_id = p.i JOIN gsz sb ON sb.doc_id = p.j
+  WHERE p.co::DOUBLE / (sa.sz + sb.sz - p.co) >= {cfg.threshold}
+),
+verified AS (
+  -- explicit DISTINCT: DuckDB resolves a bare UNION against the recursive
+  -- WITH machinery here without deduplicating
+  SELECT DISTINCT c, node FROM (
+    SELECT c, i AS node FROM vpairs UNION ALL SELECT c, j AS node FROM vpairs
+  )
+),
+vmap AS (
+  SELECT node, min(node) OVER (PARTITION BY c) AS new_c FROM verified
+)
+SELECT d.doc_id, d.doc_id AS cluster_id
+FROM docs d LEFT JOIN vmap v ON v.node = d.doc_id
+WHERE v.node IS NULL OR v.new_c = d.doc_id
+"""
+
+
 def _corpus_docs_cte(corpus_path: str) -> str:
     """The generated image+caption corpus as (doc_id, text): row ids parse
     out of 'img-%012d' keys exactly like pipelines/images.image_ids_to_row_ids."""

@@ -46,7 +46,7 @@ from ..stages.edges import (
 )
 from ..stages.exchange import tagged_split_exchange
 from ..stages.fingerprint import MinHashFingerprinter
-from .verify import verify_clusters
+from .verify import verify_clusters_auto
 
 
 @dataclass
@@ -233,17 +233,22 @@ def minhash_dedup(
     verified_parents = None
     if cfg.check_false_positive:
         with timer("verify"):
-            verified_parents = verify_clusters(
+            verified_parents = verify_clusters_auto(
                 assigned,
                 text_column,
                 cfg.ngram_size,
                 cfg.min_length,
                 cfg.threshold,
                 mode="minhash",
+                driver_threshold=driver_threshold,
             )
-            assigned = assign_clusters(
-                assigned, verified_parents
-            )  # re-derives __CLUSTER__; __duplicate__ becomes "in verified map"
+            # re-derives __CLUSTER__; __duplicate__ becomes "in verified map"
+            if isinstance(verified_parents, dict):
+                assigned = assign_clusters(assigned, verified_parents)
+            else:
+                assigned = assign_clusters_sharded(
+                    assigned, verified_parents, num_shards=merge_partitions
+                )
     metrics["stage_seconds"] = timer.report()
 
     deduped = assigned if skip_filtering else filter_cluster_roots(assigned)

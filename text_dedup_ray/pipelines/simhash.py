@@ -29,7 +29,7 @@ from ..stages.cc import connected_components, connected_components_auto
 from ..stages.edges import simhash_rep_part, simhash_rep_reduce
 from ..stages.exchange import tagged_split_exchange
 from ..stages.fingerprint import SimHashFingerprinter
-from .verify import verify_clusters
+from .verify import verify_clusters_auto
 
 
 @dataclass
@@ -136,13 +136,14 @@ def simhash_dedup(
 
     verified_parents = None
     if cfg.check_false_positive:
-        verified_parents = verify_clusters(
+        verified_parents = verify_clusters_auto(
             assigned,
             text_column,
             cfg.ngram_size,
             cfg.min_length,
             cfg.jaccard_threshold,
             mode="simhash",
+            driver_threshold=driver_threshold,
         )
         # update __CLUSTER__ only; keep the stale PRE-verification
         # __duplicate__ flag (quirk parity) — it is already a column on
@@ -154,7 +155,12 @@ def simhash_dedup(
             lambda t: t.append_column("__stale_dup__", t["__duplicate__"]),
             batch_format="pyarrow",
         )
-        reassigned = assign_clusters(stash, verified_parents)
+        if isinstance(verified_parents, dict):
+            reassigned = assign_clusters(stash, verified_parents)
+        else:
+            reassigned = assign_clusters_sharded(
+                stash, verified_parents, num_shards=merge_partitions
+            )
 
         def restore_flag(batch: pa.Table) -> pa.Table:
             return (

