@@ -106,3 +106,54 @@ class TestGlobalSuffixDedup:
         internal_id = len(rows) - 1
         txt = out[out.row_id == internal_id]["text"].iloc[0]
         assert txt.count("self repeating block here") <= 1
+
+    def test_forced_distributed_group_map_matches_driver(self):
+        """driver_threshold=0 routes the co-processing group map through
+        distributed CC + sharded tag lookup; output must match the driver
+        dict path exactly (VERDICT r2 #2)."""
+        rows = _corpus()
+        t = pa.table(
+            {"row_id": pa.array(range(len(rows)), pa.int64()), "text": pa.array(rows)}
+        )
+        driver = (
+            suffix_array_dedup_global(
+                ray.data.from_arrow(t).repartition(8), length_threshold=100,
+                num_partitions=8,
+            ).to_pandas().sort_values("row_id").reset_index(drop=True)
+        )
+        dist = (
+            suffix_array_dedup_global(
+                ray.data.from_arrow(t).repartition(8), length_threshold=100,
+                num_partitions=8, driver_threshold=0,
+            ).to_pandas().sort_values("row_id").reset_index(drop=True)
+        )
+        assert dist["row_id"].tolist() == driver["row_id"].tolist()
+        assert dist["text"].tolist() == driver["text"].tolist()
+
+
+class TestHubRoutedBoilerplate:
+    def test_over_cap_boilerplate_still_cut(self):
+        """A boilerplate run shared by MORE docs than max_bucket used to be
+        silently dropped from cross-partition dedup; the hub-replication
+        path must cut it from every doc."""
+        rng = np.random.RandomState(7)
+        vocab = ["w%03d" % i for i in range(300)]
+
+        def rand_text(n):
+            return " ".join(vocab[j] for j in rng.randint(0, 300, n))
+
+        boiler = "BOILER " + " ".join("b%03d" % i for i in rng.permutation(48))
+        n_docs = 40
+        rows = [rand_text(10) + " " + boiler + " " + rand_text(8) for _ in range(n_docs)]
+        t = pa.table(
+            {"row_id": pa.array(range(n_docs), pa.int64()), "text": pa.array(rows)}
+        )
+        # max_bucket far below the bucket size AND max_group far below the
+        # group size force both the hub routing and the chunked processing
+        out = suffix_array_dedup_global(
+            ray.data.from_arrow(t).repartition(8), length_threshold=100,
+            num_partitions=4, max_bucket=8, max_group=8,
+        ).to_pandas()
+        assert not out["text"].str.contains("BOILER").any()
+        # every doc survives (unique filler remains after the cut)
+        assert len(out) == n_docs

@@ -85,6 +85,7 @@ def suffix_array_dedup_global(
     anchor_k: int = 16,
     max_bucket: int = 512,
     max_group: int = 4096,
+    driver_threshold: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Exact-substring dedup with GLOBAL (cross-partition) semantics.
 
@@ -96,12 +97,25 @@ def suffix_array_dedup_global(
        .minimizer_hashes) — any two docs sharing a run >= length_threshold
        share an anchor regardless of byte alignment;
     2. an anchor-hash exchange emits star edges between co-anchored docs;
-       connected components give co-processing groups;
+       connected components (``connected_components_auto`` — a driver dict
+       below ``driver_threshold`` reduced edges, a Dataset + sharded lookup
+       above it, so the group map never forces driver state at scale) give
+       co-processing groups;
     3. docs are exchanged by group id; each group is deduped as one corpus
        with the exact kernel. Grouped-apart docs provably share no run
        >= length_threshold, so processing them separately equals the
-       reference's corpus-wide suffix array (up to the logged ``max_bucket``
-       / ``max_group`` skew caps — hot boilerplate anchors).
+       reference's corpus-wide suffix array (up to the logged ``max_group``
+       chunking of giant groups — see below).
+
+    Anchor buckets larger than ``max_bucket`` (hot boilerplate shared by
+    very many docs) are NOT dropped: they emit the same linear star edges
+    (hub = min member). The resulting giant group is processed in
+    ``max_group``-row chunks with the group's ROOT doc replicated into every
+    chunk — each chunk then holds >= 2 copies of any run shared between the
+    root and a member, so hot boilerplate is still cut from every doc at
+    O(chunk) memory instead of one quadratic corpus. Runs shared only
+    between two non-root members of different chunks of the same giant
+    group can still be missed (logged).
 
     Within-doc repeats are always cut (every doc passes through the kernel).
     """
@@ -109,7 +123,7 @@ def suffix_array_dedup_global(
 
     from ..functions.suffixarray import minimizer_hashes
     from ..sources.io import ROW_ID, stamp_row_ids_from_key
-    from ..stages.cc import connected_components
+    from ..stages.cc import connected_components_auto
     from ..stages.exchange import hash_partition_exchange
 
     logger = logging.getLogger(__name__)
@@ -149,22 +163,23 @@ def suffix_array_dedup_global(
         starts = np.flatnonzero(np.r_[True, np.diff(hs.view(np.int64)) != 0])
         ends = np.r_[starts[1:], len(hs)]
         src_out, dst_out = [], []
-        dropped = 0
+        hub_routed = 0
         for s, e in zip(starts, ends):
             m = e - s
             if m < 2:
                 continue
             if m > max_bucket:
-                dropped += 1
-                continue
+                hub_routed += 1  # star edges are linear either way; the cap
+                # now only marks the bucket for the chunked hub-replication
+                # path downstream instead of silently dropping it
             members = np.unique(rs[s:e])
             if len(members) < 2:
                 continue
             src_out.append(members[1:])
             dst_out.append(np.full(len(members) - 1, members[0], dtype=np.int64))
-        if dropped:
-            logger.warning("suffix_global: %d anchor buckets above cap %d dropped",
-                           dropped, max_bucket)
+        if hub_routed:
+            logger.info("suffix_global: %d anchor buckets above cap %d routed "
+                        "through hub-replicated chunking", hub_routed, max_bucket)
         if not src_out:
             return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
         return pa.table(
@@ -173,33 +188,59 @@ def suffix_array_dedup_global(
 
     anchors = ds.map_batches(emit_anchors, batch_format="pyarrow")
     edges = hash_partition_exchange(anchors, "part", num_partitions, anchor_edges)
-    groups = connected_components(edges)
+    groups = connected_components_auto(
+        edges, driver_threshold=driver_threshold, num_partitions=num_partitions
+    )
 
     import ray as _ray
 
-    if groups:
-        members = np.fromiter(groups.keys(), dtype=np.int64, count=len(groups))
-        roots = np.fromiter(groups.values(), dtype=np.int64, count=len(groups))
-        order = np.argsort(members, kind="stable")
-        members, roots = members[order], roots[order]
-    else:
-        members = np.empty(0, dtype=np.int64)
-        roots = np.empty(0, dtype=np.int64)
-    group_ref = _ray.put((members, roots))
-
-    def tag_group(batch: pa.Table) -> pa.Table:
-        mem, rts = _ray.get(group_ref)
-        ids = batch[ROW_ID].to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(mem):
-            pos = np.clip(np.searchsorted(mem, ids), 0, len(mem) - 1)
-            hit = mem[pos] == ids
-            grp = np.where(hit, rts[pos], ids)
+    if isinstance(groups, dict):
+        if groups:
+            members = np.fromiter(groups.keys(), dtype=np.int64, count=len(groups))
+            roots = np.fromiter(groups.values(), dtype=np.int64, count=len(groups))
+            order = np.argsort(members, kind="stable")
+            members, roots = members[order], roots[order]
         else:
-            grp = ids
-        part = (np.abs(grp) % num_partitions).astype(np.int64)
-        return batch.append_column("__group__", pa.array(grp)).append_column(
-            "part", pa.array(part)
+            members = np.empty(0, dtype=np.int64)
+            roots = np.empty(0, dtype=np.int64)
+        group_ref = _ray.put((members, roots))
+
+        def tag_group(batch: pa.Table) -> pa.Table:
+            mem, rts = _ray.get(group_ref)
+            ids = batch[ROW_ID].to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(mem):
+                pos = np.clip(np.searchsorted(mem, ids), 0, len(mem) - 1)
+                hit = mem[pos] == ids
+                grp = np.where(hit, rts[pos], ids)
+            else:
+                grp = ids
+            part = (np.abs(grp) % num_partitions).astype(np.int64)
+            return batch.append_column("__group__", pa.array(grp)).append_column(
+                "part", pa.array(part)
+            )
+
+        tagged = ds.map_batches(tag_group, batch_format="pyarrow")
+    else:
+        # group map too large to broadcast: sharded object-store lookup
+        # (same machinery as cluster assignment — payload rows never move
+        # for the tag itself, only for the group exchange below)
+        from ..stages.assign import CLUSTER_COLUMN, DUPLICATE_COLUMN, assign_clusters_sharded
+
+        with_groups = assign_clusters_sharded(
+            ds, groups.materialize(), num_shards=num_partitions
         )
+
+        def derive_part(batch: pa.Table) -> pa.Table:
+            grp = batch[CLUSTER_COLUMN].to_numpy(zero_copy_only=False).astype(np.int64)
+            part = (np.abs(grp) % num_partitions).astype(np.int64)
+            out = batch.drop_columns([DUPLICATE_COLUMN])
+            names = out.column_names
+            out = out.rename_columns(
+                ["__group__" if c == CLUSTER_COLUMN else c for c in names]
+            )
+            return out.append_column("part", pa.array(part))
+
+        tagged = with_groups.map_batches(derive_part, batch_format="pyarrow")
 
     def dedup_groups(part_tbl: pa.Table) -> pa.Table:
         if part_tbl.num_rows == 0:
@@ -211,39 +252,63 @@ def suffix_array_dedup_global(
         starts = np.flatnonzero(np.r_[True, np.diff(grp_s) != 0])
         ends = np.r_[starts[1:], len(grp_s)]
         pieces = []
-        truncated = 0
+        chunked_groups = 0
         # singletons (no >=L run shared with ANY other doc) can be processed
         # together as one corpus — no cross-doc ranges can appear
         singleton_slices = []
         for s, e in zip(starts, ends):
             if e - s == 1:
                 singleton_slices.append(tbl.slice(s, 1))
-            else:
-                m = e - s
-                if m > max_group:
-                    truncated += m - max_group
-                    m = max_group
+                continue
+            m = e - s
+            if m <= max_group:
                 pieces.append(_dedup_table_chunk(
                     tbl.slice(s, m), text_column, length_threshold, merge_strategy, drop_empty
                 ))
-                if e - s > max_group:
-                    pieces.append(_dedup_table_chunk(
-                        tbl.slice(s + max_group, e - s - max_group),
-                        text_column, length_threshold, merge_strategy, drop_empty,
-                    ))
+                continue
+            # giant group (hot boilerplate): process in max_group-row chunks
+            # with the group ROOT doc replicated into every chunk, so each
+            # chunk holds >= 2 copies of any root-shared run — boilerplate
+            # is cut everywhere at O(chunk) memory. Root output comes from
+            # chunk 0 only.
+            chunked_groups += 1
+            group_tbl = tbl.slice(s, m)
+            ids_g = group_tbl[ROW_ID].to_numpy(zero_copy_only=False).astype(np.int64)
+            hub_id = int(grp_s[s])
+            hub_mask = ids_g == hub_id
+            if hub_mask.any():
+                hub_tbl = group_tbl.filter(pa.array(hub_mask))
+                rest = group_tbl.filter(pa.array(~hub_mask))
+            else:  # root doc absent (shouldn't happen) — first row stands in
+                hub_tbl = group_tbl.slice(0, 1)
+                rest = group_tbl.slice(1)
+                hub_id = int(ids_g[0])
+            chunk_rows = max(1, max_group - 1)
+            for ci, cs in enumerate(range(0, rest.num_rows, chunk_rows)):
+                aug = pa.concat_tables([hub_tbl, rest.slice(cs, chunk_rows)])
+                out = _dedup_table_chunk(
+                    aug, text_column, length_threshold, merge_strategy, drop_empty
+                )
+                if ci > 0 and out.num_rows:
+                    out_ids = out[ROW_ID].to_numpy(zero_copy_only=False).astype(np.int64)
+                    out = out.filter(pa.array(out_ids != hub_id))
+                pieces.append(out)
         if singleton_slices:
             singles = pa.concat_tables(singleton_slices)
             pieces.append(_dedup_table_chunk(
                 singles, text_column, length_threshold, merge_strategy, drop_empty
             ))
-        if truncated:
-            logger.warning("suffix_global: group larger than %d split (%d rows overflowed)",
-                           max_group, truncated)
+        if chunked_groups:
+            logger.info(
+                "suffix_global: %d groups larger than %d processed via "
+                "hub-replicated chunks (runs shared only between non-root "
+                "members of different chunks can be missed)",
+                chunked_groups, max_group,
+            )
         if not pieces:
             return tbl.drop_columns(["__group__", "part"]).slice(0, 0)
         return pa.concat_tables([p.drop_columns(["__group__", "part"]) for p in pieces])
 
-    tagged = ds.map_batches(tag_group, batch_format="pyarrow")
     return hash_partition_exchange(tagged, "part", num_partitions, dedup_groups)
 
 
