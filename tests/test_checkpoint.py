@@ -95,3 +95,51 @@ class TestResume:
         )
         assert cached2 == {"signatures": True, "clusters": False}
         assert res.deduped.count() > 0
+
+
+class TestCheckpointedHotPathParity:
+    """The resumable variant runs the SAME streaming pipeline as
+    minhash_dedup (VERDICT r2 #4): auto CC with the driver_threshold
+    contract, hot-path metrics shape, identical output on both CC paths."""
+
+    def test_metrics_shape_and_forced_distributed(self, tmp_path):
+        import ray.data as rd
+
+        from text_dedup_ray.pipelines.minhash import minhash_dedup
+
+        docs, _ = generate_corpus(300, seed=17)
+        table = pa.table(
+            {"row_id": pa.array(range(300), pa.int64()), "text": docs["caption"]}
+        )
+        cfg = MinHashConfig(num_perm=32, bands=8, rows=4, ngram_size=2, hash_func="sha1")
+
+        res_hot = minhash_dedup(rd.from_arrow(table), text_column="text", cfg=cfg)
+        res_ck, cached = minhash_dedup_checkpointed(
+            rd.from_arrow(table), str(tmp_path / "a"), source_fingerprint="s", cfg=cfg
+        )
+        assert res_ck.metrics["cc_path"] == "driver"
+        assert set(res_ck.metrics["stage_seconds"]) >= {
+            "fingerprint+local_buckets", "rep_merge", "cc", "assign",
+        }
+        a = res_hot.deduped.to_pandas().sort_values("row_id").reset_index(drop=True)
+        b = res_ck.deduped.to_pandas().sort_values("row_id").reset_index(drop=True)
+        assert a["row_id"].tolist() == b["row_id"].tolist()
+
+        # forced-distributed checkpointed run: Dataset cluster map persisted,
+        # resumed run reloads it as a Dataset and matches
+        res_d, cached_d = minhash_dedup_checkpointed(
+            rd.from_arrow(table), str(tmp_path / "b"), source_fingerprint="s",
+            cfg=cfg, driver_threshold=0,
+        )
+        assert res_d.metrics["cc_path"] == "distributed"
+        assert isinstance(res_d.parents, rd.Dataset)
+        c = res_d.deduped.to_pandas().sort_values("row_id").reset_index(drop=True)
+        assert a["row_id"].tolist() == c["row_id"].tolist()
+        res_d2, cached2 = minhash_dedup_checkpointed(
+            rd.from_arrow(table), str(tmp_path / "b"), source_fingerprint="s",
+            cfg=cfg, driver_threshold=0,
+        )
+        assert cached2 == {"signatures": True, "clusters": True}
+        assert isinstance(res_d2.parents, rd.Dataset)
+        d = res_d2.deduped.to_pandas().sort_values("row_id").reset_index(drop=True)
+        assert a["row_id"].tolist() == d["row_id"].tolist()
