@@ -343,6 +343,48 @@ def _q_minhash_docs(sf_dir: str):
     )
 
 
+def _q_exact_incremental(sf_dir: str):
+    """Tiered exact dedup: bootstrap on the first ~80% of doc ids, increment
+    with the rest. Old winners can never be displaced (ids increase), so
+    survivors = bootstrap survivors ∪ increment survivors equals the
+    full-batch run — the oracle is the same min-per-text SQL as
+    ``exact_dedup_docs``. Returns survivors' (doc_id, text)."""
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from text_dedup_ray.pipelines.incremental_exact import (
+        exact_bootstrap,
+        exact_increment,
+    )
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    cut = int(docs.max("doc_id") * 0.8)
+
+    def split(keep_old: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = pc.less_equal(t["doc_id"], pa.scalar(cut, pa.int64()))
+            return t.filter(m if keep_old else pc.invert(m))
+
+        return f
+
+    state = tempfile.mkdtemp(prefix="exact_state_", dir="/tmp")
+    boot = exact_bootstrap(
+        docs.map_batches(split(True), batch_format="pyarrow"),
+        state,
+        id_column="doc_id",
+        num_partitions=16,
+    )
+    inc = exact_increment(
+        docs.map_batches(split(False), batch_format="pyarrow"),
+        state,
+        id_column="doc_id",
+    )
+    return boot.deduped.select_columns(["doc_id", "text"]).union(
+        inc.deduped.select_columns(["doc_id", "text"])
+    )
+
+
 def _q_minhash_verified(sf_dir: str):
     """MinHashLSH dedup WITH the false-positive Jaccard verify pass
     (check_false_positive=True): verified members regroup under min(verified)
@@ -619,6 +661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup (SQL-checked where expressible) ---
         "exact_dedup_docs": _q_exact_dedup,
         "exact_clusters": _q_exact_clusters,
+        "exact_incremental_docs": _q_exact_incremental,
         "cluster_size_histogram": _q_cluster_histogram,
         # --- aggregates / windows (SQL-checked) ---
         "top_sources": _q_top_sources,
@@ -686,6 +729,10 @@ def oracle_sql() -> dict[str, str]:
         "exact_clusters": (
             "SELECT doc_id AS row_id, min(doc_id) OVER (PARTITION BY text) AS cluster_id "
             "FROM documents"
+        ),
+        "exact_incremental_docs": (
+            "SELECT doc_id, text FROM documents QUALIFY "
+            "doc_id = min(doc_id) OVER (PARTITION BY text)"
         ),
         "cluster_size_histogram": (
             "WITH c AS (SELECT count(*)::BIGINT AS cluster_size FROM documents GROUP BY text) "

@@ -1,0 +1,307 @@
+"""Incremental (tiered) EXACT dedup: first-occurrence-wins against a saved
+content-hash index.
+
+The reference's exact path (bloom_filter.py:23-60) is a sequential
+single-process Bloom stream with no persistence; the batch Ray version
+(pipelines/exact.py) rebuilds the winner set from scratch each run. This module
+generalizes the tiered pattern of :mod:`incremental` (minhash/simhash) to
+exact dedup:
+
+- :func:`exact_bootstrap`: full exact dedup over the initial corpus that
+  persists a ``(content hash, winner row_id)`` index pre-partitioned by the
+  leading 8 digest bytes — one parquet file per partition, rows sorted by
+  hash — plus meta (version, max row id).
+- :func:`exact_increment`: hashes ONLY the new batch, exchanges its narrow
+  (hash, row_id) rows by the same partitioning, and each reduce task merges
+  against its prior index file read LOCALLY from storage (the old index is
+  never re-shuffled), emits the new rows' cluster assignments, and rewrites
+  its partition into the next version.
+
+Because row ids are strictly increasing across increments (validated like
+:func:`incremental.minhash_increment`), an old winner can never be displaced:
+survivors of earlier versions stay survivors, so
+
+    full-batch exact_dedup(old ∪ new) == bootstrap.deduped ∪ increment.deduped
+
+exactly — asserted by tests/test_incremental_exact.py and the
+``exact_incremental_docs`` driver query (oracle: the same min-per-text SQL as
+the batch path). Unlike minhash/simhash there is no cluster-merge case (a
+hash either existed or it didn't), so increments never touch prior cluster
+rows: per-version cluster files hold ONLY the new batch's non-trivial rows
+and the cumulative map is the union of all versions — increment cost is
+O(new batch + index IO), zero rewrite amplification on the cluster side.
+
+Scale posture: per-increment network cost is one exchange of the NEW batch's
+24-byte (hash-prefix, row) rows; the index rewrite is local storage IO
+proportional to index size; driver state is O(1) (the assignment map goes
+through the same dict/Dataset auto threshold as everything else).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from ..sources.io import ROW_ID, stamp_row_ids_from_key
+from ..stages.assign import assign_clusters, assign_clusters_sharded, filter_cluster_roots
+from ..state.checkpoint import config_hash
+from .exact import HASH_WIDTH, _add_hash_part, _hash_view, _void_to_fixed, add_content_hash
+from .incremental import (
+    IncrementResult,
+    _clean_version_dir,
+    _clusters_dir,
+    _version_dir,
+    _write_meta,
+    load_meta,
+)
+from ..functions.timer import Timer
+
+_HASH_COL = "__content_hash__"
+
+
+def _index_file(state_dir: str, version: int, p: int) -> str:
+    return os.path.join(_version_dir(state_dir, version), "index", f"part-{p:05d}.parquet")
+
+
+def _exact_cfg_hash(text_column: str) -> str:
+    return config_hash({"algo": "exact_state", "text": text_column, "width": HASH_WIDTH})
+
+
+_EMPTY_MAP = pa.table(
+    {"row_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
+)
+
+
+@ray.remote
+def _exact_reduce_write(
+    out_path: str, prior_path: str | None, *tables: pa.Table
+) -> pa.Table:
+    """Merge one hash partition: new (hash, row_id) rows vs the prior index
+    file (read locally, never shuffled). Writes the merged sorted
+    ``(hash, winner)`` file for the next version and returns the new rows'
+    (row_id, cluster_id) assignments."""
+    parts = [t.select([_HASH_COL, ROW_ID]) for t in tables if t.num_rows > 0]
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    if prior_path is not None and os.path.exists(prior_path):
+        prior = pq.read_table(prior_path)
+        ph = _hash_view(prior["hash"], prior.num_rows)
+        pw = prior["winner"].to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        ph = np.empty(0, dtype=f"V{HASH_WIDTH}")
+        pw = np.empty(0, dtype=np.int64)
+
+    if not parts:
+        pq.write_table(
+            pa.table({"hash": _void_to_fixed(ph), "winner": pw}), out_path
+        )
+        return _EMPTY_MAP
+
+    new = pa.concat_tables(parts)
+    h = _hash_view(new[_HASH_COL], new.num_rows).copy()
+    r = new[ROW_ID].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(h, kind="stable")
+    hs, rs = h[order], r[order]
+    diff = np.r_[True, hs[1:] != hs[:-1]]
+    starts = np.flatnonzero(diff)
+    uniq_h = hs[starts]
+    new_min = np.minimum.reduceat(rs, starts)
+    # winner per distinct new hash: the prior winner when the hash exists
+    # (old ids always < new ids), else the batch min
+    if len(ph):
+        pos = np.clip(np.searchsorted(ph, uniq_h), 0, len(ph) - 1)
+        hit = ph[pos] == uniq_h
+        winner = np.where(hit, pw[pos], new_min)
+    else:
+        hit = np.zeros(len(uniq_h), dtype=bool)
+        winner = new_min
+    # merged index = prior rows + genuinely-new hashes, re-sorted
+    add_h, add_w = uniq_h[~hit], winner[~hit]
+    if len(add_h):
+        mh = np.concatenate([ph, add_h])
+        mw = np.concatenate([pw, add_w])
+        morder = np.argsort(mh, kind="stable")
+        mh, mw = mh[morder], mw[morder]
+    else:
+        mh, mw = ph, pw
+    pq.write_table(pa.table({"hash": _void_to_fixed(mh), "winner": mw}), out_path)
+    # per-row assignment for the new batch
+    group_idx = np.cumsum(diff) - 1
+    cluster_sorted = winner[group_idx]
+    out_cluster = np.empty(len(r), dtype=np.int64)
+    out_cluster[order] = cluster_sorted
+    return pa.table({"row_id": r, "cluster_id": out_cluster})
+
+
+def _exchange_and_reduce(
+    hashed: ray.data.Dataset,
+    state_dir: str,
+    new_version: int,
+    prior_version: int | None,
+    num_partitions: int,
+) -> ray.data.Dataset:
+    """Hash-partition the new batch's narrow (hash, row_id) rows and run the
+    per-partition merge against the prior index files. Streams block-by-block
+    as the hash stage produces (no materialize barrier)."""
+    from ..stages.exchange import _split_block
+
+    narrow = hashed.select_columns([_HASH_COL, ROW_ID]).map_batches(
+        _add_hash_part(_HASH_COL, num_partitions), batch_format="pyarrow"
+    )
+    split = ray.remote(num_returns=num_partitions)(_split_block)
+    columns: list[list[ray.ObjectRef]] = [[] for _ in range(num_partitions)]
+    for bundle in narrow.iter_internal_ref_bundles():
+        for block_ref in bundle.block_refs:
+            outs = split.remote(block_ref, "part", num_partitions)
+            if num_partitions == 1:
+                outs = [outs]
+            for p in range(num_partitions):
+                columns[p].append(outs[p])
+    reduced = []
+    for p in range(num_partitions):
+        prior = (
+            _index_file(state_dir, prior_version, p) if prior_version is not None else None
+        )
+        reduced.append(
+            _exact_reduce_write.remote(
+                _index_file(state_dir, new_version, p), prior, *columns[p]
+            )
+        )
+    return ray.data.from_arrow_refs(reduced)
+
+
+def _persist_new_clusters(cluster_map: ray.data.Dataset, out_dir: str) -> None:
+    """Non-trivial (row_id != cluster_id) rows of THIS batch only — exact
+    dedup never remaps old rows, so versions are purely additive."""
+    import pyarrow.compute as pc
+
+    os.makedirs(out_dir, exist_ok=True)
+    cluster_map.map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t["row_id"], t["cluster_id"]))),
+        batch_format="pyarrow",
+    ).write_parquet(out_dir)
+
+
+def _finish(
+    ds: ray.data.Dataset,
+    cluster_map: ray.data.Dataset,
+    state_dir: str,
+    version: int,
+    num_partitions: int,
+    driver_threshold: int,
+    timer: Timer,
+) -> IncrementResult:
+    cluster_map = cluster_map.materialize()
+    with timer("assign+state"):
+        _persist_new_clusters(cluster_map, _clusters_dir(state_dir, version))
+        if cluster_map.count() <= driver_threshold:
+            parents: dict | ray.data.Dataset = {
+                int(m): int(c)
+                for b in cluster_map.iter_batches(batch_size=None, batch_format="pyarrow")
+                for m, c in zip(b["row_id"].to_pylist(), b["cluster_id"].to_pylist())
+            }
+            assigned = assign_clusters(ds, parents)
+        else:
+            parents = cluster_map
+            assigned = assign_clusters_sharded(ds, cluster_map, num_shards=num_partitions)
+    return IncrementResult(
+        assigned=assigned,
+        deduped=filter_cluster_roots(assigned),
+        parents=parents,
+        state_version=version,
+        metrics={"stage_seconds": timer.report()},
+    )
+
+
+def exact_bootstrap(
+    ds: ray.data.Dataset,
+    state_dir: str,
+    text_column: str = "text",
+    id_column: str | None = None,
+    num_partitions: int = 64,
+    driver_threshold: int = 2_000_000,
+) -> IncrementResult:
+    """Full exact dedup over the initial corpus, persisting the partitioned
+    ``(hash, winner)`` index + meta to ``state_dir``."""
+    timer = Timer()
+    if id_column is not None:
+        ds = stamp_row_ids_from_key(ds, id_column)
+    elif ROW_ID not in ds.schema().names:
+        raise ValueError("dataset must have a row_id column or pass id_column")
+    ds_max = ds.select_columns([ROW_ID]).max(ROW_ID)
+    max_row_id = -1 if ds_max is None else int(ds_max)
+
+    version = 1
+    _clean_version_dir(state_dir, version)
+    hashed = add_content_hash(ds, text_column, _HASH_COL)
+    with timer("hash+index"):
+        cluster_map = _exchange_and_reduce(hashed, state_dir, version, None, num_partitions)
+    result = _finish(
+        ds, cluster_map, state_dir, version, num_partitions, driver_threshold, timer
+    )
+    _write_meta(
+        state_dir,
+        {
+            "algo": "exact",
+            "version": version,
+            "cfg_hash": _exact_cfg_hash(text_column),
+            "max_row_id": max_row_id,
+            "num_partitions": num_partitions,
+        },
+    )
+    result.state_version = version
+    return result
+
+
+def exact_increment(
+    new_ds: ray.data.Dataset,
+    state_dir: str,
+    text_column: str = "text",
+    id_column: str | None = None,
+    driver_threshold: int = 2_000_000,
+    validate_ids: bool = True,
+) -> IncrementResult:
+    """Dedup ``new_ds`` against the saved index AND itself; persist the next
+    version. ``deduped`` holds exactly the new rows a full batch re-run over
+    old ∪ new would keep."""
+    timer = Timer()
+    meta = load_meta(state_dir)
+    if meta["cfg_hash"] != _exact_cfg_hash(text_column):
+        raise ValueError("state was built over a different text column/config")
+    prior_version = int(meta["version"])
+    num_partitions = int(meta["num_partitions"])
+    prior_max = int(meta["max_row_id"])
+
+    if id_column is not None:
+        new_ds = stamp_row_ids_from_key(new_ds, id_column)
+    elif ROW_ID not in new_ds.schema().names:
+        raise ValueError("dataset must have a row_id column or pass id_column")
+    ids_narrow = new_ds.select_columns([ROW_ID])
+    batch_max = ids_narrow.max(ROW_ID)
+    new_max = prior_max if batch_max is None else int(batch_max)
+    if validate_ids:
+        new_min = ids_narrow.min(ROW_ID)
+        if new_min is not None and int(new_min) <= prior_max:
+            raise ValueError(
+                f"new row ids must exceed the saved max_row_id={prior_max} "
+                f"(got min={int(new_min)}); old ids must win min-tie-breaks"
+            )
+
+    version = prior_version + 1
+    _clean_version_dir(state_dir, version)
+    hashed = add_content_hash(new_ds, text_column, _HASH_COL)
+    with timer("hash+index"):
+        cluster_map = _exchange_and_reduce(
+            hashed, state_dir, version, prior_version, num_partitions
+        )
+    result = _finish(
+        new_ds, cluster_map, state_dir, version, num_partitions, driver_threshold, timer
+    )
+    meta.update({"version": version, "max_row_id": max(prior_max, new_max)})
+    _write_meta(state_dir, meta)
+    result.state_version = version
+    return result
