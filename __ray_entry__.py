@@ -296,6 +296,74 @@ def _q_embedding_dedup_lsh(sf_dir: str):
     return cluster_map_table(parents)
 
 
+def _q_embedding_incremental(sf_dir: str):
+    """Tiered embedding-LSH dedup: bootstrap on the original embeddings,
+    increment with the planted exact copies (vec_id + PLANT_OFFSET, so new
+    ids exceed the saved max as the state contract requires). By the
+    incremental-equivalence guarantee (pipelines/incremental_embedding.py,
+    tests/test_incremental_embedding.py) the final state equals a batch
+    embedding_cosine_dedup run over the planted union; over this fixture
+    the LSH map equals the EXACT map — identical vectors collide in every
+    hash table, candidate edges are cosine-verified (no false positives),
+    and the raw table has no natural pairs >= 0.98 — so
+    ``embedding_dedup_sql`` applies verbatim. Returns the full
+    (row_id, cluster_id) map including roots."""
+    import glob as _glob
+    import tempfile
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from text_dedup_ray.pipelines.incremental_embedding import (
+        embedding_bootstrap,
+        embedding_increment,
+    )
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def plant_copy(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.set_column(
+            t.column_names.index("vec_id"),
+            "vec_id",
+            pc.add(t["vec_id"], pa.scalar(PLANT_OFFSET, pa.int64())),
+        )
+
+    state = tempfile.mkdtemp(prefix="emb_state_", dir="/tmp")
+    embedding_bootstrap(
+        emb, state, id_column="vec_id", threshold=0.98, num_partitions=16
+    )
+    inc = embedding_increment(
+        emb.map_batches(plant_copy, batch_format="pyarrow"), state, id_column="vec_id"
+    )
+    rows, roots = [], []
+    for f in _glob.glob(f"{state}/v{inc.state_version:05d}/clusters/*.parquet"):
+        t = pq.read_table(f)
+        if t.num_rows:
+            rows.append(t["row_id"].to_numpy(zero_copy_only=False))
+            roots.append(t["cluster_id"].to_numpy(zero_copy_only=False))
+    mids = np.concatenate(rows).astype(np.int64) if rows else np.empty(0, np.int64)
+    mroots = np.concatenate(roots).astype(np.int64) if roots else np.empty(0, np.int64)
+    order = np.argsort(mids)
+    map_ref = ray.put((mids[order], mroots[order]))
+
+    def full_map(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k, v = ray.get(map_ref)
+        pos = np.searchsorted(k, ids)
+        in_range = pos < len(k)
+        hit = np.zeros(len(ids), dtype=bool)
+        hit[in_range] = k[pos[in_range]] == ids[in_range]
+        out = ids.copy()
+        out[hit] = v[pos[hit]]
+        return pa.table({"row_id": ids, "cluster_id": out})
+
+    return _planted_embeddings(sf_dir).map_batches(full_map, batch_format="pyarrow")
+
+
 def _q_jaccard_pairs(sf_dir: str):
     from text_dedup_ray.pipelines.jaccard_dedup import jaccard_pair_table
 
@@ -679,6 +747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_cosine_pairs": _q_embedding_pairs,
         "embedding_cosine_dedup": _q_embedding_dedup,
         "embedding_cosine_dedup_lsh": _q_embedding_dedup_lsh,  # rows-only (LSH recall)
+        "embedding_incremental_docs": _q_embedding_incremental,
         # --- near-dup pipelines (SQL-checked via md5 base hash + recursive-CTE CC) ---
         "minhash_dedup_docs": _q_minhash_docs,
         "minhash_verified_docs": _q_minhash_verified,
@@ -795,6 +864,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dedup_docs": _oracles.simhash_dedup_sql(_SIMHASH_ORACLE_CFG()),
         "simhash_incremental_docs": _oracles.simhash_dedup_sql(_SIMHASH_ORACLE_CFG()),
         "embedding_cosine_dedup": _oracles.embedding_dedup_sql(0.98, PLANT_OFFSET),
+        # incremental state == batch LSH run (tests/test_incremental_embedding.py),
+        # and over the planted fixture LSH == exact (see _q_embedding_incremental)
+        "embedding_incremental_docs": _oracles.embedding_dedup_sql(0.98, PLANT_OFFSET),
         "embedding_cosine_pairs": _oracles.embedding_pairs_sql(0.98, PLANT_OFFSET),
         "doc_winnowing_fp": _oracles.winnowing_sql(),
         "suffix_array_dedup_docs": _oracles.suffix_dedup_sql(100),

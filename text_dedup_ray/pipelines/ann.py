@@ -461,6 +461,30 @@ def embedding_cosine_dedup(
     from ..stages.cc import connected_components_auto
     from ..stages.exchange import hash_partition_exchange
 
+    sig_stage = make_embedding_sig_stage(
+        embedding_column, id_column, num_tables, num_bits, seed, merge_partitions
+    )
+    sig = ds.map_batches(sig_stage, batch_format="pyarrow")
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        return embedding_partition_edges(group, threshold)
+
+    edges = hash_partition_exchange(sig, "part", merge_partitions, per_partition)
+    return connected_components_auto(edges, driver_threshold=driver_threshold)
+
+
+def make_embedding_sig_stage(
+    embedding_column: str,
+    id_column: str,
+    num_tables: int,
+    num_bits: int,
+    seed: int,
+    merge_partitions: int,
+):
+    """The hyperplane-LSH signature kernel as a reusable map_batches closure
+    (shared by the batch dedup above and the incremental index in
+    pipelines/incremental_embedding.py — identical planes per seed, so
+    bucket assignment is reproducible across runs)."""
     planes_holder = {}
 
     def sig_stage(batch: pa.Table) -> pa.Table:
@@ -506,50 +530,82 @@ def embedding_cosine_dedup(
             }
         )
 
-    sig = ds.map_batches(sig_stage, batch_format="pyarrow")
+    return sig_stage
 
-    def per_partition(group: pa.Table) -> pa.Table:
-        if group.num_rows == 0:
-            return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
-        ids = group["row_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        t = group["table_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = group["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
-        vec_col = group["vec"].combine_chunks()
-        valid = ~np.asarray(vec_col.is_null())
-        v_ids = ids[valid]
-        flat = vec_col.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
-        vmat = flat.reshape(len(v_ids), -1) if len(v_ids) else np.empty((0, 1), np.float32)
-        # one vector per distinct row_id in this partition
-        v_order = np.argsort(v_ids, kind="stable")
-        v_ids_s = v_ids[v_order]
-        first = np.r_[True, np.diff(v_ids_s) != 0]
-        lookup_ids = v_ids_s[first]
-        lookup_mat = vmat[v_order[first]]
 
-        order = np.lexsort((ids, b, t))
-        ts, bs = t[order], b[order]
-        starts = np.flatnonzero(np.r_[True, (np.diff(ts) != 0) | (np.diff(bs) != 0)])
-        ends = np.r_[starts[1:], len(order)]
-        src_out, dst_out = [], []
-        for s, e in zip(starts, ends):
-            if e - s < 2:
-                continue
-            idx = order[s:e]
-            mids = ids[idx]
-            pos = np.searchsorted(lookup_ids, mids)
-            mv = lookup_mat[pos]
+_EMPTY_EDGE_TABLE = pa.table(
+    {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+)
+
+
+def embedding_partition_edges(
+    group: pa.Table, threshold: float, n_old: int = 0
+) -> pa.Table:
+    """Verified cosine edges among same-(table, bucket) members of one
+    exchange partition. ``n_old`` > 0 (the incremental path): the first
+    ``n_old`` rows of ``group`` are the prior index — only (new x old) and
+    (new x new) pairs are compared, since old-old connectivity is already
+    folded into the prior cluster map (same argument as the SimHash
+    incremental compare, stages/edges.simhash_distinct_sig_edges)."""
+    if group.num_rows == 0:
+        return _EMPTY_EDGE_TABLE
+    ids = group["row_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    t = group["table_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = group["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+    vec_col = group["vec"].combine_chunks()
+    valid = ~np.asarray(vec_col.is_null())
+    v_ids = ids[valid]
+    flat = vec_col.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
+    vmat = flat.reshape(len(v_ids), -1) if len(v_ids) else np.empty((0, 1), np.float32)
+    # one vector per distinct row_id in this partition
+    v_order = np.argsort(v_ids, kind="stable")
+    v_ids_s = v_ids[v_order]
+    first = np.r_[True, np.diff(v_ids_s) != 0]
+    lookup_ids = v_ids_s[first]
+    lookup_mat = vmat[v_order[first]]
+
+    is_new = np.zeros(len(ids), dtype=bool)
+    is_new[n_old:] = True
+
+    order = np.lexsort((ids, b, t))
+    ts, bs = t[order], b[order]
+    starts = np.flatnonzero(np.r_[True, (np.diff(ts) != 0) | (np.diff(bs) != 0)])
+    ends = np.r_[starts[1:], len(order)]
+    src_out, dst_out = [], []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        idx = order[s:e]
+        if n_old:
+            gnew = is_new[idx]
+            if not gnew.any():
+                continue  # pure-old bucket: edges already in the prior map
+            idx = idx[np.argsort(gnew, kind="stable")]  # old first, new last
+            g_old = int((~gnew).sum())
+        else:
+            g_old = 0
+        mids = ids[idx]
+        pos = np.searchsorted(lookup_ids, mids)
+        mv = lookup_mat[pos]
+        if g_old == 0 and n_old == 0:
             sims = mv @ mv.T
             ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
-            if len(ii):
-                a, c = mids[ii], mids[jj]
-                src_out.append(np.maximum(a, c))
-                dst_out.append(np.minimum(a, c))
-        if not src_out:
-            return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
-        return pa.table(
-            {"src": np.concatenate(src_out).astype(np.int64),
-             "dst": np.concatenate(dst_out).astype(np.int64)}
-        )
-
-    edges = hash_partition_exchange(sig, "part", merge_partitions, per_partition)
-    return connected_components_auto(edges, driver_threshold=driver_threshold)
+        else:
+            m = len(idx)
+            new_mv = mv[g_old:]
+            sims = new_mv @ mv.T  # (new, all)
+            cols = np.arange(m)[None, :]
+            rows = (g_old + np.arange(m - g_old))[:, None]
+            allow = (cols < g_old) | (cols > rows)  # old cols always; new-new upper-tri
+            ii, jj = np.nonzero((sims >= threshold) & allow)
+            ii = ii + g_old
+        if len(ii):
+            a, c = mids[ii], mids[jj]
+            src_out.append(np.maximum(a, c))
+            dst_out.append(np.minimum(a, c))
+    if not src_out:
+        return _EMPTY_EDGE_TABLE
+    return pa.table(
+        {"src": np.concatenate(src_out).astype(np.int64),
+         "dst": np.concatenate(dst_out).astype(np.int64)}
+    )
