@@ -225,6 +225,23 @@ def _q_ann_topk(sf_dir: str):
     return out.select(["query_idx", "vec_id"])
 
 
+def _q_ann_topk_ds(sf_dir: str):
+    """The queries-AS-DATASET top-k path (distributed partial merge through
+    the hash exchange — no driver-side to_pandas of partials); same 5
+    queries as ann_topk, so the same exhaustive SQL oracle applies with the
+    query id column renamed."""
+    from text_dedup_ray.pipelines.ann import brute_force_topk_ds
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def relabel(t: pa.Table) -> pa.Table:
+        return pa.table({"query_id": t["vec_id"], "embedding": t["embedding"]})
+
+    q_ds = emb.filter(expr="vec_id < 5").map_batches(relabel, batch_format="pyarrow")
+    out = brute_force_topk_ds(emb, q_ds, k=10, num_partitions=8, dtype=np.float64)
+    return out.select_columns(["query_id", "vec_id"])
+
+
 def _q_ann_ivf(sf_dir: str):
     """IVF top-k at full probe (nprobe == n_cells) is exhaustive, so the
     brute-force SQL oracle applies verbatim; the partial-probe scale path is
@@ -744,6 +761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_lsh_topk": _q_ann_lsh,              # rows-only (approximate by design)
+        "ann_topk_ds": _q_ann_topk_ds,
         "embedding_cosine_pairs": _q_embedding_pairs,
         "embedding_cosine_dedup": _q_embedding_dedup,
         "embedding_cosine_dedup_lsh": _q_embedding_dedup_lsh,  # rows-only (LSH recall)
@@ -842,6 +860,13 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5) "
             "SELECT q.qid AS query_idx, e.vec_id FROM q CROSS JOIN embeddings e "
+            "QUALIFY row_number() OVER (PARTITION BY q.qid ORDER BY "
+            "list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]) DESC, e.vec_id) <= 10"
+        ),
+        # queries-as-Dataset path: same 5 queries, distributed merge
+        "ann_topk_ds": (
+            "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5) "
+            "SELECT q.qid AS query_id, e.vec_id FROM q CROSS JOIN embeddings e "
             "QUALIFY row_number() OVER (PARTITION BY q.qid ORDER BY "
             "list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]) DESC, e.vec_id) <= 10"
         ),

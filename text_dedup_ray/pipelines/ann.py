@@ -341,6 +341,128 @@ def ivf_topk(
     return pa.Table.from_pandas(merged, preserve_index=False)
 
 
+def _mix_to_part(ids: np.ndarray, num_partitions: int) -> np.ndarray:
+    """Multiplicative hash of int64 ids -> [0, P) partition ids (uniform even
+    for clustered/sequential id ranges)."""
+    mixed = (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(17)
+    return (mixed % np.uint64(num_partitions)).astype(np.int64)
+
+
+def brute_force_topk_ds(
+    ds: ray.data.Dataset,
+    queries: ray.data.Dataset,
+    k: int = 10,
+    embedding_column: str = "embedding",
+    id_column: str = "vec_id",
+    query_id_column: str = "query_id",
+    num_partitions: int = 32,
+    dtype=np.float32,
+    broadcast_limit: int = 1 << 30,
+) -> ray.data.Dataset:
+    """Exact cosine top-k with the QUERIES AS A DATASET (the many-queries
+    path the driver-array APIs above don't cover — e.g. "for each new doc,
+    find its nearest neighbors in the corpus").
+
+    Plan: the narrow (query_id, embedding) projection is materialized into
+    the object store and read ONCE PER ACTOR (`ray.put`-style broadcast —
+    zero-copy shared per node); every corpus batch emits its local top-k per
+    query; the partials are hash-partitioned BY QUERY ID through the
+    explicit exchange and each partition takes its queries' global top-k —
+    the merged result is a Dataset and never lands on the driver (unlike
+    ``brute_force_topk``'s ``to_pandas`` merge, which is k x queries x
+    blocks and driver-bound).
+
+    Contract: the query matrix must fit in a worker's heap (checked against
+    ``broadcast_limit`` bytes). For query sets beyond that, swap roles — the
+    larger side should be ``ds``."""
+    from ..stages.exchange import hash_partition_exchange
+
+    q_narrow = queries.select_columns([query_id_column, embedding_column]).materialize()
+    q_bytes = q_narrow.size_bytes() or 0
+    if q_bytes > broadcast_limit:
+        raise ValueError(
+            f"query dataset is {q_bytes} bytes > broadcast_limit={broadcast_limit}; "
+            "swap the roles of ds and queries (ds should be the larger side)"
+        )
+    q_refs = q_narrow.to_arrow_refs()
+
+    def _empty() -> pa.Table:
+        return pa.table(
+            {
+                query_id_column: pa.array([], pa.int64()),
+                id_column: pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+
+    class DSLocalTopK:
+        def __init__(self, q_refs, k: int) -> None:
+            blocks = [t for t in ray.get(list(q_refs)) if t.num_rows]
+            if blocks:
+                self.qids = np.concatenate(
+                    [b[query_id_column].to_numpy(zero_copy_only=False) for b in blocks]
+                ).astype(np.int64)
+                self.q = _normalize(
+                    np.concatenate(
+                        [_batch_matrix(b, embedding_column, dtype) for b in blocks]
+                    )
+                )
+            else:
+                self.qids = np.empty(0, np.int64)
+                self.q = np.empty((0, 1), dtype)
+            self.part = _mix_to_part(self.qids, num_partitions)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or not len(self.qids):
+                e = _empty()
+                return e.append_column("part", pa.array([], pa.int64()))
+            m = _normalize(_batch_matrix(batch, embedding_column, dtype))
+            ids = batch[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+            scores = self.q @ m.T  # (nq, nb)
+            nq, nb = scores.shape
+            kk = min(self.k, nb)
+            top = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            qi = np.repeat(np.arange(nq, dtype=np.int64), kk)
+            vi = top.reshape(-1)
+            return pa.table(
+                {
+                    query_id_column: self.qids[qi],
+                    id_column: ids[vi],
+                    "score": scores[np.arange(nq)[:, None], top]
+                    .reshape(-1)
+                    .astype(np.float64),
+                    "part": self.part[qi],
+                }
+            )
+
+    partials = ds.map_batches(
+        DSLocalTopK, fn_constructor_args=(q_refs, k), batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or query_id_column not in group.column_names:
+            return _empty()
+        qid = group[query_id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        vid = group[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        sc = group["score"].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((vid, -sc, qid))
+        qs = qid[order]
+        starts = np.flatnonzero(np.r_[True, np.diff(qs) != 0])
+        rank = np.arange(len(qs)) - np.repeat(starts, np.diff(np.r_[starts, len(qs)]))
+        keep = rank < k
+        return pa.table(
+            {
+                query_id_column: qs[keep],
+                id_column: vid[order][keep],
+                "score": sc[order][keep],
+            }
+        )
+
+    return hash_partition_exchange(partials, "part", num_partitions, merge_topk)
+
+
 def first_occurrence_mask(part: np.ndarray) -> np.ndarray:
     """(n, tables) partition ids -> boolean mask of the FIRST occurrence of
     each distinct partition per row. The embedding vector is attached only to
