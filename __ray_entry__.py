@@ -704,6 +704,74 @@ def _q_phash_images(sf_dir: str):
     return cluster_map_table(parents)
 
 
+def _q_minhash_incremental_images(sf_dir: str):
+    """Tiered dedup over the IMAGE corpus (the graft cell — tier dedup x
+    image payload): bootstrap on the first ~80% of image row ids, increment
+    with the rest. By the incremental-equivalence guarantee the final state
+    equals a full batch run, so ``minhash_images_sql`` applies verbatim.
+    Survivors = min-length-passing images never flagged duplicate, output
+    (image_id, caption, phash) like ``minhash_dedup_images``."""
+    import glob as _glob
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from text_dedup_ray.pipelines.images import image_ids_to_row_ids
+    from text_dedup_ray.pipelines.incremental import (
+        minhash_bootstrap,
+        minhash_increment,
+    )
+    from text_dedup_ray.pipelines.minhash import min_length_filter
+    from text_dedup_ray.sources.io import ROW_ID
+
+    cfg = _MINHASH_ORACLE_CFG()
+    ds = image_ids_to_row_ids(_corpus_ds(sf_dir))
+    cut = int(ds.max(ROW_ID) * 0.8)
+
+    def split(keep_old: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = pc.less_equal(t[ROW_ID], pa.scalar(cut, pa.int64()))
+            return t.filter(m if keep_old else pc.invert(m))
+
+        return f
+
+    state = tempfile.mkdtemp(prefix="img_lsh_state_", dir="/tmp")
+    minhash_bootstrap(
+        ds.map_batches(split(True), batch_format="pyarrow"),
+        state,
+        text_column="caption",
+        cfg=cfg,
+        num_partitions=16,
+    )
+    inc = minhash_increment(
+        ds.map_batches(split(False), batch_format="pyarrow"),
+        state,
+        text_column="caption",
+        cfg=cfg,
+    )
+    members = []
+    for f in _glob.glob(f"{state}/v{inc.state_version:05d}/clusters/*.parquet"):
+        t = pq.read_table(f, columns=["row_id"])
+        if t.num_rows:
+            members.append(t["row_id"].to_numpy(zero_copy_only=False))
+    dup_ids = np.sort(np.concatenate(members)) if members else np.empty(0, np.int64)
+    dup_ref = ray.put(dup_ids.astype(np.int64))
+
+    def survivors(t: pa.Table) -> pa.Table:
+        ids = t[ROW_ID].to_numpy(zero_copy_only=False).astype(np.int64)
+        dups = ray.get(dup_ref)
+        pos = np.searchsorted(dups, ids)
+        in_range = pos < len(dups)
+        dup_mask = np.zeros(len(ids), dtype=bool)
+        dup_mask[in_range] = dups[pos[in_range]] == ids[in_range]
+        keep = t.filter(pa.array(~dup_mask))
+        return keep.select(["image_id", "caption", "phash"])
+
+    surviving = min_length_filter(ds, "caption", cfg.min_length)
+    return surviving.map_batches(survivors, batch_format="pyarrow")
+
+
 def _q_image_decode(sf_dir: str):
     """Per-row decode invariants, stated in SQL and PROVEN by the Ray decode
     pass: every payload decodes against its metadata, and for the lossless
@@ -779,6 +847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_winnowing_fp": _q_winnowing,
         # --- image+caption corpus pipelines (rows-only) ---
         "minhash_dedup_images": _q_minhash_images,
+        "minhash_incremental_images": _q_minhash_incremental_images,
         "simhash_dedup_images": _q_simhash_images,
         "phash_near_dedup_images": _q_phash_images,
         "image_decode_stats": _q_image_decode,
@@ -904,6 +973,11 @@ def oracle_sql() -> dict[str, str]:
         # the file exists regardless of query/oracle execution order; the
         # driver's correctness gate runs at sf=0.01 -> n=3000)
         "minhash_dedup_images": _oracles.minhash_images_sql(
+            _MINHASH_ORACLE_CFG(), _corpus_path("/root/testdata/sf0.01")
+        ),
+        # tiered state == full batch run (tests/test_incremental.py) -> the
+        # batch image oracle applies verbatim
+        "minhash_incremental_images": _oracles.minhash_images_sql(
             _MINHASH_ORACLE_CFG(), _corpus_path("/root/testdata/sf0.01")
         ),
         "simhash_dedup_images": _oracles.simhash_images_sql(
