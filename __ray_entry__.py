@@ -772,6 +772,68 @@ def _q_minhash_incremental_images(sf_dir: str):
     return surviving.map_batches(survivors, batch_format="pyarrow")
 
 
+def _q_phash_incremental_images(sf_dir: str):
+    """Tiered perceptual-hash near-dup over the image corpus (bootstrap 80%
+    of image row ids, increment the rest) — the stored phash is the
+    signature (no text hashing). Final state == full
+    ``phash_near_dedup_parents`` run (tests/test_incremental_phash.py), so
+    ``phash_dedup_sql`` applies verbatim: non-trivial state rows plus a root
+    self-row per distinct cluster reproduce the (row_id, cluster_id)
+    incl-roots map."""
+    import glob as _glob
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from text_dedup_ray.pipelines.images import (
+        image_ids_to_row_ids,
+        phash_bootstrap,
+        phash_increment,
+    )
+    from text_dedup_ray.sources.io import ROW_ID
+
+    ds = image_ids_to_row_ids(_corpus_ds(sf_dir)).select_columns([ROW_ID, "phash"])
+    cut = int(ds.max(ROW_ID) * 0.8)
+
+    def split(keep_old: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = pc.less_equal(t[ROW_ID], pa.scalar(cut, pa.int64()))
+            return t.filter(m if keep_old else pc.invert(m))
+
+        return f
+
+    state = tempfile.mkdtemp(prefix="img_phash_state_", dir="/tmp")
+    phash_bootstrap(
+        ds.map_batches(split(True), batch_format="pyarrow"),
+        state,
+        bit_diff=2,
+        num_bucket=4,
+        num_partitions=16,
+    )
+    inc = phash_increment(
+        ds.map_batches(split(False), batch_format="pyarrow"),
+        state,
+        bit_diff=2,
+        num_bucket=4,
+    )
+    rows, roots = [], []
+    for f in _glob.glob(f"{state}/v{inc.state_version:05d}/clusters/*.parquet"):
+        t = pq.read_table(f)
+        if t.num_rows:
+            rows.append(t["row_id"].to_numpy(zero_copy_only=False))
+            roots.append(t["cluster_id"].to_numpy(zero_copy_only=False))
+    mids = np.concatenate(rows).astype(np.int64) if rows else np.empty(0, np.int64)
+    mroots = np.concatenate(roots).astype(np.int64) if roots else np.empty(0, np.int64)
+    distinct_roots = np.unique(mroots)
+    all_ids = np.concatenate([mids, distinct_roots])
+    all_roots = np.concatenate([mroots, distinct_roots])
+    order = np.argsort(all_ids, kind="stable")
+    return pa.table(
+        {"row_id": all_ids[order], "cluster_id": all_roots[order]}
+    )
+
+
 def _q_image_decode(sf_dir: str):
     """Per-row decode invariants, stated in SQL and PROVEN by the Ray decode
     pass: every payload decodes against its metadata, and for the lossless
@@ -850,6 +912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_incremental_images": _q_minhash_incremental_images,
         "simhash_dedup_images": _q_simhash_images,
         "phash_near_dedup_images": _q_phash_images,
+        "phash_incremental_images": _q_phash_incremental_images,
         "image_decode_stats": _q_image_decode,
     }
 
@@ -984,6 +1047,10 @@ def oracle_sql() -> dict[str, str]:
             _SIMHASH_ORACLE_CFG(), _corpus_path("/root/testdata/sf0.01")
         ),
         "phash_near_dedup_images": _oracles.phash_dedup_sql(
+            2, 4, _corpus_path("/root/testdata/sf0.01")
+        ),
+        # tiered state == full batch run (tests/test_incremental_phash.py)
+        "phash_incremental_images": _oracles.phash_dedup_sql(
             2, 4, _corpus_path("/root/testdata/sf0.01")
         ),
         # invariant oracle: the SQL states what decoding MUST produce for

@@ -230,6 +230,48 @@ def phash_near_dedup_parents(
     )
 
 
+def phash_bootstrap(
+    ds: ray.data.Dataset,
+    state_dir: str,
+    bit_diff: int = 2,
+    num_bucket: int = 4,
+    phash_column: str = "phash",
+    **kwargs,
+):
+    """Tiered IMAGE near-dup: full phash clustering over the initial corpus,
+    persisting the bucket-prefix-partitioned signature index. Thin wrapper
+    over the SimHash incremental machinery with the stored 64-bit perceptual
+    hash as the signature (``signature_column`` passthrough) — an increment
+    later fingerprints only the new batch and never re-shuffles the index."""
+    from ..functions.simhash import SimHashConfig
+    from .incremental import simhash_bootstrap
+
+    cfg = SimHashConfig(f=64, bit_diff=bit_diff, num_bucket=num_bucket)
+    return simhash_bootstrap(
+        ds, state_dir, cfg=cfg, signature_column=phash_column, **kwargs
+    )
+
+
+def phash_increment(
+    new_ds: ray.data.Dataset,
+    state_dir: str,
+    bit_diff: int = 2,
+    num_bucket: int = 4,
+    phash_column: str = "phash",
+    **kwargs,
+):
+    """Dedup a new image batch against the saved phash index AND itself;
+    cluster assignments equal a full ``phash_near_dedup_parents`` re-run over
+    old ∪ new (tests/test_incremental_phash.py)."""
+    from ..functions.simhash import SimHashConfig
+    from .incremental import simhash_increment
+
+    cfg = SimHashConfig(f=64, bit_diff=bit_diff, num_bucket=num_bucket)
+    return simhash_increment(
+        new_ds, state_dir, cfg=cfg, signature_column=phash_column, **kwargs
+    )
+
+
 def image_caption_dedup(
     ds: ray.data.Dataset | None = None,
     cfg: MinHashConfig | None = None,

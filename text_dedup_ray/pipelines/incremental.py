@@ -534,16 +534,21 @@ def simhash_bootstrap(
     num_partitions: int = 64,
     driver_threshold: int = 2_000_000,
     max_distinct_sigs: int = 8192,
+    signature_column: str | None = None,
 ) -> IncrementResult:
     """SimHash twin of :func:`minhash_bootstrap`: the persisted rep index
     holds one (bucket||sig, min row_id) row per distinct (bucket, signature)
     pair, partitioned by the 12-byte bucket prefix so whole Hamming
     neighborhoods co-locate. No min-length filter — simhash_dedup's
-    convention (reference simhash.py: empty-shingle docs share sig 0)."""
+    convention (reference simhash.py: empty-shingle docs share sig 0).
+
+    ``signature_column``: use a PRECOMPUTED 64-bit fingerprint column (e.g.
+    an image perceptual hash) as the signature instead of hashing
+    ``text_column`` — the tiered-phash path (pipelines/images.phash_bootstrap)."""
     from ..functions.simhash import SimHashConfig
     from ..stages.assign import filter_non_duplicates
     from ..stages.edges import simhash_rep_part
-    from ..stages.fingerprint import SimHashFingerprinter
+    from ..stages.fingerprint import SigPassthroughFingerprinter, SimHashFingerprinter
 
     cfg = cfg or SimHashConfig()
     timer = Timer()
@@ -553,14 +558,24 @@ def simhash_bootstrap(
         raise ValueError("dataset must have a row_id column or pass id_column")
     ds_max = ds.select_columns([ROW_ID]).max(ROW_ID)
     max_row_id = -1 if ds_max is None else int(ds_max)
-    narrow = ds.select_columns([ROW_ID, text_column])
-    local = narrow.map_batches(
-        SimHashFingerprinter,
-        fn_constructor_args=(cfg, text_column, "buckets"),
-        batch_format="pyarrow",
-        batch_size=fingerprint_batch_size,
-        concurrency=fingerprint_concurrency,
-    )
+    if signature_column is not None:
+        narrow = ds.select_columns([ROW_ID, signature_column])
+        local = narrow.map_batches(
+            SigPassthroughFingerprinter,
+            fn_constructor_args=(cfg, signature_column),
+            batch_format="pyarrow",
+            batch_size=fingerprint_batch_size,
+            concurrency=fingerprint_concurrency,
+        )
+    else:
+        narrow = ds.select_columns([ROW_ID, text_column])
+        local = narrow.map_batches(
+            SimHashFingerprinter,
+            fn_constructor_args=(cfg, text_column, "buckets"),
+            batch_format="pyarrow",
+            batch_size=fingerprint_batch_size,
+            concurrency=fingerprint_concurrency,
+        )
     version = 1
     _clean_version_dir(state_dir, version)
     with timer("fingerprint+rep_index"):
@@ -589,7 +604,7 @@ def simhash_bootstrap(
         {
             "algo": "simhash",
             "version": version,
-            "cfg_hash": _simhash_cfg_hash(cfg, text_column),
+            "cfg_hash": _simhash_cfg_hash(cfg, text_column, signature_column),
             "max_row_id": max_row_id,
             "num_partitions": num_partitions,
         },
@@ -614,19 +629,21 @@ def simhash_increment(
     driver_threshold: int = 2_000_000,
     max_distinct_sigs: int = 8192,
     validate_ids: bool = True,
+    signature_column: str | None = None,
 ) -> IncrementResult:
     """Dedup ``new_ds`` against a saved SimHash state AND itself; persist the
     next state version. Same full-rerun-equivalence guarantee as the MinHash
-    path (tests/test_incremental.py::TestSimHashIncremental)."""
+    path (tests/test_incremental.py::TestSimHashIncremental).
+    ``signature_column`` must match the bootstrap (checked via cfg_hash)."""
     from ..functions.simhash import SimHashConfig
     from ..stages.assign import filter_non_duplicates
     from ..stages.edges import simhash_rep_part
-    from ..stages.fingerprint import SimHashFingerprinter
+    from ..stages.fingerprint import SigPassthroughFingerprinter, SimHashFingerprinter
 
     cfg = cfg or SimHashConfig()
     meta = load_meta(state_dir)
     if meta.get("algo") != "simhash" or meta["cfg_hash"] != _simhash_cfg_hash(
-        cfg, text_column
+        cfg, text_column, signature_column
     ):
         raise ValueError(
             "state was built with a different SimHash config/text column; "
@@ -650,14 +667,24 @@ def simhash_increment(
                 f"new row ids must exceed the saved max_row_id={prior_max} "
                 f"(got min={int(new_min)}); old ids must win min-tie-breaks"
             )
-    narrow = new_ds.select_columns([ROW_ID, text_column])
-    local = narrow.map_batches(
-        SimHashFingerprinter,
-        fn_constructor_args=(cfg, text_column, "buckets"),
-        batch_format="pyarrow",
-        batch_size=fingerprint_batch_size,
-        concurrency=fingerprint_concurrency,
-    )
+    if signature_column is not None:
+        narrow = new_ds.select_columns([ROW_ID, signature_column])
+        local = narrow.map_batches(
+            SigPassthroughFingerprinter,
+            fn_constructor_args=(cfg, signature_column),
+            batch_format="pyarrow",
+            batch_size=fingerprint_batch_size,
+            concurrency=fingerprint_concurrency,
+        )
+    else:
+        narrow = new_ds.select_columns([ROW_ID, text_column])
+        local = narrow.map_batches(
+            SimHashFingerprinter,
+            fn_constructor_args=(cfg, text_column, "buckets"),
+            batch_format="pyarrow",
+            batch_size=fingerprint_batch_size,
+            concurrency=fingerprint_concurrency,
+        )
     version = prior_version + 1
     _clean_version_dir(state_dir, version)
     with timer("fingerprint+rep_index"):
@@ -703,10 +730,11 @@ def simhash_increment(
     )
 
 
-def _simhash_cfg_hash(cfg, text_column: str) -> str:
-    return config_hash(
-        {"algo": "simhash_lsh_state", "cfg": asdict(cfg), "text": text_column}
-    )
+def _simhash_cfg_hash(cfg, text_column: str, signature_column: str | None = None) -> str:
+    d = {"algo": "simhash_lsh_state", "cfg": asdict(cfg), "text": text_column}
+    if signature_column is not None:
+        d["signature_column"] = signature_column
+    return config_hash(d)
 
 
 def _compose_with_prior(

@@ -119,3 +119,43 @@ class SimHashFingerprinter:
 
             return simhash_local_buckets(out)
         return out
+
+
+class SigPassthroughFingerprinter:
+    """Stage-1 rows from a PRECOMPUTED 64-bit fingerprint column (e.g. an
+    image perceptual hash) instead of text shingles — the SimHash
+    block-permutation machinery applied to the stored signature, emitting
+    the same ``(row_id, perm_idx, key, sig)`` schema (bucketed like
+    ``SimHashFingerprinter(emit="buckets")``) so every downstream stage
+    (rep exchange, Hamming verify, CC, incremental index) is shared."""
+
+    def __init__(self, cfg: SimHashConfig, sig_column: str) -> None:
+        from ..functions.simhash import create_permutations
+
+        self.perms = create_permutations(cfg.f, cfg.bit_diff, cfg.num_bucket)
+        self.f = cfg.f
+        self.sig_column = sig_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.simhash import permutation_keys_batch
+        from .edges import simhash_local_buckets
+
+        ids = batch["row_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sigs = (
+            batch[self.sig_column]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            .view(np.uint64)
+        )
+        n = len(ids)
+        nperm = len(self.perms)
+        keys = permutation_keys_batch(self.perms, self.f, sigs)  # (n, nperm)
+        out = pa.table(
+            {
+                "row_id": np.repeat(ids, nperm),
+                "perm_idx": np.tile(np.arange(nperm, dtype=np.int32), n),
+                "key": keys.reshape(-1),
+                "sig": np.repeat(sigs, nperm),
+            }
+        )
+        return simhash_local_buckets(out)
