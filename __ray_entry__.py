@@ -670,6 +670,49 @@ def _q_suffix_global_docs(sf_dir: str):
     ).select_columns(["doc_id", "text"])
 
 
+def _q_suffix_incremental_docs(sf_dir: str):
+    """Tiered exact-substring dedup: bootstrap on the first ~80% of doc ids
+    (old docs cut against the old corpus and SHIPPED — immutable), increment
+    with the rest (new docs cut against old ∪ new via the persisted anchor
+    index; the old index is never re-shuffled). The oracle recomputes both
+    tiers' L-gram coverage in SQL (oracles.suffix_tiered_sql); the
+    increment's full-batch-restricted equivalence is asserted by
+    tests/test_incremental_suffix.py."""
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from text_dedup_ray.pipelines.incremental_suffix import (
+        suffix_bootstrap,
+        suffix_increment,
+    )
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    cut = int(docs.max("doc_id") * 0.8)
+
+    def split(keep_old: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = pc.less_equal(t["doc_id"], pa.scalar(cut, pa.int64()))
+            return t.filter(m if keep_old else pc.invert(m))
+
+        return f
+
+    old = docs.map_batches(split(True), batch_format="pyarrow")
+    new = docs.map_batches(split(False), batch_format="pyarrow")
+    state = tempfile.mkdtemp(prefix="suffix_state_", dir="/tmp")
+    old_out, _, _ = suffix_bootstrap(
+        old, state, id_column="doc_id", length_threshold=100, num_partitions=16
+    )
+    new_out, _, _ = suffix_increment(new, state, old, id_column="doc_id")
+
+    def rename_new(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["row_id"], "text": t["text"]})
+
+    return old_out.select_columns(["doc_id", "text"]).union(
+        new_out.map_batches(rename_new, batch_format="pyarrow")
+    )
+
+
 def _q_minhash_images(sf_dir: str):
     from text_dedup_ray.pipelines.images import image_caption_dedup
 
@@ -905,6 +948,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- suffix-array pipelines (SQL-checked via corpus-gram recomputation) ---
         "suffix_array_dedup_docs": _q_suffix_docs,
         "suffix_array_global_docs": _q_suffix_global_docs,
+        "suffix_incremental_docs": _q_suffix_incremental_docs,
         "lang_id": _q_lang_id,
         "doc_winnowing_fp": _q_winnowing,
         # --- image+caption corpus pipelines (rows-only) ---
@@ -1031,6 +1075,8 @@ def oracle_sql() -> dict[str, str]:
         # exactly (tests/test_suffix_global.py), so it shares the same
         # first-principles SQL recomputation
         "suffix_array_global_docs": _oracles.suffix_dedup_sql(100),
+        # tiered: old docs cut vs old corpus only, new docs vs old ∪ new
+        "suffix_incremental_docs": _oracles.suffix_tiered_sql(100),
         # image-corpus pipelines: the oracle recomputes them in DuckDB
         # directly over the deterministic corpus parquet (generated here so
         # the file exists regardless of query/oracle execution order; the

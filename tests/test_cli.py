@@ -115,3 +115,79 @@ hash_func = "sha1"
 
     parts = _glob.glob(str(out2) + "/*.parquet")
     assert sum(pq.read_table(p).num_rows for p in parts) == 0
+
+
+def test_cli_suffix_incremental(tmp_path):
+    """Bootstrap then increment the tiered substring path via the CLI; the
+    shifted-id copy duplicates every old doc verbatim, so every new doc is
+    fully cut and nothing survives."""
+    out1, out2 = tmp_path / "out1", tmp_path / "out2"
+    state = tmp_path / "suffix_state"
+
+    def cfg(out_dir: str, extra: str = "") -> str:
+        return f"""
+[input]
+path = "/root/testdata/sf0.001/documents.parquet"
+text_column = "text"
+id_column = "doc_id"
+
+[output]
+path = "{out_dir}"
+save_clusters = false
+
+[algorithm]
+name = "suffix_incremental"
+state_dir = "{state}"
+length_threshold = 100
+{extra}
+"""
+
+    config = tmp_path / "run.toml"
+    config.write_text(cfg(str(out1)))
+    proc = subprocess.run(
+        [sys.executable, "-m", "text_dedup_ray", "--config", str(config)],
+        capture_output=True, text=True, cwd="/root/repo", timeout=240,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert stats["mode"] == "bootstrap" and stats["state_version"] == 1
+
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    parts1 = _glob.glob(str(out1) + "/*.parquet")
+    assert sum(pq.read_table(p).num_rows for p in parts1) > 0
+
+    src = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    shifted = src.set_column(
+        src.column_names.index("doc_id"),
+        "doc_id",
+        pc.add(src["doc_id"], pa.scalar(10_000_000, pa.int64())),
+    )
+    shifted_path = tmp_path / "shifted.parquet"
+    pq.write_table(shifted, str(shifted_path))
+    config2 = tmp_path / "run2.toml"
+    config2.write_text(
+        cfg(str(out2), extra='old_path = "/root/testdata/sf0.001/documents.parquet"')
+        .replace("/root/testdata/sf0.001/documents.parquet\"\ntext_column",
+                 str(shifted_path) + "\"\ntext_column")
+    )
+    proc2 = subprocess.run(
+        [sys.executable, "-m", "text_dedup_ray", "--config", str(config2)],
+        capture_output=True, text=True, cwd="/root/repo", timeout=240,
+    )
+    assert proc2.returncode == 0, proc2.stderr[-2000:]
+    stats2 = json.loads(proc2.stdout.strip().splitlines()[-1])
+    assert stats2["mode"] == "increment" and stats2["state_version"] == 2
+    # every new doc long enough to contain a >=100-byte run is a verbatim
+    # copy of an old doc -> fully cut and dropped; docs shorter than the
+    # threshold can never be cut and must survive byte-identical
+    parts2 = _glob.glob(str(out2) + "/*.parquet")
+    out_tbl = pa.concat_tables([pq.read_table(p) for p in parts2])
+    texts = src["text"].to_pylist()
+    short = {t for t in texts if len(t.encode()) < 100}
+    assert out_tbl.num_rows == sum(1 for t in texts if len(t.encode()) < 100)
+    assert set(out_tbl["text"].to_pylist()) <= short

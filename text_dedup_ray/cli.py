@@ -170,6 +170,59 @@ def main(argv: list[str] | None = None) -> None:
         result_ds = res.assigned if skip_filtering else res.deduped
         stats["state_version"] = res.state_version
         stats.update(res.metrics)
+    elif name == "exact_incremental":
+        from .pipelines.incremental_exact import exact_bootstrap, exact_increment
+
+        state_dir = algo.pop("state_dir", None)
+        if not state_dir:
+            raise SystemExit("exact_incremental needs [algorithm].state_dir")
+        import os as _os
+
+        if _os.path.exists(_os.path.join(state_dir, "meta.json")):
+            res = exact_increment(ds, state_dir, text_column=text_column)
+            stats["mode"] = "increment"
+        else:
+            res = exact_bootstrap(ds, state_dir, text_column=text_column)
+            stats["mode"] = "bootstrap"
+        result_ds = res.assigned if skip_filtering else res.deduped
+        stats["state_version"] = res.state_version
+        stats.update(res.metrics)
+    elif name == "suffix_incremental":
+        # tiered substring dedup: first run bootstraps the anchor index; later
+        # runs clean ONLY the new input against [algorithm].old_path (the
+        # ORIGINAL text of all prior batches) + the new input itself
+        from .pipelines.incremental_suffix import suffix_bootstrap, suffix_increment
+
+        state_dir = algo.pop("state_dir", None)
+        if not state_dir:
+            raise SystemExit("suffix_incremental needs [algorithm].state_dir")
+        import os as _os
+
+        if _os.path.exists(_os.path.join(state_dir, "meta.json")):
+            old_path = algo.get("old_path")
+            if not old_path:
+                raise SystemExit(
+                    "suffix_incremental increments need [algorithm].old_path "
+                    "(original text of bootstrap + prior increments)"
+                )
+            import ray.data as _rd
+
+            old_ds = _rd.read_parquet(old_path)
+            id_col = cfg.get("input", {}).get("id_column")
+            result_ds, version, metrics = suffix_increment(
+                ds, state_dir, old_ds, id_column=id_col,
+                merge_strategy=algo.get("merge_strategy", "longest"),
+            )
+            stats["mode"] = "increment"
+        else:
+            result_ds, version, metrics = suffix_bootstrap(
+                ds, state_dir, text_column=text_column,
+                length_threshold=int(algo.get("length_threshold", 100)),
+                merge_strategy=algo.get("merge_strategy", "longest"),
+            )
+            stats["mode"] = "bootstrap"
+        stats["state_version"] = version
+        stats.update(metrics)
     elif name == "jaccard":
         from .pipelines.jaccard_dedup import ngram_jaccard_dedup
         from .stages.assign import assign_clusters, filter_cluster_roots

@@ -468,6 +468,77 @@ SELECT doc_id, text FROM rebuilt WHERE length(text) > 0
 """
 
 
+def _suffix_pipe(L: int, sfx: str, src_where: str, out_where: str) -> str:
+    """One copy of the suffix-dedup CTE pipeline with suffixed names.
+    ``src_where`` filters the corpus the grams are counted over (bare
+    ``doc_id`` references); ``out_where`` filters which docs receive cuts /
+    appear in the output and must reference the alias ``o.doc_id``."""
+    return f"""offs{sfx} AS (
+  SELECT doc_id, text, length(text) AS n,
+         1 + coalesce(sum(length(text)) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM documents WHERE {src_where}
+),
+corpus{sfx} AS (SELECT string_agg(text, '' ORDER BY doc_id) AS c FROM documents WHERE {src_where}),
+grams{sfx} AS (
+  SELECT i, md5(substr(c, i, {L})) AS g
+  FROM corpus{sfx}, LATERAL (SELECT unnest(generate_series(1, length(c) - {L - 1})) AS i)
+),
+rep{sfx} AS (SELECT i FROM grams{sfx} QUALIFY count(*) OVER (PARTITION BY g) >= 2),
+isl{sfx} AS (
+  SELECT i, CASE WHEN i - lag(i) OVER (ORDER BY i) <= {L} THEN 0 ELSE 1 END AS brk
+  FROM rep{sfx}
+),
+grp{sfx} AS (SELECT i, sum(brk) OVER (ORDER BY i) AS gid FROM isl{sfx}),
+runs{sfx} AS (SELECT min(i) AS s, max(i) + {L} AS e FROM grp{sfx} GROUP BY gid),
+cuts{sfx} AS (
+  SELECT o.doc_id, greatest(r.s, o.start) AS cs, least(r.e, o.start + o.n) AS ce
+  FROM runs{sfx} r JOIN offs{sfx} o ON r.s < o.start + o.n AND r.e > o.start
+  WHERE least(r.e, o.start + o.n) - greatest(r.s, o.start) >= {L}
+    AND ({out_where})
+),
+loc{sfx} AS (
+  SELECT c.doc_id, c.cs - o.start + 1 AS ls, c.ce - o.start + 1 AS le
+  FROM cuts{sfx} c JOIN offs{sfx} o ON o.doc_id = c.doc_id
+),
+seg{sfx} AS (
+  SELECT doc_id, coalesce(lag(le) OVER (PARTITION BY doc_id ORDER BY ls), 1) AS ks,
+         ls AS ke
+  FROM loc{sfx}
+  UNION ALL
+  SELECT o.doc_id, coalesce(max(l.le), 1) AS ks, o.n + 1 AS ke
+  FROM offs{sfx} o LEFT JOIN loc{sfx} l ON l.doc_id = o.doc_id
+  WHERE {out_where}
+  GROUP BY o.doc_id, o.n
+),
+rebuilt{sfx} AS (
+  SELECT s.doc_id, string_agg(substr(o.text, s.ks::INT, (s.ke - s.ks)::INT), '' ORDER BY s.ks) AS text
+  FROM seg{sfx} s JOIN offs{sfx} o ON o.doc_id = s.doc_id
+  WHERE s.ke > s.ks
+  GROUP BY s.doc_id
+)"""
+
+
+def suffix_tiered_sql(length_threshold: int, cut_expr: str | None = None) -> str:
+    """Tiered exact-substring dedup (pipelines/incremental_suffix): OLD docs
+    (doc_id <= cut) are cut against the OLD corpus only (they shipped before
+    the new batch existed); NEW docs (doc_id > cut) are cut against the FULL
+    corpus (old ∪ new). Same L-gram coverage equivalence as
+    :func:`suffix_dedup_sql`, applied per tier. ``cut_expr`` defaults to the
+    80% doc_id split the driver query uses (floor, matching Python int())."""
+    if cut_expr is None:
+        cut_expr = "(SELECT CAST(floor(max(doc_id) * 0.8) AS BIGINT) FROM documents)"
+    old = _suffix_pipe(length_threshold, "_o", f"doc_id <= {cut_expr}", "TRUE")
+    new = _suffix_pipe(length_threshold, "_a", "TRUE", f"o.doc_id > {cut_expr}")
+    return f"""
+WITH {old},
+{new}
+SELECT doc_id, text FROM rebuilt_o WHERE length(text) > 0
+UNION ALL
+SELECT doc_id, text FROM rebuilt_a WHERE length(text) > 0
+"""
+
+
 def embedding_dedup_sql(threshold: float, plant_offset: int) -> str:
     """Exact embedding-cosine dedup clusters over the deterministically
     planted table (originals UNION exact copies at vec_id + plant_offset):
