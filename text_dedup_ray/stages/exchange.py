@@ -21,6 +21,12 @@ The result is wrapped back into a Dataset with ``from_arrow_refs`` — the
 surrounding pipeline stays a Dataset pipeline. Objects never touch the
 driver. On a multi-node cluster this is the same data movement a shuffle
 performs (every sub-table crosses the store once), minus the sort.
+
+Driver-memory note: the split loop keeps O(blocks x partitions) ObjectRefs
+in Python lists until the reduce tasks are launched (~100 bytes/ref). At
+10^4 blocks x 64 partitions that is ~60 MB of bookkeeping — fine; at 10^6+
+blocks raise the target block size or reduce ``num_partitions`` rather than
+letting ref bookkeeping dominate driver memory.
 """
 
 from __future__ import annotations
