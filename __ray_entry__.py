@@ -255,6 +255,24 @@ def _q_ann_ivf(sf_dir: str):
     return out.select(["query_idx", "vec_id"])
 
 
+def _q_ann_ivf_ds(sf_dir: str):
+    """IVF with queries-as-Dataset at full probe (exhaustive -> brute SQL
+    oracle); the partial-probe scale path carries a recall pytest
+    (tests/test_ann_dataset_queries.py)."""
+    from text_dedup_ray.pipelines.ann import ivf_topk_ds
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def relabel(t: pa.Table) -> pa.Table:
+        return pa.table({"query_id": t["vec_id"], "embedding": t["embedding"]})
+
+    q_ds = emb.filter(expr="vec_id < 5").map_batches(relabel, batch_format="pyarrow")
+    out = ivf_topk_ds(
+        emb, q_ds, k=10, n_cells=16, nprobe=16, num_partitions=8, dtype=np.float64
+    )
+    return out.select_columns(["query_id", "vec_id"])
+
+
 def _q_ann_lsh(sf_dir: str):
     from text_dedup_ray.pipelines.ann import lsh_bucket_topk
 
@@ -935,6 +953,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _q_ann_ivf,
         "ann_lsh_topk": _q_ann_lsh,              # rows-only (approximate by design)
         "ann_topk_ds": _q_ann_topk_ds,
+        "ann_ivf_topk_ds": _q_ann_ivf_ds,
         "embedding_cosine_pairs": _q_embedding_pairs,
         "embedding_cosine_dedup": _q_embedding_dedup,
         "embedding_cosine_dedup_lsh": _q_embedding_dedup_lsh,  # rows-only (LSH recall)
@@ -1036,6 +1055,13 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5) "
             "SELECT q.qid AS query_idx, e.vec_id FROM q CROSS JOIN embeddings e "
+            "QUALIFY row_number() OVER (PARTITION BY q.qid ORDER BY "
+            "list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]) DESC, e.vec_id) <= 10"
+        ),
+        # queries-as-Dataset IVF at full probe: exhaustive -> same oracle
+        "ann_ivf_topk_ds": (
+            "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5) "
+            "SELECT q.qid AS query_id, e.vec_id FROM q CROSS JOIN embeddings e "
             "QUALIFY row_number() OVER (PARTITION BY q.qid ORDER BY "
             "list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]) DESC, e.vec_id) <= 10"
         ),

@@ -117,3 +117,56 @@ class TestTopKDatasetQueries:
         q_ds = ray.data.from_arrow(_vec_table([1], corpus[:1], "query_id"))
         res2 = brute_force_topk_ds(empty_c, q_ds, k=3, num_partitions=2)
         assert res2.count() == 0
+
+
+class TestIVFTopKDatasetQueries:
+    def test_full_probe_matches_brute_ds(self):
+        """nprobe == n_cells is exhaustive: identical rows to the brute
+        Dataset-queries path."""
+        from text_dedup_ray.pipelines.ann import ivf_topk_ds
+
+        corpus = _corpus(150, seed=21)
+        queries = corpus[[5, 60, 120]]
+        ds = ray.data.from_arrow(_vec_table(range(150), corpus)).repartition(3)
+        q_ds = ray.data.from_arrow(_vec_table([7, 8, 9], queries, "query_id"))
+        got = (
+            ivf_topk_ds(ds, q_ds, k=5, n_cells=8, nprobe=8, num_partitions=4)
+            .to_pandas()
+            .sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True])
+            .reset_index(drop=True)
+        )
+        ref = (
+            brute_force_topk_ds(ds, q_ds, k=5, num_partitions=4)
+            .to_pandas()
+            .sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True])
+            .reset_index(drop=True)
+        )
+        assert (got["query_id"].values == ref["query_id"].values).all()
+        assert (got["vec_id"].values == ref["vec_id"].values).all()
+        np.testing.assert_allclose(got["score"].values, ref["score"].values, rtol=1e-6)
+
+    def test_partial_probe_recall_on_clustered_data(self):
+        """Clustered corpus: partial-probe IVF recalls >= 0.9 of exact top-k
+        for queries drawn from the clusters."""
+        from text_dedup_ray.pipelines.ann import ivf_topk_ds
+
+        rng = np.random.RandomState(3)
+        centers = rng.randn(8, DIM).astype(np.float32)
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        pts = np.repeat(centers, 50, axis=0) + 0.05 * rng.randn(400, DIM).astype(np.float32)
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        queries = centers[:4] + 0.02 * rng.randn(4, DIM).astype(np.float32)
+        queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+        ds = ray.data.from_arrow(_vec_table(range(400), pts)).repartition(4)
+        q_ds = ray.data.from_arrow(_vec_table(range(4), queries, "query_id"))
+        got = ivf_topk_ds(
+            ds, q_ds, k=10, n_cells=8, nprobe=3, num_partitions=4
+        ).to_pandas()
+        exact = _exact_topk(pts, queries, 10)
+        hits = total = 0
+        for qid in range(4):
+            want = {j for j, _ in exact[qid]}
+            have = set(got[got["query_id"] == qid]["vec_id"])
+            hits += len(want & have)
+            total += len(want)
+        assert hits / total >= 0.9

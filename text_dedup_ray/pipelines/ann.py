@@ -463,6 +463,177 @@ def brute_force_topk_ds(
     return hash_partition_exchange(partials, "part", num_partitions, merge_topk)
 
 
+def _empty_topk(query_id_column: str, id_column: str) -> pa.Table:
+    return pa.table(
+        {
+            query_id_column: pa.array([], pa.int64()),
+            id_column: pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        }
+    )
+
+
+def _make_merge_topk(query_id_column: str, id_column: str, k: int):
+    """Per-partition global top-k over the exchanged partials (vectorized
+    sort + rank; (score desc, id asc) tie-break, shared by the *_topk_ds
+    APIs)."""
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or query_id_column not in group.column_names:
+            return _empty_topk(query_id_column, id_column)
+        qid = group[query_id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        vid = group[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        sc = group["score"].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((vid, -sc, qid))
+        qs = qid[order]
+        starts = np.flatnonzero(np.r_[True, np.diff(qs) != 0])
+        rank = np.arange(len(qs)) - np.repeat(starts, np.diff(np.r_[starts, len(qs)]))
+        keep = rank < k
+        return pa.table(
+            {
+                query_id_column: qs[keep],
+                id_column: vid[order][keep],
+                "score": sc[order][keep],
+            }
+        )
+
+    return merge_topk
+
+
+def ivf_topk_ds(
+    ds: ray.data.Dataset,
+    queries: ray.data.Dataset,
+    k: int = 10,
+    embedding_column: str = "embedding",
+    id_column: str = "vec_id",
+    query_id_column: str = "query_id",
+    n_cells: int = 64,
+    nprobe: int = 8,
+    train_sample: int = 16384,
+    kmeans_iters: int = 10,
+    seed: int = 42,
+    num_partitions: int = 32,
+    dtype=np.float32,
+    broadcast_limit: int = 1 << 30,
+) -> ray.data.Dataset:
+    """IVF top-k with the queries AS A DATASET — the scale path for
+    many-queries similarity search: the brute ``brute_force_topk_ds`` scores
+    every (row, query) pair; here rows score only against queries probing
+    their cell (~nprobe/n_cells of the compute), and the partial top-k still
+    merges through the hash exchange by query id (nothing driver-bound).
+    Exhaustive (== brute) at nprobe == n_cells. Same broadcast contract for
+    the query matrix as ``brute_force_topk_ds``."""
+    from ..stages.exchange import hash_partition_exchange
+
+    sample_tbl = (
+        ds.select_columns([embedding_column]).limit(train_sample).to_arrow_refs()
+    )
+    parts = [t for t in map(ray.get, sample_tbl) if t.num_rows]
+    if not parts:
+        return ray.data.from_arrow(_empty_topk(query_id_column, id_column))
+    sample = np.concatenate(
+        [_batch_matrix(t, embedding_column, dtype) for t in parts], axis=0
+    )
+    cents = spherical_kmeans(sample, n_cells, iters=kmeans_iters, seed=seed)
+    nprobe = min(nprobe, len(cents))
+
+    q_narrow = queries.select_columns([query_id_column, embedding_column]).materialize()
+    q_bytes = q_narrow.size_bytes() or 0
+    if q_bytes > broadcast_limit:
+        raise ValueError(
+            f"query dataset is {q_bytes} bytes > broadcast_limit={broadcast_limit}; "
+            "swap the roles of ds and queries (ds should be the larger side)"
+        )
+    q_refs = q_narrow.to_arrow_refs()
+    cents_ref = ray.put(cents)
+
+    class DSCellScan:
+        def __init__(self, q_refs, cents_ref, k: int) -> None:
+            self.cents: np.ndarray = ray.get(cents_ref)
+            blocks = [t for t in ray.get(list(q_refs)) if t.num_rows]
+            if blocks:
+                self.qids = np.concatenate(
+                    [b[query_id_column].to_numpy(zero_copy_only=False) for b in blocks]
+                ).astype(np.int64)
+                self.q = _normalize(
+                    np.concatenate(
+                        [_batch_matrix(b, embedding_column, dtype) for b in blocks]
+                    )
+                )
+            else:
+                self.qids = np.empty(0, np.int64)
+                self.q = np.empty((0, 1), dtype)
+            self.part = _mix_to_part(self.qids, num_partitions)
+            # per-cell inverted probe index, built ONCE per actor
+            if len(self.qids):
+                probe = np.argpartition(
+                    -(self.q @ self.cents.T), nprobe - 1, axis=1
+                )[:, :nprobe]
+                cell_of_pair = probe.reshape(-1)
+                query_of_pair = np.repeat(
+                    np.arange(len(self.qids), dtype=np.int64), nprobe
+                )
+                order = np.argsort(cell_of_pair, kind="stable")
+                self.qs_sorted = query_of_pair[order]
+                self.bounds = np.searchsorted(
+                    cell_of_pair[order], np.arange(len(self.cents) + 1)
+                )
+            else:
+                self.qs_sorted = np.empty(0, np.int64)
+                self.bounds = np.zeros(len(self.cents) + 1, dtype=np.int64)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or not len(self.qids):
+                return _empty_topk(query_id_column, id_column).append_column(
+                    "part", pa.array([], pa.int64())
+                )
+            m = _normalize(_batch_matrix(batch, embedding_column, dtype))
+            ids = batch[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+            assign = np.argmax(m @ self.cents.T, axis=1)
+            rows_all, qis_all, sc_all = [], [], []
+            order = np.argsort(assign, kind="stable")
+            cs = assign[order]
+            starts = np.flatnonzero(np.r_[True, np.diff(cs) != 0])
+            ends = np.r_[starts[1:], len(cs)]
+            for s, e in zip(starts, ends):
+                cell = int(cs[s])
+                ql, qh = int(self.bounds[cell]), int(self.bounds[cell + 1])
+                if qh == ql:
+                    continue
+                ridx = order[s:e]
+                qidx = self.qs_sorted[ql:qh]
+                scores = m[ridx] @ self.q[qidx].T  # (rows_in_cell, probing_q)
+                nr, nq = scores.shape
+                kk = min(self.k, nr)
+                top = np.argpartition(-scores, kk - 1, axis=0)[:kk]
+                rows_all.append(ridx[top.reshape(-1)])
+                qis_all.append(np.repeat(qidx[None, :], kk, axis=0).reshape(-1))
+                sc_all.append(scores[top, np.arange(nq)[None, :]].reshape(-1))
+            if not rows_all:
+                return _empty_topk(query_id_column, id_column).append_column(
+                    "part", pa.array([], pa.int64())
+                )
+            qpos = np.concatenate(qis_all)
+            return pa.table(
+                {
+                    query_id_column: self.qids[qpos],
+                    id_column: ids[np.concatenate(rows_all)],
+                    "score": np.concatenate(sc_all).astype(np.float64),
+                    "part": self.part[qpos],
+                }
+            )
+
+    partials = ds.map_batches(
+        DSCellScan, fn_constructor_args=(q_refs, cents_ref, k),
+        batch_format="pyarrow", concurrency=(1, 8),
+    )
+    return hash_partition_exchange(
+        partials, "part", num_partitions,
+        _make_merge_topk(query_id_column, id_column, k),
+    )
+
+
 def first_occurrence_mask(part: np.ndarray) -> np.ndarray:
     """(n, tables) partition ids -> boolean mask of the FIRST occurrence of
     each distinct partition per row. The embedding vector is attached only to
