@@ -428,6 +428,64 @@ def _q_jaccard_dedup(sf_dir: str):
     return cluster_map_table(parents)
 
 
+def _q_jaccard_incremental(sf_dir: str):
+    """Tiered exact n-gram Jaccard dedup (bootstrap ~80% of doc ids,
+    increment the rest); final state == full batch run
+    (tests/test_incremental_jaccard.py), so the batch jaccard SQL oracle
+    applies verbatim. Returns the (row_id, cluster_id) map incl roots like
+    ``ngram_jaccard_dedup``."""
+    import glob as _glob
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from text_dedup_ray.pipelines.incremental_jaccard import (
+        jaccard_bootstrap,
+        jaccard_increment,
+    )
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    cut = int(docs.max("doc_id") * 0.8)
+
+    def split(keep_old: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = pc.less_equal(t["doc_id"], pa.scalar(cut, pa.int64()))
+            return t.filter(m if keep_old else pc.invert(m))
+
+        return f
+
+    state = tempfile.mkdtemp(prefix="jac_state_", dir="/tmp")
+    jaccard_bootstrap(
+        docs.map_batches(split(True), batch_format="pyarrow"),
+        state,
+        id_column="doc_id",
+        ngram_size=2,
+        min_length=0,
+        threshold=0.6,
+        num_partitions=16,
+        df_cap=1_000_000_000,
+    )
+    inc = jaccard_increment(
+        docs.map_batches(split(False), batch_format="pyarrow"),
+        state,
+        id_column="doc_id",
+    )
+    rows, roots = [], []
+    for f in _glob.glob(f"{state}/v{inc.state_version:05d}/clusters/*.parquet"):
+        t = pq.read_table(f)
+        if t.num_rows:
+            rows.append(t["row_id"].to_numpy(zero_copy_only=False))
+            roots.append(t["cluster_id"].to_numpy(zero_copy_only=False))
+    mids = np.concatenate(rows).astype(np.int64) if rows else np.empty(0, np.int64)
+    mroots = np.concatenate(roots).astype(np.int64) if roots else np.empty(0, np.int64)
+    distinct_roots = np.unique(mroots)
+    all_ids = np.concatenate([mids, distinct_roots])
+    all_roots = np.concatenate([mroots, distinct_roots])
+    order = np.argsort(all_ids, kind="stable")
+    return pa.table({"row_id": all_ids[order], "cluster_id": all_roots[order]})
+
+
 def _q_minhash_docs(sf_dir: str):
     from text_dedup_ray.functions.minhash import MinHashConfig
     from text_dedup_ray.pipelines.minhash import minhash_dedup
@@ -948,6 +1006,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- exact n-gram Jaccard (SQL-checked pair table + clusters) ---
         "ngram_jaccard_pairs": _q_jaccard_pairs,
         "ngram_jaccard_dedup": _q_jaccard_dedup,
+        "jaccard_incremental_docs": _q_jaccard_incremental,
         # --- similarity search ---
         "ann_topk": _q_ann_topk,
         "ann_ivf_topk": _q_ann_ivf,
@@ -1083,6 +1142,8 @@ def oracle_sql() -> dict[str, str]:
         # principles in SQL (text_dedup_ray/oracles.py builds these) ---
         "lang_id": _oracles.lang_id_sql(),
         "ngram_jaccard_dedup": _oracles.jaccard_dedup_sql(ngram_size=2, threshold=0.6),
+        # tiered state == full batch run (tests/test_incremental_jaccard.py)
+        "jaccard_incremental_docs": _oracles.jaccard_dedup_sql(ngram_size=2, threshold=0.6),
         "minhash_dedup_docs": _oracles.minhash_dedup_sql(_MINHASH_ORACLE_CFG()),
         # incremental state == full batch run (tests/test_incremental.py),
         # so the same SQL is the oracle for the tiered path

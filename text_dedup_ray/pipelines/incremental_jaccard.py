@@ -1,0 +1,431 @@
+"""Incremental (tiered) exact n-gram Jaccard dedup against a saved
+posting-list index — the last dedup family to gain the tiered contract
+(exact/minhash/simhash/phash/embedding/suffix are in their own modules).
+
+- :func:`jaccard_bootstrap`: full exact-Jaccard dedup
+  (pipelines/jaccard_dedup semantics) over the initial corpus that persists
+  the inverted index — (shingle_hash, row_id, set_size) posting rows
+  pre-partitioned by ``hash % P``, one parquet file per partition — plus the
+  non-trivial cluster rows and meta.
+- :func:`jaccard_increment`: explodes ONLY the new batch into postings,
+  exchanges them to the same partitions, and each reduce task merges against
+  its prior posting file read LOCALLY from storage (the old index is never
+  re-shuffled): pair partials are emitted for (new x old) and (new x new)
+  co-occurrences only — old-old connectivity is already folded into the
+  prior cluster map — then exact Jaccard >= threshold edges compose with the
+  prior map through the shared :func:`incremental._compose_with_prior`.
+
+Equivalence: a full re-run's verified-pair set is (old-old) ∪ (new-old) ∪
+(new-new); the prior map IS the CC of the old-old pairs, so composing
+reproduces ``ngram_jaccard_dedup(old ∪ new)`` exactly — asserted by
+tests/test_incremental_jaccard.py. ``df_cap`` in an increment applies to
+the COMBINED (old+new) posting list, matching what a full re-run would see;
+old-old edges recorded at bootstrap under a then-lower df are kept (strictly
+better recall than a full rerun with the same finite cap — documented, and
+equivalence tests run uncapped).
+
+Per-increment cost: explode(new) + shuffle(new postings) + local
+read+rewrite of the posting partitions + pair reduce over new-involving
+co-occurrences. Driver state follows the shared ``driver_threshold``
+contract.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from ..functions.timer import Timer
+from ..sources.io import ROW_ID, stamp_row_ids_from_key
+from ..stages.assign import assign_clusters, assign_clusters_sharded, filter_cluster_roots
+from ..stages.cc import connected_components_auto
+from ..state.checkpoint import config_hash
+from .incremental import (
+    IncrementResult,
+    _clean_version_dir,
+    _clusters_dir,
+    _compose_with_prior,
+    _version_dir,
+    _write_clusters,
+    _write_meta,
+    load_meta,
+)
+
+logger = logging.getLogger(__name__)
+
+_EMPTY_PAIRS = pa.table(
+    {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+     "sa": pa.array([], pa.int64()), "sb": pa.array([], pa.int64()),
+     "co": pa.array([], pa.int64()), "part": pa.array([], pa.int64())}
+)
+_EMPTY_EDGES = pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+
+
+def _index_file(state_dir: str, version: int, p: int) -> str:
+    return os.path.join(_version_dir(state_dir, version), "index", f"part-{p:05d}.parquet")
+
+
+def _jac_cfg_hash(text_column: str, ngram_size: int, min_length: int,
+                  threshold: float, num_partitions: int) -> str:
+    return config_hash(
+        {
+            "algo": "jaccard_posting_state",
+            "text": text_column,
+            "ngram_size": ngram_size,
+            "min_length": min_length,
+            "threshold": threshold,
+            "num_partitions": num_partitions,
+        }
+    )
+
+
+def _make_explode(text_column: str, ngram_size: int, min_length: int,
+                  num_partitions: int):
+    from .jaccard_dedup import _shingle_hash64
+
+    from ..functions.tokenization import shingle_set
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch[text_column].to_pylist()
+        ids = batch[ROW_ID].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_h: list[int] = []
+        out_id: list[int] = []
+        out_sz: list[int] = []
+        for i, t in enumerate(texts):
+            sh = shingle_set(t, ngram_size, min_length)
+            for s in sh:
+                out_h.append(_shingle_hash64(s))
+                out_id.append(int(ids[i]))
+                out_sz.append(len(sh))
+        t_out = pa.table(
+            {
+                "sh": pa.array(out_h, pa.int64()),
+                "row_id": pa.array(out_id, pa.int64()),
+                "size": pa.array(out_sz, pa.int64()),
+            }
+        )
+        part = (np.abs(np.array(out_h, dtype=np.int64)) % num_partitions).astype(np.int64)
+        return t_out.append_column("part", pa.array(part))
+
+    return explode
+
+
+def _sorted_postings(*tables: pa.Table) -> pa.Table:
+    parts = [t.select(["sh", "row_id", "size"]) for t in tables if t.num_rows > 0]
+    if not parts:
+        return pa.table(
+            {"sh": pa.array([], pa.int64()), "row_id": pa.array([], pa.int64()),
+             "size": pa.array([], pa.int64())}
+        )
+    t = pa.concat_tables(parts, promote_options="default")
+    sh = t["sh"].to_numpy(zero_copy_only=False).astype(np.int64)
+    rid = t["row_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sz = t["size"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((rid, sh))
+    return pa.table({"sh": sh[order], "row_id": rid[order], "size": sz[order]})
+
+
+@ray.remote
+def _bootstrap_index_write(out_path: str, *tables: pa.Table) -> pa.Table:
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    pq.write_table(_sorted_postings(*tables), out_path)
+    return _EMPTY_PAIRS
+
+
+@ray.remote
+def _increment_reduce_write(
+    out_path: str, prior_path: str | None, df_cap: int, num_partitions: int,
+    *tables: pa.Table,
+) -> pa.Table:
+    """Reduce one shingle partition: merge the new batch's postings with the
+    prior file (read locally), write the merged next-version file, and emit
+    pair partials for shingles present in the new batch — (new x old) and
+    (new x new) only."""
+    new = _sorted_postings(*tables)
+    if prior_path is not None and os.path.exists(prior_path):
+        prior = pq.read_table(prior_path)
+    else:
+        prior = _sorted_postings()
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    pq.write_table(_sorted_postings(prior, new), out_path)
+    if new.num_rows == 0:
+        return _EMPTY_PAIRS
+    nh = new["sh"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nid = new["row_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nsz = new["size"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ph = prior["sh"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pid = prior["row_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    psz = prior["size"].to_numpy(zero_copy_only=False).astype(np.int64)
+    a_out, b_out, sa_out, sb_out = [], [], [], []
+    dropped = 0
+    n_starts = np.flatnonzero(np.r_[True, np.diff(nh) != 0])
+    n_ends = np.r_[n_starts[1:], len(nh)]
+    for s, e in zip(n_starts, n_ends):
+        h = nh[s]
+        lo = np.searchsorted(ph, h, side="left")
+        hi = np.searchsorted(ph, h, side="right")
+        n_old = hi - lo
+        m = n_old + (e - s)
+        if m < 2:
+            continue
+        if m > df_cap:  # combined df — same cap a full re-run would apply
+            dropped += 1
+            continue
+        r = np.concatenate([pid[lo:hi], nid[s:e]])
+        z = np.concatenate([psz[lo:hi], nsz[s:e]])
+        # (new x all) pairs: old columns always allowed; new-new upper-tri
+        rows = np.arange(n_old, m)[:, None]
+        cols = np.arange(m)[None, :]
+        allow = (cols < n_old) | (cols > rows)
+        ii, jj = np.nonzero(allow)
+        ii = ii + n_old
+        a_out.append(np.maximum(r[ii], r[jj]))
+        b_out.append(np.minimum(r[ii], r[jj]))
+        sa_out.append(np.where(r[ii] > r[jj], z[ii], z[jj]))
+        sb_out.append(np.where(r[ii] > r[jj], z[jj], z[ii]))
+    if dropped:
+        logger.warning(
+            "jaccard_increment: %d shingles above df_cap=%d dropped", dropped, df_cap
+        )
+    if not a_out:
+        return _EMPTY_PAIRS
+    a = np.concatenate(a_out).astype(np.int64)
+    b = np.concatenate(b_out).astype(np.int64)
+    sa = np.concatenate(sa_out).astype(np.int64)
+    sb = np.concatenate(sb_out).astype(np.int64)
+    order2 = np.lexsort((b, a))
+    a, b, sa, sb = a[order2], b[order2], sa[order2], sb[order2]
+    bounds = np.flatnonzero(np.r_[True, (np.diff(a) != 0) | (np.diff(b) != 0)])
+    co = np.diff(np.r_[bounds, len(a)]).astype(np.int64)
+    a, b, sa, sb = a[bounds], b[bounds], sa[bounds], sb[bounds]
+    with np.errstate(over="ignore"):
+        part = (np.abs(a * np.int64(31) + b) % np.int64(num_partitions)).astype(np.int64)
+    return pa.table({"a": a, "b": b, "sa": sa, "sb": sb, "co": co, "part": part})
+
+
+def _make_pair_reduce(threshold: float):
+    def reduce_pairs(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "a" not in group.column_names:
+            return _EMPTY_EDGES
+        a = group["a"].to_numpy(zero_copy_only=False)
+        b = group["b"].to_numpy(zero_copy_only=False)
+        sa = group["sa"].to_numpy(zero_copy_only=False)
+        sb = group["sb"].to_numpy(zero_copy_only=False)
+        co = group["co"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b, sa, sb, co = a[order], b[order], sa[order], sb[order], co[order]
+        bounds = np.flatnonzero(np.r_[True, (np.diff(a) != 0) | (np.diff(b) != 0)])
+        co_sum = np.add.reduceat(co, bounds)
+        a, b, sa, sb = a[bounds], b[bounds], sa[bounds], sb[bounds]
+        union = sa + sb - co_sum
+        jac = np.where(union > 0, co_sum / np.maximum(union, 1), 1.0)
+        keep = jac >= threshold
+        return pa.table(
+            {"src": a[keep].astype(np.int64), "dst": b[keep].astype(np.int64)}
+        )
+
+    return reduce_pairs
+
+
+def _exchange_postings(
+    postings: ray.data.Dataset,
+    reduce_remote,
+    reduce_args_for_partition,
+    num_partitions: int,
+) -> ray.data.Dataset:
+    from ..stages.exchange import _split_block
+
+    split = ray.remote(num_returns=num_partitions)(_split_block)
+    columns: list[list[ray.ObjectRef]] = [[] for _ in range(num_partitions)]
+    for bundle in postings.iter_internal_ref_bundles():
+        for block_ref in bundle.block_refs:
+            outs = split.remote(block_ref, "part", num_partitions)
+            if num_partitions == 1:
+                outs = [outs]
+            for p in range(num_partitions):
+                columns[p].append(outs[p])
+    reduced = [
+        reduce_remote.remote(*reduce_args_for_partition(p), *columns[p])
+        for p in range(num_partitions)
+    ]
+    return ray.data.from_arrow_refs(reduced)
+
+
+def jaccard_bootstrap(
+    ds: ray.data.Dataset,
+    state_dir: str,
+    text_column: str = "text",
+    id_column: str | None = None,
+    ngram_size: int = 1,
+    min_length: int = 0,
+    threshold: float = 0.8,
+    num_partitions: int = 32,
+    df_cap: int = 200,
+    driver_threshold: int = 2_000_000,
+) -> IncrementResult:
+    """Full exact-Jaccard dedup over the initial corpus, persisting the
+    posting index + cluster rows + meta to ``state_dir``."""
+    from .jaccard_dedup import ngram_jaccard_dedup
+
+    timer = Timer()
+    if id_column is not None:
+        ds = stamp_row_ids_from_key(ds, id_column)
+    elif ROW_ID not in ds.schema().names:
+        raise ValueError("dataset must have a row_id column or pass id_column")
+    ds_max = ds.select_columns([ROW_ID]).max(ROW_ID)
+    max_row_id = -1 if ds_max is None else int(ds_max)
+
+    version = 1
+    _clean_version_dir(state_dir, version)
+    postings = ds.map_batches(
+        _make_explode(text_column, ngram_size, min_length, num_partitions),
+        batch_format="pyarrow",
+    )
+    with timer("posting_index"):
+        _exchange_postings(
+            postings,
+            _bootstrap_index_write,
+            lambda p: (_index_file(state_dir, version, p),),
+            num_partitions,
+        ).materialize()  # index files on disk before meta flips
+    with timer("dedup"):
+        parents = ngram_jaccard_dedup(
+            ds, text_column=text_column, ngram_size=ngram_size,
+            min_length=min_length, threshold=threshold,
+            driver_threshold=driver_threshold,
+            num_partitions=num_partitions, df_cap=df_cap,
+        )
+    with timer("assign+state"):
+        _write_clusters(parents, _clusters_dir(state_dir, version))
+        if isinstance(parents, dict):
+            assigned = assign_clusters(ds, parents)
+        else:
+            assigned = assign_clusters_sharded(
+                ds, parents.materialize(), num_shards=num_partitions
+            )
+    _write_meta(
+        state_dir,
+        {
+            "algo": "jaccard_posting",
+            "version": version,
+            "cfg_hash": _jac_cfg_hash(
+                text_column, ngram_size, min_length, threshold, num_partitions
+            ),
+            "max_row_id": max_row_id,
+            "num_partitions": num_partitions,
+            "text_column": text_column,
+            "ngram_size": ngram_size,
+            "min_length": min_length,
+            "threshold": threshold,
+            "df_cap": df_cap,
+        },
+    )
+    return IncrementResult(
+        assigned=assigned,
+        deduped=filter_cluster_roots(assigned),
+        parents=parents,
+        state_version=version,
+        metrics={"stage_seconds": timer.report()},
+    )
+
+
+def jaccard_increment(
+    new_ds: ray.data.Dataset,
+    state_dir: str,
+    id_column: str | None = None,
+    driver_threshold: int = 2_000_000,
+    validate_ids: bool = True,
+) -> IncrementResult:
+    """Dedup ``new_ds`` against the saved posting index AND itself; persist
+    the next version. Cluster assignments equal a full exact-Jaccard re-run
+    over old ∪ new. Shingle/threshold parameters come from the saved meta."""
+    timer = Timer()
+    meta = load_meta(state_dir)
+    if meta.get("algo") != "jaccard_posting":
+        raise ValueError(f"state at {state_dir} is not a jaccard_posting index")
+    prior_version = int(meta["version"])
+    num_partitions = int(meta["num_partitions"])
+    prior_max = int(meta["max_row_id"])
+    threshold = float(meta["threshold"])
+    df_cap = int(meta["df_cap"])
+
+    if id_column is not None:
+        new_ds = stamp_row_ids_from_key(new_ds, id_column)
+    elif ROW_ID not in new_ds.schema().names:
+        raise ValueError("dataset must have a row_id column or pass id_column")
+    ids_narrow = new_ds.select_columns([ROW_ID])
+    batch_max = ids_narrow.max(ROW_ID)
+    new_max = prior_max if batch_max is None else int(batch_max)
+    if validate_ids:
+        new_min = ids_narrow.min(ROW_ID)
+        if new_min is not None and int(new_min) <= prior_max:
+            raise ValueError(
+                f"new row ids must exceed the saved max_row_id={prior_max} "
+                f"(got min={int(new_min)}); old ids must win min-tie-breaks"
+            )
+
+    version = prior_version + 1
+    _clean_version_dir(state_dir, version)
+    postings = new_ds.map_batches(
+        _make_explode(
+            meta["text_column"], int(meta["ngram_size"]),
+            int(meta["min_length"]), num_partitions,
+        ),
+        batch_format="pyarrow",
+    )
+    from ..stages.exchange import hash_partition_exchange
+
+    with timer("postings+index"):
+        pair_partials = _exchange_postings(
+            postings,
+            _increment_reduce_write,
+            lambda p: (
+                _index_file(state_dir, version, p),
+                _index_file(state_dir, prior_version, p),
+                df_cap,
+                num_partitions,
+            ),
+            num_partitions,
+        )
+    with timer("pair_reduce"):
+        edges = hash_partition_exchange(
+            pair_partials, "part", num_partitions, _make_pair_reduce(threshold)
+        )
+    with timer("cc"):
+        cc = connected_components_auto(
+            edges, driver_threshold=driver_threshold, num_partitions=num_partitions
+        )
+    with timer("compose"):
+        parents, merges = _compose_with_prior(
+            cc, prior_max, _clusters_dir(state_dir, prior_version)
+        )
+    with timer("assign+state"):
+        _write_clusters(
+            parents,
+            _clusters_dir(state_dir, version),
+            prior_dir=_clusters_dir(state_dir, prior_version),
+            merges=merges,
+            min_new_id=prior_max + 1,
+        )
+        if isinstance(parents, dict):
+            assigned = assign_clusters(new_ds, parents)
+        else:
+            assigned = assign_clusters_sharded(
+                new_ds, parents.materialize(), num_shards=num_partitions
+            )
+    meta.update({"version": version, "max_row_id": max(prior_max, new_max)})
+    _write_meta(state_dir, meta)
+    return IncrementResult(
+        assigned=assigned,
+        deduped=filter_cluster_roots(assigned),
+        parents=parents,
+        merged_old_roots=merges,
+        state_version=version,
+        metrics={"stage_seconds": timer.report()},
+    )
