@@ -284,9 +284,41 @@ def run_benchmarks() -> None:
         )
         return approx.num_rows
 
+    def ann_topk_ds():
+        # queries-as-Dataset path: 10k query rows, partial top-k merged
+        # through the hash exchange (nothing driver-bound)
+        import numpy as np
+        import pyarrow as pa
+
+        from text_dedup_ray.pipelines.ann import brute_force_topk_ds
+
+        emb = ray.data.read_parquet(
+            f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        sample = emb.limit(100).to_pandas()
+        reps = 100  # 10k queries
+        qmat = np.array(
+            [np.asarray(v, dtype=np.float32) for v in sample["embedding"]]
+        )
+        qids = np.arange(len(qmat) * reps, dtype=np.int64)
+        q_tbl = pa.table(
+            {
+                "query_id": qids,
+                "embedding": pa.array(
+                    [r.tolist() for r in np.tile(qmat, (reps, 1))],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+        res = brute_force_topk_ds(
+            emb, ray.data.from_arrow(q_tbl), k=10, num_partitions=16
+        )
+        return res.count()
+
     if not headline_only:
         timed("ann_topk", ann)
         timed("ann_lsh_topk", ann_lsh)
+        timed("ann_topk_ds_10k", ann_topk_ds)
 
     headline = timings["minhash_images"]
     result = {

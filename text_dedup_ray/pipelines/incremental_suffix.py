@@ -337,6 +337,11 @@ def suffix_increment(
                 f"(got min={int(new_min)})"
             )
 
+    # prune to the two columns the kernel needs BEFORE the tag/fetch pass —
+    # the membership semi-join must never carry payload columns
+    new_ds = new_ds.select_columns([ROW_ID, text_column])
+    old_ds = old_ds.select_columns([ROW_ID, text_column])
+
     version = prior_version + 1
     _clean_version_dir(state_dir, version)
     anchors = new_ds.map_batches(
