@@ -273,6 +273,22 @@ def _q_ann_ivf_ds(sf_dir: str):
     return out.select_columns(["query_id", "vec_id"])
 
 
+def _q_ann_lsh_ds(sf_dir: str):
+    """LSH with queries-as-Dataset (rows-only: bucket recall probabilistic
+    by design; parity with the array API + planted recall in
+    tests/test_ann_dataset_queries.py)."""
+    from text_dedup_ray.pipelines.ann import lsh_bucket_topk_ds
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def relabel(t: pa.Table) -> pa.Table:
+        return pa.table({"query_id": t["vec_id"], "embedding": t["embedding"]})
+
+    q_ds = emb.filter(expr="vec_id < 5").map_batches(relabel, batch_format="pyarrow")
+    out = lsh_bucket_topk_ds(emb, q_ds, k=10, num_partitions=8)
+    return out.select_columns(["query_id", "vec_id", "score"])
+
+
 def _q_ann_lsh(sf_dir: str):
     from text_dedup_ray.pipelines.ann import lsh_bucket_topk
 
@@ -1013,6 +1029,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": _q_ann_lsh,              # rows-only (approximate by design)
         "ann_topk_ds": _q_ann_topk_ds,
         "ann_ivf_topk_ds": _q_ann_ivf_ds,
+        "ann_lsh_topk_ds": _q_ann_lsh_ds,        # rows-only (approximate by design)
         "embedding_cosine_pairs": _q_embedding_pairs,
         "embedding_cosine_dedup": _q_embedding_dedup,
         "embedding_cosine_dedup_lsh": _q_embedding_dedup_lsh,  # rows-only (LSH recall)

@@ -170,3 +170,56 @@ class TestIVFTopKDatasetQueries:
             hits += len(want & have)
             total += len(want)
         assert hits / total >= 0.9
+
+
+class TestLSHTopKDatasetQueries:
+    def test_planted_exact_copies_recalled(self):
+        """Exact copies collide in every table: each query's top-1 must be
+        its source vector at score ~1.0; merged result stays a Dataset."""
+        from text_dedup_ray.pipelines.ann import lsh_bucket_topk_ds
+
+        corpus = _corpus(120, seed=31)
+        queries = corpus[:20]
+        ds = ray.data.from_arrow(_vec_table(range(120), corpus)).repartition(3)
+        q_ds = ray.data.from_arrow(_vec_table(range(1000, 1020), queries, "query_id"))
+        res = lsh_bucket_topk_ds(
+            ds, q_ds, k=3, num_tables=16, num_bits=4, num_partitions=4
+        )
+        assert isinstance(res, ray.data.Dataset)
+        got = res.to_pandas().sort_values(
+            ["query_id", "score", "vec_id"], ascending=[True, False, True]
+        )
+        top1 = got.groupby("query_id").head(1)
+        assert len(top1) == 20
+        np.testing.assert_array_equal(
+            top1["vec_id"].values, top1["query_id"].values - 1000
+        )
+        assert (top1["score"].values > 0.999999).all()
+
+    def test_matches_array_api(self):
+        """Same planes seed: identical candidate sets and ranks as the
+        driver-array lsh_bucket_topk."""
+        from text_dedup_ray.pipelines.ann import lsh_bucket_topk, lsh_bucket_topk_ds
+
+        corpus = _corpus(80, seed=17)
+        queries = corpus[[4, 40]]
+        ds = ray.data.from_arrow(_vec_table(range(80), corpus)).repartition(2)
+        q_ds = ray.data.from_arrow(_vec_table([0, 1], queries, "query_id"))
+        got = (
+            lsh_bucket_topk_ds(
+                ds, q_ds, k=5, num_tables=12, num_bits=5, num_partitions=2
+            )
+            .to_pandas()
+            .sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True])
+            .reset_index(drop=True)
+        )
+        ref = (
+            lsh_bucket_topk(ds, queries, k=5, num_tables=12, num_bits=5)
+            .to_pandas()
+            .rename(columns={"query_idx": "query_id"})
+            .sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True])
+            .reset_index(drop=True)
+        )
+        assert (got["query_id"].values == ref["query_id"].values).all()
+        assert (got["vec_id"].values == ref["vec_id"].values).all()
+        np.testing.assert_allclose(got["score"].values, ref["score"].values, rtol=1e-6)

@@ -634,6 +634,123 @@ def ivf_topk_ds(
     )
 
 
+def lsh_bucket_topk_ds(
+    ds: ray.data.Dataset,
+    queries: ray.data.Dataset,
+    k: int = 10,
+    embedding_column: str = "embedding",
+    id_column: str = "vec_id",
+    query_id_column: str = "query_id",
+    num_tables: int = 8,
+    num_bits: int = 12,
+    seed: int = 42,
+    num_partitions: int = 32,
+    broadcast_limit: int = 1 << 30,
+) -> ray.data.Dataset:
+    """Hyperplane-LSH approximate top-k with queries AS A DATASET — the
+    third member of the *_topk_ds trio (brute = exact, IVF = cell-pruned,
+    LSH = bucket-pruned): candidates co-bucket with a query in >= 1 of
+    ``num_tables`` tables, exact cosine re-rank of candidates only, partial
+    top-k merged through the hash exchange by query id. Same broadcast
+    contract for the query matrix as ``brute_force_topk_ds``; recall is
+    probabilistic by design (pytest-asserted on planted data)."""
+    from ..stages.exchange import hash_partition_exchange
+
+    q_narrow = queries.select_columns([query_id_column, embedding_column]).materialize()
+    q_bytes = q_narrow.size_bytes() or 0
+    if q_bytes > broadcast_limit:
+        raise ValueError(
+            f"query dataset is {q_bytes} bytes > broadcast_limit={broadcast_limit}; "
+            "swap the roles of ds and queries (ds should be the larger side)"
+        )
+    q_refs = q_narrow.to_arrow_refs()
+
+    class DSBucketScan:
+        def __init__(self, q_refs, k: int) -> None:
+            blocks = [t for t in ray.get(list(q_refs)) if t.num_rows]
+            if blocks:
+                self.qids = np.concatenate(
+                    [b[query_id_column].to_numpy(zero_copy_only=False) for b in blocks]
+                ).astype(np.int64)
+                self.q = _normalize(
+                    np.concatenate(
+                        [_batch_matrix(b, embedding_column, np.float32) for b in blocks]
+                    )
+                )
+            else:
+                self.qids = np.empty(0, np.int64)
+                self.q = np.empty((0, 1), np.float32)
+            self.part = _mix_to_part(self.qids, num_partitions)
+            dim = self.q.shape[1] if len(self.qids) else 1
+            self.planes = (
+                np.random.RandomState(seed)
+                .randn(num_tables, num_bits, dim)
+                .astype(np.float32)
+            )
+            q_sigs = hyperplane_signatures(self.q, self.planes)
+            self.sorted_sigs: list[np.ndarray] = []
+            self.sorted_qidx: list[np.ndarray] = []
+            for t in range(num_tables):
+                order = np.argsort(q_sigs[:, t], kind="stable")
+                self.sorted_sigs.append(q_sigs[order, t])
+                self.sorted_qidx.append(order.astype(np.int64))
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or not len(self.qids):
+                return _empty_topk(query_id_column, id_column).append_column(
+                    "part", pa.array([], pa.int64())
+                )
+            m = _normalize(_batch_matrix(batch, embedding_column))
+            ids = batch[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+            sigs = hyperplane_signatures(m, self.planes)
+            rows_all, qis_all = [], []
+            for t in range(sigs.shape[1]):
+                ss, sq = self.sorted_sigs[t], self.sorted_qidx[t]
+                lo = np.searchsorted(ss, sigs[:, t], side="left")
+                hi = np.searchsorted(ss, sigs[:, t], side="right")
+                counts = hi - lo
+                nz = np.flatnonzero(counts)
+                if not len(nz):
+                    continue
+                rows_all.append(np.repeat(nz, counts[nz]))
+                qis_all.append(
+                    sq[np.concatenate([np.arange(l, h) for l, h in zip(lo[nz], hi[nz])])]
+                )
+            if not rows_all:
+                return _empty_topk(query_id_column, id_column).append_column(
+                    "part", pa.array([], pa.int64())
+                )
+            rows = np.concatenate(rows_all)
+            qis = np.concatenate(qis_all)
+            pair_key = qis * np.int64(len(ids) + 1) + rows
+            _, uniq = np.unique(pair_key, return_index=True)
+            rows, qis = rows[uniq], qis[uniq]
+            scores = np.einsum("ij,ij->i", m[rows], self.q[qis]).astype(np.float64)
+            order = np.lexsort((-scores, qis))
+            qs, rs, sc = qis[order], rows[order], scores[order]
+            starts = np.flatnonzero(np.r_[True, np.diff(qs) != 0])
+            rank = np.arange(len(qs)) - np.repeat(starts, np.diff(np.r_[starts, len(qs)]))
+            keep = rank < self.k
+            return pa.table(
+                {
+                    query_id_column: self.qids[qs[keep]],
+                    id_column: ids[rs[keep]],
+                    "score": sc[keep],
+                    "part": self.part[qs[keep]],
+                }
+            )
+
+    partials = ds.map_batches(
+        DSBucketScan, fn_constructor_args=(q_refs, k), batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    return hash_partition_exchange(
+        partials, "part", num_partitions,
+        _make_merge_topk(query_id_column, id_column, k),
+    )
+
+
 def first_occurrence_mask(part: np.ndarray) -> np.ndarray:
     """(n, tables) partition ids -> boolean mask of the FIRST occurrence of
     each distinct partition per row. The embedding vector is attached only to
