@@ -140,3 +140,32 @@ class TestJaccardIncremental:
         )
         with pytest.raises(ValueError, match="max_row_id"):
             jaccard_increment(ray.data.from_arrow(_tbl(old)), state, id_column="doc_id")
+
+
+class TestJaccardIncrementSkew:
+    def test_hot_shingle_capped_and_logged(self, tmp_path, caplog):
+        """A shingle shared by every doc (combined df above df_cap) is
+        dropped with a warning, not a quadratic blowup; distinctive shingles
+        still pair up."""
+        import logging
+
+        old = {i: [f"o{i}_{j}" for j in range(10)] + ["hot"] for i in range(30)}
+        new = {
+            100: [f"o5_{j}" for j in range(10)] + ["hot"],  # near-dup of old 5
+            101: [f"n1_{j}" for j in range(12)] + ["hot"],  # unique + hot
+        }
+        state = str(tmp_path / "state")
+        jaccard_bootstrap(
+            ray.data.from_arrow(_tbl(old)), state, id_column="doc_id",
+            num_partitions=4, df_cap=8, ngram_size=1, min_length=0, threshold=0.7,
+        )
+        with caplog.at_level(logging.WARNING):
+            inc = jaccard_increment(
+                ray.data.from_arrow(_tbl(new)), state, id_column="doc_id"
+            )
+        got = _state_clusters(state, inc.state_version)
+        # the dropped hot shingle costs one co-count: co=10 over the 10
+        # distinctive shingles, union=11+11-10=12 -> J=10/12=0.83 >= 0.7,
+        # so the near-dup pair still clusters without the hot posting list
+        assert got.get(100) == 5
+        assert 101 not in got  # unique survives as its own root

@@ -150,3 +150,33 @@ class TestSuffixIncremental:
                 ray.data.from_arrow(_tbl(old_ids[:2], old_texts[:2])), state,
                 ray.data.from_arrow(_tbl(old_ids, old_texts)), id_column="doc_id",
             )
+
+
+class TestSuffixIncrementSkew:
+    def test_hot_anchor_capped_but_boilerplate_still_cut(self, tmp_path):
+        """Boilerplate shared by many old docs makes its anchors hot; with
+        max_bucket far below the membership the edge emission keeps only the
+        min-id old members — which ALL contain the run — so the new doc still
+        groups with a partner and the boilerplate is still cut from it."""
+        rng = np.random.RandomState(23)
+        boiler = _rand_text(rng, 150)
+        old_ids = list(range(30))
+        old_texts = [
+            _rand_text(rng, 60) + boiler + _rand_text(rng, 60) for _ in old_ids
+        ]
+        new_ids = [500]
+        new_texts = [_rand_text(rng, 70) + boiler + _rand_text(rng, 70)]
+        state = str(tmp_path / "state")
+        suffix_bootstrap(
+            ray.data.from_arrow(_tbl(old_ids, old_texts)), state,
+            id_column="doc_id", length_threshold=L, num_partitions=4,
+        )
+        inc, _, _ = suffix_increment(
+            ray.data.from_arrow(_tbl(new_ids, new_texts)), state,
+            ray.data.from_arrow(_tbl(old_ids, old_texts)), id_column="doc_id",
+            max_bucket=4,
+        )
+        got = _increment_rows(inc)
+        assert 500 in got
+        assert boiler not in got[500]      # boilerplate cut despite the cap
+        assert len(got[500]) < len(new_texts[0])

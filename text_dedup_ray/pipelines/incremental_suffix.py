@@ -37,6 +37,13 @@ Chaining: the anchor index accumulates each increment's anchors, so later
 increments see earlier batches as "old"; ``old_ds`` for increment k must be
 the ORIGINAL text of bootstrap ∪ increments 1..k-1 (the caller's corpus
 lake — the state validates ids, not content).
+
+Cost note: each increment performs ONE column-pruned scan of ``old_ds``
+(row_id + text only) to tag/fetch candidates — cheaper than re-anchoring
+the old corpus but still a read proportional to old-corpus text size. A
+caller that tracks candidate row-id ranges can pre-filter ``old_ds`` at the
+read (parquet row-group pruning) to make the fetch proportional to
+candidates instead.
 """
 
 from __future__ import annotations
