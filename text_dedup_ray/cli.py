@@ -223,6 +223,30 @@ def main(argv: list[str] | None = None) -> None:
             stats["mode"] = "bootstrap"
         stats["state_version"] = version
         stats.update(metrics)
+    elif name == "jaccard_incremental":
+        from .pipelines.incremental_jaccard import jaccard_bootstrap, jaccard_increment
+
+        state_dir = algo.pop("state_dir", None)
+        if not state_dir:
+            raise SystemExit("jaccard_incremental needs [algorithm].state_dir")
+        import os as _os
+
+        if _os.path.exists(_os.path.join(state_dir, "meta.json")):
+            res = jaccard_increment(ds, state_dir)
+            stats["mode"] = "increment"
+            stats["merged_old_roots"] = len(res.merged_old_roots)
+        else:
+            res = jaccard_bootstrap(
+                ds, state_dir, text_column=text_column,
+                ngram_size=int(algo.get("ngram_size", 3)),
+                min_length=int(algo.get("min_length", 5)),
+                threshold=float(algo.get("threshold", 0.8)),
+                df_cap=int(algo.get("df_cap", 200)),
+            )
+            stats["mode"] = "bootstrap"
+        result_ds = res.assigned if skip_filtering else res.deduped
+        stats["state_version"] = res.state_version
+        stats.update(res.metrics)
     elif name == "jaccard":
         from .pipelines.jaccard_dedup import ngram_jaccard_dedup
         from .stages.assign import assign_clusters, filter_cluster_roots
