@@ -223,6 +223,36 @@ def main(argv: list[str] | None = None) -> None:
             stats["mode"] = "bootstrap"
         stats["state_version"] = version
         stats.update(metrics)
+    elif name == "embedding_incremental":
+        # tiered embedding-cosine dedup over a vector table: input.path must
+        # carry [input].id_column + [algorithm].embedding_column (list<float>)
+        from .pipelines.incremental_embedding import (
+            embedding_bootstrap,
+            embedding_increment,
+        )
+
+        state_dir = algo.pop("state_dir", None)
+        if not state_dir:
+            raise SystemExit("embedding_incremental needs [algorithm].state_dir")
+        emb_col = algo.get("embedding_column", "embedding")
+        import os as _os
+
+        if _os.path.exists(_os.path.join(state_dir, "meta.json")):
+            res = embedding_increment(ds, state_dir, id_column=None)
+            stats["mode"] = "increment"
+            stats["merged_old_roots"] = len(res.merged_old_roots)
+        else:
+            res = embedding_bootstrap(
+                ds, state_dir, embedding_column=emb_col, id_column=None,
+                threshold=float(algo.get("threshold", 0.95)),
+                num_tables=int(algo.get("num_tables", 8)),
+                num_bits=int(algo.get("num_bits", 10)),
+                seed=int(algo.get("seed", 42)),
+            )
+            stats["mode"] = "bootstrap"
+        result_ds = res.assigned if skip_filtering else res.deduped
+        stats["state_version"] = res.state_version
+        stats.update(res.metrics)
     elif name == "jaccard_incremental":
         from .pipelines.incremental_jaccard import jaccard_bootstrap, jaccard_increment
 
