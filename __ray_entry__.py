@@ -186,6 +186,21 @@ def _q_events_user(sf_dir: str):
     return _round_col(grouped_sum_count(ev, ["user_id"], ["value"], "n_events"), "value")
 
 
+def _q_events_sessions(sf_dir: str):
+    """Gap-based session windows (30-min gap) per user: the classic
+    large-pipeline sessionization op Ray Data lacks natively, via the hash
+    exchange (events co-locate by user hash; one vectorized sort + cumsum
+    kernel per partition)."""
+    from text_dedup_ray.pipelines.agg import sessionize
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    out = sessionize(
+        ev, ts_column="ts", key_column="user_id", gap_seconds=1800,
+        value_column="value", num_partitions=16,
+    )
+    return _round_col(out, "sum_value", 3)
+
+
 def _q_lineitem_q1(sf_dir: str):
     import pyarrow.compute as pc
 
@@ -1018,6 +1033,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_counts": _q_lang_counts,
         "events_hourly": _q_events_hourly,
         "events_user_stats": _q_events_user,
+        "events_sessions": _q_events_sessions,
         "lineitem_pricing": _q_lineitem_q1,
         # --- exact n-gram Jaccard (SQL-checked pair table + clusters) ---
         "ngram_jaccard_pairs": _q_jaccard_pairs,
@@ -1109,6 +1125,19 @@ def oracle_sql() -> dict[str, str]:
         "events_user_stats": (
             "SELECT user_id, round(sum(value), 3) AS value, count(*)::BIGINT AS n_events "
             "FROM events GROUP BY user_id"
+        ),
+        "events_sessions": (
+            "WITH b AS ("
+            "  SELECT user_id, ts, value,"
+            "         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY ts) <= 1800000000 THEN 0 ELSE 1 END AS brk"
+            "  FROM events"
+            "), s AS ("
+            "  SELECT user_id, ts, value, sum(brk) OVER "
+            "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM b"
+            ") SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, "
+            "count(*)::BIGINT AS n_events, round(sum(value), 3) AS sum_value "
+            "FROM s GROUP BY user_id, sid"
         ),
         "lineitem_pricing": (
             "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
