@@ -228,6 +228,87 @@ def _q_lineitem_q1(sf_dir: str):
     )
 
 
+def _q_events_orders_asof(sf_dir: str):
+    """Backward as-of join (the classic enrich-events-with-latest-state op
+    Ray Data lacks natively): each event picks its user's most recent order
+    at or before the event timestamp, ties on the order date breaking to the
+    greatest order key. Both sides co-partition by key hash through the
+    two-sided exchange; one merged-lexsort kernel per partition."""
+    from text_dedup_ray.pipelines.joins import asof_join
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    od = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    return asof_join(
+        ev,
+        od,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        tie_column="o_orderkey",
+        left_columns=["event_id"],
+        right_columns=["o_orderkey", "o_totalprice"],
+        num_partitions=16,
+    )
+
+
+def _q_events_attribution(sf_dir: str):
+    """Attribution-window range join: per event, COUNT + SUM(value) of the
+    same user's events inside the following 6 hours (ts, ts + 6h]. The
+    kernel bounds every window with two merged rank passes and a prefix
+    sum — never materializing matched pairs."""
+    from text_dedup_ray.pipelines.joins import range_join_agg
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    out = range_join_agg(
+        ev,
+        ev,
+        left_key="user_id",
+        right_key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        lo_us=0,
+        hi_us=6 * 3600 * 1_000_000,
+        left_columns=["event_id"],
+        value_column="value",
+        count_alias="n_follow",
+        num_partitions=16,
+    )
+    return _round_col(out, "sum_value", 3)
+
+
+def _q_part_brand_revenue(sf_dir: str):
+    """Broadcast hash join (big lineitem x small part dimension — the small
+    side is ray.put once and worker-cached, the big side never shuffles)
+    feeding the partial-aggregated group-by."""
+    import pyarrow.compute as pc
+
+    from text_dedup_ray.pipelines.agg import grouped_sum_count
+    from text_dedup_ray.pipelines.joins import broadcast_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_extendedprice", "l_discount"]
+    )
+    pt = ray.data.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    joined = broadcast_join(
+        li, pt, left_on="l_partkey", right_on="p_partkey", right_columns=["p_brand"]
+    )
+
+    def add_rev(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("revenue", rev)
+
+    out = grouped_sum_count(
+        joined.map_batches(add_rev, batch_format="pyarrow"), ["p_brand"], ["revenue"], "n_items"
+    )
+    return _round_col(out, "revenue", 2)
+
+
 def _q_ann_topk(sf_dir: str):
     from text_dedup_ray.pipelines.ann import brute_force_topk
 
@@ -1035,6 +1116,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_stats": _q_events_user,
         "events_sessions": _q_events_sessions,
         "lineitem_pricing": _q_lineitem_q1,
+        # --- joins (SQL-checked): as-of, range window, broadcast hash ---
+        "events_orders_asof": _q_events_orders_asof,
+        "events_attribution_6h": _q_events_attribution,
+        "part_brand_revenue": _q_part_brand_revenue,
         # --- exact n-gram Jaccard (SQL-checked pair table + clusters) ---
         "ngram_jaccard_pairs": _q_jaccard_pairs,
         "ngram_jaccard_dedup": _q_jaccard_dedup,
@@ -1144,6 +1229,26 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(l_extendedprice), 2) AS sum_base_price, "
             "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
             "count(*)::BIGINT AS n FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        # backward as-of with deterministic tie-break (max orderdate, then
+        # max orderkey) — ASOF JOIN leaves ties unspecified, so the oracle
+        # states the definition via a window instead
+        "events_orders_asof": (
+            "SELECT event_id, o_orderkey, o_totalprice FROM events e "
+            "JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts "
+            "QUALIFY row_number() OVER (PARTITION BY e.event_id "
+            "ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) = 1"
+        ),
+        "events_attribution_6h": (
+            "SELECT a.event_id, count(*)::BIGINT AS n_follow, "
+            "round(sum(b.value), 3) AS sum_value FROM events a JOIN events b "
+            "ON b.user_id = a.user_id AND b.ts > a.ts "
+            "AND b.ts <= a.ts + INTERVAL 6 HOUR GROUP BY a.event_id"
+        ),
+        "part_brand_revenue": (
+            "SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+            "count(*)::BIGINT AS n_items FROM lineitem "
+            "JOIN part ON p_partkey = l_partkey GROUP BY p_brand"
         ),
         "ngram_jaccard_pairs": (
             "WITH tok AS (SELECT DISTINCT doc_id, tok FROM ("

@@ -1,0 +1,339 @@
+"""Distributed joins Ray Data lacks natively: as-of join, range join, and a
+generic broadcast hash join.
+
+Ray Data has no join operator, and the naive route (groupby over a unioned
+table, or a driver-side pandas merge) either pays a sort-based shuffle or
+stops being distributed. These three cover the join shapes a training-data /
+event-analytics pipeline actually needs:
+
+- ``asof_join``: for each left row, the right row with the same key and the
+  greatest right timestamp <= the left timestamp (backward as-of), with a
+  deterministic tie-break column. Both sides co-partition by key hash
+  through the explicit exchange (stages/exchange.two_sided_hash_exchange);
+  one vectorized merged-lexsort kernel per partition — no per-row Python,
+  no global sort.
+- ``range_join_agg``: for each left row, COUNT(*) and optionally SUM(value)
+  of right rows with the same key and a timestamp inside
+  (left_ts + lo, left_ts + hi] (inclusivity configurable). Same exchange;
+  the kernel answers every left row with two merged rank computations and a
+  prefix-sum — O((L+R) log(L+R)) per partition regardless of match count.
+- ``broadcast_join``: equi-join against a SMALL dimension side. The small
+  side is collected, key-sorted and ``ray.put`` ONCE; every map task joins
+  its batch via ``searchsorted`` against the worker-cached arrays — no
+  shuffle of the big side at all (the broadcast-join rule from SURVEY §4).
+
+Partitioning assumption for the exchange joins: one key's rows (both sides
+combined) fit in one partition — the same contract as any per-key window.
+Keys are int64; timestamps are cast to int64 microseconds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..stages.exchange import two_sided_hash_exchange
+
+_INT64_MAX = np.iinfo(np.int64).max
+
+
+def _ts_us(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Timestamp column -> int64 microseconds (vectorized, no Python rows)."""
+    ts = col.cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
+    return ts.astype("datetime64[us]").astype(np.int64)
+
+
+def _i64(col) -> np.ndarray:
+    return col.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def _tag_partition(ds: ray.data.Dataset, key: str, cols: list[str], num_partitions: int):
+    """Project to ``cols`` and append ``part = abs(key) % P`` per batch."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        t = batch.select(cols)
+        k = _i64(t[key])
+        part = (np.abs(k) % num_partitions).astype(np.int64)
+        return t.append_column("part", pa.array(part))
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def _empty_like(fields: list[tuple[str, pa.DataType]]) -> pa.Table:
+    return pa.table({n: pa.array([], t) for n, t in fields})
+
+
+def _rank_le_in_right(
+    r_k: np.ndarray,
+    r_t: np.ndarray,
+    l_k: np.ndarray,
+    l_t: np.ndarray,
+    inclusive: bool,
+) -> np.ndarray:
+    """For each left (k, t): how many right rows have (key == k' < k) or
+    (key == k and right_t <= t) — lexicographic rank of the probe among the
+    right side sorted by (key, ts). ``inclusive=False`` counts strict
+    ``right_t < t`` instead. One merged lexsort, fully vectorized.
+
+    Ranks over SMALLER keys are included by construction; callers that
+    difference two ranks (range windows) see those terms cancel, and as-of
+    callers re-check the matched row's key."""
+    n_r, n_l = len(r_k), len(l_k)
+    all_k = np.concatenate([r_k, l_k])
+    all_t = np.concatenate([r_t, l_t])
+    # at equal (k, t): right sorts first for <= (left's rank counts it),
+    # left sorts first for <
+    side = np.concatenate(
+        [np.full(n_r, 0 if inclusive else 1, np.int8), np.full(n_l, 1 if inclusive else 0, np.int8)]
+    )
+    order = np.lexsort((side, all_t, all_k))
+    is_right = order < n_r
+    cnt = np.cumsum(is_right)
+    out = np.empty(n_l, dtype=np.int64)
+    left_pos = np.flatnonzero(~is_right)
+    # at a left element's merged position p, cnt[p] = rights at or before p,
+    # and p itself is left -> rights strictly before
+    out[order[left_pos] - n_r] = cnt[left_pos]
+    return out
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    tie_column: str,
+    left_columns: list[str],
+    right_columns: list[str],
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Backward as-of INNER join: for each left row, attach ``right_columns``
+    from the right row with the same key and the greatest ``right_ts`` <=
+    ``left_ts``; ties on the timestamp break to the greatest ``tie_column``
+    (an int64 right column — required so results are deterministic when the
+    right side has equal (key, ts) rows, which SQL ASOF leaves unspecified).
+    Left rows with no match are dropped (inner semantics).
+
+    Equivalent SQL (the oracle shape)::
+
+        SELECT l.<left_columns>, r.<right_columns> FROM left l JOIN right r
+        ON r.key = l.key AND r.ts <= l.ts
+        QUALIFY row_number() OVER (PARTITION BY l.id
+                                   ORDER BY r.ts DESC, r.tie DESC) = 1
+    """
+    assert not set(left_columns) & set(right_columns), "output columns must be disjoint"
+    l_schema = left.schema()
+    r_schema = right.schema()
+    out_fields = [
+        (c, l_schema.base_schema.field(c).type) for c in left_columns
+    ] + [(c, r_schema.base_schema.field(c).type) for c in right_columns]
+
+    l_cols = list(dict.fromkeys([left_key, left_ts] + left_columns))
+    r_need = list(dict.fromkeys([right_key, right_ts, tie_column] + right_columns))
+    lt_ds = _tag_partition(left, left_key, l_cols, num_partitions)
+    rt_ds = _tag_partition(right, right_key, r_need, num_partitions)
+
+    def reduce(lt: pa.Table | None, rt: pa.Table | None) -> pa.Table:
+        if lt is None or rt is None or lt.num_rows == 0 or rt.num_rows == 0:
+            return _empty_like(out_fields)
+        l_k, l_t = _i64(lt[left_key]), _ts_us(lt[left_ts])
+        r_k, r_t = _i64(rt[right_key]), _ts_us(rt[right_ts])
+        r_tie = _i64(rt[tie_column])
+        n_r, n_l = len(r_k), len(l_k)
+        order_r = np.lexsort((r_tie, r_t, r_k))
+        # merged rank over (key, ts, tie): the probe carries tie=+inf so at
+        # equal (key, ts) it lands after every right row -> the match is the
+        # max-(ts, tie) right row with ts <= probe ts
+        all_k = np.concatenate([r_k, l_k])
+        all_t = np.concatenate([r_t, l_t])
+        all_tie = np.concatenate([r_tie, np.full(n_l, _INT64_MAX, np.int64)])
+        side = np.concatenate([np.zeros(n_r, np.int8), np.ones(n_l, np.int8)])
+        order = np.lexsort((side, all_tie, all_t, all_k))
+        is_right = order < n_r
+        cnt = np.cumsum(is_right)
+        j = np.empty(n_l, dtype=np.int64)
+        left_pos = np.flatnonzero(~is_right)
+        j[order[left_pos] - n_r] = cnt[left_pos] - 1  # rank-1 = matched right row
+        valid = j >= 0
+        valid[valid] = r_k[order_r[j[valid]]] == l_k[valid]
+        l_idx = np.flatnonzero(valid)
+        r_idx = order_r[j[l_idx]]
+        out = lt.select(left_columns).take(pa.array(l_idx))
+        r_out = rt.select(right_columns).take(pa.array(r_idx))
+        for c in right_columns:
+            out = out.append_column(c, r_out[c])
+        return out
+
+    return two_sided_hash_exchange(lt_ds, rt_ds, "part", num_partitions, reduce)
+
+
+def range_join_agg(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    lo_us: int,
+    hi_us: int,
+    left_columns: list[str],
+    value_column: str | None = None,
+    lo_inclusive: bool = False,
+    hi_inclusive: bool = True,
+    count_alias: str = "n_matches",
+    sum_alias: str = "sum_value",
+    keep_unmatched: bool = False,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Windowed range join + aggregate: per left row, COUNT(*) (and
+    SUM(value) when ``value_column`` is set) over right rows with the same
+    key and ``right_ts`` in ``(left_ts + lo_us, left_ts + hi_us]`` (bound
+    inclusivity configurable). ``keep_unmatched=False`` gives INNER-join
+    group-by semantics (zero-match left rows dropped).
+
+    The kernel never materializes matched pairs: two merged rank
+    computations bound each left row's window inside the right side sorted
+    by (key, ts), and an extended-precision prefix sum answers SUM — so a
+    hot key with a dense window costs O((L+R) log) like everyone else,
+    not O(matches)."""
+    l_schema = left.schema()
+    out_fields = [(c, l_schema.base_schema.field(c).type) for c in left_columns] + [
+        (count_alias, pa.int64())
+    ]
+    if value_column:
+        out_fields.append((sum_alias, pa.float64()))
+
+    l_cols = list(dict.fromkeys([left_key, left_ts] + left_columns))
+    r_cols = list(dict.fromkeys([right_key, right_ts] + ([value_column] if value_column else [])))
+    lt_ds = _tag_partition(left, left_key, l_cols, num_partitions)
+    rt_ds = _tag_partition(right, right_key, r_cols, num_partitions)
+
+    def reduce(lt: pa.Table | None, rt: pa.Table | None) -> pa.Table:
+        if lt is None or lt.num_rows == 0:
+            return _empty_like(out_fields)
+        n_l = lt.num_rows
+        if rt is None or rt.num_rows == 0:
+            if not keep_unmatched:
+                return _empty_like(out_fields)
+            out = lt.select(left_columns).append_column(
+                count_alias, pa.array(np.zeros(n_l, np.int64))
+            )
+            if value_column:
+                out = out.append_column(sum_alias, pa.array(np.zeros(n_l, np.float64)))
+            return out
+        l_k, l_t = _i64(lt[left_key]), _ts_us(lt[left_ts])
+        r_k, r_t = _i64(rt[right_key]), _ts_us(rt[right_ts])
+        order_r = np.lexsort((r_t, r_k))
+        r_k_s, r_t_s = r_k[order_r], r_t[order_r]
+        # rank of (k, lo] bound: exclusive lo counts right <= lo (to subtract),
+        # inclusive lo counts right < lo
+        cnt_lo = _rank_le_in_right(r_k_s, r_t_s, l_k, l_t + np.int64(lo_us), not lo_inclusive)
+        cnt_hi = _rank_le_in_right(r_k_s, r_t_s, l_k, l_t + np.int64(hi_us), hi_inclusive)
+        n = cnt_hi - cnt_lo  # smaller-key ranks cancel in the difference
+        keep = np.ones(n_l, bool) if keep_unmatched else n > 0
+        idx = np.flatnonzero(keep)
+        out = lt.select(left_columns).take(pa.array(idx))
+        out = out.append_column(count_alias, pa.array(n[idx]))
+        if value_column:
+            vals = rt[value_column].to_numpy(zero_copy_only=False).astype(np.float64)
+            pre = np.concatenate(
+                [[np.longdouble(0)], np.cumsum(vals[order_r], dtype=np.longdouble)]
+            )
+            s = (pre[cnt_hi] - pre[cnt_lo]).astype(np.float64)
+            out = out.append_column(sum_alias, pa.array(s[idx]))
+        return out
+
+    return two_sided_hash_exchange(lt_ds, rt_ds, "part", num_partitions, reduce)
+
+
+_SMALL_SIDE_CACHE: dict[str, tuple[np.ndarray, pa.Table]] = {}
+
+
+def _resolve_small(ref) -> tuple[np.ndarray, pa.Table]:
+    key = str(ref)
+    hit = _SMALL_SIDE_CACHE.get(key)
+    if hit is None:
+        hit = ray.get(ref)
+        _SMALL_SIDE_CACHE.clear()
+        _SMALL_SIDE_CACHE[key] = hit
+    return hit
+
+
+def broadcast_join(
+    ds: ray.data.Dataset,
+    small: ray.data.Dataset | pa.Table,
+    *,
+    left_on: str,
+    right_on: str,
+    right_columns: list[str],
+    how: str = "inner",
+    small_limit: int = 10_000_000,
+) -> ray.data.Dataset:
+    """Equi-join the big streaming side against a SMALL dimension side
+    (``how`` in {'inner', 'left'}). The small side is collected to the
+    driver once (guarded by ``small_limit``), key-sorted, ``ray.put`` once,
+    and cached per worker — each batch joins via ``searchsorted``; the big
+    side never shuffles. When the right side has duplicate keys the
+    FIRST row per key (smallest ``right_on`` order position after the sort)
+    wins — pre-aggregate the small side if other semantics are needed."""
+    assert how in ("inner", "left")
+    if isinstance(small, ray.data.Dataset):
+        small_tbl = pa.concat_tables(
+            [t for t in ray.get(small.to_arrow_refs()) if t.num_rows > 0]
+        ) if small.count() > 0 else None
+    else:
+        small_tbl = small
+    if small_tbl is None or small_tbl.num_rows == 0:
+        keys = np.empty(0, np.int64)
+        rt = None
+    else:
+        if small_tbl.num_rows > small_limit:
+            raise ValueError(
+                f"broadcast_join small side has {small_tbl.num_rows} rows > "
+                f"small_limit={small_limit}; use an exchange join instead"
+            )
+        k = _i64(small_tbl[right_on])
+        order = np.argsort(k, kind="stable")
+        keys = k[order]
+        rt = small_tbl.select(right_columns).take(pa.array(order))
+        # first row per key wins deterministically
+        first = np.concatenate([[True], keys[1:] != keys[:-1]])
+        keys = keys[first]
+        rt = rt.take(pa.array(np.flatnonzero(first)))
+    ref = ray.put((keys, rt))
+
+    def join(batch: pa.Table) -> pa.Table:
+        skeys, srt = _resolve_small(ref)
+        ids = _i64(batch[left_on])
+        pos = np.searchsorted(skeys, ids)
+        pos_c = np.clip(pos, 0, max(len(skeys) - 1, 0))
+        hit = (skeys[pos_c] == ids) if len(skeys) else np.zeros(len(ids), bool)
+        if how == "inner":
+            out = batch.filter(pa.array(hit))
+            if srt is None:  # empty small side: 0 rows, types unknowable
+                for c in right_columns:
+                    out = out.append_column(c, pa.nulls(0))
+                return out
+            taken = srt.take(pa.array(pos_c[hit].astype(np.int64)))
+            for c in right_columns:
+                out = out.append_column(c, taken[c])
+            return out
+        # left join: null-fill misses via masked take indices
+        out = batch
+        if srt is None:
+            for c in right_columns:
+                out = out.append_column(c, pa.nulls(len(ids)))
+            return out
+        idx = pa.array(pos_c.astype(np.int64), mask=~hit)
+        taken = srt.take(idx)
+        for c in right_columns:
+            out = out.append_column(c, taken[c])
+        return out
+
+    return ds.map_batches(join, batch_format="pyarrow")

@@ -84,10 +84,64 @@ def hash_partition_exchange(
 
 
 def _reduce_partition(reduce_fn, *tables: pa.Table) -> pa.Table:
+    # num_partitions == 1 ships the split's 1-element list as ONE object
+    tables = tuple(t[0] if isinstance(t, list) else t for t in tables)
     parts = [t for t in tables if t.num_rows > 0]
     if not parts:
         return reduce_fn(tables[0]) if tables else pa.table({})
     return reduce_fn(pa.concat_tables(parts))
+
+
+def _reduce_two_sided(reduce_fn, n_left: int, *tables: pa.Table) -> pa.Table:
+    """Reduce one partition of a two-sided exchange: the first ``n_left``
+    tables are the left side's sub-tables, the rest the right side's.
+    ``reduce_fn(left_tbl | None, right_tbl | None)`` receives each side as
+    ONE concatenated Arrow table (None when that side contributed no rows —
+    Ray emits schema-less empty blocks, so the kernel owns its empty
+    schema)."""
+    # num_partitions == 1 ships the split's 1-element list as ONE object
+    tables = tuple(t[0] if isinstance(t, list) else t for t in tables)
+    left = [t for t in tables[:n_left] if t.num_rows > 0]
+    right = [t for t in tables[n_left:] if t.num_rows > 0]
+    lt = pa.concat_tables(left) if left else None
+    rt = pa.concat_tables(right) if right else None
+    return reduce_fn(lt, rt)
+
+
+def two_sided_hash_exchange(
+    left_ds: ray.data.Dataset,
+    right_ds: ray.data.Dataset,
+    part_col: str,
+    num_partitions: int,
+    reduce_fn: Callable[[pa.Table | None, pa.Table | None], pa.Table],
+    reduce_num_cpus: float = 1.0,
+) -> ray.data.Dataset:
+    """Co-partition TWO datasets by an already-computed ``part_col`` and
+    apply ``reduce_fn(left_partition, right_partition)`` once per partition
+    — the join-shaped exchange (both sides of partition p land in the same
+    reduce task; each sub-table crosses the object store exactly once, no
+    sort). The partitioning assumption is the usual one: one key's rows on
+    each side fit a partition."""
+    split = ray.remote(num_returns=num_partitions)(_split_block)
+    reduce_remote = ray.remote(num_cpus=reduce_num_cpus)(_reduce_two_sided)
+
+    lcols: list[list[ray.ObjectRef]] = [[] for _ in range(num_partitions)]
+    rcols: list[list[ray.ObjectRef]] = [[] for _ in range(num_partitions)]
+    for cols, ds in ((lcols, left_ds), (rcols, right_ds)):
+        for ref in ds.to_arrow_refs():
+            outs = split.remote(ref, part_col, num_partitions)
+            if num_partitions == 1:
+                outs = [outs]
+            for p, o in enumerate(outs):
+                cols[p].append(o)
+
+    reduced = [
+        reduce_remote.remote(
+            reduce_fn, len(lcols[p]), *(lcols[p] + rcols[p])
+        )
+        for p in range(num_partitions)
+    ]
+    return ray.data.from_arrow_refs(reduced)
 
 
 def _split_tagged_block(
