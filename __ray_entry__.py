@@ -228,6 +228,28 @@ def _q_lineitem_q1(sf_dir: str):
     )
 
 
+def _q_doc_len_quantiles(sf_dir: str):
+    """Exact distributed quantiles (quantile_disc semantics) over the
+    value-count histogram — only (value, count) pairs ever shuffle."""
+    from text_dedup_ray.pipelines.agg import exact_quantiles
+
+    return exact_quantiles(
+        _docs(sf_dir, ["n_chars"]),
+        "n_chars",
+        {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p99": 0.99},
+        num_partitions=8,
+    )
+
+
+def _q_events_distinct_users(sf_dir: str):
+    """Scalable COUNT(DISTINCT): block-local pair dedup, value-hash
+    exchange, partial counts — raw rows never shuffle."""
+    from text_dedup_ray.pipelines.agg import grouped_count_distinct
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    return grouped_count_distinct(ev, "event_type", "user_id", alias="n_users", num_partitions=16)
+
+
 def _q_events_orders_asof(sf_dir: str):
     """Backward as-of join (the classic enrich-events-with-latest-state op
     Ray Data lacks natively): each event picks its user's most recent order
@@ -1116,6 +1138,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_stats": _q_events_user,
         "events_sessions": _q_events_sessions,
         "lineitem_pricing": _q_lineitem_q1,
+        "doc_length_quantiles": _q_doc_len_quantiles,
+        "events_distinct_users": _q_events_distinct_users,
         # --- joins (SQL-checked): as-of, range window, broadcast hash ---
         "events_orders_asof": _q_events_orders_asof,
         "events_attribution_6h": _q_events_attribution,
@@ -1229,6 +1253,16 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(l_extendedprice), 2) AS sum_base_price, "
             "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
             "count(*)::BIGINT AS n FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "doc_length_quantiles": (
+            "SELECT quantile_disc(n_chars, 0.25)::BIGINT AS p25, "
+            "quantile_disc(n_chars, 0.5)::BIGINT AS p50, "
+            "quantile_disc(n_chars, 0.75)::BIGINT AS p75, "
+            "quantile_disc(n_chars, 0.99)::BIGINT AS p99 FROM documents"
+        ),
+        "events_distinct_users": (
+            "SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users "
+            "FROM events GROUP BY event_type"
         ),
         # backward as-of with deterministic tie-break (max orderdate, then
         # max orderkey) — ASOF JOIN leaves ties unspecified, so the oracle

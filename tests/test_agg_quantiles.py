@@ -1,0 +1,93 @@
+"""exact_quantiles (quantile_disc semantics) + grouped_count_distinct."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from text_dedup_ray.pipelines.agg import exact_quantiles, grouped_count_distinct
+
+
+def _ds(values: np.ndarray, blocks: int = 4) -> ray.data.Dataset:
+    return ray.data.from_arrow(
+        pa.table({"x": pa.array(values, pa.int64())})
+    ).repartition(blocks)
+
+
+class TestExactQuantiles:
+    QS = {"p10": 0.1, "p25": 0.25, "p50": 0.5, "p75": 0.75, "p99": 0.99}
+
+    def _duck(self, values):
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t AS SELECT unnest(?) AS x", [list(map(int, values))])
+        cols = ", ".join(f"quantile_disc(x, {q}) AS {n}" for n, q in self.QS.items())
+        return con.execute(f"SELECT {cols} FROM t").fetchdf().iloc[0].to_dict()
+
+    def test_matches_duckdb_random(self):
+        rng = np.random.default_rng(42)
+        vals = rng.integers(0, 500, 10_000)
+        got = exact_quantiles(_ds(vals), "x", self.QS, num_partitions=8).to_pydict()
+        exp = self._duck(vals)
+        assert {k: v[0] for k, v in got.items()} == exp
+
+    def test_matches_duckdb_skewed_and_tiny(self):
+        for vals in (
+            np.array([7]),
+            np.array([3, 3, 3, 3, 3]),
+            np.concatenate([np.zeros(999, np.int64), [1000]]),
+            np.arange(1, 101),
+        ):
+            got = exact_quantiles(_ds(vals, blocks=2), "x", self.QS, num_partitions=4).to_pydict()
+            exp = self._duck(vals)
+            assert {k: v[0] for k, v in got.items()} == exp, vals[:5]
+
+    def test_negative_values(self):
+        vals = np.array([-50, -10, 0, 10, 50, -50, -50])
+        got = exact_quantiles(_ds(vals, blocks=2), "x", self.QS, num_partitions=4).to_pydict()
+        exp = self._duck(vals)
+        assert {k: v[0] for k, v in got.items()} == exp
+
+    def test_empty(self):
+        out = exact_quantiles(_ds(np.array([], np.int64), blocks=1), "x", {"p50": 0.5})
+        assert out["p50"].to_pylist() == [None]
+
+
+class TestGroupedCountDistinct:
+    def _run(self, groups, vals, parts=8):
+        ds = ray.data.from_arrow(
+            pa.table({"g": pa.array(groups), "v": pa.array(vals, pa.int64())})
+        ).repartition(4)
+        out = grouped_count_distinct(ds, "g", "v", alias="n", num_partitions=parts).to_pandas()
+        return dict(zip(out.g, out.n))
+
+    def test_basic(self):
+        got = self._run(["a", "a", "a", "b", "b"], [1, 1, 2, 1, 1])
+        assert got == {"a": 2, "b": 1}
+
+    def test_cross_block_duplicates_counted_once(self):
+        # the same (g, v) pair in every block must still count once
+        groups = ["x"] * 400 + ["y"] * 400
+        vals = [5] * 400 + list(range(400))
+        assert self._run(groups, vals) == {"x": 1, "y": 400}
+
+    def test_matches_duckdb_random(self):
+        rng = np.random.default_rng(9)
+        groups = rng.choice(["a", "b", "c", "d"], 5000).tolist()
+        vals = rng.integers(0, 50, 5000)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE t AS SELECT unnest(?) AS g, unnest(?) AS v",
+            [groups, list(map(int, vals))],
+        )
+        exp = dict(
+            con.execute("SELECT g, count(DISTINCT v) FROM t GROUP BY g").fetchall()
+        )
+        assert self._run(groups, vals, parts=5) == exp
+
+    def test_partition_count_invariance(self):
+        rng = np.random.default_rng(3)
+        groups = rng.choice(["p", "q"], 1000).tolist()
+        vals = rng.integers(-100, 100, 1000)
+        assert self._run(groups, vals, parts=1) == self._run(groups, vals, parts=17)

@@ -65,6 +65,103 @@ def tumbling_window_agg(
     return grouped_sum_count(windowed, [key_column, window_alias], sums)
 
 
+def exact_quantiles(
+    ds: ray.data.Dataset,
+    column: str,
+    quantiles: dict[str, float],
+    num_partitions: int = 16,
+) -> pa.Table:
+    """EXACT distributed quantiles for an integer-valued column via
+    value-count partial aggregation: each block emits (value, count) pairs,
+    the hash exchange merges counts per value, and the driver folds only the
+    distinct-value histogram — never the rows. Returns ONE row with one
+    column per ``quantiles`` key.
+
+    Semantics match SQL ``quantile_disc``: the element at 1-based rank
+    ``ceil(q * n)`` of the sorted multiset. Cardinality contract: the number
+    of DISTINCT values is small relative to the rows (lengths, token counts,
+    sizes — the columns you actually take quantiles of); an unbounded double
+    column wants a sketch (t-digest) instead, which this engine does not
+    claim."""
+    from ..stages.exchange import hash_partition_exchange
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[column].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals, cnts = np.unique(v, return_counts=True)
+        part = (np.abs(vals) % num_partitions).astype(np.int64)
+        return pa.table(
+            {"value": vals, "cnt": cnts.astype(np.int64), "part": part}
+        )
+
+    pre = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+
+    def merge(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "value" not in group.column_names:
+            return pa.table({"value": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())})
+        v = group["value"].to_numpy(zero_copy_only=False)
+        c = group["cnt"].to_numpy(zero_copy_only=False)
+        order = np.argsort(v, kind="stable")
+        v_s, c_s = v[order], c[order]
+        brk = np.r_[True, v_s[1:] != v_s[:-1]]
+        starts = np.flatnonzero(brk)
+        sums = np.add.reduceat(c_s, starts)
+        return pa.table({"value": v_s[starts], "cnt": sums.astype(np.int64)})
+
+    hist = hash_partition_exchange(pre, "part", num_partitions, merge).to_pandas()
+    if hist.empty:
+        return pa.table({name: pa.array([None], pa.int64()) for name in quantiles})
+    hist = hist.sort_values("value")
+    vals = hist["value"].to_numpy()
+    cum = np.cumsum(hist["cnt"].to_numpy())
+    n = int(cum[-1])
+    out = {}
+    for name, q in quantiles.items():
+        rank = min(max(int(np.ceil(q * n)), 1), n)  # quantile_disc rule
+        out[name] = pa.array([int(vals[np.searchsorted(cum, rank)])], pa.int64())
+    return pa.table(out)
+
+
+def grouped_count_distinct(
+    ds: ray.data.Dataset,
+    key: str,
+    value_column: str,
+    alias: str = "n_distinct",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """COUNT(DISTINCT value) per group without shuffling raw rows: blocks
+    pre-dedup (key, value) pairs locally, pairs co-locate by hash(value)
+    through the exchange (every copy of a pair lands in one partition, so a
+    second local dedup is globally exact), each partition emits per-key
+    partial counts, and a tiny partials-only groupby sums them. Skew note:
+    partitioning is by the VALUE hash — one value hot across many groups
+    concentrates in one partition, the same contract as the dedup exchanges."""
+    from ..stages.exchange import hash_partition_exchange
+
+    key_type = ds.schema().base_schema.field(key).type
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pairs = batch.select([key, value_column]).group_by([key, value_column]).aggregate([])
+        v = pairs[value_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (np.abs(v) % num_partitions).astype(np.int64)
+        return pairs.append_column("part", pa.array(part))
+
+    pre = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+
+    def reduce(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or key not in group.column_names:
+            return pa.table({key: pa.array([], key_type), "__pcd": pa.array([], pa.int64())})
+        pairs = group.select([key, value_column]).group_by([key, value_column]).aggregate([])
+        out = pairs.group_by([key]).aggregate([(value_column, "count")])
+        return out.rename_columns([key, "__pcd"])
+
+    partials = hash_partition_exchange(pre, "part", num_partitions, reduce)
+    summed = grouped_sum_count(partials, [key], ["__pcd"], count_alias="__np")
+    return summed.map_batches(
+        lambda t: pa.table({key: t[key], alias: t["__pcd"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
 def sessionize(
     ds: ray.data.Dataset,
     ts_column: str = "ts",
