@@ -250,6 +250,32 @@ def _q_events_distinct_users(sf_dir: str):
     return grouped_count_distinct(ev, "event_type", "user_id", alias="n_users", num_partitions=16)
 
 
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (broadcast semi-join, zero shuffle):
+    corpus = docs with doc_id % 97 != 0, benchmark = the rest; a doc is
+    contaminated when >= 20% of its distinct 2-gram shingles appear
+    anywhere in the benchmark. The bench gram-hash set ships via ray.put
+    once; corpus payloads never move."""
+    from text_dedup_ray.pipelines.decontaminate import decontaminate
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def split(keep_corpus: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            mask = (ids % 97 != 0) if keep_corpus else (ids % 97 == 0)
+            return t.filter(pa.array(mask))
+
+        return docs.map_batches(f, batch_format="pyarrow")
+
+    res = decontaminate(
+        split(True), split(False), ngram_size=2, min_length=0, threshold=0.2
+    )
+    return res.annotated.select_columns(
+        ["doc_id", "n_grams", "n_hit", "contaminated"]
+    )
+
+
 def _q_events_orders_asof(sf_dir: str):
     """Backward as-of join (the classic enrich-events-with-latest-state op
     Ray Data lacks natively): each event picks its user's most recent order
@@ -1140,6 +1166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing": _q_lineitem_q1,
         "doc_length_quantiles": _q_doc_len_quantiles,
         "events_distinct_users": _q_events_distinct_users,
+        "decontaminate_docs": _q_decontaminate,
         # --- joins (SQL-checked): as-of, range window, broadcast hash ---
         "events_orders_asof": _q_events_orders_asof,
         "events_attribution_6h": _q_events_attribution,
@@ -1263,6 +1290,9 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_users": (
             "SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users "
             "FROM events GROUP BY event_type"
+        ),
+        "decontaminate_docs": _oracles.decontaminate_sql(
+            ngram_size=2, min_length=0, threshold=0.2, mod=97
         ),
         # backward as-of with deterministic tie-break (max orderdate, then
         # max orderkey) — ASOF JOIN leaves ties unspecified, so the oracle

@@ -44,20 +44,30 @@ cc AS (SELECT node, min(label) AS cluster_id FROM walk GROUP BY node)
 TOKENS = "regexp_extract_all(lower(text), '[a-z0-9_]+')"
 
 
-def _grams_cte(n: int, min_length: int, table: str = "documents") -> str:
+def _grams_cte(
+    n: int,
+    min_length: int,
+    table: str = "documents",
+    tk_name: str = "tk",
+    grams_name: str = "grams",
+    where: str = "",
+) -> str:
     """CTE ``grams(doc_id, g)``: the reference shingle set (SURVEY M4) —
     distinct space-joined n-grams, with the two length edge cases
-    (< min_length -> none; < n -> one whole-sequence gram)."""
+    (< min_length -> none; < n -> one whole-sequence gram). ``where``
+    optionally filters the source rows; ``tk_name``/``grams_name`` allow two
+    instances in one statement (decontamination's corpus vs benchmark)."""
+    w = f" WHERE {where}" if where else ""
     return f"""
-tk AS (SELECT doc_id, {TOKENS} AS ts FROM {table}),
-grams AS (
+{tk_name} AS (SELECT doc_id, {TOKENS} AS ts FROM {table}{w}),
+{grams_name} AS (
   SELECT DISTINCT doc_id, g FROM (
     SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - {n - 1}),
                    j -> array_to_string(ts[j:j+{n - 1}], ' '))) AS g
-    FROM tk WHERE len(ts) >= {min_length} AND len(ts) >= {n}
+    FROM {tk_name} WHERE len(ts) >= {min_length} AND len(ts) >= {n}
     UNION ALL
     SELECT doc_id, array_to_string(ts, ' ') AS g
-    FROM tk WHERE len(ts) >= {min_length} AND len(ts) < {n}
+    FROM {tk_name} WHERE len(ts) >= {min_length} AND len(ts) < {n}
   )
 )"""
 
@@ -114,6 +124,51 @@ edges AS (
 ),
 {CC_FRAGMENT}
 SELECT node AS row_id, cluster_id FROM cc
+"""
+
+
+def decontaminate_sql(
+    ngram_size: int,
+    min_length: int,
+    threshold: float,
+    mod: int = 97,
+    mode: str = "fraction",
+) -> str:
+    """Benchmark-decontamination stats (pipelines/decontaminate.decontaminate):
+    corpus = documents with doc_id % mod <> 0, benchmark = the rest; one row
+    per corpus doc with its distinct-shingle count, how many of those
+    shingles appear anywhere in the benchmark, and the contamination flag."""
+    corpus = _grams_cte(
+        ngram_size, min_length, tk_name="ctk", grams_name="cgrams",
+        where=f"doc_id % {mod} <> 0",
+    )
+    bench = _grams_cte(
+        ngram_size, min_length, tk_name="btk", grams_name="bgrams_raw",
+        where=f"doc_id % {mod} = 0",
+    )
+    if mode == "any":
+        flag = "coalesce(h.n_hit, 0) >= 1"
+    else:
+        flag = (
+            f"(coalesce(ng.n_grams, 0) > 0 AND "
+            f"coalesce(h.n_hit, 0)::DOUBLE / ng.n_grams >= {threshold})"
+        )
+    return f"""
+WITH {corpus},
+{bench},
+bgrams AS (SELECT DISTINCT g FROM bgrams_raw),
+ng AS (SELECT doc_id, count(*) AS n_grams FROM cgrams GROUP BY doc_id),
+h AS (
+  SELECT c.doc_id, count(*) AS n_hit
+  FROM cgrams c JOIN bgrams b USING (g) GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       coalesce(ng.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+       {flag} AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % {mod} <> 0) d
+LEFT JOIN ng USING (doc_id)
+LEFT JOIN h USING (doc_id)
 """
 
 
