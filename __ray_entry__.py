@@ -250,6 +250,35 @@ def _q_events_distinct_users(sf_dir: str):
     return grouped_count_distinct(ev, "event_type", "user_id", alias="n_users", num_partitions=16)
 
 
+def _q_hash_split(sf_dir: str):
+    """Deterministic train/val/test split by md5(doc_id) — stateless
+    map_batches, zero shuffle, re-derivable in SQL."""
+    from text_dedup_ray.pipelines.sample import hash_split
+
+    docs = _docs(sf_dir, ["doc_id"])
+    return hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
+def _q_top_by_lang(sf_dir: str):
+    """Per-group top-k (longest 5 docs per language, doc_id tie-break):
+    block-local pre-prune, key-hash exchange moves only candidates."""
+    from text_dedup_ray.pipelines.agg import grouped_top_k
+
+    docs = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    return grouped_top_k(
+        docs, "lang", [("n_chars", "descending"), ("doc_id", "ascending")], 5
+    )
+
+
+def _q_sample_per_lang(sf_dir: str):
+    """Deterministic stratified sample: the 10 smallest-md5-hash docs per
+    language (reproducible across runs/partitionings/cluster sizes)."""
+    from text_dedup_ray.pipelines.sample import sample_per_group
+
+    docs = _docs(sf_dir, ["doc_id", "lang"])
+    return sample_per_group(docs, "lang", "doc_id", 10)
+
+
 def _q_decontaminate(sf_dir: str):
     """Benchmark decontamination (broadcast semi-join, zero shuffle):
     corpus = docs with doc_id % 97 != 0, benchmark = the rest; a doc is
@@ -1167,6 +1196,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles": _q_doc_len_quantiles,
         "events_distinct_users": _q_events_distinct_users,
         "decontaminate_docs": _q_decontaminate,
+        "doc_hash_split": _q_hash_split,
+        "docs_top_by_lang": _q_top_by_lang,
+        "docs_sample_per_lang": _q_sample_per_lang,
         # --- joins (SQL-checked): as-of, range window, broadcast hash ---
         "events_orders_asof": _q_events_orders_asof,
         "events_attribution_6h": _q_events_attribution,
@@ -1293,6 +1325,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "decontaminate_docs": _oracles.decontaminate_sql(
             ngram_size=2, min_length=0, threshold=0.2, mod=97
+        ),
+        "doc_hash_split": (
+            "SELECT doc_id, CASE "
+            "WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT / 4294967296.0 < 0.8 THEN 'train' "
+            "WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT / 4294967296.0 < 0.9 THEN 'val' "
+            "ELSE 'test' END AS split FROM documents"
+        ),
+        "docs_top_by_lang": (
+            "SELECT doc_id, lang, n_chars, row_number() OVER "
+            "(PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC)::BIGINT AS rank "
+            "FROM documents QUALIFY rank <= 5"
+        ),
+        "docs_sample_per_lang": (
+            "SELECT doc_id, lang FROM documents QUALIFY row_number() OVER "
+            "(PARTITION BY lang ORDER BY "
+            "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT, doc_id) <= 10"
         ),
         # backward as-of with deterministic tie-break (max orderdate, then
         # max orderkey) — ASOF JOIN leaves ties unspecified, so the oracle

@@ -162,6 +162,89 @@ def grouped_count_distinct(
     )
 
 
+def _topk_block(
+    tbl: pa.Table,
+    key: str,
+    order_by: list[tuple[str, str]],
+    k: int,
+    rank_alias: str | None = None,
+) -> pa.Table:
+    """Keep each key's first ``k`` rows under ``order_by`` (C++ multi-key
+    sort, then one vectorized within-group rank pass). The same kernel is the
+    block-local combiner AND the per-partition finalizer — top-k is
+    idempotent under concatenation, which is what makes the partial/merge
+    split exact."""
+    if tbl.num_rows == 0:
+        return tbl
+    s = tbl.sort_by([(key, "ascending")] + list(order_by))
+    kv = s[key].to_numpy(zero_copy_only=False)
+    brk = np.r_[True, kv[1:] != kv[:-1]]
+    starts = np.flatnonzero(brk)
+    grp = np.cumsum(brk) - 1
+    idx_in_grp = np.arange(len(kv)) - starts[grp]
+    mask = idx_in_grp < k
+    out = s.filter(pa.array(mask))
+    if rank_alias is not None:
+        out = out.append_column(
+            rank_alias, pa.array((idx_in_grp[mask] + 1).astype(np.int64))
+        )
+    return out
+
+
+def grouped_top_k(
+    ds: ray.data.Dataset,
+    key: str,
+    order_by: list[tuple[str, str]],
+    k: int,
+    rank_alias: str | None = "rank",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Top-k rows PER KEY under a deterministic multi-column order (make the
+    last order column a unique id so ties can't flap). Blocks pre-prune to
+    their local top-k (<= keys x k rows leave any block), survivors co-locate
+    by key hash through the exchange, and one finalizer pass per partition
+    emits the global per-key top-k with a 1-based ``rank_alias`` column —
+    raw rows never shuffle, so the exchange moves O(distinct_keys x k), not
+    O(rows)."""
+    import hashlib
+
+    from ..stages.exchange import hash_partition_exchange
+
+    def part_of(vals) -> pa.Array:
+        return pa.array(
+            np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.sha1(str(v).encode()).digest()[:8], "little"
+                    )
+                    % num_partitions
+                    for v in vals
+                ),
+                np.int64,
+                count=len(vals),
+            )
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pruned = _topk_block(batch, key, order_by, k)
+        if pruned.num_rows == 0:
+            return pruned.append_column("__tk_part", pa.array([], pa.int64()))
+        return pruned.append_column(
+            "__tk_part", part_of(pruned[key].to_pylist())
+        )
+
+    pre = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+
+    def finalize(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or key not in group.column_names:
+            return pa.table({})
+        return _topk_block(
+            group.drop_columns(["__tk_part"]), key, order_by, k, rank_alias
+        )
+
+    return hash_partition_exchange(pre, "__tk_part", num_partitions, finalize)
+
+
 def sessionize(
     ds: ray.data.Dataset,
     ts_column: str = "ts",
