@@ -520,6 +520,21 @@ def _q_embedding_dedup_lsh(sf_dir: str):
     return cluster_map_table(parents)
 
 
+def _q_semdedup(sf_dir: str):
+    """SemDeDup (cluster-then-dedup-within) over the planted table with the
+    deterministic argmax-coordinate quantizer (centroids = identity), so the
+    whole pipeline — cell assignment, within-cell exact cosine, CC — is
+    recomputed by the SQL oracle. The k-means quantizer path is covered by
+    pytest (tests/test_semdedup.py)."""
+    from text_dedup_ray.pipelines.semdedup import semdedup
+    from text_dedup_ray.stages.cc import cluster_map_table
+
+    emb = _planted_embeddings(sf_dir)
+    dim = len(emb.limit(1).take_all()[0]["embedding"])
+    parents = semdedup(emb, threshold=0.98, centroids=np.eye(dim))
+    return cluster_map_table(parents)
+
+
 def _q_embedding_incremental(sf_dir: str):
     """Tiered embedding-LSH dedup: bootstrap on the original embeddings,
     increment with the planted exact copies (vec_id + PLANT_OFFSET, so new
@@ -1216,6 +1231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk_ds": _q_ann_lsh_ds,        # rows-only (approximate by design)
         "embedding_cosine_pairs": _q_embedding_pairs,
         "embedding_cosine_dedup": _q_embedding_dedup,
+        "semdedup_embeddings": _q_semdedup,
         "embedding_cosine_dedup_lsh": _q_embedding_dedup_lsh,  # rows-only (LSH recall)
         "embedding_incremental_docs": _q_embedding_incremental,
         # --- near-dup pipelines (SQL-checked via md5 base hash + recursive-CTE CC) ---
@@ -1415,6 +1431,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dedup_docs": _oracles.simhash_dedup_sql(_SIMHASH_ORACLE_CFG()),
         "simhash_incremental_docs": _oracles.simhash_dedup_sql(_SIMHASH_ORACLE_CFG()),
         "embedding_cosine_dedup": _oracles.embedding_dedup_sql(0.98, PLANT_OFFSET),
+        "semdedup_embeddings": _oracles.semdedup_sql(0.98, PLANT_OFFSET),
         # incremental state == batch LSH run (tests/test_incremental_embedding.py),
         # and over the planted fixture LSH == exact (see _q_embedding_incremental)
         "embedding_incremental_docs": _oracles.embedding_dedup_sql(0.98, PLANT_OFFSET),

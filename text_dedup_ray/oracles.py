@@ -614,6 +614,33 @@ SELECT node AS row_id, cluster_id FROM cc
 """
 
 
+def semdedup_sql(threshold: float, plant_offset: int) -> str:
+    """SemDeDup with the deterministic argmax-coordinate quantizer
+    (pipelines/semdedup.semdedup with centroids=np.eye(dim)): vectors
+    compare only within their argmax cell; exact cosine >= threshold edges
+    -> CC -> cluster map incl. roots. Cell ids differ by the 0/1 base
+    between numpy and SQL but only the PARTITION matters."""
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {plant_offset} AS vec_id, embedding FROM embeddings
+),
+cells AS (
+  SELECT vec_id, embedding,
+         list_position(embedding, list_max(embedding)) AS cell
+  FROM base
+),
+edges AS (
+  SELECT a.vec_id AS hi, b.vec_id AS lo
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id > b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {threshold}
+),
+{CC_FRAGMENT}
+SELECT node AS row_id, cluster_id FROM cc
+"""
+
+
 def embedding_pairs_sql(threshold: float, plant_offset: int) -> str:
     """Exact cosine-threshold pair table over the planted union
     (pipelines/ann.embedding_cosine_pairs)."""
