@@ -279,6 +279,49 @@ def _q_sample_per_lang(sf_dir: str):
     return sample_per_group(docs, "lang", "doc_id", 10)
 
 
+def _q_repetition(sf_dir: str):
+    """Gopher-style repetition counters (exact integers; the derived ratios
+    ride along in the operator but the ints are what the oracle hashes)."""
+    from text_dedup_ray.pipelines.textops import with_repetition
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    return with_repetition(docs, ngram=2).select_columns(
+        ["doc_id", "n_tokens_rep", "n_distinct_tokens", "n_ngrams", "top_ngram_count"]
+    )
+
+
+def _q_above_p90(sf_dir: str):
+    """Percentile gate: docs at or above the exact p90 of n_chars — the cut
+    comes from the histogram-only quantile fold, then a stateless filter."""
+    from text_dedup_ray.pipelines.agg import filter_by_quantile
+
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+    return filter_by_quantile(docs, "n_chars", 0.9, keep="ge")
+
+
+def _q_jaccard_cross(sf_dir: str):
+    """Fuzzy similarity JOIN between two tables (corpus x benchmark split of
+    documents): exact shingle-Jaccard >= 0.5 pairs (unigram shingles) via the side-tagged
+    inverted-index exchange — pair emission is cross-side only."""
+    from text_dedup_ray.pipelines.jaccard_dedup import jaccard_cross_join
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def side(keep_left: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            mask = (ids % 97 != 0) if keep_left else (ids % 97 == 0)
+            return t.filter(pa.array(mask))
+
+        return docs.map_batches(f, batch_format="pyarrow")
+
+    pairs = jaccard_cross_join(
+        side(True), side(False), ngram_size=1, min_length=0, threshold=0.5,
+        left_id="doc_id", right_id="doc_id", df_cap=10**9,
+    )
+    return _round_col(pairs, "jaccard", 4)
+
+
 def _q_decontaminate(sf_dir: str):
     """Benchmark decontamination (broadcast semi-join, zero shuffle):
     corpus = docs with doc_id % 97 != 0, benchmark = the rest; a doc is
@@ -1211,6 +1254,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles": _q_doc_len_quantiles,
         "events_distinct_users": _q_events_distinct_users,
         "decontaminate_docs": _q_decontaminate,
+        "doc_repetition": _q_repetition,
+        "docs_above_p90": _q_above_p90,
+        "jaccard_cross_docs": _q_jaccard_cross,
         "doc_hash_split": _q_hash_split,
         "docs_top_by_lang": _q_top_by_lang,
         "docs_sample_per_lang": _q_sample_per_lang,
@@ -1341,6 +1387,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "decontaminate_docs": _oracles.decontaminate_sql(
             ngram_size=2, min_length=0, threshold=0.2, mod=97
+        ),
+        "doc_repetition": _oracles.repetition_sql(ngram=2),
+        "docs_above_p90": (
+            "SELECT doc_id, n_chars FROM documents WHERE n_chars >= "
+            "(SELECT quantile_disc(n_chars, 0.9) FROM documents)"
+        ),
+        "jaccard_cross_docs": _oracles.jaccard_cross_join_sql(
+            ngram_size=1, min_length=0, threshold=0.5, mod=97
         ),
         "doc_hash_split": (
             "SELECT doc_id, CASE "

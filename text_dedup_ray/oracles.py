@@ -172,6 +172,68 @@ LEFT JOIN h USING (doc_id)
 """
 
 
+def jaccard_cross_join_sql(
+    ngram_size: int, min_length: int, threshold: float, mod: int = 97
+) -> str:
+    """Cross-table similarity join (pipelines/jaccard_dedup.jaccard_cross_join
+    with an uncapped df): left = documents with doc_id % mod <> 0, right =
+    the rest; exact shingle-set Jaccard >= threshold pairs, jaccard rounded
+    to 4 places to match the Ray query's _round_col."""
+    left = _grams_cte(
+        ngram_size, min_length, tk_name="ltk", grams_name="lgrams",
+        where=f"doc_id % {mod} <> 0",
+    )
+    right = _grams_cte(
+        ngram_size, min_length, tk_name="rtk", grams_name="rgrams",
+        where=f"doc_id % {mod} = 0",
+    )
+    return f"""
+WITH {left},
+{right},
+ls AS (SELECT doc_id, count(*) AS sz FROM lgrams GROUP BY doc_id),
+rs AS (SELECT doc_id, count(*) AS sz FROM rgrams GROUP BY doc_id),
+co AS (
+  SELECT l.doc_id AS left_id, r.doc_id AS right_id, count(*) AS co
+  FROM lgrams l JOIN rgrams r USING (g) GROUP BY 1, 2
+)
+SELECT co.left_id, co.right_id,
+       round(co.co::DOUBLE / (ls.sz + rs.sz - co.co), 4) AS jaccard
+FROM co JOIN ls ON ls.doc_id = co.left_id JOIN rs ON rs.doc_id = co.right_id
+WHERE co.co::DOUBLE / (ls.sz + rs.sz - co.co) >= {threshold}
+"""
+
+
+def repetition_sql(ngram: int = 2) -> str:
+    """Gopher-style repetition counters (pipelines/textops.with_repetition):
+    token count, distinct tokens, sliding-ngram total and the most frequent
+    ngram's count — exact integers, plain windows (no reference edge
+    cases)."""
+    return f"""
+WITH tok AS (SELECT doc_id, {TOKENS} AS ts FROM documents),
+base AS (
+  SELECT doc_id, len(ts) AS n_tokens_rep,
+         len(list_distinct(ts)) AS n_distinct_tokens
+  FROM tok
+),
+ng AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - {ngram - 1}),
+                 j -> array_to_string(ts[j:j+{ngram - 1}], ' '))) AS g
+  FROM tok WHERE len(ts) >= {ngram}
+),
+ngc AS (SELECT doc_id, g, count(*) AS c FROM ng GROUP BY 1, 2),
+nga AS (
+  SELECT doc_id, max(c) AS top_ngram_count, sum(c) AS n_ngrams
+  FROM ngc GROUP BY doc_id
+)
+SELECT b.doc_id,
+       b.n_tokens_rep::BIGINT AS n_tokens_rep,
+       b.n_distinct_tokens::BIGINT AS n_distinct_tokens,
+       coalesce(nga.n_ngrams, 0)::BIGINT AS n_ngrams,
+       coalesce(nga.top_ngram_count, 0)::BIGINT AS top_ngram_count
+FROM base b LEFT JOIN nga USING (doc_id)
+"""
+
+
 def _minhash_core(cfg: MinHashConfig, table: str) -> str:
     """WITH-body (no final SELECT) computing CTEs ``docs`` (min-length
     survivors) and ``cc`` for MinHashLSH over ``table(doc_id, text)``."""

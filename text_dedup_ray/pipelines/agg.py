@@ -121,6 +121,33 @@ def exact_quantiles(
     return pa.table(out)
 
 
+def filter_by_quantile(
+    ds: ray.data.Dataset,
+    column: str,
+    q: float,
+    keep: str = "ge",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Keep rows whose ``column`` is >= (``keep="ge"``) or < (``keep="lt"``)
+    the exact q-quantile of that column — the standard percentile-gate for
+    quality scores. The cut is ONE scalar from the histogram-only
+    ``exact_quantiles`` fold (rows never leave the cluster), then a
+    stateless vectorized filter pass."""
+    if keep not in ("ge", "lt"):
+        raise ValueError(f"keep must be 'ge' or 'lt', got {keep!r}")
+    cut_tbl = exact_quantiles(ds, column, {"q": q}, num_partitions)
+    cut = cut_tbl["q"][0].as_py()
+    if cut is None:  # empty input
+        return ds
+
+    def f(t: pa.Table) -> pa.Table:
+        v = t[column].to_numpy(zero_copy_only=False)
+        mask = v >= cut if keep == "ge" else v < cut
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def grouped_count_distinct(
     ds: ray.data.Dataset,
     key: str,

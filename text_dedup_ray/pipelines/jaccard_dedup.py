@@ -188,3 +188,159 @@ def ngram_jaccard_dedup(
         lambda t: t.select(["src", "dst"]), batch_format="pyarrow"
     )
     return connected_components_auto(edges, driver_threshold=driver_threshold)
+
+
+def jaccard_cross_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    text_column: str = "text",
+    left_id: str | None = None,
+    right_id: str | None = None,
+    right_text_column: str | None = None,
+    ngram_size: int = 1,
+    min_length: int = 0,
+    threshold: float = 0.5,
+    num_partitions: int = 32,
+    df_cap: int = 200,
+) -> ray.data.Dataset:
+    """Similarity JOIN between two tables: every (left row, right row) pair
+    with exact shingle-set Jaccard >= threshold, as (left_id, right_id,
+    jaccard). The fuzzy-join building block for corpus-vs-benchmark audits,
+    cross-snapshot diffing, and candidate generation between corpora.
+
+    Same distributed-inverted-index shape as ``jaccard_pair_table`` — both
+    sides explode to (shingle_hash, row_id, set_size, side) postings, every
+    shingle's posting list co-locates by hash, BUT pair emission is
+    restricted to cross-side (left x right) combinations, so within-side
+    duplicates cost nothing. ``df_cap`` bounds a hot shingle's combined
+    posting list (drops logged). Cost O(sum df_left x df_right) per shingle
+    — inherently the exact path; scale candidates with MinHash first if a
+    probabilistic join suffices."""
+    right_text_column = right_text_column or text_column
+
+    def make_explode(side: int, col: str):
+        def explode(batch: pa.Table) -> pa.Table:
+            texts = batch[col].to_pylist()
+            ids = batch[ROW_ID].to_numpy(zero_copy_only=False).astype(np.int64)
+            out_h: list[int] = []
+            out_id: list[int] = []
+            out_sz: list[int] = []
+            for i, t in enumerate(texts):
+                sh = shingle_set(t or "", ngram_size, min_length)
+                for s in sh:
+                    out_h.append(_shingle_hash64(s))
+                    out_id.append(int(ids[i]))
+                    out_sz.append(len(sh))
+            h = np.array(out_h, dtype=np.int64)
+            return pa.table(
+                {
+                    "sh": pa.array(h, pa.int64()),
+                    "row_id": pa.array(out_id, pa.int64()),
+                    "size": pa.array(out_sz, pa.int64()),
+                    "side": pa.array(
+                        np.full(len(h), side, dtype=np.int64)
+                    ),
+                    "part": pa.array(
+                        (np.abs(h) % num_partitions).astype(np.int64)
+                    ),
+                }
+            )
+
+        return explode
+
+    if left_id is not None:
+        left = stamp_row_ids_from_key(left, left_id)
+    if right_id is not None:
+        right = stamp_row_ids_from_key(right, right_id)
+    postings = left.map_batches(
+        make_explode(0, text_column), batch_format="pyarrow"
+    ).union(right.map_batches(make_explode(1, right_text_column), batch_format="pyarrow"))
+
+    def _empty_partial() -> pa.Table:
+        return pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "sa": pa.array([], pa.int64()), "sb": pa.array([], pa.int64()),
+             "co": pa.array([], pa.int64()), "part": pa.array([], pa.int64())}
+        )
+
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "sh" not in group.column_names:
+            return _empty_partial()
+        sh = group["sh"].to_numpy(zero_copy_only=False)
+        rid = group["row_id"].to_numpy(zero_copy_only=False)
+        size = group["size"].to_numpy(zero_copy_only=False)
+        side = group["side"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((rid, side, sh))
+        sh_s, rid_s, size_s, side_s = sh[order], rid[order], size[order], side[order]
+        starts = np.flatnonzero(np.r_[True, np.diff(sh_s) != 0])
+        ends = np.r_[starts[1:], len(sh_s)]
+        a_out, b_out, sa_out, sb_out = [], [], [], []
+        dropped = 0
+        for s, e in zip(starts, ends):
+            if e - s > df_cap:
+                dropped += 1
+                continue
+            # side-sorted within the shingle: left block then right block
+            cut = s + int(np.searchsorted(side_s[s:e], 1))
+            nl, nr = cut - s, e - cut
+            if nl == 0 or nr == 0:
+                continue
+            ii, jj = np.meshgrid(
+                np.arange(s, cut), np.arange(cut, e), indexing="ij"
+            )
+            ii, jj = ii.ravel(), jj.ravel()
+            a_out.append(rid_s[ii])
+            b_out.append(rid_s[jj])
+            sa_out.append(size_s[ii])
+            sb_out.append(size_s[jj])
+        if dropped:
+            logger.warning(
+                "jaccard_cross_join: %d shingles above df_cap=%d dropped",
+                dropped, df_cap,
+            )
+        if not a_out:
+            return _empty_partial()
+        a = np.concatenate(a_out).astype(np.int64)
+        b = np.concatenate(b_out).astype(np.int64)
+        sa = np.concatenate(sa_out).astype(np.int64)
+        sb = np.concatenate(sb_out).astype(np.int64)
+        order2 = np.lexsort((b, a))
+        a, b, sa, sb = a[order2], b[order2], sa[order2], sb[order2]
+        bounds = np.flatnonzero(np.r_[True, (np.diff(a) != 0) | (np.diff(b) != 0)])
+        co = np.diff(np.r_[bounds, len(a)]).astype(np.int64)
+        a, b, sa, sb = a[bounds], b[bounds], sa[bounds], sb[bounds]
+        with np.errstate(over="ignore"):
+            part = (np.abs(a * np.int64(31) + b) % np.int64(num_partitions)).astype(np.int64)
+        return pa.table({"a": a, "b": b, "sa": sa, "sb": sb, "co": co, "part": part})
+
+    pair_partials = hash_partition_exchange(postings, "part", num_partitions, emit_pairs)
+
+    def reduce_pairs(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "a" not in group.column_names:
+            return pa.table(
+                {"left_id": pa.array([], pa.int64()),
+                 "right_id": pa.array([], pa.int64()),
+                 "jaccard": pa.array([], pa.float64())}
+            )
+        a = group["a"].to_numpy(zero_copy_only=False)
+        b = group["b"].to_numpy(zero_copy_only=False)
+        sa = group["sa"].to_numpy(zero_copy_only=False)
+        sb = group["sb"].to_numpy(zero_copy_only=False)
+        co = group["co"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b, sa, sb, co = a[order], b[order], sa[order], sb[order], co[order]
+        bounds = np.flatnonzero(np.r_[True, (np.diff(a) != 0) | (np.diff(b) != 0)])
+        co_sum = np.add.reduceat(co, bounds)
+        a, b, sa, sb = a[bounds], b[bounds], sa[bounds], sb[bounds]
+        union = sa + sb - co_sum
+        jac = np.where(union > 0, co_sum / np.maximum(union, 1), 1.0)
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "left_id": a[keep].astype(np.int64),
+                "right_id": b[keep].astype(np.int64),
+                "jaccard": jac[keep].astype(np.float64),
+            }
+        )
+
+    return hash_partition_exchange(pair_partials, "part", num_partitions, reduce_pairs)

@@ -57,6 +57,56 @@ def with_quality(ds: ray.data.Dataset, text_column: str = "text") -> ray.data.Da
     return ds.map_batches(add, batch_format="pyarrow")
 
 
+def with_repetition(
+    ds: ray.data.Dataset, text_column: str = "text", ngram: int = 2
+) -> ray.data.Dataset:
+    """Gopher-style repetition signals (Rae et al. 2021, public quality
+    heuristics): per doc, the token count, distinct-token count, total
+    sliding ``ngram``-gram count (len(tokens) - ngram + 1 when len >=
+    ngram, else 0 — plain windows, no reference edge cases), and the count
+    of the single most frequent such n-gram. Exposed as exact integers
+    (SQL-hashable) plus the two derived ratios:
+    ``dup_token_ratio = 1 - n_distinct/n_tokens`` and
+    ``top_ngram_frac = top_ngram_count / n_ngrams`` (0 when empty).
+    Stateless vectorized-batch pass; the per-doc counting is Counter-bound
+    like the other text kernels."""
+    from collections import Counter
+
+    from ..functions.tokenization import tokenize
+
+    def add(batch: pa.Table) -> pa.Table:
+        texts = batch[text_column].to_pylist()
+        n = len(texts)
+        n_tok = np.zeros(n, np.int64)
+        n_dis = np.zeros(n, np.int64)
+        top_c = np.zeros(n, np.int64)
+        n_ng = np.zeros(n, np.int64)
+        for i, t in enumerate(texts):
+            toks = tokenize(t or "")
+            n_tok[i] = len(toks)
+            n_dis[i] = len(set(toks))
+            if len(toks) >= ngram:
+                c = Counter(
+                    " ".join(toks[j : j + ngram])
+                    for j in range(len(toks) - ngram + 1)
+                )
+                n_ng[i] = len(toks) - ngram + 1
+                top_c[i] = max(c.values())
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dup_ratio = np.where(n_tok > 0, 1.0 - n_dis / np.maximum(n_tok, 1), 0.0)
+            top_frac = np.where(n_ng > 0, top_c / np.maximum(n_ng, 1), 0.0)
+        return (
+            batch.append_column("n_tokens_rep", pa.array(n_tok))
+            .append_column("n_distinct_tokens", pa.array(n_dis))
+            .append_column("n_ngrams", pa.array(n_ng))
+            .append_column("top_ngram_count", pa.array(top_c))
+            .append_column("dup_token_ratio", pa.array(dup_ratio))
+            .append_column("top_ngram_frac", pa.array(top_frac))
+        )
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
 class LangIdStage:
     """Actor: stopword tables resolved once per actor (SURVEY ST-pattern)."""
 
