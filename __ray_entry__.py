@@ -290,6 +290,15 @@ def _q_repetition(sf_dir: str):
     )
 
 
+def _q_top_tokens(sf_dir: str):
+    """Exact corpus vocabulary heavy hitters: per-block Counter partials,
+    token-hash co-location makes per-partition sums exact, each partition
+    keeps its local top-n, driver folds P x n candidates."""
+    from text_dedup_ray.pipelines.textops import top_frequent_tokens
+
+    return top_frequent_tokens(_docs(sf_dir, ["text"]), n=50)
+
+
 def _q_above_p90(sf_dir: str):
     """Percentile gate: docs at or above the exact p90 of n_chars — the cut
     comes from the histogram-only quantile fold, then a stateless filter."""
@@ -1256,6 +1265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs": _q_decontaminate,
         "doc_repetition": _q_repetition,
         "docs_above_p90": _q_above_p90,
+        "top_tokens": _q_top_tokens,
         "jaccard_cross_docs": _q_jaccard_cross,
         "doc_hash_split": _q_hash_split,
         "docs_top_by_lang": _q_top_by_lang,
@@ -1392,6 +1402,12 @@ def oracle_sql() -> dict[str, str]:
         "docs_above_p90": (
             "SELECT doc_id, n_chars FROM documents WHERE n_chars >= "
             "(SELECT quantile_disc(n_chars, 0.9) FROM documents)"
+        ),
+        "top_tokens": (
+            "WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), "
+            "'[a-z0-9_]+')) AS token FROM documents) "
+            "SELECT token, count(*)::BIGINT AS cnt FROM tok GROUP BY token "
+            "ORDER BY cnt DESC, token ASC LIMIT 50"
         ),
         "jaccard_cross_docs": _oracles.jaccard_cross_join_sql(
             ngram_size=1, min_length=0, threshold=0.5, mod=97

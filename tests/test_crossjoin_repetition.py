@@ -170,3 +170,46 @@ class TestFilterByQuantile:
         hi = filter_by_quantile(ds, "v", 0.5, keep="ge").count()
         lo = filter_by_quantile(ds, "v", 0.5, keep="lt").count()
         assert hi + lo == 100
+
+
+class TestTopFrequentTokens:
+    def test_matches_duckdb(self):
+        from text_dedup_ray.pipelines.textops import top_frequent_tokens
+
+        rng = np.random.default_rng(2)
+        vocab = [f"t{i:02d}" for i in range(40)]
+        # zipf-ish frequencies so the top order is non-trivial, plus ties
+        p = 1.0 / np.arange(1, 41)
+        p /= p.sum()
+        texts = [
+            " ".join(rng.choice(vocab, rng.integers(1, 30), p=p))
+            for _ in range(300)
+        ]
+        tbl = pa.table({"text": texts})
+        got = top_frequent_tokens(
+            ray.data.from_arrow(tbl).repartition(5), n=15, num_partitions=6
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", tbl)
+        exp = con.execute(
+            "WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), "
+            "'[a-z0-9_]+')) AS token FROM documents) "
+            "SELECT token, count(*)::BIGINT AS cnt FROM tok GROUP BY token "
+            "ORDER BY cnt DESC, token ASC LIMIT 15"
+        ).fetchdf()
+        assert got.token.tolist() == exp.token.tolist()
+        assert got.cnt.tolist() == exp.cnt.tolist()
+
+    def test_boundary_tie_and_empty(self):
+        from text_dedup_ray.pipelines.textops import top_frequent_tokens
+
+        tbl = pa.table({"text": ["b b a a c", ""]})
+        got = top_frequent_tokens(
+            ray.data.from_arrow(tbl).repartition(2), n=2, num_partitions=3
+        ).to_pandas()
+        assert got.token.tolist() == ["a", "b"]  # tie broken by token asc
+        empty = top_frequent_tokens(
+            ray.data.from_arrow(pa.table({"text": pa.array([], pa.string())})),
+            n=5,
+        )
+        assert empty.num_rows == 0

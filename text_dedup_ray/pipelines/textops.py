@@ -107,6 +107,85 @@ def with_repetition(
     return ds.map_batches(add, batch_format="pyarrow")
 
 
+def top_frequent_tokens(
+    ds: ray.data.Dataset,
+    text_column: str = "text",
+    n: int = 100,
+    num_partitions: int = 32,
+) -> pa.Table:
+    """EXACT corpus-wide top-n most frequent tokens (vocabulary heavy
+    hitters), (token, cnt) sorted by cnt desc then token asc.
+
+    Scale shape: each block emits its LOCAL (token, count) partials
+    (Counter over the block — one row per distinct token per block, never
+    per occurrence); the exchange co-locates every copy of a token in one
+    partition, so per-partition sums are the token's EXACT global count;
+    each partition then keeps only its local top-n — the global top-n is
+    necessarily a subset of the union of per-partition top-ns — and the
+    driver folds just P x n candidate rows."""
+    from collections import Counter
+
+    from ..functions.tokenization import tokenize
+    from ..stages.exchange import hash_partition_exchange
+    from .jaccard_dedup import _shingle_hash64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch[text_column].to_pylist():
+            c.update(tokenize(t or ""))
+        toks = list(c.keys())
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "cnt": pa.array([c[t] for t in toks], pa.int64()),
+                "part": pa.array(
+                    np.fromiter(
+                        (
+                            (_shingle_hash64(t.encode()) & 0x7FFFFFFF)
+                            % num_partitions
+                            for t in toks
+                        ),
+                        np.int64,
+                        count=len(toks),
+                    )
+                ),
+            }
+        )
+
+    pre = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+
+    def reduce(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"token": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+        )
+        if group.num_rows == 0 or "token" not in group.column_names:
+            return empty
+        summed = (
+            group.select(["token", "cnt"])
+            .group_by(["token"])
+            .aggregate([("cnt", "sum")])
+        )
+        s = summed.sort_by([("cnt_sum", "descending"), ("token", "ascending")])
+        return pa.table(
+            {"token": s["token"], "cnt": s["cnt_sum"].cast(pa.int64())}
+        ).slice(0, n)
+
+    cand = hash_partition_exchange(pre, "part", num_partitions, reduce).to_pandas()
+    if cand.empty:
+        return pa.table(
+            {"token": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+        )
+    cand = cand.sort_values(
+        ["cnt", "token"], ascending=[False, True], kind="stable"
+    ).head(n)
+    return pa.table(
+        {
+            "token": pa.array(cand["token"].tolist(), pa.string()),
+            "cnt": pa.array(cand["cnt"].to_numpy(), pa.int64()),
+        }
+    )
+
+
 class LangIdStage:
     """Actor: stopword tables resolved once per actor (SURVEY ST-pattern)."""
 
