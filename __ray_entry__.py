@@ -331,6 +331,34 @@ def _q_jaccard_cross(sf_dir: str):
     return _round_col(pairs, "jaccard", 4)
 
 
+def _q_minhash_cross(sf_dir: str):
+    """LSH candidate JOIN between two tables (scale path of the fuzzy join):
+    both sides fingerprint with the same md5-base config, bucket keys
+    co-locate, pair emission is cross-side only, a second tiny exchange
+    dedups multi-band collisions."""
+    from text_dedup_ray.pipelines.minhash import minhash_cross_join
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def side(keep_left: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            mask = (ids % 97 != 0) if keep_left else (ids % 97 == 0)
+            return t.filter(pa.array(mask))
+
+        return docs.map_batches(f, batch_format="pyarrow")
+
+    from text_dedup_ray.functions.minhash import MinHashConfig
+
+    cfg = MinHashConfig(
+        num_perm=64, bands=32, rows=2, ngram_size=1, hash_func="md5"
+    )
+    return minhash_cross_join(
+        side(True), side(False), cfg,
+        left_id="doc_id", right_id="doc_id", max_bucket=10**9,
+    )
+
+
 def _q_decontaminate(sf_dir: str):
     """Benchmark decontamination (broadcast semi-join, zero shuffle):
     corpus = docs with doc_id % 97 != 0, benchmark = the rest; a doc is
@@ -1267,6 +1295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_above_p90": _q_above_p90,
         "top_tokens": _q_top_tokens,
         "jaccard_cross_docs": _q_jaccard_cross,
+        "minhash_cross_docs": _q_minhash_cross,
         "doc_hash_split": _q_hash_split,
         "docs_top_by_lang": _q_top_by_lang,
         "docs_sample_per_lang": _q_sample_per_lang,
@@ -1411,6 +1440,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "jaccard_cross_docs": _oracles.jaccard_cross_join_sql(
             ngram_size=1, min_length=0, threshold=0.5, mod=97
+        ),
+        "minhash_cross_docs": _oracles.minhash_cross_join_sql(
+            __import__("text_dedup_ray.functions.minhash", fromlist=["MinHashConfig"]).MinHashConfig(
+                num_perm=64, bands=32, rows=2, ngram_size=1, hash_func="md5"
+            ),
+            mod=97,
         ),
         "doc_hash_split": (
             "SELECT doc_id, CASE "

@@ -234,9 +234,11 @@ FROM base b LEFT JOIN nga USING (doc_id)
 """
 
 
-def _minhash_core(cfg: MinHashConfig, table: str) -> str:
-    """WITH-body (no final SELECT) computing CTEs ``docs`` (min-length
-    survivors) and ``cc`` for MinHashLSH over ``table(doc_id, text)``."""
+def _minhash_bands_core(cfg: MinHashConfig, table: str) -> str:
+    """WITH-body prefix (no final SELECT) computing CTEs through ``bands``
+    (doc_id, band_idx, band_val) — the LSH bucket identity — plus ``docs``
+    (min-length survivors). Shared by the dedup oracles and the cross-join
+    oracle."""
     assert cfg.hash_func == "md5", "SQL oracle needs the md5 base hash"
     assert cfg.hash_bits == 64
     a, b = cfg.permutations()
@@ -260,7 +262,28 @@ bands AS (
   SELECT doc_id, p // {cfg.rows} AS band_idx,
          string_agg(sig::TEXT, ',' ORDER BY p) AS band_val
   FROM sigs GROUP BY doc_id, band_idx
-),
+)"""
+
+
+def minhash_cross_join_sql(cfg: MinHashConfig, mod: int = 97) -> str:
+    """LSH candidate join (pipelines/minhash.minhash_cross_join): distinct
+    (left, right) doc pairs whose MinHash signatures collide in >= 1 band,
+    left = documents with doc_id % mod <> 0, right = the rest. Fingerprints
+    are side-independent, so the bands CTE runs over the whole table and the
+    sides split at the join."""
+    return f"""
+WITH {_minhash_bands_core(cfg, "documents")}
+SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+FROM bands l JOIN bands r
+  ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+WHERE l.doc_id % {mod} <> 0 AND r.doc_id % {mod} = 0
+"""
+
+
+def _minhash_core(cfg: MinHashConfig, table: str) -> str:
+    """WITH-body (no final SELECT) computing CTEs ``docs`` (min-length
+    survivors) and ``cc`` for MinHashLSH over ``table(doc_id, text)``."""
+    return f"""{_minhash_bands_core(cfg, table)},
 buckets AS (
   SELECT doc_id, min(doc_id) OVER (PARTITION BY band_idx, band_val) AS m FROM bands
 ),

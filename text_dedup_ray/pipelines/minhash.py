@@ -20,7 +20,10 @@ in a narrow side dataset and clusters re-join the full-schema rows by row_id
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass, field
+
+import numpy as np
 
 import pyarrow as pa
 import ray
@@ -42,9 +45,11 @@ from ..stages.edges import (
     minhash_rep_part,
     minhash_rep_reduce,
 )
-from ..stages.exchange import tagged_split_exchange
+from ..stages.exchange import hash_partition_exchange, tagged_split_exchange
 from ..stages.fingerprint import MinHashFingerprinter
 from .verify import verify_clusters_auto
+
+logger = logging.getLogger(__name__)
 
 
 @dataclass
@@ -386,3 +391,127 @@ def minhash_dedup_checkpointed(
         assigned=assigned, deduped=deduped, parents=parents, metrics=metrics
     )
     return result, {"signatures": sig_cached, "clusters": cluster_cached}
+
+
+def minhash_cross_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    cfg: MinHashConfig,
+    text_column: str = "text",
+    left_id: str | None = None,
+    right_id: str | None = None,
+    right_text_column: str | None = None,
+    num_partitions: int = 32,
+    fingerprint_concurrency: int | tuple[int, int] = (1, 8),
+    fingerprint_batch_size: int = 2048,
+    max_bucket: int = 4096,
+) -> ray.data.Dataset:
+    """Probabilistic fuzzy JOIN between two tables via MinHashLSH: distinct
+    (left_id, right_id) candidate pairs whose signatures collide in >= 1
+    band — the SCALE path for cross-corpus matching (``jaccard_cross_join``
+    is the exact counterpart; compose the two to re-rank candidates).
+
+    Both sides fingerprint with the SAME config (identical permutations per
+    seed, so band values are comparable); (band_idx, band_val) rows tagged
+    with their side co-locate through the bucket-key hash exchange; each
+    bucket emits only CROSS-side combinations (within-side duplicates are
+    free); a second tiny exchange dedups pairs that collided in several
+    bands. Buckets above ``max_bucket`` combined members are skipped with a
+    logged count, same contract as the dedup path's caps."""
+    from ..stages.edges import _hash_part, _void_view, minhash_bucket_key_u8
+
+    right_text_column = right_text_column or text_column
+
+    def fingerprint_side(ds: ray.data.Dataset, col: str, side: int, idc):
+        if idc is not None and ROW_ID not in (ds.schema().names or []):
+            ds = stamp_row_ids_from_key(ds, idc)
+        narrow = min_length_filter(ds, col, cfg.min_length)
+        narrow = narrow.select_columns([ROW_ID, col])
+        sig = narrow.map_batches(
+            MinHashFingerprinter,
+            fn_constructor_args=(cfg, col, "sig"),
+            batch_format="pyarrow",
+            batch_size=fingerprint_batch_size,
+            concurrency=fingerprint_concurrency,
+        )
+
+        def tag(batch: pa.Table) -> pa.Table:
+            part = _hash_part(minhash_bucket_key_u8(batch), num_partitions)
+            return batch.append_column(
+                "side", pa.array(np.full(batch.num_rows, side, np.int8))
+            ).append_column("part", pa.array(part.astype(np.int64)))
+
+        return sig.map_batches(tag, batch_format="pyarrow")
+
+    postings = fingerprint_side(left, text_column, 0, left_id).union(
+        fingerprint_side(right, right_text_column, 1, right_id)
+    )
+
+    def _empty_pairs() -> pa.Table:
+        return pa.table(
+            {"left_id": pa.array([], pa.int64()),
+             "right_id": pa.array([], pa.int64()),
+             "part": pa.array([], pa.int64())}
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "band_idx" not in group.column_names:
+            return _empty_pairs()
+        keys = _void_view(minhash_bucket_key_u8(group))
+        rid = group["row_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        side = group["side"].to_numpy(zero_copy_only=False)
+        _, inverse = np.unique(keys, return_inverse=True)
+        order = np.lexsort((rid, side, inverse))
+        inv_s, side_s, rid_s = inverse[order], side[order], rid[order]
+        starts = np.flatnonzero(np.r_[True, np.diff(inv_s) != 0])
+        ends = np.r_[starts[1:], len(inv_s)]
+        l_out, r_out = [], []
+        skipped = 0
+        for s, e in zip(starts, ends):
+            if e - s > max_bucket:
+                skipped += 1
+                continue
+            cut = s + int(np.searchsorted(side_s[s:e], 1))
+            if cut == s or cut == e:
+                continue
+            ii, jj = np.meshgrid(
+                np.arange(s, cut), np.arange(cut, e), indexing="ij"
+            )
+            l_out.append(rid_s[ii.ravel()])
+            r_out.append(rid_s[jj.ravel()])
+        if skipped:
+            logger.warning(
+                "minhash_cross_join: %d buckets above max_bucket=%d skipped",
+                skipped, max_bucket,
+            )
+        if not l_out:
+            return _empty_pairs()
+        l = np.concatenate(l_out)
+        r = np.concatenate(r_out)
+        # local distinct (same pair can collide in several bands/partitions)
+        order2 = np.lexsort((r, l))
+        l, r = l[order2], r[order2]
+        keep = np.r_[True, (np.diff(l) != 0) | (np.diff(r) != 0)]
+        l, r = l[keep], r[keep]
+        with np.errstate(over="ignore"):
+            part = (np.abs(l * np.int64(31) + r) % np.int64(num_partitions)).astype(np.int64)
+        return pa.table(
+            {"left_id": pa.array(l), "right_id": pa.array(r), "part": pa.array(part)}
+        )
+
+    partials = hash_partition_exchange(postings, "part", num_partitions, bucket_pairs)
+
+    def global_distinct(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "left_id" not in group.column_names:
+            return pa.table(
+                {"left_id": pa.array([], pa.int64()),
+                 "right_id": pa.array([], pa.int64())}
+            )
+        l = group["left_id"].to_numpy(zero_copy_only=False)
+        r = group["right_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((r, l))
+        l, r = l[order], r[order]
+        keep = np.r_[True, (np.diff(l) != 0) | (np.diff(r) != 0)]
+        return pa.table({"left_id": pa.array(l[keep]), "right_id": pa.array(r[keep])})
+
+    return hash_partition_exchange(partials, "part", num_partitions, global_distinct)
