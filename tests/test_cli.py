@@ -191,3 +191,45 @@ length_threshold = 100
     short = {t for t in texts if len(t.encode()) < 100}
     assert out_tbl.num_rows == sum(1 for t in texts if len(t.encode()) < 100)
     assert set(out_tbl["text"].to_pylist()) <= short
+
+
+def test_cli_decontaminate(tmp_path):
+    config = tmp_path / "run.toml"
+    out_dir = tmp_path / "out_decon"
+    config.write_text(
+        f"""
+[input]
+path = "/root/testdata/sf0.001/documents.parquet"
+text_column = "text"
+id_column = "doc_id"
+
+[output]
+path = "{out_dir}"
+
+[algorithm]
+name = "decontaminate"
+benchmark_path = "/root/testdata/sf0.001/documents.parquet"
+ngram_size = 2
+threshold = 0.99
+"""
+    )
+    proc = subprocess.run(
+        [sys.executable, "-m", "text_dedup_ray", "--config", str(config)],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=240,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert stats["decontaminate"]["path"] == "broadcast"
+    # benchmark == corpus, so every doc matches itself -> clean set is empty
+    import glob
+
+    import pyarrow.parquet as pq
+
+    n = sum(
+        pq.read_metadata(f).num_rows
+        for f in glob.glob(f"{out_dir}/**/*.parquet", recursive=True)
+    )
+    assert n == 0

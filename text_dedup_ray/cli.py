@@ -290,6 +290,28 @@ def main(argv: list[str] | None = None) -> None:
         )
         assigned = assign_clusters(ds, parents)
         result_ds = assigned if skip_filtering else filter_cluster_roots(assigned)
+    elif name == "decontaminate":
+        from .pipelines.decontaminate import decontaminate
+        from .sources.io import read_table
+
+        bench_path = algo.get("benchmark_path") or cfg.get("benchmark", {}).get("path")
+        if not bench_path:
+            raise SystemExit("decontaminate needs algorithm.benchmark_path")
+        bench = read_table(
+            bench_path, fmt=algo.get("benchmark_format", "parquet")
+        )
+        res = decontaminate(
+            ds,
+            bench,
+            text_column=text_column,
+            bench_text_column=algo.get("benchmark_text_column", text_column),
+            ngram_size=int(algo.get("ngram_size", 8)),
+            min_length=int(algo.get("min_length", 0)),
+            threshold=float(algo.get("threshold", 0.8)),
+            mode=algo.get("mode", "fraction"),
+        )
+        stats["decontaminate"] = res.metrics
+        result_ds = res.annotated if skip_filtering else res.clean
     else:
         raise SystemExit(f"unknown algorithm {name!r}")
 
