@@ -439,6 +439,40 @@ def _q_events_attribution(sf_dir: str):
     return _round_col(out, "sum_value", 3)
 
 
+def _q_customers_no_orders(sf_dir: str):
+    """Broadcast ANTI join: customers with no order above 300k totalprice.
+    The small side is the block-deduped distinct o_custkey set of qualifying
+    orders (bounded by the customer count); the big side streams through a
+    pure searchsorted filter."""
+    import pyarrow.compute as pc
+
+    from text_dedup_ray.pipelines.joins import broadcast_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    okeys = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": pa.array(
+                    np.unique(
+                        t.filter(pc.greater(t["o_totalprice"], 300000.0))[
+                            "o_custkey"
+                        ].to_numpy(zero_copy_only=False)
+                    ),
+                    pa.int64(),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return broadcast_join(
+        cust, okeys, left_on="c_custkey", right_on="o_custkey", how="anti"
+    )
+
+
 def _q_part_brand_revenue(sf_dir: str):
     """Broadcast hash join (big lineitem x small part dimension — the small
     side is ray.put once and worker-cached, the big side never shuffles)
@@ -1303,6 +1337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_orders_asof": _q_events_orders_asof,
         "events_attribution_6h": _q_events_attribution,
         "part_brand_revenue": _q_part_brand_revenue,
+        "customers_without_orders": _q_customers_no_orders,
         # --- exact n-gram Jaccard (SQL-checked pair table + clusters) ---
         "ngram_jaccard_pairs": _q_jaccard_pairs,
         "ngram_jaccard_dedup": _q_jaccard_dedup,
@@ -1482,6 +1517,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
             "count(*)::BIGINT AS n_items FROM lineitem "
             "JOIN part ON p_partkey = l_partkey GROUP BY p_brand"
+        ),
+        "customers_without_orders": (
+            "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN "
+            "(SELECT o_custkey FROM orders WHERE o_totalprice > 300000)"
         ),
         "ngram_jaccard_pairs": (
             "WITH tok AS (SELECT DISTINCT doc_id, tok FROM ("

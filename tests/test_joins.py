@@ -254,3 +254,41 @@ class TestBroadcastJoin:
             big, empty, left_on="fk", right_on="pk", right_columns=["name"], how="left"
         ).to_pandas()
         assert len(left) == 5 and left.name.isna().all()
+
+
+class TestBroadcastSemiAnti:
+    def _sides(self):
+        big = ray.data.from_arrow(
+            pa.table({"fk": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                      "v": pa.array([10, 20, 30, 40, 50], pa.int64())})
+        ).repartition(2)
+        small = pa.table({"pk": pa.array([2, 4, 4], pa.int64())})
+        return big, small
+
+    def test_semi(self):
+        big, small = self._sides()
+        out = broadcast_join(
+            big, small, left_on="fk", right_on="pk", how="semi"
+        ).to_pandas().sort_values("fk")
+        assert out.fk.tolist() == [2, 4]
+        assert out.columns.tolist() == ["fk", "v"]  # pure filter, no columns added
+
+    def test_anti(self):
+        big, small = self._sides()
+        out = broadcast_join(
+            big, small, left_on="fk", right_on="pk", how="anti"
+        ).to_pandas().sort_values("fk")
+        assert out.fk.tolist() == [1, 3, 5]
+
+    def test_anti_empty_small_keeps_all(self):
+        big, _ = self._sides()
+        empty = pa.table({"pk": pa.array([], pa.int64())})
+        out = broadcast_join(big, empty, left_on="fk", right_on="pk", how="anti")
+        assert out.count() == 5
+
+    def test_inner_requires_right_columns(self):
+        import pytest
+
+        big, small = self._sides()
+        with pytest.raises(ValueError):
+            broadcast_join(big, small, left_on="fk", right_on="pk", how="inner")

@@ -271,18 +271,24 @@ def broadcast_join(
     *,
     left_on: str,
     right_on: str,
-    right_columns: list[str],
+    right_columns: list[str] | None = None,
     how: str = "inner",
     small_limit: int = 10_000_000,
 ) -> ray.data.Dataset:
     """Equi-join the big streaming side against a SMALL dimension side
-    (``how`` in {'inner', 'left'}). The small side is collected to the
-    driver once (guarded by ``small_limit``), key-sorted, ``ray.put`` once,
-    and cached per worker — each batch joins via ``searchsorted``; the big
-    side never shuffles. When the right side has duplicate keys the
-    FIRST row per key (smallest ``right_on`` order position after the sort)
-    wins — pre-aggregate the small side if other semantics are needed."""
-    assert how in ("inner", "left")
+    (``how`` in {'inner', 'left', 'semi', 'anti'}). The small side is
+    collected to the driver once (guarded by ``small_limit``), key-sorted,
+    ``ray.put`` once, and cached per worker — each batch joins via
+    ``searchsorted``; the big side never shuffles. 'semi' keeps big-side
+    rows whose key exists on the small side, 'anti' keeps the rest — both
+    are pure filters (``right_columns`` unused). When the right side has
+    duplicate keys the FIRST row per key (smallest ``right_on`` order
+    position after the sort) wins — pre-aggregate the small side if other
+    semantics are needed."""
+    assert how in ("inner", "left", "semi", "anti")
+    if how in ("inner", "left") and right_columns is None:
+        raise ValueError(f"how={how!r} needs right_columns")
+    right_columns = right_columns or []
     if isinstance(small, ray.data.Dataset):
         small_tbl = pa.concat_tables(
             [t for t in ray.get(small.to_arrow_refs()) if t.num_rows > 0]
@@ -314,6 +320,10 @@ def broadcast_join(
         pos = np.searchsorted(skeys, ids)
         pos_c = np.clip(pos, 0, max(len(skeys) - 1, 0))
         hit = (skeys[pos_c] == ids) if len(skeys) else np.zeros(len(ids), bool)
+        if how == "semi":
+            return batch.filter(pa.array(hit))
+        if how == "anti":
+            return batch.filter(pa.array(~hit))
         if how == "inner":
             out = batch.filter(pa.array(hit))
             if srt is None:  # empty small side: 0 rows, types unknowable
