@@ -359,6 +359,33 @@ def _q_minhash_cross(sf_dir: str):
     )
 
 
+def _q_fuzzy_cross(sf_dir: str):
+    """Verified fuzzy JOIN: LSH candidates re-ranked by exact Jaccard
+    restricted to involved docs (LSH recall, exact precision)."""
+    from text_dedup_ray.functions.minhash import MinHashConfig
+    from text_dedup_ray.pipelines.minhash import fuzzy_cross_join
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def side(keep_left: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            mask = (ids % 97 != 0) if keep_left else (ids % 97 == 0)
+            return t.filter(pa.array(mask))
+
+        return docs.map_batches(f, batch_format="pyarrow")
+
+    cfg = MinHashConfig(
+        num_perm=64, bands=32, rows=2, ngram_size=1, hash_func="md5"
+    )
+    pairs = fuzzy_cross_join(
+        side(True), side(False), cfg, threshold=0.6,
+        left_id="doc_id", right_id="doc_id",
+        max_bucket=10**9, df_cap=10**9,
+    )
+    return _round_col(pairs, "jaccard", 4)
+
+
 def _q_decontaminate(sf_dir: str):
     """Benchmark decontamination (broadcast semi-join, zero shuffle):
     corpus = docs with doc_id % 97 != 0, benchmark = the rest; a doc is
@@ -1330,6 +1357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": _q_top_tokens,
         "jaccard_cross_docs": _q_jaccard_cross,
         "minhash_cross_docs": _q_minhash_cross,
+        "fuzzy_cross_docs": _q_fuzzy_cross,
         "doc_hash_split": _q_hash_split,
         "docs_top_by_lang": _q_top_by_lang,
         "docs_sample_per_lang": _q_sample_per_lang,
@@ -1475,6 +1503,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "jaccard_cross_docs": _oracles.jaccard_cross_join_sql(
             ngram_size=1, min_length=0, threshold=0.5, mod=97
+        ),
+        "fuzzy_cross_docs": _oracles.fuzzy_cross_join_sql(
+            __import__("text_dedup_ray.functions.minhash", fromlist=["MinHashConfig"]).MinHashConfig(
+                num_perm=64, bands=32, rows=2, ngram_size=1, hash_func="md5"
+            ),
+            threshold=0.6,
+            mod=97,
         ),
         "minhash_cross_docs": _oracles.minhash_cross_join_sql(
             __import__("text_dedup_ray.functions.minhash", fromlist=["MinHashConfig"]).MinHashConfig(

@@ -102,3 +102,52 @@ class TestMinHashCrossJoin:
         right = _ds([a] * 2, [100, 101])
         assert len(_got(left, right, max_bucket=3)) == 0
         assert len(_got(left, right, max_bucket=100)) == 10
+
+
+class TestFuzzyCrossJoin:
+    def test_intersection_semantics(self):
+        from text_dedup_ray.pipelines.jaccard_dedup import jaccard_cross_join
+        from text_dedup_ray.pipelines.minhash import fuzzy_cross_join
+
+        rng = np.random.default_rng(21)
+        vocab = [f"w{i}" for i in range(12)]
+        mk = lambda: " ".join(rng.choice(vocab, rng.integers(5, 15)))
+        lt, rt = [mk() for _ in range(50)], [mk() for _ in range(12)]
+        rt[0] = lt[3]  # planted exact copy across sides
+        left, right = _ds(lt, list(range(50))), _ds(rt, list(range(100, 112)))
+
+        fz = fuzzy_cross_join(
+            left, right, CFG, threshold=0.6,
+            left_id="doc_id", right_id="doc_id",
+            max_bucket=10**9, df_cap=10**9,
+        ).to_pandas()
+        cand = minhash_cross_join(
+            left, right, CFG, left_id="doc_id", right_id="doc_id",
+            max_bucket=10**9,
+        ).to_pandas()
+        exact = jaccard_cross_join(
+            left, right, ngram_size=CFG.ngram_size, min_length=CFG.min_length,
+            threshold=0.6, left_id="doc_id", right_id="doc_id", df_cap=10**9,
+        ).to_pandas()
+        want = set(zip(cand.left_id, cand.right_id)) & set(
+            zip(exact.left_id, exact.right_id)
+        )
+        assert set(zip(fz.left_id, fz.right_id)) == want
+        planted = fz[(fz.left_id == 3) & (fz.right_id == 100)]
+        assert len(planted) == 1 and planted.jaccard.iloc[0] == 1.0
+        # jaccard values match the exact join's
+        ex = dict(zip(zip(exact.left_id, exact.right_id), exact.jaccard))
+        for row in fz.itertuples():
+            assert abs(ex[(row.left_id, row.right_id)] - row.jaccard) < 1e-12
+
+    def test_no_candidates_empty(self):
+        from text_dedup_ray.pipelines.minhash import fuzzy_cross_join
+
+        cfg = MinHashConfig(num_perm=64, bands=8, rows=8, ngram_size=1, hash_func="md5")
+        left = _ds(["aa bb cc dd ee ff"], [1])
+        right = _ds(["qq rr ss tt uu vv"], [10])
+        out = fuzzy_cross_join(
+            left, right, cfg, threshold=0.5, left_id="doc_id", right_id="doc_id"
+        )
+        assert out.count() == 0
+        assert set(out.schema().names) == {"left_id", "right_id", "jaccard"}

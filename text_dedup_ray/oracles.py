@@ -280,6 +280,37 @@ WHERE l.doc_id % {mod} <> 0 AND r.doc_id % {mod} = 0
 """
 
 
+def fuzzy_cross_join_sql(cfg: MinHashConfig, threshold: float, mod: int = 97) -> str:
+    """Verified fuzzy join (pipelines/minhash.fuzzy_cross_join): the
+    intersection of the LSH band-collision candidates and the exact
+    shingle-Jaccard >= threshold pairs. The bands core's ``grams`` CTE (all
+    docs, cfg ngram/min_length) serves both the signatures and the exact
+    re-rank; sides split by doc_id % mod at the joins."""
+    return f"""
+WITH {_minhash_bands_core(cfg, "documents")},
+cand AS (
+  SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+  FROM bands l JOIN bands r
+    ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+  WHERE l.doc_id % {mod} <> 0 AND r.doc_id % {mod} = 0
+),
+gsz AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+co AS (
+  SELECT a.doc_id AS left_id, b.doc_id AS right_id, count(*) AS co
+  FROM grams a JOIN grams b USING (g)
+  WHERE a.doc_id % {mod} <> 0 AND b.doc_id % {mod} = 0
+  GROUP BY 1, 2
+)
+SELECT c.left_id, c.right_id,
+       round(co.co::DOUBLE / (la.sz + rb.sz - co.co), 4) AS jaccard
+FROM cand c
+JOIN co USING (left_id, right_id)
+JOIN gsz la ON la.doc_id = c.left_id
+JOIN gsz rb ON rb.doc_id = c.right_id
+WHERE co.co::DOUBLE / (la.sz + rb.sz - co.co) >= {threshold}
+"""
+
+
 def _minhash_core(cfg: MinHashConfig, table: str) -> str:
     """WITH-body (no final SELECT) computing CTEs ``docs`` (min-length
     survivors) and ``cc`` for MinHashLSH over ``table(doc_id, text)``."""

@@ -515,3 +515,129 @@ def minhash_cross_join(
         return pa.table({"left_id": pa.array(l[keep]), "right_id": pa.array(r[keep])})
 
     return hash_partition_exchange(partials, "part", num_partitions, global_distinct)
+
+
+def fuzzy_cross_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    cfg: MinHashConfig,
+    threshold: float,
+    text_column: str = "text",
+    left_id: str | None = None,
+    right_id: str | None = None,
+    right_text_column: str | None = None,
+    num_partitions: int = 32,
+    max_bucket: int = 4096,
+    df_cap: int = 200,
+    verify_broadcast_limit: int = 50_000_000,
+) -> ray.data.Dataset:
+    """Verified fuzzy JOIN: MinHashLSH candidate generation followed by an
+    EXACT shingle-Jaccard re-rank restricted to the candidates — LSH recall,
+    exact precision, as (left_id, right_id, jaccard >= threshold).
+
+    The verify pass never touches non-candidate docs: the candidate pair
+    table's distinct ids broadcast once (sorted arrays, bounded by
+    ``verify_broadcast_limit``), each side slims to its involved rows with a
+    stateless searchsorted filter, the exact ``jaccard_cross_join`` runs on
+    those slices only (true Jaccard is per-doc, so subsetting is exact), and
+    a final membership filter against the broadcast pair keys drops the
+    incidental non-candidate pairs the slimmed join also surfaces."""
+    from .jaccard_dedup import jaccard_cross_join
+
+    right_text_column = right_text_column or text_column
+    if left_id is not None:
+        left = stamp_row_ids_from_key(left, left_id)
+    if right_id is not None:
+        right = stamp_row_ids_from_key(right, right_id)
+
+    cand = minhash_cross_join(
+        left, right, cfg,
+        text_column=text_column,
+        left_id=None, right_id=None,
+        right_text_column=right_text_column,
+        num_partitions=num_partitions,
+        max_bucket=max_bucket,
+    )
+
+    blocks = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows]
+    if not blocks:
+        return ray.data.from_arrow(
+            pa.table(
+                {"left_id": pa.array([], pa.int64()),
+                 "right_id": pa.array([], pa.int64()),
+                 "jaccard": pa.array([], pa.float64())}
+            )
+        )
+    cand_tbl = pa.concat_tables(blocks)
+    if cand_tbl.num_rows > verify_broadcast_limit:
+        raise ValueError(
+            f"{cand_tbl.num_rows} candidate pairs exceed "
+            f"verify_broadcast_limit={verify_broadcast_limit}; raise the "
+            "limit or tighten the LSH config"
+        )
+    l_arr = cand_tbl["left_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    r_arr = cand_tbl["right_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    l_ids = np.unique(l_arr)
+    r_ids = np.unique(r_arr)
+    pair_keys = np.sort(_pair_void(l_arr, r_arr))
+    ids_ref = ray.put((l_ids, r_ids, pair_keys))
+
+    def slim(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            li, ri, _ = _resolve_fuzzy(ids_ref)
+            want = li if side == 0 else ri
+            ids = batch[ROW_ID].to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(want) == 0:
+                return batch.slice(0, 0)
+            pos = np.clip(np.searchsorted(want, ids), 0, len(want) - 1)
+            return batch.filter(pa.array(want[pos] == ids))
+
+        return f
+
+    left_slim = left.map_batches(slim(0), batch_format="pyarrow")
+    right_slim = right.map_batches(slim(1), batch_format="pyarrow")
+
+    pairs = jaccard_cross_join(
+        left_slim, right_slim,
+        text_column=text_column,
+        right_text_column=right_text_column,
+        ngram_size=cfg.ngram_size,
+        min_length=cfg.min_length,
+        threshold=threshold,
+        num_partitions=num_partitions,
+        df_cap=df_cap,
+    )
+
+    def keep_candidates(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        _, _, keys = _resolve_fuzzy(ids_ref)
+        k = _pair_void(
+            batch["left_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            batch["right_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+        pos = np.clip(np.searchsorted(keys, k), 0, len(keys) - 1)
+        return batch.filter(pa.array(keys[pos] == k))
+
+    return pairs.map_batches(keep_candidates, batch_format="pyarrow")
+
+
+def _pair_void(l: np.ndarray, r: np.ndarray) -> np.ndarray:
+    """(l, r) int64 pairs as opaque 16-byte keys (exact equality; bytewise
+    order is consistent between sort and searchsorted, which is all
+    membership needs)."""
+    m = np.ascontiguousarray(np.stack([l, r], axis=1))
+    return m.view([("v", "V16")])["v"].reshape(-1)
+
+
+_FUZZY_CACHE: dict[str, tuple] = {}
+
+
+def _resolve_fuzzy(ref):
+    key = str(ref)
+    hit = _FUZZY_CACHE.get(key)
+    if hit is None:
+        hit = ray.get(ref)
+        _FUZZY_CACHE.clear()
+        _FUZZY_CACHE[key] = hit
+    return hit
