@@ -1146,6 +1146,20 @@ def _q_minhash_images(sf_dir: str):
     return res.deduped.select_columns(["image_id", "caption", "phash"])
 
 
+def _q_exact_images(sf_dir: str):
+    """Exact pixel-content dedup over the image corpus: the content-hash
+    kernel hashes the raw ``bytes`` column (binary payloads hash as-is —
+    multimodal columns are first-class), min image_id per identical image
+    survives."""
+    from text_dedup_ray.pipelines.exact import exact_dedup
+    from text_dedup_ray.pipelines.images import image_ids_to_row_ids
+
+    ds = image_ids_to_row_ids(_corpus_ds(sf_dir))
+    return exact_dedup(ds, text_column="bytes").select_columns(
+        ["image_id", "caption", "phash"]
+    )
+
+
 def _q_simhash_images(sf_dir: str):
     from text_dedup_ray.pipelines.images import image_ids_to_row_ids
     from text_dedup_ray.pipelines.simhash import simhash_dedup
@@ -1396,6 +1410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_winnowing_fp": _q_winnowing,
         # --- image+caption corpus pipelines (rows-only) ---
         "minhash_dedup_images": _q_minhash_images,
+        "exact_dedup_images": _q_exact_images,
         "minhash_incremental_images": _q_minhash_incremental_images,
         "simhash_dedup_images": _q_simhash_images,
         "phash_near_dedup_images": _q_phash_images,
@@ -1629,6 +1644,12 @@ def oracle_sql() -> dict[str, str]:
         # driver's correctness gate runs at sf=0.01 -> n=3000)
         "minhash_dedup_images": _oracles.minhash_images_sql(
             _MINHASH_ORACLE_CFG(), _corpus_path("/root/testdata/sf0.01")
+        ),
+        "exact_dedup_images": (
+            f"SELECT image_id, caption, phash FROM "
+            f"read_parquet('{_corpus_path('/root/testdata/sf0.01')}') QUALIFY "
+            f"CAST(substr(image_id, 5) AS BIGINT) = "
+            f"min(CAST(substr(image_id, 5) AS BIGINT)) OVER (PARTITION BY bytes)"
         ),
         # tiered state == full batch run (tests/test_incremental.py) -> the
         # batch image oracle applies verbatim

@@ -213,3 +213,24 @@ class TestTopFrequentTokens:
             n=5,
         )
         assert empty.num_rows == 0
+
+
+class TestExactBinaryDedup:
+    def test_bytes_column_dedup(self):
+        from text_dedup_ray.pipelines.exact import exact_dedup
+
+        blobs = [b"\x00\x01\x02", b"\xff\xfe", b"\x00\x01\x02", b"\x00"]
+        tbl = pa.table(
+            {"id": pa.array([3, 1, 0, 2], pa.int64()),
+             "payload": pa.array(blobs, pa.binary())}
+        )
+        out = (
+            exact_dedup(
+                ray.data.from_arrow(tbl).repartition(2),
+                text_column="payload", id_column="id",
+            )
+            .to_pandas()
+            .sort_values("id")
+        )
+        # duplicate blob keeps min id (0), so 3 drops
+        assert out.id.tolist() == [0, 1, 2]

@@ -44,10 +44,17 @@ HASH_WIDTH = 16  # 128-bit content digests: collision-free in expectation even
 # there, silently merging distinct texts)
 
 
-def _digest_bytes(texts: list[str]) -> bytes:
-    """Concatenated 16-byte sha1-prefix digests of each text."""
+def _digest_bytes(texts: list) -> bytes:
+    """Concatenated 16-byte sha1-prefix digests of each value — str encodes
+    utf-8, bytes (binary payload columns: image bytes, audio) hash as-is, so
+    exact dedup works over multimodal content columns too."""
     sha1 = hashlib.sha1
-    return b"".join(sha1(t.encode("utf-8")).digest()[:HASH_WIDTH] for t in texts)
+    return b"".join(
+        sha1(t if isinstance(t, bytes) else (t or "").encode("utf-8")).digest()[
+            :HASH_WIDTH
+        ]
+        for t in texts
+    )
 
 
 def add_content_hash(
