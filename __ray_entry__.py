@@ -241,6 +241,18 @@ def _q_doc_len_quantiles(sf_dir: str):
     )
 
 
+def _q_lang_len_quantiles(sf_dir: str):
+    """Per-group exact quantiles: each language's whole (value, count)
+    histogram co-locates by key hash; one vectorized cumulative-count walk
+    per key."""
+    from text_dedup_ray.pipelines.agg import grouped_quantiles
+
+    docs = _docs(sf_dir, ["lang", "n_chars"])
+    return grouped_quantiles(
+        docs, "lang", "n_chars", {"p25": 0.25, "p50": 0.5, "p90": 0.9}
+    )
+
+
 def _q_events_distinct_users(sf_dir: str):
     """Scalable COUNT(DISTINCT): block-local pair dedup, value-hash
     exchange, partial counts — raw rows never shuffle."""
@@ -1364,6 +1376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _q_events_sessions,
         "lineitem_pricing": _q_lineitem_q1,
         "doc_length_quantiles": _q_doc_len_quantiles,
+        "lang_length_quantiles": _q_lang_len_quantiles,
         "events_distinct_users": _q_events_distinct_users,
         "decontaminate_docs": _q_decontaminate,
         "doc_repetition": _q_repetition,
@@ -1501,6 +1514,12 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_users": (
             "SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users "
             "FROM events GROUP BY event_type"
+        ),
+        "lang_length_quantiles": (
+            "SELECT lang, quantile_disc(n_chars, 0.25)::BIGINT AS p25, "
+            "quantile_disc(n_chars, 0.5)::BIGINT AS p50, "
+            "quantile_disc(n_chars, 0.9)::BIGINT AS p90 "
+            "FROM documents GROUP BY lang"
         ),
         "decontaminate_docs": _oracles.decontaminate_sql(
             ngram_size=2, min_length=0, threshold=0.2, mod=97

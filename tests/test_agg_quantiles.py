@@ -91,3 +91,44 @@ class TestGroupedCountDistinct:
         groups = rng.choice(["p", "q"], 1000).tolist()
         vals = rng.integers(-100, 100, 1000)
         assert self._run(groups, vals, parts=1) == self._run(groups, vals, parts=17)
+
+
+class TestGroupedQuantiles:
+    QS = {"p25": 0.25, "p50": 0.5, "p90": 0.9}
+
+    def _run(self, groups, vals, parts=8):
+        from text_dedup_ray.pipelines.agg import grouped_quantiles
+
+        ds = ray.data.from_arrow(
+            pa.table({"g": pa.array(groups), "v": pa.array(vals, pa.int64())})
+        ).repartition(4)
+        out = grouped_quantiles(ds, "g", "v", self.QS, num_partitions=parts)
+        return out.to_pandas().sort_values("g").reset_index(drop=True)
+
+    def test_matches_duckdb(self):
+        rng = np.random.default_rng(17)
+        groups = rng.choice(["a", "b", "c", "d", "e"], 4000).tolist()
+        vals = rng.integers(-50, 200, 4000)
+        got = self._run(groups, vals)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE t AS SELECT unnest(?) AS g, unnest(?) AS v",
+            [groups, list(map(int, vals))],
+        )
+        cols = ", ".join(
+            f"quantile_disc(v, {q})::BIGINT AS {n}" for n, q in self.QS.items()
+        )
+        exp = (
+            con.execute(f"SELECT g, {cols} FROM t GROUP BY g ORDER BY g")
+            .fetchdf()
+            .reset_index(drop=True)
+        )
+        assert got[["g"] + list(self.QS)].equals(exp)
+
+    def test_single_member_groups_and_invariance(self):
+        groups = ["x", "y", "z"]
+        vals = [7, -3, 100]
+        a = self._run(groups, vals, parts=1)
+        b = self._run(groups, vals, parts=7)
+        assert a.equals(b)
+        assert a.p50.tolist() == [7, -3, 100]

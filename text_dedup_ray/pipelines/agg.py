@@ -121,6 +121,80 @@ def exact_quantiles(
     return pa.table(out)
 
 
+def grouped_quantiles(
+    ds: ray.data.Dataset,
+    key: str,
+    column: str,
+    quantiles: dict[str, float],
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """EXACT per-group quantiles (``quantile_disc`` semantics) — the grouped
+    form of ``exact_quantiles``: blocks pre-aggregate (key, value, count)
+    histogram rows, the exchange co-locates each KEY's whole histogram by
+    key hash, and one vectorized fold per partition walks each key's sorted
+    cumulative counts. Returns one row per key with one column per
+    ``quantiles`` name. Same cardinality contract as ``exact_quantiles``,
+    now per group."""
+    from ..stages.exchange import hash_partition_exchange
+
+    key_type = ds.schema().base_schema.field(key).type
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tbl = batch.select([key, column])
+        out = tbl.group_by([key, column]).aggregate([(column, "count")])
+        out = out.rename_columns([key, column, "__cnt"])
+        kv = out[key].to_pylist()
+        import hashlib as _h
+
+        part = np.fromiter(
+            (
+                int.from_bytes(_h.sha1(str(v).encode()).digest()[:8], "little")
+                % num_partitions
+                for v in kv
+            ),
+            np.int64,
+            count=len(kv),
+        )
+        return out.append_column("part", pa.array(part))
+
+    pre = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+
+    def fold(group: pa.Table) -> pa.Table:
+        names = list(quantiles)
+        empty_cols = {key: pa.array([], key_type)}
+        empty_cols.update({n: pa.array([], pa.int64()) for n in names})
+        if group.num_rows == 0 or key not in group.column_names:
+            return pa.table(empty_cols)
+        # merge per-block partial counts, then walk each key's histogram
+        merged = (
+            group.select([key, column, "__cnt"])
+            .group_by([key, column])
+            .aggregate([("__cnt", "sum")])
+        )
+        merged = merged.rename_columns([key, column, "__cnt"])
+        s = merged.sort_by([(key, "ascending"), (column, "ascending")])
+        kv = s[key].to_numpy(zero_copy_only=False)
+        vals = s[column].to_numpy(zero_copy_only=False)
+        cnts = s["__cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        brk = np.r_[True, kv[1:] != kv[:-1]]
+        starts = np.flatnonzero(np.r_[brk, True])
+        out_keys, out_qs = [], {n: [] for n in names}
+        csum = np.cumsum(cnts)
+        for a, b in zip(starts[:-1], starts[1:]):
+            base = csum[a - 1] if a else 0
+            cum = csum[a:b] - base
+            n_rows = int(cum[-1])
+            out_keys.append(kv[a])
+            for nname, q in quantiles.items():
+                rank = min(max(int(np.ceil(q * n_rows)), 1), n_rows)
+                out_qs[nname].append(int(vals[a + np.searchsorted(cum, rank)]))
+        cols = {key: pa.array(out_keys, key_type)}
+        cols.update({n: pa.array(out_qs[n], pa.int64()) for n in names})
+        return pa.table(cols)
+
+    return hash_partition_exchange(pre, "part", num_partitions, fold)
+
+
 def filter_by_quantile(
     ds: ray.data.Dataset,
     column: str,
