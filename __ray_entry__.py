@@ -253,6 +253,21 @@ def _q_lang_len_quantiles(sf_dir: str):
     )
 
 
+def _q_label_centroids(sf_dir: str):
+    """Per-class embedding centroids (the training-data primitive behind
+    class-balanced sampling / SemDeDup cell seeding): blocks pre-reduce
+    to one (label, sum-vector, count) partial per label, partials
+    co-locate by label hash — raw vectors never shuffle. Long-format
+    (label, dim, mean) output hash-compares against SQL unnest."""
+    from text_dedup_ray.pipelines.agg import grouped_vector_mean
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+    out = grouped_vector_mean(emb, "label", "embedding", num_partitions=8)
+    return _round_col(out, "mean", 4)
+
+
 def _q_events_distinct_users(sf_dir: str):
     """Scalable COUNT(DISTINCT): block-local pair dedup, value-hash
     exchange, partial counts — raw rows never shuffle."""
@@ -1378,6 +1393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles": _q_doc_len_quantiles,
         "lang_length_quantiles": _q_lang_len_quantiles,
         "events_distinct_users": _q_events_distinct_users,
+        "label_centroids": _q_label_centroids,
         "decontaminate_docs": _q_decontaminate,
         "doc_repetition": _q_repetition,
         "docs_above_p90": _q_above_p90,
@@ -1514,6 +1530,11 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_users": (
             "SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users "
             "FROM events GROUP BY event_type"
+        ),
+        "label_centroids": (
+            "SELECT label, d::BIGINT AS dim, round(avg(embedding[d + 1]), 4) AS mean "
+            "FROM (SELECT label, embedding, unnest(range(len(embedding))) AS d "
+            "FROM embeddings) GROUP BY label, d"
         ),
         "lang_length_quantiles": (
             "SELECT lang, quantile_disc(n_chars, 0.25)::BIGINT AS p25, "

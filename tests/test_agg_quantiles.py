@@ -132,3 +132,56 @@ class TestGroupedQuantiles:
         b = self._run(groups, vals, parts=7)
         assert a.equals(b)
         assert a.p50.tolist() == [7, -3, 100]
+
+
+class TestGroupedVectorMean:
+    def test_matches_duckdb(self):
+        from text_dedup_ray.pipelines.agg import grouped_vector_mean
+
+        rng = np.random.default_rng(23)
+        n, d = 500, 6
+        labels = rng.choice(["a", "b", "c"], n).tolist()
+        vecs = rng.normal(size=(n, d)).astype(np.float32)
+        tbl = pa.table(
+            {
+                "label": pa.array(labels),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        )
+        out = grouped_vector_mean(
+            ray.data.from_arrow(tbl).repartition(5), "label", "embedding",
+            num_partitions=4,
+        ).to_pandas()
+        out["mean"] = out["mean"].round(4)
+        got = out.sort_values(["label", "dim"]).reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("t", tbl)
+        exp = con.execute(
+            f"SELECT label, d.dim, round(avg(embedding[d.dim + 1]), 4) AS mean "
+            f"FROM t CROSS JOIN (SELECT unnest(range({d})) AS dim) d "
+            f"GROUP BY label, d.dim ORDER BY label, d.dim"
+        ).fetchdf()
+        assert got.label.tolist() == exp.label.tolist()
+        assert got.dim.tolist() == exp.dim.tolist()
+        assert np.allclose(got["mean"], exp["mean"], atol=2e-4)
+
+    def test_partition_invariance_and_exactness(self):
+        from text_dedup_ray.pipelines.agg import grouped_vector_mean
+
+        tbl = pa.table(
+            {
+                "label": pa.array(["x", "x", "y"]),
+                "embedding": pa.array(
+                    [[1.0, 3.0], [3.0, 5.0], [10.0, -2.0]], pa.list_(pa.float32())
+                ),
+            }
+        )
+        ds = ray.data.from_arrow(tbl).repartition(2)
+        a = grouped_vector_mean(ds, "label", "embedding", num_partitions=1).to_pandas()
+        b = grouped_vector_mean(ds, "label", "embedding", num_partitions=5).to_pandas()
+        key = lambda df: df.sort_values(["label", "dim"]).reset_index(drop=True)
+        assert key(a).equals(key(b))
+        got = dict(zip(zip(key(a).label, key(a).dim), key(a)["mean"]))
+        assert got == {("x", 0): 2.0, ("x", 1): 4.0, ("y", 0): 10.0, ("y", 1): -2.0}

@@ -346,6 +346,97 @@ def grouped_top_k(
     return hash_partition_exchange(pre, "__tk_part", num_partitions, finalize)
 
 
+def grouped_vector_mean(
+    ds: ray.data.Dataset,
+    key: str,
+    vector_column: str,
+    num_partitions: int = 16,
+    mean_alias: str = "mean",
+) -> ray.data.Dataset:
+    """Per-group centroid of a ``list<float>`` column (class centroids /
+    embedding averages). Blocks pre-reduce to one (key, sum-vector, count)
+    partial per key (vectorized ``np.add.at`` over the stacked block
+    matrix); partials co-locate by key hash; the fold emits LONG-format
+    (key, dim, mean) rows — one row per key per dimension, float64 — so
+    results hash-compare exactly against SQL unnest-with-ordinality
+    aggregation."""
+    import hashlib as _h
+
+    from ..stages.exchange import hash_partition_exchange
+
+    key_type = ds.schema().base_schema.field(key).type
+
+    def _key_part(vals) -> np.ndarray:
+        return np.fromiter(
+            (
+                int.from_bytes(_h.sha1(str(v).encode()).digest()[:8], "little")
+                % num_partitions
+                for v in vals
+            ),
+            np.int64,
+            count=len(vals),
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key: pa.array([], key_type),
+                "__sum": pa.array([], pa.list_(pa.float64())),
+                "__n": pa.array([], pa.int64()),
+                "part": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        m = np.array(batch[vector_column].to_pylist(), dtype=np.float64)
+        kv = batch[key].to_pylist()
+        uniq, inv = np.unique(np.array(kv, dtype=object), return_inverse=True)
+        sums = np.zeros((len(uniq), m.shape[1]), np.float64)
+        np.add.at(sums, inv, m)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                key: pa.array(uniq.tolist(), key_type),
+                "__sum": pa.array([r.tolist() for r in sums], pa.list_(pa.float64())),
+                "__n": pa.array(cnt),
+                "part": pa.array(_key_part(uniq.tolist())),
+            }
+        )
+
+    pre = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+
+    def fold(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key: pa.array([], key_type),
+                "dim": pa.array([], pa.int64()),
+                mean_alias: pa.array([], pa.float64()),
+            }
+        )
+        if group.num_rows == 0 or key not in group.column_names:
+            return empty
+        kv = group[key].to_pylist()
+        sums = np.array(group["__sum"].to_pylist(), dtype=np.float64)
+        cnts = group["__n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(np.array(kv, dtype=object), return_inverse=True)
+        tot = np.zeros((len(uniq), sums.shape[1]), np.float64)
+        np.add.at(tot, inv, sums)
+        n = np.zeros(len(uniq), np.int64)
+        np.add.at(n, inv, cnts)
+        means = tot / n[:, None]
+        k_out = np.repeat(np.arange(len(uniq)), sums.shape[1])
+        dims = np.tile(np.arange(sums.shape[1], dtype=np.int64), len(uniq))
+        return pa.table(
+            {
+                key: pa.array([uniq[i] for i in k_out], key_type),
+                "dim": pa.array(dims),
+                mean_alias: pa.array(means.reshape(-1)),
+            }
+        )
+
+    return hash_partition_exchange(pre, "part", num_partitions, fold)
+
+
 def sessionize(
     ds: ray.data.Dataset,
     ts_column: str = "ts",
