@@ -268,6 +268,21 @@ def _q_label_centroids(sf_dir: str):
     return _round_col(out, "mean", 4)
 
 
+def _q_line_dedup(sf_dir: str):
+    """Corpus-wide exact span dedup (C4/RefinedWeb boilerplate cut) at
+    token granularity over the synthetic corpus (its docs are
+    single-line, so the space delimiter makes every token a span — a
+    deliberate heavy-loser stress: ~97% of occurrences are cut). Only
+    (16B key, doc_id, pos) triples shuffle; payload text moves once in
+    the doc-id co-partition rebuild."""
+    from text_dedup_ray.pipelines.lines import line_dedup
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    return line_dedup(
+        docs, min_line_length=4, num_partitions=16, delimiter=" "
+    )
+
+
 def _q_events_distinct_users(sf_dir: str):
     """Scalable COUNT(DISTINCT): block-local pair dedup, value-hash
     exchange, partial counts — raw rows never shuffle."""
@@ -1394,6 +1409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_length_quantiles": _q_lang_len_quantiles,
         "events_distinct_users": _q_events_distinct_users,
         "label_centroids": _q_label_centroids,
+        "line_dedup_docs": _q_line_dedup,
         "decontaminate_docs": _q_decontaminate,
         "doc_repetition": _q_repetition,
         "docs_above_p90": _q_above_p90,
@@ -1535,6 +1551,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT label, d::BIGINT AS dim, round(avg(embedding[d + 1]), 4) AS mean "
             "FROM (SELECT label, embedding, unnest(range(len(embedding))) AS d "
             "FROM embeddings) GROUP BY label, d"
+        ),
+        "line_dedup_docs": (
+            "WITH ex AS (SELECT doc_id, d AS line_no, ls[d + 1] AS line "
+            "FROM (SELECT doc_id, string_split(text, ' ') AS ls, "
+            "unnest(range(len(string_split(text, ' ')))) AS d FROM documents)), "
+            "ranked AS (SELECT doc_id, line_no, line, (length(line) >= 4) AS q, "
+            "row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn "
+            "FROM ex) "
+            "SELECT r.doc_id, coalesce(string_agg(line, ' ' ORDER BY line_no) "
+            "FILTER (WHERE NOT q OR rn = 1), '') AS text, "
+            "count(*) FILTER (WHERE q AND rn > 1)::BIGINT AS n_dropped "
+            "FROM ranked r GROUP BY r.doc_id"
         ),
         "lang_length_quantiles": (
             "SELECT lang, quantile_disc(n_chars, 0.25)::BIGINT AS p25, "
