@@ -283,6 +283,18 @@ def _q_line_dedup(sf_dir: str):
     )
 
 
+def _q_tfidf_top_terms(sf_dir: str):
+    """Distributed TF-IDF, top-5 terms per doc: term-count rows exchange
+    once by token hash (exact corpus DF, score stamped in-partition) and
+    once by doc hash (per-doc top-k lexsort fold) — payload text never
+    shuffles, rank computed on the rounded score so cross-system float
+    noise can't flip orderings."""
+    from text_dedup_ray.pipelines.tfidf import tfidf_top_terms
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    return tfidf_top_terms(docs, k=5, num_partitions=16)
+
+
 def _q_events_distinct_users(sf_dir: str):
     """Scalable COUNT(DISTINCT): block-local pair dedup, value-hash
     exchange, partial counts — raw rows never shuffle."""
@@ -1410,6 +1422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": _q_events_distinct_users,
         "label_centroids": _q_label_centroids,
         "line_dedup_docs": _q_line_dedup,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "decontaminate_docs": _q_decontaminate,
         "doc_repetition": _q_repetition,
         "docs_above_p90": _q_above_p90,
@@ -1551,6 +1564,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT label, d::BIGINT AS dim, round(avg(embedding[d + 1]), 4) AS mean "
             "FROM (SELECT label, embedding, unnest(range(len(embedding))) AS d "
             "FROM embeddings) GROUP BY label, d"
+        ),
+        "tfidf_top_terms": (
+            "WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+            "'[a-z0-9_]+')) AS token FROM documents), "
+            "tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM tok "
+            "GROUP BY doc_id, token), "
+            "df AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY token), "
+            "n AS (SELECT count(*)::DOUBLE AS nn FROM documents), "
+            "scored AS (SELECT tf.doc_id, tf.token, tf.tf, df.df, "
+            "round(tf.tf * ln(nn / df.df), 6) AS score "
+            "FROM tf JOIN df USING (token) CROSS JOIN n), "
+            "ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY score DESC, token ASC) AS rk FROM scored) "
+            "SELECT doc_id, token, tf, df, score, rk::BIGINT AS rk "
+            "FROM ranked WHERE rk <= 5"
         ),
         "line_dedup_docs": (
             "WITH ex AS (SELECT doc_id, d AS line_no, ls[d + 1] AS line "
