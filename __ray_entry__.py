@@ -295,6 +295,62 @@ def _q_tfidf_top_terms(sf_dir: str):
     return tfidf_top_terms(docs, k=5, num_partitions=16)
 
 
+def _kmeans_init(k: int = 8, dim: int = 64, seed: int = 7):
+    """Seeded unit-normalized gaussian centroids — data-independent
+    constants shared verbatim by the Ray query and the SQL oracle (the
+    same inlined-constants pattern as the MinHash permutation oracles)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((k, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def _kmeans_values_sql() -> str:
+    rows = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(_kmeans_init())
+    )
+    return f"(VALUES {rows}) c(cid, cvec)"
+
+
+def _q_kmeans_assign(sf_dir: str):
+    """Nearest-centroid assignment: the (k x d) centroid matrix is
+    ray.put once and read from the local object store per task; one
+    vectorized matmul per batch, ties to the smallest centroid index."""
+    from text_dedup_ray.pipelines.kmeans import kmeans_assign
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return kmeans_assign(emb, _kmeans_init(), drop_vector=True)
+
+
+def _q_kmeans_step(sf_dir: str):
+    """One full-corpus Lloyd iteration through the distributed fit path:
+    blocks reduce to <=k (cell, sum-vector, count) partials, a cell-hash
+    exchange folds them to exactly k rows, and only those reach the
+    driver. Long-format (cell, dim, val) output; empty cells keep the
+    seeded init centroid."""
+    import numpy as np
+    import pyarrow as pa
+
+    from text_dedup_ray.pipelines.kmeans import kmeans_fit
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+    cents, _ = kmeans_fit(emb, k=8, iters=1, init=_kmeans_init(), num_partitions=4)
+    k, d = cents.shape
+    return pa.table(
+        {
+            "cell": pa.array(np.repeat(np.arange(k, dtype=np.int64), d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
+            "val": pa.array(np.round(cents, 6).reshape(-1)),
+        }
+    )
+
+
 def _q_events_distinct_users(sf_dir: str):
     """Scalable COUNT(DISTINCT): block-local pair dedup, value-hash
     exchange, partial counts — raw rows never shuffle."""
@@ -1423,6 +1479,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": _q_label_centroids,
         "line_dedup_docs": _q_line_dedup,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "kmeans_assign_embeddings": _q_kmeans_assign,
+        "kmeans_step_centroids": _q_kmeans_step,
         "decontaminate_docs": _q_decontaminate,
         "doc_repetition": _q_repetition,
         "docs_above_p90": _q_above_p90,
@@ -1564,6 +1622,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT label, d::BIGINT AS dim, round(avg(embedding[d + 1]), 4) AS mean "
             "FROM (SELECT label, embedding, unnest(range(len(embedding))) AS d "
             "FROM embeddings) GROUP BY label, d"
+        ),
+        "kmeans_assign_embeddings": (
+            "SELECT vec_id, cid::BIGINT AS cell FROM ("
+            " SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id"
+            "  ORDER BY list_distance(embedding::DOUBLE[], cvec), cid) AS rk"
+            f" FROM embeddings CROSS JOIN {_kmeans_values_sql()}"
+            ") WHERE rk = 1"
+        ),
+        "kmeans_step_centroids": (
+            f"WITH c AS (SELECT * FROM {_kmeans_values_sql()}), "
+            "a AS (SELECT vec_id, embedding, cid FROM ("
+            " SELECT e.vec_id, e.embedding, c.cid, row_number() OVER ("
+            "  PARTITION BY e.vec_id ORDER BY "
+            "  list_distance(e.embedding::DOUBLE[], c.cvec), c.cid) AS rk"
+            " FROM embeddings e CROSS JOIN c) WHERE rk = 1), "
+            "m AS (SELECT cid, d AS dim, avg(embedding[d + 1]) AS mean "
+            " FROM (SELECT cid, embedding, "
+            "  unnest(range(len(embedding))) AS d FROM a) GROUP BY cid, d), "
+            "grid AS (SELECT cid, cvec, unnest(range(len(cvec))) AS d FROM c) "
+            "SELECT g.cid::BIGINT AS cell, g.d::BIGINT AS dim, "
+            "round(coalesce(m.mean, g.cvec[g.d + 1]), 6) AS val "
+            "FROM grid g LEFT JOIN m ON m.cid = g.cid AND m.dim = g.d"
         ),
         "tfidf_top_terms": (
             "WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), "
