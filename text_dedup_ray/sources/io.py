@@ -277,3 +277,72 @@ def write_output(
             if info.type == pafs.FileType.File and info.path.endswith(".parquet"):
                 fs.delete_file(info.path)
     ds.write_parquet(path)
+
+
+def write_partitioned(
+    ds: ray.data.Dataset,
+    path: str,
+    by: str,
+    overwrite: bool = True,
+    skip_existing: bool = False,
+) -> dict:
+    """Resumable hive-partitioned parquet sink: ``path/{by}=value/...``
+    with a ``_SUCCESS`` marker stamped per finished partition, so a
+    re-run with ``skip_existing=True`` filters out already-successful key
+    values with a stateless broadcast membership check and rewrites ONLY
+    the missing/failed partitions. This is the at-scale output contract
+    (the prompt's "one directory per key range"): a 100-TB job that dies
+    at 80% resumes by skipping 80% of the write, not re-shuffling it.
+
+    ``by`` must be a bounded-cardinality partition key (shard id, lang,
+    key-range bucket) — the done-set is broadcast to the filter tasks.
+    Returns ``{"written": [values], "skipped": [values]}``."""
+    is_local = "://" not in path
+    done: set[str] = set()
+    if is_local and os.path.isdir(path):
+        for d in os.listdir(path):
+            full = os.path.join(path, d)
+            if d.startswith(f"{by}=") and os.path.isdir(full):
+                if skip_existing and os.path.exists(os.path.join(full, "_SUCCESS")):
+                    done.add(d.split("=", 1)[1])
+                elif overwrite:
+                    for f in os.listdir(full):
+                        if f.endswith(".parquet") or f == "_SUCCESS":
+                            os.remove(os.path.join(full, f))
+
+    if done:
+        done_arr = np.sort(np.array(sorted(done), dtype=object))
+
+        def _drop_done(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch
+            vals = np.array(
+                [str(v) for v in batch[by].to_pylist()], dtype=object
+            )
+            pos = np.searchsorted(done_arr, vals)
+            pos = np.minimum(pos, len(done_arr) - 1)
+            keep = done_arr[pos] != vals
+            return batch.filter(pa.array(keep))
+
+        ds = ds.map_batches(_drop_done, batch_format="pyarrow", batch_size=None)
+
+    ds.write_parquet(path, partition_cols=[by])
+
+    # stamp _SUCCESS from the filesystem — one pipeline execution total
+    # (fresh dirs are exactly those holding parquet but no marker yet:
+    # stale dirs were cleaned above or already carry their marker)
+    written: list[str] = []
+    if is_local and os.path.isdir(path):
+        for d in sorted(os.listdir(path)):
+            full = os.path.join(path, d)
+            if not (d.startswith(f"{by}=") and os.path.isdir(full)):
+                continue
+            marker = os.path.join(full, "_SUCCESS")
+            if os.path.exists(marker):
+                continue
+            if any(f.endswith(".parquet") for f in os.listdir(full)):
+                open(marker, "w").close()
+                written.append(d.split("=", 1)[1])
+    elif is_local:
+        os.makedirs(path, exist_ok=True)
+    return {"written": written, "skipped": sorted(done)}
