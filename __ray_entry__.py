@@ -351,6 +351,36 @@ def _q_kmeans_step(sf_dir: str):
     )
 
 
+def _q_hll_registers(sf_dir: str):
+    """HyperLogLog register table (p=8) for distinct users per event type
+    — the sketch scale path for COUNT(DISTINCT): blocks reduce to <= keys
+    x 256 integer rows regardless of row count, register merge is MAX (so
+    the table is EXACTLY partition-invariant), and the all-integer output
+    hash-compares against a pure-SQL md5 + bit-smear recomputation."""
+    from text_dedup_ray.pipelines.sketch import hll_registers
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return hll_registers(ev, "user_id", key="event_type", precision=8)
+
+
+def _q_hll_estimate(sf_dir: str):
+    """User-facing HLL estimate per event type (p=12). Approximate by
+    design — rows-only at the driver gate; the estimate's error bound and
+    its exact partition invariance are pytest-proven (tests/test_sketch.py),
+    and the underlying register computation is fully SQL-oracled by
+    events_user_hll_registers."""
+    from text_dedup_ray.pipelines.sketch import approx_count_distinct
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return approx_count_distinct(
+        ev, "user_id", key="event_type", precision=12, alias="n_users_approx"
+    )
+
+
 def _q_events_distinct_users(sf_dir: str):
     """Scalable COUNT(DISTINCT): block-local pair dedup, value-hash
     exchange, partial counts — raw rows never shuffle."""
@@ -1481,6 +1511,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "kmeans_assign_embeddings": _q_kmeans_assign,
         "kmeans_step_centroids": _q_kmeans_step,
+        "events_user_hll_registers": _q_hll_registers,
+        "events_users_approx": _q_hll_estimate,
         "decontaminate_docs": _q_decontaminate,
         "doc_repetition": _q_repetition,
         "docs_above_p90": _q_above_p90,
@@ -1622,6 +1654,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT label, d::BIGINT AS dim, round(avg(embedding[d + 1]), 4) AS mean "
             "FROM (SELECT label, embedding, unnest(range(len(embedding))) AS d "
             "FROM embeddings) GROUP BY label, d"
+        ),
+        "events_user_hll_registers": (
+            "WITH h AS (SELECT event_type, ('0x' || substr(md5(CAST(user_id AS "
+            "VARCHAR)), 1, 16))::UBIGINT AS hv FROM events), "
+            "b AS (SELECT event_type, (hv >> 56)::BIGINT AS idx, "
+            "hv & ((1::UBIGINT << 56) - 1) AS low FROM h), "
+            "s1 AS (SELECT event_type, idx, low | (low >> 1) AS x FROM b), "
+            "s2 AS (SELECT event_type, idx, x | (x >> 2) AS x FROM s1), "
+            "s3 AS (SELECT event_type, idx, x | (x >> 4) AS x FROM s2), "
+            "s4 AS (SELECT event_type, idx, x | (x >> 8) AS x FROM s3), "
+            "s5 AS (SELECT event_type, idx, x | (x >> 16) AS x FROM s4), "
+            "s6 AS (SELECT event_type, idx, x | (x >> 32) AS x FROM s5) "
+            "SELECT event_type, idx, max((56 - bit_count(x))::BIGINT + 1) AS rank "
+            "FROM s6 GROUP BY event_type, idx"
         ),
         "kmeans_assign_embeddings": (
             "SELECT vec_id, cid::BIGINT AS cell FROM ("

@@ -1,0 +1,103 @@
+"""HyperLogLog sketch: exact register parity vs SQL, estimate accuracy."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from text_dedup_ray.pipelines.sketch import approx_count_distinct, hll_registers
+
+
+def _register_sql(p: int, key: str, col: str, table: str) -> str:
+    w = 64 - p
+    return (
+        f"WITH h AS (SELECT {key}, ('0x' || substr(md5(CAST({col} AS "
+        f"VARCHAR)), 1, 16))::UBIGINT AS hv FROM {table}), "
+        f"b AS (SELECT {key} AS k, (hv >> {w})::BIGINT AS idx, "
+        f"hv & ((1::UBIGINT << {w}) - 1) AS low FROM h), "
+        "s1 AS (SELECT k, idx, low | (low >> 1) AS x FROM b), "
+        "s2 AS (SELECT k, idx, x | (x >> 2) AS x FROM s1), "
+        "s3 AS (SELECT k, idx, x | (x >> 4) AS x FROM s2), "
+        "s4 AS (SELECT k, idx, x | (x >> 8) AS x FROM s3), "
+        "s5 AS (SELECT k, idx, x | (x >> 16) AS x FROM s4), "
+        "s6 AS (SELECT k, idx, x | (x >> 32) AS x FROM s5) "
+        f"SELECT k AS {key}, idx, max(({w} - bit_count(x))::BIGINT + 1) AS rank "
+        "FROM s6 GROUP BY k, idx"
+    )
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(df.columns)
+    df = df[cols].copy()
+    for c in cols:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(cols).reset_index(drop=True)
+
+
+class TestRegisters:
+    def test_matches_duckdb(self):
+        rng = np.random.default_rng(13)
+        n = 3000
+        tbl = pa.table(
+            {
+                "grp": rng.choice(["a", "b", "c"], n).tolist(),
+                "val": rng.integers(0, 800, n).tolist(),
+            }
+        )
+        got = hll_registers(
+            ray.data.from_arrow(tbl).repartition(5), "val", key="grp", precision=8
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("t", tbl)
+        exp = con.execute(_register_sql(8, "grp", "val", "t")).fetchdf()
+        pd.testing.assert_frame_equal(_canon(got), _canon(exp), check_dtype=False)
+
+    def test_exact_partition_invariance(self):
+        rng = np.random.default_rng(4)
+        tbl = pa.table({"val": rng.integers(0, 5000, 4000).tolist()})
+        ds = ray.data.from_arrow(tbl)
+        a = hll_registers(ds.repartition(1), "val", precision=10, num_partitions=1)
+        b = hll_registers(ds.repartition(9), "val", precision=10, num_partitions=6)
+        pd.testing.assert_frame_equal(_canon(a.to_pandas()), _canon(b.to_pandas()))
+
+
+class TestEstimate:
+    def test_accuracy_large(self):
+        rng = np.random.default_rng(21)
+        vals = rng.integers(0, 20000, 60000)
+        exact = len(np.unique(vals))
+        tbl = pa.table({"val": vals.tolist()})
+        got = approx_count_distinct(
+            ray.data.from_arrow(tbl).repartition(6), "val", precision=12
+        ).to_pandas()
+        est = int(got.approx_n.iloc[0])
+        assert abs(est - exact) / exact < 0.05
+
+    def test_small_cardinality_near_exact(self):
+        tbl = pa.table({"val": [1, 2, 3, 4, 5] * 100})
+        got = approx_count_distinct(ray.data.from_arrow(tbl), "val").to_pandas()
+        assert int(got.approx_n.iloc[0]) == 5
+
+    def test_grouped_accuracy_and_schema(self):
+        rng = np.random.default_rng(2)
+        n = 30000
+        grp = rng.choice(["x", "y"], n)
+        val = np.where(grp == "x", rng.integers(0, 500, n), rng.integers(0, 9000, n))
+        tbl = pa.table({"grp": grp.tolist(), "val": val.tolist()})
+        got = (
+            approx_count_distinct(
+                ray.data.from_arrow(tbl).repartition(4), "val", key="grp",
+                precision=12, alias="nd",
+            )
+            .to_pandas()
+            .set_index("grp")["nd"]
+        )
+        for g in ("x", "y"):
+            exact = len(np.unique(val[grp == g]))
+            assert abs(int(got[g]) - exact) / exact < 0.06
+
+    def test_empty(self):
+        tbl = pa.table({"val": pa.array([], pa.int64())})
+        assert approx_count_distinct(ray.data.from_arrow(tbl), "val").count() == 0

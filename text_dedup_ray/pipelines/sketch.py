@@ -1,0 +1,251 @@
+"""HyperLogLog approximate COUNT(DISTINCT) — the sketch scale path.
+
+The exact grouped count-distinct (``pipelines/agg.py``) must move one row
+per distinct (key, value) pair through the exchange; at 100 TB with
+billions of distinct values that IS the shuffle. HLL replaces it with a
+fixed-size register sketch: every block reduces to at most (keys x m)
+integer rows regardless of row count, register merge is a plain MAX (so
+the result is EXACTLY partition-invariant — not just statistically), and
+the estimate lands within ~1.04/sqrt(m) relative error (Flajolet, Fusy,
+Gandouet, Meunier 2007).
+
+Determinism contract: the 64-bit hash is the BIG-endian first 8 bytes of
+``md5(str(value))`` — recomputable in SQL as
+``('0x' || substr(md5(v::VARCHAR), 1, 16))::UBIGINT`` — and the register
+table (key, idx, rank) is all-integer, so the driver oracle compares it
+EXACTLY (the estimate is then a pure function of those integers; its
+accuracy is pytest-bounded against exact counts).
+
+Leading-zero ranks are computed with the same bit-smear + popcount the
+SQL oracle uses (never float ``log2`` — the 2^k-1 boundary rounds wrong).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..stages.exchange import hash_partition_exchange
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+_GLOBAL_KEY = "__all__"
+
+
+def _hash64(values: list) -> np.ndarray:
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8], "big")
+            for v in values
+        ),
+        np.uint64,
+        count=len(values),
+    )
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    return _POP8[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1).astype(np.int64)
+
+
+def _ranks(hv: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rank) per hash: idx = top p bits; rank = leading
+    zeros of the remaining w bits + 1 (w+1 when they are all zero)."""
+    w = 64 - p
+    idx = (hv >> np.uint64(w)).astype(np.int64)
+    low = hv & np.uint64((1 << w) - 1)
+    x = low.copy()
+    for s in (1, 2, 4, 8, 16, 32):
+        x |= x >> np.uint64(s)
+    bitlen = _popcount64(x)  # bit length of low (0 when low == 0)
+    rank = (w - bitlen) + 1
+    return idx, rank
+
+
+def _alpha(m: int) -> float:
+    if m <= 16:
+        return 0.673
+    if m <= 32:
+        return 0.697
+    if m <= 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _estimate(idx: np.ndarray, rank: np.ndarray, m: int) -> int:
+    """Classic HLL estimate from the non-zero registers (absent registers
+    are rank 0): raw harmonic mean with linear-counting small-range
+    correction."""
+    present = len(idx)
+    zeros = m - present
+    s = float(zeros) + float(np.sum(np.ldexp(1.0, -rank.astype(np.int64))))
+    raw = _alpha(m) * m * m / s
+    if raw <= 2.5 * m and zeros > 0:
+        return int(round(m * math.log(m / zeros)))
+    return int(round(raw))
+
+
+def _block_partial(
+    batch: pa.Table,
+    column: str,
+    key: str | None,
+    p: int,
+    num_partitions: int,
+) -> pa.Table:
+    key_type = (
+        batch.schema.field(key).type if (key and batch.num_rows) else pa.string()
+    )
+    empty = pa.table(
+        {
+            "key": pa.array([], key_type),
+            "idx": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "part": pa.array([], pa.int64()),
+        }
+    )
+    if batch.num_rows == 0:
+        return empty
+    hv = _hash64(batch[column].to_pylist())
+    idx, rank = _ranks(hv, p)
+    keys = (
+        np.array([str(v) for v in batch[key].to_pylist()], dtype=object)
+        if key
+        else np.full(len(hv), _GLOBAL_KEY, dtype=object)
+    )
+    # block-local register max: dedupe (key, idx) keeping the max rank
+    order = np.lexsort((-rank, idx, keys))
+    sk, si = keys[order], idx[order]
+    first = np.ones(len(order), dtype=bool)
+    first[1:] = (sk[1:] != sk[:-1]) | (si[1:] != si[:-1])
+    keep = order[first]
+    out_keys = keys[keep]
+    part = np.fromiter(
+        (
+            int.from_bytes(hashlib.sha1(k.encode()).digest()[:8], "little")
+            % num_partitions
+            for k in out_keys
+        ),
+        np.int64,
+        count=len(keep),
+    )
+    kcol = (
+        batch[key].take(pa.array(keep))
+        if key
+        else pa.array([_GLOBAL_KEY] * len(keep), pa.string())
+    )
+    return pa.table(
+        {
+            "key": kcol,
+            "idx": pa.array(idx[keep]),
+            "rank": pa.array(rank[keep]),
+            "part": pa.array(part),
+        }
+    )
+
+
+def _fold_registers(group: pa.Table) -> pa.Table:
+    empty = pa.table(
+        {
+            "key": pa.array([], pa.string()),
+            "idx": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+        }
+    )
+    if group.num_rows == 0 or "idx" not in group.column_names:
+        return empty
+    keys = np.array([str(v) for v in group["key"].to_pylist()], dtype=object)
+    idx = group["idx"].to_numpy(zero_copy_only=False)
+    rank = group["rank"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((-rank, idx, keys))
+    sk, si = keys[order], idx[order]
+    first = np.ones(len(order), dtype=bool)
+    first[1:] = (sk[1:] != sk[:-1]) | (si[1:] != si[:-1])
+    keep = order[first]
+    return pa.table(
+        {
+            "key": group["key"].take(pa.array(keep)),
+            "idx": pa.array(idx[keep]),
+            "rank": pa.array(rank[keep]),
+        }
+    )
+
+
+def hll_registers(
+    ds: ray.data.Dataset,
+    column: str,
+    key: str | None = None,
+    precision: int = 12,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """The merged (key, idx, rank) register table — all-integer, exactly
+    partition-invariant, and SQL-recomputable (the oracle surface)."""
+    partials = ds.map_batches(
+        lambda b: _block_partial(b, column, key, precision, num_partitions),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    out = hash_partition_exchange(partials, "part", num_partitions, _fold_registers)
+    if key:
+        return out.map_batches(
+            lambda b: b.rename_columns([key, "idx", "rank"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    return out
+
+
+def approx_count_distinct(
+    ds: ray.data.Dataset,
+    column: str,
+    key: str | None = None,
+    precision: int = 12,
+    num_partitions: int = 8,
+    alias: str = "approx_n",
+) -> ray.data.Dataset:
+    """Per-``key`` (or global) approximate COUNT(DISTINCT ``column``):
+    one exchange of register partials, estimates folded in-partition
+    (every register of a key is co-located by key hash)."""
+    m = 1 << precision
+
+    def fold(group: pa.Table) -> pa.Table:
+        regs = _fold_registers(group)
+        empty = pa.table(
+            {"key": pa.array([], pa.string()), alias: pa.array([], pa.int64())}
+        )
+        if regs.num_rows == 0:
+            return empty
+        keys = np.array([str(v) for v in regs["key"].to_pylist()], dtype=object)
+        idx = regs["idx"].to_numpy(zero_copy_only=False)
+        rank = regs["rank"].to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        sk = keys[order]
+        bounds = np.flatnonzero(
+            np.concatenate(([True], sk[1:] != sk[:-1], [True]))
+        )
+        out_k, out_n = [], []
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            sel = order[lo:hi]
+            out_k.append(sk[lo])
+            out_n.append(_estimate(idx[sel], rank[sel], m))
+        kcol = regs["key"].take(pa.array(order[bounds[:-1]]))
+        return pa.table({"key": kcol, alias: pa.array(out_n, pa.int64())})
+
+    partials = ds.map_batches(
+        lambda b: _block_partial(b, column, key, precision, num_partitions),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    out = hash_partition_exchange(partials, "part", num_partitions, fold)
+    if key:
+        return out.map_batches(
+            lambda b: b.rename_columns([key, alias]),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    return out.map_batches(
+        lambda b: b.drop_columns(["key"]), batch_format="pyarrow", batch_size=None
+    )
