@@ -233,3 +233,59 @@ threshold = 0.99
         for f in glob.glob(f"{out_dir}/**/*.parquet", recursive=True)
     )
     assert n == 0
+
+
+def test_cli_line_dedup(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "docs.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "shared boilerplate line\nunique alpha",
+                    "unique beta\nshared boilerplate line",
+                    "shared boilerplate line",
+                ],
+            }
+        ),
+        str(src),
+    )
+    config = tmp_path / "run.toml"
+    out_dir = tmp_path / "out"
+    config.write_text(
+        f"""
+[input]
+path = "{src}"
+text_column = "text"
+id_column = "doc_id"
+
+[output]
+path = "{out_dir}"
+
+[algorithm]
+name = "line_dedup"
+min_line_length = 5
+"""
+    )
+    proc = subprocess.run(
+        [sys.executable, "-m", "text_dedup_ray", "--config", str(config)],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=240,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert stats["algorithm"] == "line_dedup"
+
+    t = pq.read_table(str(out_dir)).to_pandas().sort_values("doc_id")
+    # doc 3 became empty (its only line lost to doc 1) and was filtered out
+    assert t.doc_id.tolist() == [1, 2]
+    assert t.text.tolist() == [
+        "shared boilerplate line\nunique alpha",
+        "unique beta",
+    ]
+    assert "row_id" not in t.columns

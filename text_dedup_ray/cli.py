@@ -312,6 +312,25 @@ def main(argv: list[str] | None = None) -> None:
         )
         stats["decontaminate"] = res.metrics
         result_ds = res.annotated if skip_filtering else res.clean
+    elif name == "line_dedup":
+        from .pipelines.lines import line_dedup
+        from .sources.io import ROW_ID
+
+        result_ds = line_dedup(
+            ds,
+            text_column=text_column,
+            id_column=ROW_ID,  # _load_input guarantees the stamp
+            min_line_length=int(algo.get("min_line_length", 1)),
+            num_partitions=int(algo.get("num_partitions", 16)),
+            delimiter=algo.get("delimiter", "\n"),
+        )
+        if not skip_filtering:  # drop docs whose every line was cut
+            import pyarrow.compute as _pc
+
+            result_ds = result_ds.map_batches(
+                lambda b: b.filter(_pc.not_equal(b[text_column], "")),
+                batch_format="pyarrow",
+            )
     else:
         raise SystemExit(f"unknown algorithm {name!r}")
 
