@@ -381,6 +381,27 @@ def _q_hll_estimate(sf_dir: str):
     )
 
 
+def _q_docs_cdf(sf_dir: str):
+    """Exact corpus-wide cume_dist without a global sort: the (value,
+    count) histogram folds through the exchange, the cumulative map
+    broadcasts once, a stateless searchsorted pass stamps every row."""
+    from text_dedup_ray.pipelines.agg import with_global_cdf
+
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+    return with_global_cdf(docs, "n_chars")
+
+
+def _q_docs_zscore(sf_dir: str):
+    """Per-language z-scores from EXACT int64 (sum, sumsq, n) partials —
+    engine and oracle derive mean/std from the same integers with the
+    same expression, so the doubles agree to the bit; zero-variance
+    groups are NULL in both."""
+    from text_dedup_ray.pipelines.agg import grouped_zscore
+
+    docs = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    return grouped_zscore(docs, "lang", "n_chars")
+
+
 def _q_events_distinct_users(sf_dir: str):
     """Scalable COUNT(DISTINCT): block-local pair dedup, value-hash
     exchange, partial counts — raw rows never shuffle."""
@@ -1513,6 +1534,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_step_centroids": _q_kmeans_step,
         "events_user_hll_registers": _q_hll_registers,
         "events_users_approx": _q_hll_estimate,
+        "docs_cdf": _q_docs_cdf,
+        "docs_zscore_by_lang": _q_docs_zscore,
         "decontaminate_docs": _q_decontaminate,
         "doc_repetition": _q_repetition,
         "docs_above_p90": _q_above_p90,
@@ -1654,6 +1677,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT label, d::BIGINT AS dim, round(avg(embedding[d + 1]), 4) AS mean "
             "FROM (SELECT label, embedding, unnest(range(len(embedding))) AS d "
             "FROM embeddings) GROUP BY label, d"
+        ),
+        "docs_cdf": (
+            "SELECT doc_id, n_chars, "
+            "round(cume_dist() OVER (ORDER BY n_chars), 6) AS cdf FROM documents"
+        ),
+        "docs_zscore_by_lang": (
+            "WITH m AS (SELECT lang, sum(n_chars)::DOUBLE s, "
+            "sum(n_chars * n_chars)::DOUBLE ss, count(*)::DOUBLE n "
+            "FROM documents GROUP BY lang) "
+            "SELECT d.doc_id, d.lang, d.n_chars, "
+            "CASE WHEN m.ss/m.n - (m.s/m.n)*(m.s/m.n) > 0 "
+            "THEN round((d.n_chars - m.s/m.n) / "
+            "sqrt(m.ss/m.n - (m.s/m.n)*(m.s/m.n)), 6) ELSE NULL END AS z "
+            "FROM documents d JOIN m USING (lang)"
         ),
         "events_user_hll_registers": (
             "WITH h AS (SELECT event_type, ('0x' || substr(md5(CAST(user_id AS "

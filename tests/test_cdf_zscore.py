@@ -1,0 +1,91 @@
+"""Global CDF stamping and grouped z-scores (exact-integer moments)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from text_dedup_ray.pipelines.agg import grouped_zscore, with_global_cdf
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    return df[cols].sort_values(cols).reset_index(drop=True)
+
+
+class TestGlobalCdf:
+    def test_matches_duckdb_cume_dist(self):
+        rng = np.random.default_rng(31)
+        tbl = pa.table(
+            {"id": list(range(400)), "v": rng.integers(0, 50, 400).tolist()}
+        )
+        got = with_global_cdf(
+            ray.data.from_arrow(tbl).repartition(5), "v", num_partitions=4
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("t", tbl)
+        exp = con.execute(
+            "SELECT id, v, round(cume_dist() OVER (ORDER BY v), 6) AS cdf FROM t"
+        ).fetchdf()
+        pd.testing.assert_frame_equal(_canon(got), _canon(exp), check_dtype=False)
+
+    def test_extremes(self):
+        tbl = pa.table({"id": [1, 2, 3, 4], "v": [10, 20, 20, 30]})
+        got = (
+            with_global_cdf(ray.data.from_arrow(tbl), "v")
+            .to_pandas()
+            .sort_values("id")
+        )
+        assert got.cdf.tolist() == [0.25, 0.75, 0.75, 1.0]
+
+
+class TestGroupedZscore:
+    def test_matches_duckdb_exact_expression(self):
+        rng = np.random.default_rng(17)
+        n = 500
+        tbl = pa.table(
+            {
+                "id": list(range(n)),
+                "g": rng.choice(["a", "b", "c"], n).tolist(),
+                "v": rng.integers(0, 1000, n).tolist(),
+            }
+        )
+        got = grouped_zscore(
+            ray.data.from_arrow(tbl).repartition(4), "g", "v", num_partitions=3
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("t", tbl)
+        exp = con.execute(
+            "WITH m AS (SELECT g, sum(v)::DOUBLE s, sum(v*v)::DOUBLE ss, "
+            "count(*)::DOUBLE n FROM t GROUP BY g) "
+            "SELECT t.id, t.g, t.v, CASE WHEN m.ss/m.n - (m.s/m.n)*(m.s/m.n) > 0 "
+            "THEN round((t.v - m.s/m.n) / sqrt(m.ss/m.n - (m.s/m.n)*(m.s/m.n)), 6) "
+            "ELSE NULL END AS z FROM t JOIN m USING (g)"
+        ).fetchdf()
+        pd.testing.assert_frame_equal(_canon(got), _canon(exp), check_dtype=False)
+
+    def test_constant_group_is_null_and_stats(self):
+        tbl = pa.table(
+            {
+                "id": [1, 2, 3, 4, 5],
+                "g": ["c", "c", "c", "x", "x"],
+                "v": [7, 7, 7, 0, 10],
+            }
+        )
+        got = (
+            grouped_zscore(ray.data.from_arrow(tbl), "g", "v")
+            .to_pandas()
+            .sort_values("id")
+        )
+        assert got.z.iloc[:3].isna().all()
+        assert got.z.iloc[3:].tolist() == [-1.0, 1.0]
+
+    def test_partition_invariance(self):
+        tbl = pa.table(
+            {"id": [1, 2, 3, 4], "g": ["a", "a", "b", "b"], "v": [1, 3, 5, 9]}
+        )
+        ds = ray.data.from_arrow(tbl)
+        a = grouped_zscore(ds.repartition(1), "g", "v", num_partitions=1).to_pandas()
+        b = grouped_zscore(ds.repartition(4), "g", "v", num_partitions=5).to_pandas()
+        pd.testing.assert_frame_equal(_canon(a), _canon(b))

@@ -437,6 +437,162 @@ def grouped_vector_mean(
     return hash_partition_exchange(pre, "part", num_partitions, fold)
 
 
+def with_global_cdf(
+    ds: ray.data.Dataset,
+    column: str,
+    alias: str = "cdf",
+    num_partitions: int = 16,
+    round_to: int = 6,
+) -> ray.data.Dataset:
+    """Stamp each row's exact corpus-wide cumulative distribution value
+    (SQL ``cume_dist() OVER (ORDER BY column)`` = rows <= v / N) without a
+    global sort: the (value, count) histogram folds through the exchange
+    (same cardinality contract as ``exact_quantiles``), the driver builds
+    the cumulative map once, and a stateless broadcast ``searchsorted``
+    pass stamps every row — raw rows never shuffle."""
+    from ..stages.exchange import hash_partition_exchange
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"value": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64()),
+                 "part": pa.array([], pa.int64())}
+            )
+        v = batch[column].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals, cnts = np.unique(v, return_counts=True)
+        return pa.table(
+            {"value": vals, "cnt": cnts.astype(np.int64),
+             "part": (np.abs(vals) % num_partitions).astype(np.int64)}
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "value" not in group.column_names:
+            return pa.table(
+                {"value": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+            )
+        v = group["value"].to_numpy(zero_copy_only=False)
+        c = group["cnt"].to_numpy(zero_copy_only=False)
+        order = np.argsort(v, kind="stable")
+        v_s, c_s = v[order], c[order]
+        brk = np.r_[True, v_s[1:] != v_s[:-1]]
+        starts = np.flatnonzero(brk)
+        return pa.table(
+            {"value": v_s[starts],
+             "cnt": np.add.reduceat(c_s, starts).astype(np.int64)}
+        )
+
+    pre = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    hist = hash_partition_exchange(pre, "part", num_partitions, merge).to_pandas()
+    hist = hist.sort_values("value")
+    vals = np.ascontiguousarray(hist["value"].to_numpy())
+    cum = np.cumsum(hist["cnt"].to_numpy()).astype(np.float64)
+    n = float(cum[-1]) if len(cum) else 1.0
+    table_ref = ray.put((vals, cum))
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        tv, tc = ray.get(table_ref) if isinstance(table_ref, ray.ObjectRef) else table_ref
+        v = batch[column].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(tv, v, side="right") - 1
+        cdf = np.round(tc[pos] / n, round_to)
+        return batch.append_column(alias, pa.array(cdf))
+
+    return ds.map_batches(stamp, batch_format="pyarrow", batch_size=None)
+
+
+def grouped_zscore(
+    ds: ray.data.Dataset,
+    key: str,
+    column: str,
+    alias: str = "z",
+    num_partitions: int = 8,
+    round_to: int = 6,
+) -> ray.data.Dataset:
+    """Stamp each row's within-group z-score (population std) from EXACT
+    int64 (sum, sum-of-squares, count) partials: blocks pre-reduce to one
+    partial per key, a key-hash exchange folds them, the tiny per-key
+    moment table broadcasts once, and a stateless pass stamps rows. Both
+    this engine and the SQL oracle derive mean/std from the same exact
+    integers with the same expression — bit-identical doubles. Zero
+    variance (or singleton groups) yields NULL, matching the SQL guard."""
+    import hashlib as _h
+
+    from ..stages.exchange import hash_partition_exchange
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"k": pa.array([], pa.string()), "s": pa.array([], pa.int64()),
+             "ss": pa.array([], pa.int64()), "n": pa.array([], pa.int64()),
+             "part": pa.array([], pa.int64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        v = batch[column].to_numpy(zero_copy_only=False).astype(np.int64)
+        kv = np.array([str(x) for x in batch[key].to_pylist()], dtype=object)
+        uniq, inv = np.unique(kv, return_inverse=True)
+        s = np.zeros(len(uniq), np.int64)
+        ss = np.zeros(len(uniq), np.int64)
+        np.add.at(s, inv, v)
+        np.add.at(ss, inv, v * v)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        part = np.fromiter(
+            (int.from_bytes(_h.sha1(k.encode()).digest()[:8], "little")
+             % num_partitions for k in uniq),
+            np.int64, count=len(uniq),
+        )
+        return pa.table(
+            {"k": pa.array(uniq.tolist(), pa.string()), "s": pa.array(s),
+             "ss": pa.array(ss), "n": pa.array(n), "part": pa.array(part)}
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"k": pa.array([], pa.string()), "s": pa.array([], pa.int64()),
+             "ss": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+        )
+        if group.num_rows == 0 or "k" not in group.column_names:
+            return empty
+        kv = np.array(group["k"].to_pylist(), dtype=object)
+        uniq, inv = np.unique(kv, return_inverse=True)
+        out = {}
+        for c in ("s", "ss", "n"):
+            acc = np.zeros(len(uniq), np.int64)
+            np.add.at(acc, inv, group[c].to_numpy(zero_copy_only=False))
+            out[c] = acc
+        return pa.table(
+            {"k": pa.array(uniq.tolist(), pa.string()), "s": pa.array(out["s"]),
+             "ss": pa.array(out["ss"]), "n": pa.array(out["n"])}
+        )
+
+    pre = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    moments = hash_partition_exchange(pre, "part", num_partitions, fold).to_pandas()
+    mkeys = np.sort(np.array(moments["k"].tolist(), dtype=object))
+    order = np.argsort(np.array(moments["k"].tolist(), dtype=object), kind="stable")
+    ms = moments["s"].to_numpy()[order].astype(np.float64)
+    mss = moments["ss"].to_numpy()[order].astype(np.float64)
+    mn = moments["n"].to_numpy()[order].astype(np.float64)
+    moments_ref = ray.put((mkeys, ms, mss, mn))
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        tk, ts, tss, tn = (
+            ray.get(moments_ref) if isinstance(moments_ref, ray.ObjectRef) else moments_ref
+        )
+        kv = np.array([str(x) for x in batch[key].to_pylist()], dtype=object)
+        pos = np.searchsorted(tk, kv)
+        v = batch[column].to_numpy(zero_copy_only=False).astype(np.float64)
+        mean = ts[pos] / tn[pos]
+        var = tss[pos] / tn[pos] - mean * mean
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.round((v - mean) / np.sqrt(var), round_to)
+        mask = var > 0
+        return batch.append_column(alias, pa.array(np.where(mask, z, np.nan), pa.float64(), mask=~mask))
+
+    return ds.map_batches(stamp, batch_format="pyarrow", batch_size=None)
+
+
 def sessionize(
     ds: ray.data.Dataset,
     ts_column: str = "ts",
