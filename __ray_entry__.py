@@ -402,6 +402,61 @@ def _q_docs_zscore(sf_dir: str):
     return grouped_zscore(docs, "lang", "n_chars")
 
 
+_BM25_QUERIES = {"storage": "table scan filter", "stream": "stream window batch"}
+
+
+def _bm25_oracle_sql(queries: dict, k: int, k1: float = 1.2, b: float = 0.75) -> str:
+    """SQL recomputation of bm25_topk: same Lucene idf / tf normalization
+    expression over the same exact integer stats, rank on the rounded
+    score with a doc-id tie-break."""
+    import re as _re
+
+    tok_re = _re.compile(r"[a-z0-9_]+")
+    pairs, vocab = [], set()
+    for name, q in queries.items():
+        for t in dict.fromkeys(tok_re.findall(q.lower())):
+            pairs.append(f"('{name}', '{t}')")
+            vocab.add(t)
+    in_list = ", ".join(f"'{t}'" for t in sorted(vocab))
+    return (
+        "WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+        "'[a-z0-9_]+')) AS token FROM documents), "
+        "n AS (SELECT count(*)::DOUBLE AS n FROM documents), "
+        "tot AS (SELECT count(*)::DOUBLE AS tl FROM tok), "
+        "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id), "
+        f"df AS (SELECT token, count(DISTINCT doc_id)::DOUBLE AS df FROM tok "
+        f"WHERE token IN ({in_list}) GROUP BY token), "
+        f"q(query, token) AS (VALUES {', '.join(pairs)}), "
+        f"tf AS (SELECT doc_id, token, count(*)::DOUBLE AS tf FROM tok "
+        f"WHERE token IN ({in_list}) GROUP BY doc_id, token), "
+        "contrib AS (SELECT q.query, tf.doc_id, "
+        "ln(1 + (n.n - df.df + 0.5) / (df.df + 0.5)) * "
+        f"(tf.tf * ({k1} + 1)) / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / "
+        "(tot.tl / n.n))) AS c "
+        "FROM q JOIN tf USING (token) JOIN df USING (token) "
+        "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN n CROSS JOIN tot), "
+        "scored AS (SELECT query, doc_id, round(sum(c), 4) AS score "
+        "FROM contrib GROUP BY query, doc_id), "
+        "alldocs AS (SELECT qq.query, d.doc_id, coalesce(s.score, 0.0) AS score "
+        "FROM (SELECT DISTINCT query FROM q) qq CROSS JOIN documents d "
+        "LEFT JOIN scored s ON s.query = qq.query AND s.doc_id = d.doc_id), "
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY query "
+        "ORDER BY score DESC, doc_id ASC) AS rk FROM alldocs) "
+        f"SELECT query, doc_id, score, rk::BIGINT AS rk FROM ranked WHERE rk <= {k}"
+    )
+
+
+def _q_bm25(sf_dir: str):
+    """BM25 retrieval for a named query set: corpus stats and QUERY-token
+    DF (never the full vocabulary) fold from integer partials, the tiny
+    idf table broadcasts once, blocks keep a local top-k per query, one
+    exchange folds O(blocks x queries x k) candidates globally."""
+    from text_dedup_ray.pipelines.tfidf import bm25_topk
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    return bm25_topk(docs, _BM25_QUERIES, k=10)
+
+
 def _q_events_distinct_users(sf_dir: str):
     """Scalable COUNT(DISTINCT): block-local pair dedup, value-hash
     exchange, partial counts — raw rows never shuffle."""
@@ -1536,6 +1591,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_users_approx": _q_hll_estimate,
         "docs_cdf": _q_docs_cdf,
         "docs_zscore_by_lang": _q_docs_zscore,
+        "bm25_retrieval": _q_bm25,
         "decontaminate_docs": _q_decontaminate,
         "doc_repetition": _q_repetition,
         "docs_above_p90": _q_above_p90,
@@ -1678,6 +1734,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT label, embedding, unnest(range(len(embedding))) AS d "
             "FROM embeddings) GROUP BY label, d"
         ),
+        "bm25_retrieval": _bm25_oracle_sql(_BM25_QUERIES, k=10),
         "docs_cdf": (
             "SELECT doc_id, n_chars, "
             "round(cume_dist() OVER (ORDER BY n_chars), 6) AS cdf FROM documents"

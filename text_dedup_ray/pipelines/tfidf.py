@@ -181,3 +181,187 @@ def tfidf_top_terms(
     return hash_partition_exchange(
         scored, _PART, num_partitions, lambda g: _topk(g, k)
     )
+
+
+def bm25_topk(
+    ds: ray.data.Dataset,
+    queries: dict[str, str],
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    num_partitions: int = 8,
+    round_to: int = 4,
+) -> ray.data.Dataset:
+    """BM25 retrieval for a small named query set: ``(query, doc_id,
+    score, rk)`` — the top-``k`` corpus docs per query.
+
+    Scale shape: corpus stats (N, total length) and the DF of QUERY
+    tokens only (never the full vocabulary) fold from per-block integer
+    partials; the scoring pass broadcasts the tiny (query-token -> idf)
+    table, keeps each block's local top-k per query, and one exchange
+    folds O(blocks x queries x k) candidate rows to the global top-k.
+    Payload text never shuffles; ranks are computed on the ROUNDED score
+    (ties -> smallest doc id) so the SQL oracle can reproduce them.
+
+    Uses the Lucene/ATIRE BM25 idf ``ln(1 + (N - df + .5)/(df + .5))``
+    (Robertson-Sparck Jones with the +1 floor).
+    """
+    qtokens: dict[str, list[str]] = {
+        name: list(dict.fromkeys(TOKEN_RE.findall(q.lower())))
+        for name, q in queries.items()
+    }
+    vocab = sorted({t for toks in qtokens.values() for t in toks})
+    vocab_arr = np.array(vocab, dtype=object)
+
+    # ---- pass 1: N, total doc length, per-query-token DF (tiny partials)
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "token": pa.array([], pa.string()),
+                "df": pa.array([], pa.int64()),
+                "n_docs": pa.array([], pa.int64()),
+                "total_len": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        df = np.zeros(len(vocab), np.int64)
+        total = 0
+        for text in batch[text_column].to_pylist():
+            toks = TOKEN_RE.findall(text.lower())
+            total += len(toks)
+            seen = set(toks)
+            for i, t in enumerate(vocab):
+                if t in seen:
+                    df[i] += 1
+        return pa.table(
+            {
+                "token": pa.array(vocab, pa.string()),
+                "df": pa.array(df),
+                "n_docs": pa.array(
+                    np.r_[np.int64(batch.num_rows), np.zeros(len(vocab) - 1, np.int64)]
+                    if vocab
+                    else np.array([], np.int64)
+                ),
+                "total_len": pa.array(
+                    np.r_[np.int64(total), np.zeros(len(vocab) - 1, np.int64)]
+                    if vocab
+                    else np.array([], np.int64)
+                ),
+            }
+        )
+
+    stats = ds.map_batches(
+        stats_partial, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    if "token" in stats.columns and len(stats):
+        stats = stats.groupby("token", as_index=False).sum()
+        n_docs = int(stats["n_docs"].sum())
+        total_len = int(stats["total_len"].sum())
+    else:  # empty corpus (or empty query vocabulary)
+        n_docs, total_len = 0, 0
+    if n_docs == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "query": pa.array([], pa.string()),
+                    id_column: pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                    "rk": pa.array([], pa.int64()),
+                }
+            )
+        )
+    avgdl = float(total_len) / float(n_docs)
+    df_map = dict(zip(stats["token"], stats["df"].astype(int)))
+    idf = {
+        t: math.log(1.0 + (n_docs - df_map.get(t, 0) + 0.5) / (df_map.get(t, 0) + 0.5))
+        for t in vocab
+    }
+    plan_ref = ray.put((qtokens, idf))
+
+    # ---- pass 2: score, block-local top-k per query, one tiny exchange
+    def score_block(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "query": pa.array([], pa.string()),
+                id_column: pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+                "part": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        qt, idf_l = ray.get(plan_ref) if isinstance(plan_ref, ray.ObjectRef) else plan_ref
+        ids = batch[id_column].to_pylist()
+        n = len(ids)
+        tf = np.zeros((n, len(vocab)), np.float64)
+        dl = np.zeros(n, np.float64)
+        vpos = {t: i for i, t in enumerate(vocab)}
+        for r, text in enumerate(batch[text_column].to_pylist()):
+            toks = TOKEN_RE.findall(text.lower())
+            dl[r] = len(toks)
+            for t in toks:
+                i = vpos.get(t)
+                if i is not None:
+                    tf[r, i] += 1.0
+        norm = k1 * (1.0 - b + b * dl / avgdl)
+        out_q, out_i, out_s = [], [], []
+        for name, toks in qt.items():
+            cols = [vpos[t] for t in toks]
+            w = np.array([idf_l[t] for t in toks])
+            s = np.zeros(n)
+            for c, wi in zip(cols, w):
+                col = tf[:, c]
+                s += wi * (col * (k1 + 1.0)) / (col + norm)
+            s = np.round(s, round_to)
+            order = np.lexsort((np.asarray(ids, dtype=object), -s))[:k]
+            out_q.extend([name] * len(order))
+            out_i.extend([ids[j] for j in order])
+            out_s.extend(s[order].tolist())
+        return pa.table(
+            {
+                "query": pa.array(out_q, pa.string()),
+                id_column: pa.array(out_i),
+                "score": pa.array(out_s, pa.float64()),
+                "part": pa.array(np.zeros(len(out_q), np.int64)),
+            }
+        )
+
+    cands = ds.map_batches(score_block, batch_format="pyarrow", batch_size=None)
+
+    def fold(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "query": pa.array([], pa.string()),
+                id_column: pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+                "rk": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "query" not in group.column_names:
+            return empty
+        q = np.array(group["query"].to_pylist(), dtype=object)
+        ids = np.array(group[id_column].to_pylist(), dtype=object)
+        s = group["score"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -s, q))
+        sq = q[order]
+        newq = np.ones(len(sq), dtype=bool)
+        newq[1:] = sq[1:] != sq[:-1]
+        start = np.maximum.accumulate(np.where(newq, np.arange(len(sq)), 0))
+        rk = np.arange(len(sq)) - start + 1
+        keep = rk <= k
+        sel = order[keep]
+        return pa.table(
+            {
+                "query": group["query"].take(pa.array(sel)),
+                id_column: group[id_column].take(pa.array(sel)),
+                "score": group["score"].take(pa.array(sel)),
+                "rk": pa.array(rk[keep].astype(np.int64)),
+            }
+        )
+
+    from ..stages.exchange import hash_partition_exchange
+
+    return hash_partition_exchange(cands, "part", 1, fold)
