@@ -457,6 +457,18 @@ def _q_bm25(sf_dir: str):
     return bm25_topk(docs, _BM25_QUERIES, k=10)
 
 
+def _q_surprisal(sf_dir: str):
+    """Corpus-unigram surprisal per doc (the LM-perplexity-filter
+    stand-in): (doc, token, tf) rows exchange once by token hash — the
+    in-partition tf sum IS the exact global token count, contributions
+    stamped there — and once by doc hash to fold the per-doc mean. No
+    vocabulary broadcast anywhere."""
+    from text_dedup_ray.pipelines.tfidf import with_unigram_surprisal
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    return with_unigram_surprisal(docs)
+
+
 def _q_events_distinct_users(sf_dir: str):
     """Scalable COUNT(DISTINCT): block-local pair dedup, value-hash
     exchange, partial counts — raw rows never shuffle."""
@@ -1592,6 +1604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_cdf": _q_docs_cdf,
         "docs_zscore_by_lang": _q_docs_zscore,
         "bm25_retrieval": _q_bm25,
+        "doc_surprisal": _q_surprisal,
         "decontaminate_docs": _q_decontaminate,
         "doc_repetition": _q_repetition,
         "docs_above_p90": _q_above_p90,
@@ -1735,6 +1748,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings) GROUP BY label, d"
         ),
         "bm25_retrieval": _bm25_oracle_sql(_BM25_QUERIES, k=10),
+        "doc_surprisal": (
+            "WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+            "'[a-z0-9_]+')) AS token FROM documents), "
+            "ct AS (SELECT token, count(*)::DOUBLE AS c FROM tok GROUP BY token), "
+            "tot AS (SELECT count(*)::DOUBLE AS tt FROM tok), "
+            "tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM tok "
+            "GROUP BY doc_id, token) "
+            "SELECT doc_id, sum(tf)::BIGINT AS n_tokens, "
+            "round(-sum(tf * ln(ct.c / tot.tt)) / sum(tf), 6) AS surprisal "
+            "FROM tf JOIN ct USING (token) CROSS JOIN tot GROUP BY doc_id"
+        ),
         "docs_cdf": (
             "SELECT doc_id, n_chars, "
             "round(cume_dist() OVER (ORDER BY n_chars), 6) AS cdf FROM documents"

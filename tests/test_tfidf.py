@@ -88,3 +88,61 @@ class TestTfIdf:
             {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
         )
         assert tfidf_top_terms(ray.data.from_arrow(tbl), k=3).count() == 0
+
+
+SURPRISAL_SQL = (
+    "WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+    "'[a-z0-9_]+')) AS token FROM t), "
+    "ct AS (SELECT token, count(*)::DOUBLE AS c FROM tok GROUP BY token), "
+    "tot AS (SELECT count(*)::DOUBLE AS tt FROM tok), "
+    "tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM tok "
+    "GROUP BY doc_id, token) "
+    "SELECT doc_id, sum(tf)::BIGINT AS n_tokens, "
+    "round(-sum(tf * ln(ct.c / tot.tt)) / sum(tf), 6) AS surprisal "
+    "FROM tf JOIN ct USING (token) CROSS JOIN tot GROUP BY doc_id"
+)
+
+
+class TestSurprisal:
+    def test_matches_duckdb(self):
+        from text_dedup_ray.pipelines.tfidf import with_unigram_surprisal
+
+        rng = np.random.default_rng(3)
+        vocab = [f"w{i}" for i in range(30)]
+        texts = [
+            " ".join(vocab[min(int(abs(x) * 6), 29)] for x in rng.standard_normal(20))
+            for _ in range(70)
+        ]
+        tbl = pa.table({"doc_id": list(range(70)), "text": texts})
+        got = with_unigram_surprisal(
+            ray.data.from_arrow(tbl).repartition(4), num_partitions=5
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("t", tbl)
+        exp = con.execute(SURPRISAL_SQL).fetchdf()
+        pd.testing.assert_frame_equal(_canon(got), _canon(exp), check_dtype=False)
+
+    def test_rare_tokens_score_higher(self):
+        from text_dedup_ray.pipelines.tfidf import with_unigram_surprisal
+
+        tbl = pa.table(
+            {
+                "doc_id": [1, 2],
+                "text": ["common common common common", "rarest common gem common"],
+            }
+        )
+        got = (
+            with_unigram_surprisal(ray.data.from_arrow(tbl))
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert got.loc[2, "surprisal"] > got.loc[1, "surprisal"]
+        assert got.n_tokens.tolist() == [4, 4]
+
+    def test_empty(self):
+        from text_dedup_ray.pipelines.tfidf import with_unigram_surprisal
+
+        tbl = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+        )
+        assert with_unigram_surprisal(ray.data.from_arrow(tbl)).count() == 0

@@ -365,3 +365,108 @@ def bm25_topk(
     from ..stages.exchange import hash_partition_exchange
 
     return hash_partition_exchange(cands, "part", 1, fold)
+
+
+def with_unigram_surprisal(
+    ds: ray.data.Dataset,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    num_partitions: int = 16,
+    round_to: int = 6,
+    alias: str = "surprisal",
+) -> ray.data.Dataset:
+    """Corpus-unigram surprisal per document — the distribution-based
+    quality score (a cheap stand-in for LM-perplexity filters): each doc
+    gets ``-mean(ln P(token))`` under the corpus unigram distribution.
+    Gibberish and boilerplate-free rare-token soup score high; repetitive
+    boilerplate scores low.
+
+    Fully distributed, no vocabulary broadcast: the same globally-unique
+    (doc, token, tf) rows as TF-IDF exchange once by token hash — the
+    in-partition tf sum IS the exact global token count — stamping each
+    row's ``tf * ln(count/total)`` contribution; a doc-hash exchange sums
+    contributions into ``(doc_id, n_tokens, surprisal)``. Total corpus
+    token count comes from a tiny integer partial pass."""
+    # pass 0: exact total token count (one int per block)
+    def len_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"tl": pa.array([], pa.int64())})
+        t = sum(
+            len(TOKEN_RE.findall(x.lower()))
+            for x in batch[text_column].to_pylist()
+        )
+        return pa.table({"tl": pa.array([t], pa.int64())})
+
+    tl_df = ds.map_batches(
+        len_partial, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    total = int(tl_df["tl"].sum()) if "tl" in tl_df.columns else 0
+    empty_out = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            alias: pa.array([], pa.float64()),
+        }
+    )
+    if total == 0:
+        return ray.data.from_arrow(empty_out)
+
+    counts = ds.map_batches(
+        lambda b: _term_counts(b, text_column, id_column, num_partitions),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    def stamp_contrib(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "tf": pa.array([], pa.int64()),
+                "contrib": pa.array([], pa.float64()),
+                _PART: pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "token" not in group.column_names:
+            return empty
+        toks = np.array(group["token"].to_pylist(), dtype=object)
+        uniq, inv = np.unique(toks, return_inverse=True)
+        ct = np.zeros(len(uniq), np.int64)
+        tf = group["tf"].to_numpy(zero_copy_only=False)
+        np.add.at(ct, inv, tf)
+        contrib = tf.astype(np.float64) * np.log(
+            ct[inv].astype(np.float64) / float(total)
+        )
+        ids = group["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": group["doc_id"].combine_chunks(),
+                "tf": group["tf"].combine_chunks(),
+                "contrib": pa.array(contrib),
+                _PART: pa.array(_spart(ids, num_partitions)),
+            }
+        )
+
+    stamped = hash_partition_exchange(
+        counts, _PART, num_partitions, stamp_contrib
+    )
+
+    def per_doc(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "doc_id" not in group.column_names:
+            return empty_out
+        ids = np.array(group["doc_id"].to_pylist(), dtype=object)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        dl = np.zeros(len(uniq), np.int64)
+        np.add.at(dl, inv, group["tf"].to_numpy(zero_copy_only=False))
+        cs = np.zeros(len(uniq), np.float64)
+        np.add.at(cs, inv, group["contrib"].to_numpy(zero_copy_only=False))
+        first = np.full(len(uniq), len(ids), np.int64)
+        np.minimum.at(first, inv, np.arange(len(ids)))
+        return pa.table(
+            {
+                "doc_id": group["doc_id"].take(pa.array(first)),
+                "n_tokens": pa.array(dl),
+                alias: pa.array(np.round(-cs / dl, round_to)),
+            }
+        )
+
+    return hash_partition_exchange(stamped, _PART, num_partitions, per_doc)
