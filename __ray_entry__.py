@@ -469,6 +469,17 @@ def _q_surprisal(sf_dir: str):
     return with_unigram_surprisal(docs)
 
 
+def _q_cms_registers(sf_dir: str):
+    """Count-min sketch register table (d=4, w=256) of per-user event
+    frequencies — the frequency sketch beside HLL's cardinality sketch:
+    blocks reduce to <= d x w integer cells regardless of row count, cell
+    merge is SUM (exactly partition-invariant), fully SQL-recomputable."""
+    from text_dedup_ray.pipelines.sketch import cms_registers
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return cms_registers(ev, "user_id", depth=4, width=256)
+
+
 def _q_events_distinct_users(sf_dir: str):
     """Scalable COUNT(DISTINCT): block-local pair dedup, value-hash
     exchange, partial counts — raw rows never shuffle."""
@@ -1605,6 +1616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_zscore_by_lang": _q_docs_zscore,
         "bm25_retrieval": _q_bm25,
         "doc_surprisal": _q_surprisal,
+        "events_user_cms_registers": _q_cms_registers,
         "decontaminate_docs": _q_decontaminate,
         "doc_repetition": _q_repetition,
         "docs_above_p90": _q_above_p90,
@@ -1772,6 +1784,14 @@ def oracle_sql() -> dict[str, str]:
             "THEN round((d.n_chars - m.s/m.n) / "
             "sqrt(m.ss/m.n - (m.s/m.n)*(m.s/m.n)), 6) ELSE NULL END AS z "
             "FROM documents d JOIN m USING (lang)"
+        ),
+        "events_user_cms_registers": (
+            "WITH rows AS (SELECT user_id AS v FROM events), "
+            "d AS (SELECT unnest(range(4)) AS d), "
+            "h AS (SELECT d.d, (('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':' || "
+            "CAST(v AS VARCHAR)), 1, 16))::UBIGINT % 256)::BIGINT AS idx "
+            "FROM rows CROSS JOIN d) "
+            "SELECT d, idx, count(*)::BIGINT AS cnt FROM h GROUP BY d, idx"
         ),
         "events_user_hll_registers": (
             "WITH h AS (SELECT event_type, ('0x' || substr(md5(CAST(user_id AS "

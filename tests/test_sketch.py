@@ -101,3 +101,55 @@ class TestEstimate:
     def test_empty(self):
         tbl = pa.table({"val": pa.array([], pa.int64())})
         assert approx_count_distinct(ray.data.from_arrow(tbl), "val").count() == 0
+
+
+def _cms_sql(depth: int, width: int, col: str, table: str) -> str:
+    return (
+        f"WITH rows AS (SELECT {col} AS v FROM {table}), "
+        f"d AS (SELECT unnest(range({depth})) AS d), "
+        "h AS (SELECT d.d, (('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':' || "
+        f"CAST(v AS VARCHAR)), 1, 16))::UBIGINT % {width})::BIGINT AS idx "
+        "FROM rows CROSS JOIN d) "
+        "SELECT d, idx, count(*)::BIGINT AS cnt FROM h GROUP BY d, idx"
+    )
+
+
+class TestCountMin:
+    def test_registers_match_duckdb(self):
+        from text_dedup_ray.pipelines.sketch import cms_registers
+
+        rng = np.random.default_rng(8)
+        tbl = pa.table({"val": rng.integers(0, 300, 2000).tolist()})
+        got = cms_registers(
+            ray.data.from_arrow(tbl).repartition(5), "val", depth=3, width=64,
+            num_partitions=4,
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("t", tbl)
+        exp = con.execute(_cms_sql(3, 64, "val", "t")).fetchdf()
+        pd.testing.assert_frame_equal(_canon(got), _canon(exp), check_dtype=False)
+
+    def test_estimates_never_undercount_and_tight_on_heavy(self):
+        from text_dedup_ray.pipelines.sketch import cms_point_estimates, cms_registers
+
+        rng = np.random.default_rng(12)
+        light = rng.integers(1000, 9000, 5000).tolist()
+        vals = light + ["heavy"] * 800 + ["medium"] * 200
+        tbl = pa.table({"val": [str(v) for v in vals]})
+        regs = cms_registers(
+            ray.data.from_arrow(tbl).repartition(4), "val", depth=4, width=2048
+        )
+        est = cms_point_estimates(regs, ["heavy", "medium", "absent"], depth=4, width=2048)
+        assert est["heavy"] >= 800 and est["heavy"] <= 800 + 2 * len(vals) // 2048
+        assert est["medium"] >= 200 and est["medium"] <= 200 + 2 * len(vals) // 2048
+        assert est["absent"] <= 2 * len(vals) // 2048
+
+    def test_exact_partition_invariance(self):
+        from text_dedup_ray.pipelines.sketch import cms_registers
+
+        rng = np.random.default_rng(2)
+        tbl = pa.table({"val": rng.integers(0, 999, 3000).tolist()})
+        ds = ray.data.from_arrow(tbl)
+        a = cms_registers(ds.repartition(1), "val", num_partitions=1).to_pandas()
+        b = cms_registers(ds.repartition(8), "val", num_partitions=5).to_pandas()
+        pd.testing.assert_frame_equal(_canon(a), _canon(b))

@@ -249,3 +249,118 @@ def approx_count_distinct(
     return out.map_batches(
         lambda b: b.drop_columns(["key"]), batch_format="pyarrow", batch_size=None
     )
+
+
+def cms_registers(
+    ds: ray.data.Dataset,
+    column: str,
+    depth: int = 4,
+    width: int = 1024,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Count-min sketch register table ``(d, idx, cnt)`` — the frequency
+    sketch beside HLL's cardinality sketch: point-frequency estimates for
+    an unbounded-cardinality column in ``depth x width`` integer cells.
+    Each block reduces to at most depth x width non-zero cells regardless
+    of row count; cell merge is plain integer SUM, so the folded table is
+    EXACTLY partition-invariant and SQL-recomputable (row ``d`` buckets by
+    the big-endian first 8 bytes of ``md5(str(d) + ':' + str(value))``
+    mod width — Cormode & Muthukrishnan 2005)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "d": pa.array([], pa.int64()),
+                "idx": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+                "part": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        vals = batch[column].to_pylist()
+        out_d, out_i, out_c = [], [], []
+        for d in range(depth):
+            pre = f"{d}:"
+            hv = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.md5((pre + str(v)).encode()).digest()[:8], "big"
+                    )
+                    % width
+                    for v in vals
+                ),
+                np.int64,
+                count=len(vals),
+            )
+            cnt = np.bincount(hv, minlength=width)
+            nz = np.flatnonzero(cnt)
+            out_d.append(np.full(len(nz), d, np.int64))
+            out_i.append(nz.astype(np.int64))
+            out_c.append(cnt[nz].astype(np.int64))
+        dd = np.concatenate(out_d)
+        ii = np.concatenate(out_i)
+        return pa.table(
+            {
+                "d": pa.array(dd),
+                "idx": pa.array(ii),
+                "cnt": pa.array(np.concatenate(out_c)),
+                "part": pa.array((dd * width + ii) % num_partitions),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "d": pa.array([], pa.int64()),
+                "idx": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "d" not in group.column_names:
+            return empty
+        dd = group["d"].to_numpy(zero_copy_only=False)
+        ii = group["idx"].to_numpy(zero_copy_only=False)
+        cc = group["cnt"].to_numpy(zero_copy_only=False)
+        key = dd * width + ii
+        uniq, inv = np.unique(key, return_inverse=True)
+        acc = np.zeros(len(uniq), np.int64)
+        np.add.at(acc, inv, cc)
+        return pa.table(
+            {
+                "d": pa.array((uniq // width).astype(np.int64)),
+                "idx": pa.array((uniq % width).astype(np.int64)),
+                "cnt": pa.array(acc),
+            }
+        )
+
+    pre = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return hash_partition_exchange(pre, "part", num_partitions, fold)
+
+
+def cms_point_estimates(
+    registers: ray.data.Dataset | pa.Table,
+    items: list,
+    depth: int = 4,
+    width: int = 1024,
+) -> dict:
+    """Point-frequency estimates (min over depth rows) for a small item
+    list from a folded ``cms_registers`` table. Estimates never
+    undercount; overcounts are bounded by 2N/width per row with prob
+    1 - 2^-depth."""
+    tbl = registers.to_pandas()  # Dataset and pa.Table both expose this
+    cells = {(int(d), int(i)): int(c) for d, i, c in zip(tbl["d"], tbl["idx"], tbl["cnt"])}
+    out = {}
+    for v in items:
+        est = None
+        for d in range(depth):
+            idx = (
+                int.from_bytes(
+                    hashlib.md5((f"{d}:" + str(v)).encode()).digest()[:8], "big"
+                )
+                % width
+            )
+            c = cells.get((d, idx), 0)
+            est = c if est is None else min(est, c)
+        out[v] = int(est or 0)
+    return out
