@@ -480,6 +480,18 @@ def _q_cms_registers(sf_dir: str):
     return cms_registers(ev, "user_id", depth=4, width=256)
 
 
+def _q_pack_plan(sf_dir: str):
+    """Concat-and-chunk sequence packing plan: the global exclusive
+    prefix sum over doc-id order runs as sample-based range partitioning
+    + per-partition totals (P integers to the driver) + one range
+    exchange with local cumsums — nothing corpus-sized on the driver,
+    offsets exact int64."""
+    from text_dedup_ray.pipelines.pack import pack_sequences
+
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+    return pack_sequences(docs, "n_chars", capacity=4096, num_partitions=8)
+
+
 def _q_events_distinct_users(sf_dir: str):
     """Scalable COUNT(DISTINCT): block-local pair dedup, value-hash
     exchange, partial counts — raw rows never shuffle."""
@@ -1617,6 +1629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_retrieval": _q_bm25,
         "doc_surprisal": _q_surprisal,
         "events_user_cms_registers": _q_cms_registers,
+        "doc_pack_plan": _q_pack_plan,
         "decontaminate_docs": _q_decontaminate,
         "doc_repetition": _q_repetition,
         "docs_above_p90": _q_above_p90,
@@ -1784,6 +1797,16 @@ def oracle_sql() -> dict[str, str]:
             "THEN round((d.n_chars - m.s/m.n) / "
             "sqrt(m.ss/m.n - (m.s/m.n)*(m.s/m.n)), 6) ELSE NULL END AS z "
             "FROM documents d JOIN m USING (lang)"
+        ),
+        "doc_pack_plan": (
+            'WITH o AS (SELECT doc_id, n_chars, coalesce(sum(n_chars) OVER ('
+            'ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)'
+            '::BIGINT AS "offset" FROM documents) '
+            'SELECT doc_id, n_chars, "offset", "offset" // 4096 AS first_bin, '
+            'CASE WHEN n_chars > 0 THEN ("offset" + n_chars - 1) // 4096 '
+            'ELSE "offset" // 4096 END AS last_bin, '
+            'CASE WHEN n_chars > 0 THEN ("offset" + n_chars - 1) // 4096 > '
+            '"offset" // 4096 ELSE FALSE END AS straddles FROM o'
         ),
         "events_user_cms_registers": (
             "WITH rows AS (SELECT user_id AS v FROM events), "
