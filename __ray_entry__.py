@@ -492,6 +492,20 @@ def _q_pack_plan(sf_dir: str):
     return pack_sequences(docs, "n_chars", capacity=4096, num_partitions=8)
 
 
+_MIX_WEIGHTS = {"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.1}
+
+
+def _q_mixed_corpus(sf_dir: str):
+    """Deterministic pretraining data mixing: per-language sampling rates
+    in one stateless zero-shuffle pass (keep-iff hash_u32(id)/2^32 <
+    weight[lang]); languages outside the recipe drop. Stable across runs,
+    partitionings and cluster sizes."""
+    from text_dedup_ray.pipelines.sample import weighted_sample_by_group
+
+    docs = _docs(sf_dir, ["doc_id", "lang"])
+    return weighted_sample_by_group(docs, "lang", "doc_id", _MIX_WEIGHTS)
+
+
 def _q_events_distinct_users(sf_dir: str):
     """Scalable COUNT(DISTINCT): block-local pair dedup, value-hash
     exchange, partial counts — raw rows never shuffle."""
@@ -1630,6 +1644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_surprisal": _q_surprisal,
         "events_user_cms_registers": _q_cms_registers,
         "doc_pack_plan": _q_pack_plan,
+        "mixed_corpus": _q_mixed_corpus,
         "decontaminate_docs": _q_decontaminate,
         "doc_repetition": _q_repetition,
         "docs_above_p90": _q_above_p90,
@@ -1797,6 +1812,12 @@ def oracle_sql() -> dict[str, str]:
             "THEN round((d.n_chars - m.s/m.n) / "
             "sqrt(m.ss/m.n - (m.s/m.n)*(m.s/m.n)), 6) ELSE NULL END AS z "
             "FROM documents d JOIN m USING (lang)"
+        ),
+        "mixed_corpus": (
+            "SELECT doc_id, lang FROM documents WHERE "
+            "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT < "
+            "CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5 "
+            "WHEN 'fr' THEN 0.25 WHEN 'es' THEN 0.1 ELSE 0.0 END * 4294967296.0"
         ),
         "doc_pack_plan": (
             'WITH o AS (SELECT doc_id, n_chars, coalesce(sum(n_chars) OVER ('

@@ -128,3 +128,38 @@ def sample_per_group(
     return picked.map_batches(
         lambda t: t.drop_columns(["__u32"]), batch_format="pyarrow"
     )
+
+
+def weighted_sample_by_group(
+    ds: ray.data.Dataset,
+    group_key: str,
+    id_key: str,
+    weights: dict[str, float],
+    salt: str = "",
+    default: float = 0.0,
+) -> ray.data.Dataset:
+    """Deterministic corpus MIXING: per-source sampling rates in one
+    stateless zero-shuffle pass — the data-mixture step of a pretraining
+    pipeline ("keep 100% of wiki, 30% of crawl, 5% of logs"). A row
+    survives iff ``hash_u32(salt + id) / 2^32 < weights[group]``; groups
+    absent from ``weights`` get ``default`` (0 = drop). Stable across
+    runs, partitionings and cluster sizes; the same SQL expression as
+    ``sample_by_hash`` re-derives it exactly."""
+    for g, w in weights.items():
+        if not 0.0 <= w <= 1.0:
+            raise ValueError(f"weight for {g!r} must be in [0, 1], got {w}")
+    cuts = {str(g): w * _U32 for g, w in weights.items()}
+    default_cut = default * _U32
+
+    def keep(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        u = _hash_u32(batch[id_key].to_pylist(), salt)
+        thr = np.fromiter(
+            (cuts.get(str(g), default_cut) for g in batch[group_key].to_pylist()),
+            np.float64,
+            count=batch.num_rows,
+        )
+        return batch.filter(pa.array(u < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
