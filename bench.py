@@ -320,6 +320,52 @@ def run_benchmarks() -> None:
         timed("ann_lsh_topk", ann_lsh)
         timed("ann_topk_ds_10k", ann_topk_ds)
 
+    # ---- third-wave curation ops over the corpus captions / sf tables ----
+    def line_dedup_captions():
+        from text_dedup_ray.pipelines.lines import line_dedup
+
+        ds = ray.data.read_parquet(docs_path, columns=["image_id", "caption"])
+        return line_dedup(
+            ds, text_column="caption", id_column="image_id",
+            min_line_length=4, delimiter=" ", num_partitions=32,
+        ).count()
+
+    def tfidf_captions():
+        from text_dedup_ray.pipelines.tfidf import tfidf_top_terms
+
+        ds = ray.data.read_parquet(docs_path, columns=["image_id", "caption"])
+        return tfidf_top_terms(
+            ds, text_column="caption", id_column="image_id", k=5,
+            num_partitions=32,
+        ).count()
+
+    def sketches():
+        from text_dedup_ray.pipelines.sketch import approx_count_distinct, cms_registers
+
+        ds = ray.data.read_parquet(docs_path, columns=["caption"])
+        n = approx_count_distinct(ds, "caption", precision=12).count()
+        n += cms_registers(ds, "caption", depth=4, width=4096).count()
+        return n
+
+    def pack_plan():
+        from text_dedup_ray.pipelines.images import image_ids_to_row_ids
+        from text_dedup_ray.pipelines.pack import pack_sequences
+
+        # prefix-sum order key must be an integer: stamp deterministic
+        # int row ids from the string image ids first
+        ds = image_ids_to_row_ids(
+            ray.data.read_parquet(docs_path, columns=["image_id", "w"])
+        )
+        return pack_sequences(
+            ds, "w", id_column="row_id", capacity=4096, num_partitions=32
+        ).count()
+
+    if not headline_only:
+        timed("line_dedup_captions", line_dedup_captions)
+        timed("tfidf_captions", tfidf_captions)
+        timed("sketches_hll_cms", sketches)
+        timed("pack_plan", pack_plan)
+
     headline = timings["minhash_images"]
     result = {
         "metric": "image+caption MinHashLSH dedup wall time (synthetic corpus)",

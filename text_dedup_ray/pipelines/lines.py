@@ -42,16 +42,25 @@ from ..stages.exchange import hash_partition_exchange, two_sided_hash_exchange
 _PART = "__ld_part"
 
 
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (public domain) — vectorized 64-bit mixing."""
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
 def _id_part(vals: np.ndarray, num_partitions: int) -> np.ndarray:
-    return np.fromiter(
-        (
-            int.from_bytes(hashlib.sha1(str(v).encode()).digest()[:8], "little")
-            % num_partitions
-            for v in vals
-        ),
-        np.int64,
-        count=len(vals),
-    )
+    """Doc-id partition: vectorized splitmix64 for integer ids, sha1
+    fallback for anything else. Both sides of the rebuild exchange use
+    this same function, so the choice is internal."""
+    vals = np.asarray(vals)
+    if np.issubdtype(vals.dtype, np.integer):
+        return (_mix64(vals) % np.uint64(num_partitions)).astype(np.int64)
+    import pandas as pd
+
+    h = pd.util.hash_array(vals.astype(object))  # vectorized siphash
+    return (h % np.uint64(num_partitions)).astype(np.int64)
 
 
 def _explode_lines(
@@ -88,14 +97,11 @@ def _explode_lines(
     )
     if not qual.any():
         return empty
-    lines = flat.to_pylist()
     idx = np.flatnonzero(qual)
-    keys = [hashlib.md5(lines[i].encode()).digest() for i in idx]
-    part = np.fromiter(
-        (int.from_bytes(k[:8], "little") % num_partitions for k in keys),
-        np.int64,
-        count=len(keys),
-    )
+    lines = flat.take(pa.array(idx)).to_pylist()  # convert qualifiers only
+    keys = [hashlib.md5(l.encode()).digest() for l in lines]
+    kw = np.frombuffer(b"".join(k[:8] for k in keys), dtype="<u8")
+    part = (kw % np.uint64(num_partitions)).astype(np.int64)
     ids = batch[id_column].take(pa.array(parents[idx]))
     return pa.table(
         {
@@ -119,13 +125,25 @@ def _losers(group: pa.Table, num_partitions: int) -> pa.Table:
     )
     if group.num_rows == 0 or "key" not in group.column_names:
         return empty
-    keys = np.array(group["key"].to_pylist(), dtype=object)
+    # 16-byte keys -> two uint64 words: integer lexsort, no object compares
+    buf = b"".join(group["key"].to_pylist())
+    kw = np.frombuffer(buf, dtype=">u8").reshape(-1, 2)
     ids = group["doc_id"].to_numpy(zero_copy_only=False)
     lns = group["line_no"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((lns, ids, keys))
-    sk = keys[order]
-    first = np.ones(len(sk), dtype=bool)
-    first[1:] = sk[1:] != sk[:-1]
+    if np.issubdtype(ids.dtype, np.number):
+        id_key = ids
+    else:
+        # factorize string ids (O(n) hashing), order-rank only the uniques
+        import pandas as pd
+
+        codes, uniques = pd.factorize(ids)
+        rank = np.empty(len(uniques), np.int64)
+        rank[np.argsort(uniques, kind="stable")] = np.arange(len(uniques))
+        id_key = rank[codes]
+    order = np.lexsort((lns, id_key, kw[:, 1], kw[:, 0]))
+    sk = kw[order]
+    first = np.ones(len(order), dtype=bool)
+    first[1:] = (sk[1:, 0] != sk[:-1, 0]) | (sk[1:, 1] != sk[:-1, 1])
     lose = order[~first]
     if len(lose) == 0:
         return empty.cast(
@@ -170,16 +188,20 @@ def _rebuild(
         doc_idx = order[pos]
         cut_lns = cuts["line_no"].to_numpy(zero_copy_only=False)
         texts = docs[text_column].to_pylist()
-        by_doc: dict[int, list[int]] = {}
-        for d, ln in zip(doc_idx, cut_lns):
-            by_doc.setdefault(int(d), []).append(int(ln))
-        for d, lns in by_doc.items():
+        # group cuts by doc with one vectorized lexsort; the remaining
+        # Python work is one split/join per CUT DOC, not per cut line
+        corder = np.lexsort((cut_lns, doc_idx))
+        sd, sl = doc_idx[corder], cut_lns[corder]
+        starts = np.flatnonzero(np.r_[True, sd[1:] != sd[:-1]])
+        ends = np.r_[starts[1:], len(sd)]
+        for s, e in zip(starts, ends):
+            d = int(sd[s])
             parts = texts[d].split(delimiter)
-            drop = set(lns)
+            drop = set(sl[s:e].tolist())
             texts[d] = delimiter.join(
                 p for i, p in enumerate(parts) if i not in drop
             )
-            dropped[d] = len(drop)
+            dropped[d] = e - s
         docs = docs.set_column(
             docs.column_names.index(text_column),
             text_column,
