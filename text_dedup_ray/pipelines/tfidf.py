@@ -41,15 +41,16 @@ _PART = "__tfidf_part"
 
 
 def _spart(vals, num_partitions: int) -> np.ndarray:
-    return np.fromiter(
-        (
-            int.from_bytes(hashlib.sha1(str(v).encode()).digest()[:8], "little")
-            % num_partitions
-            for v in vals
-        ),
-        np.int64,
-        count=len(vals),
-    )
+    """Vectorized partition hash (siphash via pandas). Internal only —
+    both the emit side and the re-key side of each exchange call this
+    same function, so the choice never surfaces in results."""
+    import pandas as pd
+
+    arr = np.asarray(vals)
+    if arr.dtype != object:
+        arr = arr.astype(object) if arr.dtype.kind in "US" else arr
+    h = pd.util.hash_array(arr)
+    return (h % np.uint64(num_partitions)).astype(np.int64)
 
 
 def _term_counts(
@@ -66,25 +67,34 @@ def _term_counts(
     )
     if batch.num_rows == 0:
         return empty
-    ids_out: list = []
-    toks: list[str] = []
-    tfs: list[int] = []
-    ids = batch[id_column].to_pylist()
-    for did, text in zip(ids, batch[text_column].to_pylist()):
-        counts: dict[str, int] = {}
-        for t in TOKEN_RE.findall(text.lower()):
-            counts[t] = counts.get(t, 0) + 1
-        ids_out.extend([did] * len(counts))
-        toks.extend(counts.keys())
-        tfs.extend(counts.values())
-    if not toks:
+    # findall('[a-z0-9_]+') == split on its complement: fully Arrow-side
+    import pyarrow.compute as pc
+
+    splits = pc.split_pattern_regex(
+        pc.utf8_lower(batch[text_column].combine_chunks()), "[^a-z0-9_]+"
+    )
+    flat = pc.list_flatten(splits)
+    parents = pc.list_parent_indices(splits).to_numpy(zero_copy_only=False)
+    nonempty = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+    if not nonempty.any():
         return empty
+    import pandas as pd
+
+    toks_arr = np.asarray(flat.to_pandas(), dtype=object)[nonempty]
+    par = parents[nonempty]
+    codes, uniques = pd.factorize(toks_arr)
+    # count (doc, token) pairs with one bincount over combined codes
+    combo = par.astype(np.int64) * len(uniques) + codes
+    ukey, tf = np.unique(combo, return_counts=True)
+    doc_idx = (ukey // len(uniques)).astype(np.int64)
+    tok_idx = (ukey % len(uniques)).astype(np.int64)
+    out_toks = uniques[tok_idx]
     return pa.table(
         {
-            "doc_id": pa.array(ids_out, id_type),
-            "token": pa.array(toks, pa.string()),
-            "tf": pa.array(tfs, pa.int64()),
-            _PART: pa.array(_spart(toks, num_partitions)),
+            "doc_id": batch[id_column].take(pa.array(doc_idx)),
+            "token": pa.array(out_toks, pa.string()),
+            "tf": pa.array(tf.astype(np.int64)),
+            _PART: pa.array(_spart(out_toks, num_partitions)),
         }
     )
 
