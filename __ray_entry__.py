@@ -506,6 +506,31 @@ def _q_mixed_corpus(sf_dir: str):
     return weighted_sample_by_group(docs, "lang", "doc_id", _MIX_WEIGHTS)
 
 
+def _q_orders_lineitem_join(sf_dir: str):
+    """Big-x-big hash equi-join (both sides corpus-scale — the case the
+    broadcast join can't serve): one co-partition exchange by order-key
+    hash, one vectorized sorted-probe kernel per partition."""
+    from text_dedup_ray.pipelines.joins import hash_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderpriority"],
+    )
+    return hash_join(
+        li,
+        orders,
+        "l_orderkey",
+        "o_orderkey",
+        ["l_orderkey", "l_extendedprice"],
+        ["o_custkey", "o_orderpriority"],
+        how="inner",
+        num_partitions=16,
+    )
+
+
 def _q_events_distinct_users(sf_dir: str):
     """Scalable COUNT(DISTINCT): block-local pair dedup, value-hash
     exchange, partial counts — raw rows never shuffle."""
@@ -1645,6 +1670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_cms_registers": _q_cms_registers,
         "doc_pack_plan": _q_pack_plan,
         "mixed_corpus": _q_mixed_corpus,
+        "orders_lineitem_join": _q_orders_lineitem_join,
         "decontaminate_docs": _q_decontaminate,
         "doc_repetition": _q_repetition,
         "docs_above_p90": _q_above_p90,
@@ -1812,6 +1838,11 @@ def oracle_sql() -> dict[str, str]:
             "THEN round((d.n_chars - m.s/m.n) / "
             "sqrt(m.ss/m.n - (m.s/m.n)*(m.s/m.n)), 6) ELSE NULL END AS z "
             "FROM documents d JOIN m USING (lang)"
+        ),
+        "orders_lineitem_join": (
+            "SELECT l.l_orderkey, l.l_extendedprice, o.o_custkey, "
+            "o.o_orderpriority FROM lineitem l "
+            "JOIN orders o ON l.l_orderkey = o.o_orderkey"
         ),
         "mixed_corpus": (
             "SELECT doc_id, lang FROM documents WHERE "

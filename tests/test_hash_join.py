@@ -1,0 +1,89 @@
+"""Big-x-big hash equi-join through the two-sided exchange."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from text_dedup_ray.pipelines.joins import hash_join
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    return df[cols].sort_values(cols).reset_index(drop=True)
+
+
+def _tables(seed=7, n_l=400, n_r=900):
+    rng = np.random.default_rng(seed)
+    left = pa.table(
+        {
+            "k": rng.integers(0, 200, n_l).tolist(),
+            "lv": rng.integers(0, 10_000, n_l).tolist(),
+        }
+    )
+    right = pa.table(
+        {
+            "k": rng.integers(50, 260, n_r).tolist(),  # partial overlap
+            "rv": rng.integers(0, 10_000, n_r).tolist(),
+        }
+    )
+    return left, right
+
+
+class TestHashJoin:
+    def test_inner_matches_duckdb_with_duplicate_keys(self):
+        left, right = _tables()
+        got = hash_join(
+            ray.data.from_arrow(left).repartition(4),
+            ray.data.from_arrow(right).repartition(5),
+            "k", "k", ["k", "lv"], ["rv"], how="inner", num_partitions=6,
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("l", left)
+        con.register("r", right)
+        exp = con.execute(
+            "SELECT l.k, l.lv, r.rv FROM l JOIN r ON l.k = r.k"
+        ).fetchdf()
+        pd.testing.assert_frame_equal(_canon(got), _canon(exp), check_dtype=False)
+
+    def test_left_join_nulls(self):
+        left, right = _tables(seed=3)
+        got = hash_join(
+            ray.data.from_arrow(left),
+            ray.data.from_arrow(right),
+            "k", "k", ["k", "lv"], ["rv"], how="left",
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("l", left)
+        con.register("r", right)
+        exp = con.execute(
+            "SELECT l.k, l.lv, r.rv FROM l LEFT JOIN r ON l.k = r.k"
+        ).fetchdf()
+        pd.testing.assert_frame_equal(_canon(got), _canon(exp), check_dtype=False)
+
+    def test_name_collision_suffix_and_key_rename(self):
+        left = pa.table({"k": [1, 2], "v": [10, 20]})
+        right = pa.table({"kk": [1, 1], "v": [7, 8]})
+        got = hash_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            "k", "kk", ["k", "v"], ["v"],
+        ).to_pandas()
+        assert sorted(got.columns) == ["k", "v", "v_r"]
+        assert sorted(got.v_r.tolist()) == [7, 8] and set(got.k) == {1}
+
+    def test_partition_invariance_and_empty_right(self):
+        left, right = _tables(seed=11, n_l=60, n_r=80)
+        ld, rd = ray.data.from_arrow(left), ray.data.from_arrow(right)
+        a = hash_join(ld, rd, "k", "k", ["k", "lv"], ["rv"], num_partitions=1).to_pandas()
+        b = hash_join(
+            ld.repartition(5), rd.repartition(3), "k", "k", ["k", "lv"], ["rv"],
+            num_partitions=7,
+        ).to_pandas()
+        pd.testing.assert_frame_equal(_canon(a), _canon(b))
+        empty = pa.table({"k": pa.array([], pa.int64()), "rv": pa.array([], pa.int64())})
+        assert hash_join(ld, ray.data.from_arrow(empty), "k", "k", ["k", "lv"], ["rv"]).count() == 0
+        got_left = hash_join(
+            ld, ray.data.from_arrow(empty), "k", "k", ["k", "lv"], ["rv"], how="left"
+        ).to_pandas()
+        assert len(got_left) == len(left) and got_left.rv.isna().all()

@@ -347,3 +347,102 @@ def broadcast_join(
         return out
 
     return ds.map_batches(join, batch_format="pyarrow")
+
+
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_on: str,
+    right_on: str,
+    left_columns: list[str],
+    right_columns: list[str],
+    how: str = "inner",
+    num_partitions: int = 16,
+    right_suffix: str = "_r",
+) -> ray.data.Dataset:
+    """Big-x-big equi-join — the general two-large-tables case the
+    broadcast join can't serve (reference pipelines only ever join a
+    driver-sized side; at 100 TB both sides of orders x lineitem are
+    corpus-scale). Both sides co-partition ONCE by join-key hash through
+    the shared two-sided exchange (each sub-table crosses the object
+    store once, no sort-based shuffle) and every partition runs one
+    vectorized sorted-probe kernel: right sorted by key, left probed with
+    two searchsorted calls, match expansion by repeat arithmetic — no
+    Python per-row work, O((L + R) log R) per partition regardless of
+    match count. ``how`` = ``inner`` | ``left`` (left keeps unmatched
+    rows with NULL right columns). Right output columns colliding with
+    left names get ``right_suffix``.
+
+    Partitioning assumption (documented like the other exchange kernels):
+    one join key's rows on each side fit in a partition; salt hot keys
+    upstream if a single key's matches exceed worker memory."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if left_on not in left_columns:
+        left_columns = [left_on, *left_columns]
+    if right_on not in right_columns:
+        right_columns = [right_on, *right_columns]
+
+    l_tag = _tag_partition(left, left_on, left_columns, num_partitions)
+    r_tag = _tag_partition(right, right_on, right_columns, num_partitions)
+
+    l_schema = left.schema().base_schema
+    r_schema = right.schema().base_schema
+    out_names: list[str] = list(left_columns)
+    r_out_names: list[str] = []
+    for c in right_columns:
+        if c == right_on:
+            continue  # equal to the left key by definition
+        name = c if c not in out_names else c + right_suffix
+        r_out_names.append(name)
+        out_names.append(name)
+    out_fields = [(n, l_schema.field(n).type) for n in left_columns] + [
+        (n, r_schema.field(c).type)
+        for n, c in zip(r_out_names, [c for c in right_columns if c != right_on])
+    ]
+
+    def join_partition(lt: pa.Table | None, rt: pa.Table | None) -> pa.Table:
+        if lt is None or lt.num_rows == 0:
+            return _empty_like(out_fields)
+        if rt is None or rt.num_rows == 0:
+            if how == "inner":
+                return _empty_like(out_fields)
+            out = lt.drop_columns(["part"])
+            n = out.num_rows
+            for name, (_, typ) in zip(r_out_names, out_fields[len(left_columns):]):
+                out = out.append_column(name, pa.nulls(n, typ))
+            return out.rename_columns(out_names)
+        l_k = _i64(lt[left_on])
+        r_k = _i64(rt[right_on])
+        r_order = np.argsort(r_k, kind="stable")
+        r_sorted = r_k[r_order]
+        lo = np.searchsorted(r_sorted, l_k, side="left")
+        hi = np.searchsorted(r_sorted, l_k, side="right")
+        cnt = hi - lo
+        l_idx = np.repeat(np.arange(len(l_k)), cnt)
+        total = int(cnt.sum())
+        offs = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        r_pos = np.arange(total) - np.repeat(offs, cnt) + np.repeat(lo, cnt)
+        r_idx = r_order[r_pos]
+        l_out = lt.drop_columns(["part"]).take(pa.array(l_idx))
+        cols = {n: l_out[n] for n in left_columns}
+        r_taken = rt.take(pa.array(r_idx))
+        for name, c in zip(r_out_names, [c for c in right_columns if c != right_on]):
+            cols[name] = r_taken[c]
+        matched = pa.table(cols)
+        if how == "inner":
+            return matched
+        miss = np.flatnonzero(cnt == 0)
+        if len(miss) == 0:
+            return matched
+        l_miss = lt.drop_columns(["part"]).take(pa.array(miss))
+        mcols = {n: l_miss[n] for n in left_columns}
+        for name, (_, typ) in zip(r_out_names, out_fields[len(left_columns):]):
+            mcols[name] = pa.nulls(len(miss), typ)
+        return pa.concat_tables([matched, pa.table(mcols)], promote_options="default")
+
+    from ..stages.exchange import two_sided_hash_exchange
+
+    return two_sided_hash_exchange(
+        l_tag, r_tag, "part", num_partitions, join_partition
+    )
