@@ -531,6 +531,22 @@ def _q_orders_lineitem_join(sf_dir: str):
     )
 
 
+def _q_events_sliding(sf_dir: str):
+    """Sliding 1h windows hopping every 15min: the 4x overlap explode
+    happens INSIDE the block partial (one pre-aggregated row per distinct
+    (key, window) per block) — the shuffle moves partials, never the
+    exploded events."""
+    from text_dedup_ray.pipelines.agg import sliding_window_agg
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    out = sliding_window_agg(
+        ev, "ts", "event_type", "value", window_s=3600, hop_s=900
+    )
+    return _round_col(out, "sum_value", 3)
+
+
 def _q_events_distinct_users(sf_dir: str):
     """Scalable COUNT(DISTINCT): block-local pair dedup, value-hash
     exchange, partial counts — raw rows never shuffle."""
@@ -1671,6 +1687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pack_plan": _q_pack_plan,
         "mixed_corpus": _q_mixed_corpus,
         "orders_lineitem_join": _q_orders_lineitem_join,
+        "events_sliding_1h": _q_events_sliding,
         "decontaminate_docs": _q_decontaminate,
         "doc_repetition": _q_repetition,
         "docs_above_p90": _q_above_p90,
@@ -1838,6 +1855,14 @@ def oracle_sql() -> dict[str, str]:
             "THEN round((d.n_chars - m.s/m.n) / "
             "sqrt(m.ss/m.n - (m.s/m.n)*(m.s/m.n)), 6) ELSE NULL END AS z "
             "FROM documents d JOIN m USING (lang)"
+        ),
+        "events_sliding_1h": (
+            "SELECT event_type, make_timestamp("
+            "(epoch_us(ts) // 900000000) * 900000000 - i * 900000000) "
+            "AS window_start, round(sum(value), 3) AS sum_value, "
+            "count(*)::BIGINT AS n "
+            "FROM (SELECT event_type, value, ts, unnest(range(4)) AS i "
+            "FROM events) GROUP BY event_type, window_start"
         ),
         "orders_lineitem_join": (
             "SELECT l.l_orderkey, l.l_extendedprice, o.o_custkey, "

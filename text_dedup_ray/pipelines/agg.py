@@ -65,6 +65,84 @@ def tumbling_window_agg(
     return grouped_sum_count(windowed, [key_column, window_alias], sums)
 
 
+def sliding_window_agg(
+    ds: ray.data.Dataset,
+    ts_column: str,
+    key_column: str,
+    value_column: str | None = None,
+    window_s: int = 3600,
+    hop_s: int = 900,
+    window_alias: str = "window_start",
+    count_alias: str = "n",
+) -> ray.data.Dataset:
+    """Sliding (hopping) event-time windows: every event lands in the
+    ``window_s / hop_s`` overlapping windows covering its timestamp (all
+    starts on the epoch-aligned hop grid). The overlap factor multiplies
+    rows, so the explode happens INSIDE the block partial: each block
+    emits one pre-aggregated (key, window_start, sum, count) row per
+    distinct pair — the shuffle moves partials, never the exploded
+    events. Requires ``window_s % hop_s == 0`` (the standard hopping
+    grid)."""
+    if window_s % hop_s != 0:
+        raise ValueError("window_s must be a multiple of hop_s")
+    n_cov = window_s // hop_s
+    hop_us = hop_s * 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key_column: pa.array([], pa.string()),
+                window_alias: pa.array([], pa.timestamp("us")),
+                "__p_v": pa.array([], pa.float64()),
+                "__p_n": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        import pandas as pd
+
+        ts = batch[ts_column].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        latest = (ts // hop_us) * hop_us  # floor to the hop grid
+        m = batch.num_rows
+        starts = np.repeat(latest, n_cov) - np.tile(
+            np.arange(n_cov, dtype=np.int64) * hop_us, m
+        )
+        keys = np.repeat(
+            np.array(batch[key_column].to_pylist(), dtype=object), n_cov
+        )
+        vals = (
+            np.repeat(
+                batch[value_column].to_numpy(zero_copy_only=False).astype(np.float64),
+                n_cov,
+            )
+            if value_column
+            else np.zeros(m * n_cov)
+        )
+        codes, uniq_keys = pd.factorize(keys)
+        su, inv_s = np.unique(starts, return_inverse=True)
+        combo = codes.astype(np.int64) * len(su) + inv_s
+        uc, inv_c = np.unique(combo, return_inverse=True)
+        vsum = np.zeros(len(uc))
+        np.add.at(vsum, inv_c, vals)
+        cnt = np.bincount(inv_c, minlength=len(uc)).astype(np.int64)
+        out_keys = uniq_keys[(uc // len(su)).astype(np.int64)]
+        out_starts = su[(uc % len(su)).astype(np.int64)]
+        return pa.table(
+            {
+                key_column: pa.array(out_keys.tolist(), pa.string()),
+                window_alias: pa.array(out_starts).cast(pa.timestamp("us")),
+                "__p_v": pa.array(vsum),
+                "__p_n": pa.array(cnt),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    aggs = [Sum("__p_n", alias_name=count_alias)]
+    if value_column:
+        aggs.insert(0, Sum("__p_v", alias_name=f"sum_{value_column}"))
+    return partials.groupby([key_column, window_alias]).aggregate(*aggs)
+
+
 def exact_quantiles(
     ds: ray.data.Dataset,
     column: str,
