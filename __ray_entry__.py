@@ -547,6 +547,31 @@ def _q_events_sliding(sf_dir: str):
     return _round_col(out, "sum_value", 3)
 
 
+def _q_orders_full_customers(sf_dir: str):
+    """FULL outer variant of the big-x-big hash join (USING/COALESCE key
+    semantics): customers with no orders surface with NULL order columns
+    through the same single co-partition exchange."""
+    from text_dedup_ray.pipelines.joins import hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    out = hash_join(
+        orders,
+        cust,
+        "o_custkey",
+        "c_custkey",
+        ["o_custkey", "o_totalprice"],
+        ["c_mktsegment"],
+        how="full",
+        num_partitions=8,
+    )
+    return _round_col(out, "o_totalprice", 2)
+
+
 def _q_events_distinct_users(sf_dir: str):
     """Scalable COUNT(DISTINCT): block-local pair dedup, value-hash
     exchange, partial counts — raw rows never shuffle."""
@@ -1688,6 +1713,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixed_corpus": _q_mixed_corpus,
         "orders_lineitem_join": _q_orders_lineitem_join,
         "events_sliding_1h": _q_events_sliding,
+        "orders_full_customers": _q_orders_full_customers,
         "decontaminate_docs": _q_decontaminate,
         "doc_repetition": _q_repetition,
         "docs_above_p90": _q_above_p90,
@@ -1855,6 +1881,11 @@ def oracle_sql() -> dict[str, str]:
             "THEN round((d.n_chars - m.s/m.n) / "
             "sqrt(m.ss/m.n - (m.s/m.n)*(m.s/m.n)), 6) ELSE NULL END AS z "
             "FROM documents d JOIN m USING (lang)"
+        ),
+        "orders_full_customers": (
+            "SELECT coalesce(o.o_custkey, c.c_custkey) AS o_custkey, "
+            "round(o.o_totalprice, 2) AS o_totalprice, c.c_mktsegment "
+            "FROM orders o FULL JOIN customer c ON o.o_custkey = c.c_custkey"
         ),
         "events_sliding_1h": (
             "SELECT event_type, make_timestamp("

@@ -87,3 +87,40 @@ class TestHashJoin:
             ld, ray.data.from_arrow(empty), "k", "k", ["k", "lv"], ["rv"], how="left"
         ).to_pandas()
         assert len(got_left) == len(left) and got_left.rv.isna().all()
+
+
+class TestOuterJoins:
+    def test_right_and_full_match_duckdb(self):
+        left, right = _tables(seed=21, n_l=150, n_r=200)
+        ld = ray.data.from_arrow(left).repartition(3)
+        rd = ray.data.from_arrow(right).repartition(4)
+        con = duckdb.connect()
+        con.register("l", left)
+        con.register("r", right)
+        for how, sql in [
+            ("right", "SELECT coalesce(l.k, r.k) AS k, l.lv, r.rv FROM l RIGHT JOIN r ON l.k = r.k"),
+            ("full", "SELECT coalesce(l.k, r.k) AS k, l.lv, r.rv FROM l FULL JOIN r ON l.k = r.k"),
+        ]:
+            got = hash_join(
+                ld, rd, "k", "k", ["k", "lv"], ["rv"], how=how, num_partitions=5
+            ).to_pandas()
+            exp = con.execute(sql).fetchdf()
+            pd.testing.assert_frame_equal(
+                _canon(got), _canon(exp), check_dtype=False
+            )
+
+    def test_full_with_empty_sides(self):
+        left, right = _tables(seed=2, n_l=40, n_r=30)
+        empty = pa.table({"k": pa.array([], pa.int64()), "rv": pa.array([], pa.int64())})
+        got = hash_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(empty),
+            "k", "k", ["k", "lv"], ["rv"], how="full",
+        ).to_pandas()
+        assert len(got) == len(left) and got.rv.isna().all()
+        empty_l = pa.table({"k": pa.array([], pa.int64()), "lv": pa.array([], pa.int64())})
+        got2 = hash_join(
+            ray.data.from_arrow(empty_l), ray.data.from_arrow(right),
+            "k", "k", ["k", "lv"], ["rv"], how="full",
+        ).to_pandas()
+        assert len(got2) == len(right) and got2.lv.isna().all()
+        assert sorted(got2.k) == sorted(right["k"].to_pylist())

@@ -369,15 +369,19 @@ def hash_join(
     vectorized sorted-probe kernel: right sorted by key, left probed with
     two searchsorted calls, match expansion by repeat arithmetic — no
     Python per-row work, O((L + R) log R) per partition regardless of
-    match count. ``how`` = ``inner`` | ``left`` (left keeps unmatched
-    rows with NULL right columns). Right output columns colliding with
+    match count. ``how`` = ``inner`` | ``left`` | ``right`` | ``full``:
+    unmatched rows survive with NULLs on the other side, and the single
+    output key column carries ``COALESCE(left key, right key)`` — SQL
+    ``JOIN ... USING`` semantics. Right output columns colliding with
     left names get ``right_suffix``.
 
     Partitioning assumption (documented like the other exchange kernels):
     one join key's rows on each side fit in a partition; salt hot keys
     upstream if a single key's matches exceed worker memory."""
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how not in ("inner", "left", "right", "full"):
+        raise ValueError(
+            f"how must be inner|left|right|full, got {how!r}"
+        )
     if left_on not in left_columns:
         left_columns = [left_on, *left_columns]
     if right_on not in right_columns:
@@ -401,11 +405,31 @@ def hash_join(
         for n, c in zip(r_out_names, [c for c in right_columns if c != right_on])
     ]
 
+    r_src_names = [c for c in right_columns if c != right_on]
+
+    def right_only(rt: pa.Table, sel: np.ndarray | None = None) -> pa.Table:
+        """Right rows with no left match: NULL left columns except the
+        key, which carries the right key (USING / COALESCE semantics)."""
+        r_sel = rt if sel is None else rt.take(pa.array(sel))
+        cols: dict = {}
+        key_type = dict(out_fields)[left_on]
+        for n, typ in out_fields[: len(left_columns)]:
+            cols[n] = (
+                r_sel[right_on].cast(key_type)
+                if n == left_on
+                else pa.nulls(r_sel.num_rows, typ)
+            )
+        for name, c in zip(r_out_names, r_src_names):
+            cols[name] = r_sel[c]
+        return pa.table(cols)
+
     def join_partition(lt: pa.Table | None, rt: pa.Table | None) -> pa.Table:
         if lt is None or lt.num_rows == 0:
+            if how in ("right", "full") and rt is not None and rt.num_rows:
+                return right_only(rt)
             return _empty_like(out_fields)
         if rt is None or rt.num_rows == 0:
-            if how == "inner":
+            if how in ("inner", "right"):
                 return _empty_like(out_fields)
             out = lt.drop_columns(["part"])
             n = out.num_rows
@@ -430,16 +454,26 @@ def hash_join(
         for name, c in zip(r_out_names, [c for c in right_columns if c != right_on]):
             cols[name] = r_taken[c]
         matched = pa.table(cols)
-        if how == "inner":
+        pieces = [matched]
+        if how in ("left", "full"):
+            miss = np.flatnonzero(cnt == 0)
+            if len(miss):
+                l_miss = lt.drop_columns(["part"]).take(pa.array(miss))
+                mcols = {n: l_miss[n] for n in left_columns}
+                for name, (_, typ) in zip(
+                    r_out_names, out_fields[len(left_columns):]
+                ):
+                    mcols[name] = pa.nulls(len(miss), typ)
+                pieces.append(pa.table(mcols))
+        if how in ("right", "full"):
+            hit_r = np.zeros(len(r_k), dtype=bool)
+            hit_r[r_idx] = True
+            r_miss = np.flatnonzero(~hit_r)
+            if len(r_miss):
+                pieces.append(right_only(rt, r_miss))
+        if len(pieces) == 1:
             return matched
-        miss = np.flatnonzero(cnt == 0)
-        if len(miss) == 0:
-            return matched
-        l_miss = lt.drop_columns(["part"]).take(pa.array(miss))
-        mcols = {n: l_miss[n] for n in left_columns}
-        for name, (_, typ) in zip(r_out_names, out_fields[len(left_columns):]):
-            mcols[name] = pa.nulls(len(miss), typ)
-        return pa.concat_tables([matched, pa.table(mcols)], promote_options="default")
+        return pa.concat_tables(pieces, promote_options="default")
 
     from ..stages.exchange import two_sided_hash_exchange
 
