@@ -572,6 +572,21 @@ def _q_orders_full_customers(sf_dir: str):
     return _round_col(out, "o_totalprice", 2)
 
 
+def _q_approx_quantiles(sf_dir: str):
+    """Approximate quantiles for unbounded-cardinality columns via a
+    deterministic bottom-k-by-hash uniform sample: bottom-k is mergeable,
+    so the sample — and therefore each estimate — is EXACTLY
+    partition-invariant and SQL-recomputable (ORDER BY the same md5
+    expression LIMIT k), despite being an approximation of the true
+    quantiles."""
+    from text_dedup_ray.pipelines.agg import approx_quantiles
+
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+    return approx_quantiles(
+        docs, "n_chars", "doc_id", {"p25": 0.25, "p50": 0.5, "p90": 0.9}, k=256
+    )
+
+
 def _q_events_distinct_users(sf_dir: str):
     """Scalable COUNT(DISTINCT): block-local pair dedup, value-hash
     exchange, partial counts — raw rows never shuffle."""
@@ -1714,6 +1729,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_lineitem_join": _q_orders_lineitem_join,
         "events_sliding_1h": _q_events_sliding,
         "orders_full_customers": _q_orders_full_customers,
+        "doc_length_quantiles_approx": _q_approx_quantiles,
         "decontaminate_docs": _q_decontaminate,
         "doc_repetition": _q_repetition,
         "docs_above_p90": _q_above_p90,
@@ -1881,6 +1897,14 @@ def oracle_sql() -> dict[str, str]:
             "THEN round((d.n_chars - m.s/m.n) / "
             "sqrt(m.ss/m.n - (m.s/m.n)*(m.s/m.n)), 6) ELSE NULL END AS z "
             "FROM documents d JOIN m USING (lang)"
+        ),
+        "doc_length_quantiles_approx": (
+            "WITH s AS (SELECT n_chars FROM documents ORDER BY "
+            "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT, doc_id "
+            "LIMIT 256) "
+            "SELECT quantile_disc(n_chars, 0.25)::DOUBLE AS p25, "
+            "quantile_disc(n_chars, 0.5)::DOUBLE AS p50, "
+            "quantile_disc(n_chars, 0.9)::DOUBLE AS p90 FROM s"
         ),
         "orders_full_customers": (
             "SELECT coalesce(o.o_custkey, c.c_custkey) AS o_custkey, "

@@ -185,3 +185,52 @@ class TestGroupedVectorMean:
         assert key(a).equals(key(b))
         got = dict(zip(zip(key(a).label, key(a).dim), key(a)["mean"]))
         assert got == {("x", 0): 2.0, ("x", 1): 4.0, ("y", 0): 10.0, ("y", 1): -2.0}
+
+
+class TestApproxQuantiles:
+    def test_matches_duckdb_sample_exactly(self):
+        from text_dedup_ray.pipelines.agg import approx_quantiles
+
+        rng = np.random.default_rng(6)
+        tbl = pa.table(
+            {
+                "id": list(range(5000)),
+                "v": rng.lognormal(3, 1.2, 5000).tolist(),  # unbounded doubles
+            }
+        )
+        got = approx_quantiles(
+            ray.data.from_arrow(tbl).repartition(6), "v", "id",
+            {"p50": 0.5, "p90": 0.9}, k=512,
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("t", tbl)
+        exp = con.execute(
+            "WITH s AS (SELECT v FROM t ORDER BY "
+            "('0x' || substr(md5(id::VARCHAR), 1, 8))::UBIGINT, id LIMIT 512) "
+            "SELECT quantile_disc(v, 0.5) AS p50, quantile_disc(v, 0.9) AS p90 FROM s"
+        ).fetchdf()
+        assert got.p50[0] == exp.p50[0] and got.p90[0] == exp.p90[0]
+
+    def test_exact_partition_invariance_and_accuracy(self):
+        from text_dedup_ray.pipelines.agg import approx_quantiles
+
+        rng = np.random.default_rng(14)
+        v = rng.normal(100, 15, 50_000)
+        tbl = pa.table({"id": list(range(50_000)), "v": v.tolist()})
+        ds = ray.data.from_arrow(tbl)
+        qs = {"p25": 0.25, "p50": 0.5, "p75": 0.75}
+        a = approx_quantiles(ds.repartition(1), "v", "id", qs, k=2048).to_pandas()
+        b = approx_quantiles(ds.repartition(9), "v", "id", qs, k=2048).to_pandas()
+        assert a.equals(b)  # bottom-k merge is exactly partition-invariant
+        sv = np.sort(v)
+        for name, q in qs.items():
+            est = a[name][0]
+            rank_err = abs(np.searchsorted(sv, est) / len(sv) - q)
+            assert rank_err < 0.04, (name, est, rank_err)
+
+    def test_empty(self):
+        from text_dedup_ray.pipelines.agg import approx_quantiles
+
+        tbl = pa.table({"id": pa.array([], pa.int64()), "v": pa.array([], pa.float64())})
+        out = approx_quantiles(ray.data.from_arrow(tbl), "v", "id", {"p50": 0.5})
+        assert out.to_pandas().p50.isna().all()

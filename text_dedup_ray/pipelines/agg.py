@@ -199,6 +199,73 @@ def exact_quantiles(
     return pa.table(out)
 
 
+def approx_quantiles(
+    ds: ray.data.Dataset,
+    column: str,
+    id_column: str,
+    quantiles: dict[str, float],
+    k: int = 4096,
+    salt: str = "",
+) -> pa.Table:
+    """Approximate quantiles for UNBOUNDED-cardinality columns (the gap
+    ``exact_quantiles``' histogram contract documents): a deterministic
+    bottom-k-by-hash uniform row sample. Every block keeps its k rows
+    with the smallest ``hash_u32(salt + id)`` (ties by id), one
+    single-partition fold keeps the global bottom-k — bottom-k is
+    mergeable, so the sample (and every estimate) is EXACTLY
+    partition-invariant and SQL-recomputable (ORDER BY the same md5
+    expression LIMIT k), not just statistically stable. Rank error is
+    the standard sampling bound O(1/sqrt(k)). Returns one row with
+    ``quantile_disc``-rule values over the sample."""
+    from ..pipelines.sample import _hash_u32
+    from ..stages.exchange import hash_partition_exchange
+
+    def bottom_k(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "v": pa.array([], pa.float64()),
+                "h": pa.array([], pa.int64()),
+                "i": pa.array([], pa.int64()),
+                "part": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        ids = batch[id_column].to_numpy(zero_copy_only=False)
+        h = _hash_u32(ids.tolist(), salt).astype(np.int64)
+        v = batch[column].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((ids, h))[:k]
+        return pa.table(
+            {
+                "v": pa.array(v[order]),
+                "h": pa.array(h[order]),
+                "i": pa.array(ids[order].astype(np.int64)),
+                "part": pa.array(np.zeros(len(order), np.int64)),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "h" not in group.column_names:
+            return pa.table({"v": pa.array([], pa.float64())})
+        h = group["h"].to_numpy(zero_copy_only=False)
+        i = group["i"].to_numpy(zero_copy_only=False)
+        v = group["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, h))[:k]
+        return pa.table({"v": pa.array(v[order])})
+
+    pre = ds.map_batches(bottom_k, batch_format="pyarrow", batch_size=None)
+    sample = hash_partition_exchange(pre, "part", 1, fold).to_pandas()
+    if sample.empty:
+        return pa.table({name: pa.array([None], pa.float64()) for name in quantiles})
+    vals = np.sort(sample["v"].to_numpy())
+    n = len(vals)
+    out = {}
+    for name, q in quantiles.items():
+        rank = min(max(int(np.ceil(q * n)), 1), n)  # quantile_disc rule
+        out[name] = pa.array([float(vals[rank - 1])], pa.float64())
+    return pa.table(out)
+
+
 def grouped_quantiles(
     ds: ray.data.Dataset,
     key: str,
