@@ -289,3 +289,47 @@ min_line_length = 5
         "unique beta",
     ]
     assert "row_id" not in t.columns
+
+
+def test_cli_mix(tmp_path):
+    config = tmp_path / "run.toml"
+    out_dir = tmp_path / "out"
+    config.write_text(
+        f"""
+[input]
+path = "/root/testdata/sf0.001/documents.parquet"
+text_column = "text"
+id_column = "doc_id"
+
+[output]
+path = "{out_dir}"
+
+[algorithm]
+name = "mix"
+group_key = "lang"
+id_key = "doc_id"
+
+[algorithm.weights]
+en = 1.0
+de = 0.25
+"""
+    )
+    proc = subprocess.run(
+        [sys.executable, "-m", "text_dedup_ray", "--config", str(config)],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=240,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert stats["algorithm"] == "mix" and stats["weights"]["en"] == 1.0
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(str(out_dir)).to_pandas()
+    assert set(t.lang) <= {"en", "de"}
+    n_en_src = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["lang"]
+    ).to_pandas().lang.value_counts().get("en", 0)
+    assert (t.lang == "en").sum() == n_en_src  # weight 1.0 keeps all

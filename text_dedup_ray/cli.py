@@ -331,6 +331,22 @@ def main(argv: list[str] | None = None) -> None:
                 lambda b: b.filter(_pc.not_equal(b[text_column], "")),
                 batch_format="pyarrow",
             )
+    elif name == "mix":
+        from .pipelines.sample import weighted_sample_by_group
+        from .sources.io import ROW_ID
+
+        weights = algo.get("weights")
+        if not isinstance(weights, dict) or not weights:
+            raise SystemExit("mix needs [algorithm.weights] (group -> rate)")
+        result_ds = weighted_sample_by_group(
+            ds,
+            group_key=algo.get("group_key", "lang"),
+            id_key=algo.get("id_key", ROW_ID),
+            weights={str(k): float(v) for k, v in weights.items()},
+            salt=str(algo.get("salt", "")),
+            default=float(algo.get("default", 0.0)),
+        )
+        stats["weights"] = weights
     else:
         raise SystemExit(f"unknown algorithm {name!r}")
 
