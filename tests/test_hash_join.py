@@ -124,3 +124,40 @@ class TestOuterJoins:
         ).to_pandas()
         assert len(got2) == len(right) and got2.lv.isna().all()
         assert sorted(got2.k) == sorted(right["k"].to_pylist())
+
+
+class TestSkewSalt:
+    def test_salted_equals_unsalted_with_hot_key(self):
+        rng = np.random.default_rng(33)
+        # one key carries 80% of the left side
+        k_l = np.where(rng.random(2000) < 0.8, 7, rng.integers(0, 50, 2000))
+        left = pa.table({"k": k_l.tolist(), "lv": list(range(2000))})
+        right = pa.table(
+            {"k": rng.integers(0, 50, 300).tolist(), "rv": list(range(300))}
+        )
+        ld = ray.data.from_arrow(left).repartition(4)
+        rd = ray.data.from_arrow(right).repartition(3)
+        base = hash_join(ld, rd, "k", "k", ["k", "lv"], ["rv"], num_partitions=8).to_pandas()
+        for how in ("inner", "left"):
+            salted = hash_join(
+                ld, rd, "k", "k", ["k", "lv"], ["rv"], how=how,
+                num_partitions=8, skew_salt=8,
+            ).to_pandas()
+            if how == "inner":
+                pd.testing.assert_frame_equal(_canon(salted), _canon(base))
+            else:
+                exp = hash_join(
+                    ld, rd, "k", "k", ["k", "lv"], ["rv"], how="left",
+                    num_partitions=8,
+                ).to_pandas()
+                pd.testing.assert_frame_equal(_canon(salted), _canon(exp))
+
+    def test_salt_validation(self):
+        import pytest
+
+        left, right = _tables(seed=1, n_l=10, n_r=10)
+        ld, rd = ray.data.from_arrow(left), ray.data.from_arrow(right)
+        with pytest.raises(ValueError):
+            hash_join(ld, rd, "k", "k", ["k", "lv"], ["rv"], how="full", skew_salt=2)
+        with pytest.raises(ValueError):
+            hash_join(ld, rd, "k", "k", ["k", "lv"], ["rv"], skew_salt=99, num_partitions=8)

@@ -359,6 +359,7 @@ def hash_join(
     how: str = "inner",
     num_partitions: int = 16,
     right_suffix: str = "_r",
+    skew_salt: int = 1,
 ) -> ray.data.Dataset:
     """Big-x-big equi-join — the general two-large-tables case the
     broadcast join can't serve (reference pipelines only ever join a
@@ -376,19 +377,55 @@ def hash_join(
     left names get ``right_suffix``.
 
     Partitioning assumption (documented like the other exchange kernels):
-    one join key's rows on each side fit in a partition; salt hot keys
-    upstream if a single key's matches exceed worker memory."""
+    one join key's rows on each side fit in a partition. For skewed LEFT
+    keys pass ``skew_salt=S > 1``: left rows scatter across S sub-keys
+    (block-local round-robin — the output SET is unchanged) and each
+    right row replicates into all S sub-keys, so a hot key's probe work
+    spreads over S partitions at the cost of S x right volume. Salting is
+    inner/left only (a replicated right row cannot detect
+    "unmatched-everywhere" locally, so right/full reject it)."""
     if how not in ("inner", "left", "right", "full"):
         raise ValueError(
             f"how must be inner|left|right|full, got {how!r}"
         )
+    if skew_salt < 1:
+        raise ValueError("skew_salt must be >= 1")
+    if skew_salt > 1 and how in ("right", "full"):
+        raise ValueError("skew_salt requires how='inner' or 'left'")
+    if skew_salt > num_partitions:
+        # with S <= P, a key's S salts occupy S DISTINCT partitions, so a
+        # probe never sees two replicas of the same right row (S > P would
+        # alias salts into one partition and duplicate matches)
+        raise ValueError("skew_salt must be <= num_partitions")
     if left_on not in left_columns:
         left_columns = [left_on, *left_columns]
     if right_on not in right_columns:
         right_columns = [right_on, *right_columns]
 
-    l_tag = _tag_partition(left, left_on, left_columns, num_partitions)
-    r_tag = _tag_partition(right, right_on, right_columns, num_partitions)
+    if skew_salt == 1:
+        l_tag = _tag_partition(left, left_on, left_columns, num_partitions)
+        r_tag = _tag_partition(right, right_on, right_columns, num_partitions)
+    else:
+        S = skew_salt
+
+        def tag_left(batch: pa.Table) -> pa.Table:
+            t = batch.select(left_columns)
+            k = np.abs(_i64(t[left_on])) % num_partitions
+            salt = np.arange(len(k), dtype=np.int64) % S
+            part = (k * S + salt) % num_partitions
+            return t.append_column("part", pa.array(part))
+
+        def tag_right(batch: pa.Table) -> pa.Table:
+            t = batch.select(right_columns)
+            n = t.num_rows
+            rep = t.take(pa.array(np.repeat(np.arange(n, dtype=np.int64), S)))
+            k = np.abs(_i64(rep[right_on])) % num_partitions
+            salt = np.tile(np.arange(S, dtype=np.int64), n)
+            part = (k * S + salt) % num_partitions
+            return rep.append_column("part", pa.array(part))
+
+        l_tag = left.map_batches(tag_left, batch_format="pyarrow")
+        r_tag = right.map_batches(tag_right, batch_format="pyarrow")
 
     l_schema = left.schema().base_schema
     r_schema = right.schema().base_schema
