@@ -587,6 +587,38 @@ def _q_approx_quantiles(sf_dir: str):
     )
 
 
+def _q_lineitem_semi_urgent(sf_dir: str):
+    """Big-x-big SEMI join with skew salting enabled: lineitems of urgent
+    orders — the left side streams through the salted co-partition
+    exchange and survives iff its key matches, no right columns
+    materialize."""
+    import pyarrow.compute as _pc
+
+    from text_dedup_ray.pipelines.joins import hash_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+    urgent = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(
+        lambda b: b.filter(_pc.equal(b["o_orderpriority"], "1-URGENT")),
+        batch_format="pyarrow",
+    )
+    out = hash_join(
+        li,
+        urgent,
+        "l_orderkey",
+        "o_orderkey",
+        ["l_orderkey", "l_quantity"],
+        [],
+        how="semi",
+        num_partitions=16,
+        skew_salt=4,
+    )
+    return _round_col(out, "l_quantity", 2)
+
+
 def _q_events_distinct_users(sf_dir: str):
     """Scalable COUNT(DISTINCT): block-local pair dedup, value-hash
     exchange, partial counts — raw rows never shuffle."""
@@ -1730,6 +1762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_1h": _q_events_sliding,
         "orders_full_customers": _q_orders_full_customers,
         "doc_length_quantiles_approx": _q_approx_quantiles,
+        "lineitem_semi_urgent": _q_lineitem_semi_urgent,
         "decontaminate_docs": _q_decontaminate,
         "doc_repetition": _q_repetition,
         "docs_above_p90": _q_above_p90,
@@ -1897,6 +1930,11 @@ def oracle_sql() -> dict[str, str]:
             "THEN round((d.n_chars - m.s/m.n) / "
             "sqrt(m.ss/m.n - (m.s/m.n)*(m.s/m.n)), 6) ELSE NULL END AS z "
             "FROM documents d JOIN m USING (lang)"
+        ),
+        "lineitem_semi_urgent": (
+            "SELECT l_orderkey, round(l_quantity, 2) AS l_quantity "
+            "FROM lineitem WHERE l_orderkey IN "
+            "(SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')"
         ),
         "doc_length_quantiles_approx": (
             "WITH s AS (SELECT n_chars FROM documents ORDER BY "

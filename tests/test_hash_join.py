@@ -161,3 +161,38 @@ class TestSkewSalt:
             hash_join(ld, rd, "k", "k", ["k", "lv"], ["rv"], how="full", skew_salt=2)
         with pytest.raises(ValueError):
             hash_join(ld, rd, "k", "k", ["k", "lv"], ["rv"], skew_salt=99, num_partitions=8)
+
+
+class TestSemiAnti:
+    def test_semi_anti_match_duckdb(self):
+        left, right = _tables(seed=8)
+        ld = ray.data.from_arrow(left).repartition(3)
+        rd = ray.data.from_arrow(right).repartition(4)
+        con = duckdb.connect()
+        con.register("l", left)
+        con.register("r", right)
+        for how, sql in [
+            ("semi", "SELECT k, lv FROM l WHERE k IN (SELECT k FROM r)"),
+            ("anti", "SELECT k, lv FROM l WHERE k NOT IN (SELECT k FROM r)"),
+        ]:
+            got = hash_join(
+                ld, rd, "k", "k", ["k", "lv"], ["rv"], how=how, num_partitions=5
+            ).to_pandas()
+            exp = con.execute(sql).fetchdf()
+            pd.testing.assert_frame_equal(_canon(got), _canon(exp), check_dtype=False)
+            assert "rv" not in got.columns
+
+    def test_semi_anti_partition_complement_and_salt(self):
+        left, right = _tables(seed=4, n_l=300, n_r=100)
+        ld = ray.data.from_arrow(left).repartition(4)
+        rd = ray.data.from_arrow(right).repartition(2)
+        semi = hash_join(ld, rd, "k", "k", ["k", "lv"], ["rv"], how="semi").to_pandas()
+        anti = hash_join(ld, rd, "k", "k", ["k", "lv"], ["rv"], how="anti").to_pandas()
+        assert len(semi) + len(anti) == len(left)
+        # salted variants agree exactly
+        for how, base in [("semi", semi), ("anti", anti)]:
+            salted = hash_join(
+                ld, rd, "k", "k", ["k", "lv"], ["rv"], how=how,
+                num_partitions=16, skew_salt=8,
+            ).to_pandas()
+            pd.testing.assert_frame_equal(_canon(salted), _canon(base))

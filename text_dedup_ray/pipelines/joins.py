@@ -384,14 +384,18 @@ def hash_join(
     spreads over S partitions at the cost of S x right volume. Salting is
     inner/left only (a replicated right row cannot detect
     "unmatched-everywhere" locally, so right/full reject it)."""
-    if how not in ("inner", "left", "right", "full"):
+    if how not in ("inner", "left", "right", "full", "semi", "anti"):
         raise ValueError(
-            f"how must be inner|left|right|full, got {how!r}"
+            f"how must be inner|left|right|full|semi|anti, got {how!r}"
         )
     if skew_salt < 1:
         raise ValueError("skew_salt must be >= 1")
     if skew_salt > 1 and how in ("right", "full"):
-        raise ValueError("skew_salt requires how='inner' or 'left'")
+        # left rows are never replicated, and with S <= P a left row's
+        # partition holds exactly one copy of every right row sharing its
+        # key — so inner/left/semi/anti all stay correct under salting;
+        # only RIGHT-row unmatched detection (right/full) breaks
+        raise ValueError("skew_salt requires how in inner|left|semi|anti")
     if skew_salt > num_partitions:
         # with S <= P, a key's S salts occupy S DISTINCT partitions, so a
         # probe never sees two replicas of the same right row (S > P would
@@ -464,8 +468,14 @@ def hash_join(
         if lt is None or lt.num_rows == 0:
             if how in ("right", "full") and rt is not None and rt.num_rows:
                 return right_only(rt)
+            if how in ("semi", "anti"):
+                return _empty_like(out_fields[: len(left_columns)])
             return _empty_like(out_fields)
         if rt is None or rt.num_rows == 0:
+            if how in ("semi", "anti"):
+                if how == "semi":
+                    return _empty_like(out_fields[: len(left_columns)])
+                return lt.drop_columns(["part"])
             if how in ("inner", "right"):
                 return _empty_like(out_fields)
             out = lt.drop_columns(["part"])
@@ -480,6 +490,9 @@ def hash_join(
         lo = np.searchsorted(r_sorted, l_k, side="left")
         hi = np.searchsorted(r_sorted, l_k, side="right")
         cnt = hi - lo
+        if how in ("semi", "anti"):
+            keep = cnt > 0 if how == "semi" else cnt == 0
+            return lt.drop_columns(["part"]).filter(pa.array(keep))
         l_idx = np.repeat(np.arange(len(l_k)), cnt)
         total = int(cnt.sum())
         offs = np.concatenate(([0], np.cumsum(cnt)[:-1]))
