@@ -619,6 +619,20 @@ def _q_lineitem_semi_urgent(sf_dir: str):
     return _round_col(out, "l_quantity", 2)
 
 
+def _q_events_lag(sf_dir: str):
+    """Per-user LAG/LEAD stamping (SQL window semantics incl. NULL at key
+    boundaries): one key-hash exchange, one lexsort per partition,
+    vectorized boundary-guarded shifts."""
+    from text_dedup_ray.pipelines.agg import with_lag_lead
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "value"]
+    )
+    return with_lag_lead(
+        ev, "user_id", "event_id", "value", lags=(1,), leads=(1,)
+    )
+
+
 def _q_events_distinct_users(sf_dir: str):
     """Scalable COUNT(DISTINCT): block-local pair dedup, value-hash
     exchange, partial counts — raw rows never shuffle."""
@@ -1763,6 +1777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_full_customers": _q_orders_full_customers,
         "doc_length_quantiles_approx": _q_approx_quantiles,
         "lineitem_semi_urgent": _q_lineitem_semi_urgent,
+        "events_lag_lead": _q_events_lag,
         "decontaminate_docs": _q_decontaminate,
         "doc_repetition": _q_repetition,
         "docs_above_p90": _q_above_p90,
@@ -1930,6 +1945,11 @@ def oracle_sql() -> dict[str, str]:
             "THEN round((d.n_chars - m.s/m.n) / "
             "sqrt(m.ss/m.n - (m.s/m.n)*(m.s/m.n)), 6) ELSE NULL END AS z "
             "FROM documents d JOIN m USING (lang)"
+        ),
+        "events_lag_lead": (
+            "SELECT user_id, event_id, value, "
+            "lag(value, 1) OVER w AS lag_1, lead(value, 1) OVER w AS lead_1 "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)"
         ),
         "lineitem_semi_urgent": (
             "SELECT l_orderkey, round(l_quantity, 2) AS l_quantity "

@@ -1,0 +1,73 @@
+"""Per-key LAG/LEAD window stamping."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from text_dedup_ray.pipelines.agg import with_lag_lead
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    return df[cols].sort_values(cols).reset_index(drop=True)
+
+
+class TestLagLead:
+    def test_matches_duckdb(self):
+        rng = np.random.default_rng(19)
+        n = 2000
+        tbl = pa.table(
+            {
+                "uid": rng.integers(0, 60, n).tolist(),
+                "eid": rng.permutation(n).tolist(),
+                "v": np.round(rng.random(n), 3).tolist(),
+            }
+        )
+        got = with_lag_lead(
+            ray.data.from_arrow(tbl).repartition(5), "uid", "eid", "v",
+            lags=(1, 2), leads=(1,), num_partitions=4,
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("t", tbl)
+        exp = con.execute(
+            "SELECT uid, eid, v, "
+            "lag(v, 1) OVER w AS lag_1, lag(v, 2) OVER w AS lag_2, "
+            "lead(v, 1) OVER w AS lead_1 FROM t "
+            "WINDOW w AS (PARTITION BY uid ORDER BY eid)"
+        ).fetchdf()
+        pd.testing.assert_frame_equal(_canon(got), _canon(exp), check_dtype=False)
+
+    def test_boundaries_null_and_tiny_groups(self):
+        tbl = pa.table(
+            {
+                "uid": [1, 1, 1, 2],
+                "eid": [10, 20, 30, 5],
+                "v": [1.0, 2.0, 3.0, 9.0],
+            }
+        )
+        got = (
+            with_lag_lead(ray.data.from_arrow(tbl), "uid", "eid", "v",
+                          lags=(1,), leads=(1,))
+            .to_pandas()
+            .sort_values(["uid", "eid"])
+            .reset_index(drop=True)
+        )
+        assert got.lag_1.isna().tolist() == [True, False, False, True]
+        assert got.lag_1.tolist()[1:3] == [1.0, 2.0]
+        assert got.lead_1.isna().tolist() == [False, False, True, True]
+
+    def test_partition_invariance(self):
+        rng = np.random.default_rng(1)
+        tbl = pa.table(
+            {
+                "uid": rng.integers(0, 5, 200).tolist(),
+                "eid": rng.permutation(200).tolist(),
+                "v": rng.random(200).tolist(),
+            }
+        )
+        ds = ray.data.from_arrow(tbl)
+        a = with_lag_lead(ds.repartition(1), "uid", "eid", "v", num_partitions=1).to_pandas()
+        b = with_lag_lead(ds.repartition(7), "uid", "eid", "v", num_partitions=5).to_pandas()
+        pd.testing.assert_frame_equal(_canon(a), _canon(b))

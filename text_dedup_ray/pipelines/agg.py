@@ -738,6 +738,84 @@ def grouped_zscore(
     return ds.map_batches(stamp, batch_format="pyarrow", batch_size=None)
 
 
+def with_lag_lead(
+    ds: ray.data.Dataset,
+    key: str,
+    order_column: str,
+    value_column: str,
+    lags: tuple[int, ...] = (1,),
+    leads: tuple[int, ...] = (),
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Per-key LAG/LEAD window stamping (SQL ``lag(value, n) OVER
+    (PARTITION BY key ORDER BY order)``): one key-hash exchange co-locates
+    each key's rows, one lexsort per partition orders them, and every
+    lag/lead is a vectorized shift guarded at key boundaries (NULL outside
+    the key's rows — exactly the SQL default). ``order_column`` must be
+    unique within a key (an event id); int64 keys/orders."""
+    import hashlib as _h
+
+    from ..stages.exchange import hash_partition_exchange
+
+    out_cols = [key, order_column, value_column]
+    alias = [(f"lag_{n}", n) for n in lags] + [(f"lead_{n}", -n) for n in leads]
+
+    def tag(batch: pa.Table) -> pa.Table:
+        t = batch.select(out_cols)
+        if batch.num_rows == 0:
+            return t.append_column("part", pa.array([], pa.int64()))
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = np.fromiter(
+            (
+                int.from_bytes(_h.sha1(str(v).encode()).digest()[:8], "little")
+                % num_partitions
+                for v in k
+            ),
+            np.int64,
+            count=len(k),
+        )
+        return t.append_column("part", pa.array(part))
+
+    def fold(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key: pa.array([], pa.int64()),
+                order_column: pa.array([], pa.int64()),
+                value_column: pa.array([], pa.float64()),
+                **{a: pa.array([], pa.float64()) for a, _ in alias},
+            }
+        )
+        if group.num_rows == 0 or key not in group.column_names:
+            return empty
+        k = group[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = group[order_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = group[value_column].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((o, k))
+        ks, vs = k[order], v[order]
+        n = len(ks)
+        out = group.drop_columns(["part"]).take(pa.array(order))
+        for name, shift in alias:
+            col = np.full(n, np.nan)
+            if shift > 0 and shift < n:  # lag
+                col[shift:] = vs[:-shift]
+                valid = np.zeros(n, dtype=bool)
+                valid[shift:] = ks[shift:] == ks[:-shift]
+            elif shift < 0 and -shift < n:  # lead
+                m = -shift
+                col[:-m] = vs[m:]
+                valid = np.zeros(n, dtype=bool)
+                valid[:-m] = ks[:-m] == ks[m:]
+            else:
+                valid = np.zeros(n, dtype=bool)
+            out = out.append_column(
+                name, pa.array(np.where(valid, col, np.nan), pa.float64(), mask=~valid)
+            )
+        return out
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", batch_size=None)
+    return hash_partition_exchange(tagged, "part", num_partitions, fold)
+
+
 def sessionize(
     ds: ray.data.Dataset,
     ts_column: str = "ts",
