@@ -633,6 +633,18 @@ def _q_events_lag(sf_dir: str):
     )
 
 
+def _q_events_running_sum(sf_dir: str):
+    """Per-user running total (SQL ROWS UNBOUNDED PRECEDING semantics):
+    key-hash exchange + per-partition lexsort + extended-precision
+    boundary-reset cumsum."""
+    from text_dedup_ray.pipelines.agg import with_running_sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "value"]
+    )
+    return with_running_sum(ev, "user_id", "event_id", "value")
+
+
 def _q_events_distinct_users(sf_dir: str):
     """Scalable COUNT(DISTINCT): block-local pair dedup, value-hash
     exchange, partial counts — raw rows never shuffle."""
@@ -1778,6 +1790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles_approx": _q_approx_quantiles,
         "lineitem_semi_urgent": _q_lineitem_semi_urgent,
         "events_lag_lead": _q_events_lag,
+        "events_running_sum": _q_events_running_sum,
         "decontaminate_docs": _q_decontaminate,
         "doc_repetition": _q_repetition,
         "docs_above_p90": _q_above_p90,
@@ -1945,6 +1958,11 @@ def oracle_sql() -> dict[str, str]:
             "THEN round((d.n_chars - m.s/m.n) / "
             "sqrt(m.ss/m.n - (m.s/m.n)*(m.s/m.n)), 6) ELSE NULL END AS z "
             "FROM documents d JOIN m USING (lang)"
+        ),
+        "events_running_sum": (
+            "SELECT user_id, event_id, value, "
+            "round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id "
+            "ROWS UNBOUNDED PRECEDING), 6) AS running_sum FROM events"
         ),
         "events_lag_lead": (
             "SELECT user_id, event_id, value, "

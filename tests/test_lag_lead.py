@@ -71,3 +71,42 @@ class TestLagLead:
         a = with_lag_lead(ds.repartition(1), "uid", "eid", "v", num_partitions=1).to_pandas()
         b = with_lag_lead(ds.repartition(7), "uid", "eid", "v", num_partitions=5).to_pandas()
         pd.testing.assert_frame_equal(_canon(a), _canon(b))
+
+
+class TestRunningSum:
+    def test_matches_duckdb(self):
+        from text_dedup_ray.pipelines.agg import with_running_sum
+
+        rng = np.random.default_rng(27)
+        n = 3000
+        tbl = pa.table(
+            {
+                "uid": rng.integers(0, 40, n).tolist(),
+                "eid": rng.permutation(n).tolist(),
+                "v": np.round(rng.random(n) * 100, 3).tolist(),
+            }
+        )
+        got = with_running_sum(
+            ray.data.from_arrow(tbl).repartition(6), "uid", "eid", "v",
+            num_partitions=4,
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("t", tbl)
+        exp = con.execute(
+            "SELECT uid, eid, v, round(sum(v) OVER (PARTITION BY uid "
+            "ORDER BY eid ROWS UNBOUNDED PRECEDING), 6) AS running_sum FROM t"
+        ).fetchdf()
+        pd.testing.assert_frame_equal(_canon(got), _canon(exp), check_dtype=False)
+
+    def test_restart_at_key_boundary(self):
+        from text_dedup_ray.pipelines.agg import with_running_sum
+
+        tbl = pa.table(
+            {"uid": [1, 1, 2, 2], "eid": [1, 2, 1, 2], "v": [5.0, 5.0, 1.0, 1.0]}
+        )
+        got = (
+            with_running_sum(ray.data.from_arrow(tbl), "uid", "eid", "v")
+            .to_pandas()
+            .sort_values(["uid", "eid"])
+        )
+        assert got.running_sum.tolist() == [5.0, 10.0, 1.0, 2.0]

@@ -816,6 +816,71 @@ def with_lag_lead(
     return hash_partition_exchange(tagged, "part", num_partitions, fold)
 
 
+def with_running_sum(
+    ds: ray.data.Dataset,
+    key: str,
+    order_column: str,
+    value_column: str,
+    alias: str = "running_sum",
+    round_to: int = 6,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Per-key running total (SQL ``sum(value) OVER (PARTITION BY key
+    ORDER BY order ROWS UNBOUNDED PRECEDING)``): the same key-hash
+    exchange + per-partition lexsort as the lag/lead kernel, with a
+    boundary-reset cumulative sum (one subtraction of each key's prefix
+    offset — fully vectorized)."""
+    import hashlib as _h
+
+    from ..stages.exchange import hash_partition_exchange
+
+    def tag(batch: pa.Table) -> pa.Table:
+        t = batch.select([key, order_column, value_column])
+        if batch.num_rows == 0:
+            return t.append_column("part", pa.array([], pa.int64()))
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = np.fromiter(
+            (
+                int.from_bytes(_h.sha1(str(v).encode()).digest()[:8], "little")
+                % num_partitions
+                for v in k
+            ),
+            np.int64,
+            count=len(k),
+        )
+        return t.append_column("part", pa.array(part))
+
+    def fold(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key: pa.array([], pa.int64()),
+                order_column: pa.array([], pa.int64()),
+                value_column: pa.array([], pa.float64()),
+                alias: pa.array([], pa.float64()),
+            }
+        )
+        if group.num_rows == 0 or key not in group.column_names:
+            return empty
+        k = group[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = group[order_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = group[value_column].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((o, k))
+        ks, vs = k[order], v[order]
+        # extended-precision global cumsum (same trick as range_join_agg)
+        # so subtracting the key's prefix offset can't lose low bits to
+        # cross-key cancellation before the per-key restart
+        cs = np.cumsum(vs, dtype=np.longdouble)
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        base = np.zeros(len(ks), dtype=np.longdouble)
+        base[starts[1:]] = cs[starts[1:] - 1]
+        run = (cs - np.maximum.accumulate(base)).astype(np.float64)
+        out = group.drop_columns(["part"]).take(pa.array(order))
+        return out.append_column(alias, pa.array(np.round(run, round_to)))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", batch_size=None)
+    return hash_partition_exchange(tagged, "part", num_partitions, fold)
+
+
 def sessionize(
     ds: ray.data.Dataset,
     ts_column: str = "ts",
