@@ -645,6 +645,18 @@ def _q_events_running_sum(sf_dir: str):
     return with_running_sum(ev, "user_id", "event_id", "value")
 
 
+def _q_events_row_number(sf_dir: str):
+    """Per-user ROW_NUMBER stamped over ALL rows (the stamp-everything
+    sibling of the pruned grouped_top_k): key-hash exchange + lexsort +
+    group-start differencing."""
+    from text_dedup_ray.pipelines.agg import with_row_number
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id"]
+    )
+    return with_row_number(ev, "user_id", "event_id", descending=True)
+
+
 def _q_events_distinct_users(sf_dir: str):
     """Scalable COUNT(DISTINCT): block-local pair dedup, value-hash
     exchange, partial counts — raw rows never shuffle."""
@@ -1791,6 +1803,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_semi_urgent": _q_lineitem_semi_urgent,
         "events_lag_lead": _q_events_lag,
         "events_running_sum": _q_events_running_sum,
+        "events_row_number": _q_events_row_number,
         "decontaminate_docs": _q_decontaminate,
         "doc_repetition": _q_repetition,
         "docs_above_p90": _q_above_p90,
@@ -1958,6 +1971,11 @@ def oracle_sql() -> dict[str, str]:
             "THEN round((d.n_chars - m.s/m.n) / "
             "sqrt(m.ss/m.n - (m.s/m.n)*(m.s/m.n)), 6) ELSE NULL END AS z "
             "FROM documents d JOIN m USING (lang)"
+        ),
+        "events_row_number": (
+            "SELECT user_id, event_id, row_number() OVER ("
+            "PARTITION BY user_id ORDER BY event_id DESC)::BIGINT AS rn "
+            "FROM events"
         ),
         "events_running_sum": (
             "SELECT user_id, event_id, value, "

@@ -110,3 +110,40 @@ class TestRunningSum:
             .sort_values(["uid", "eid"])
         )
         assert got.running_sum.tolist() == [5.0, 10.0, 1.0, 2.0]
+
+
+class TestRowNumber:
+    def test_matches_duckdb_both_directions(self):
+        from text_dedup_ray.pipelines.agg import with_row_number
+
+        rng = np.random.default_rng(44)
+        n = 1500
+        tbl = pa.table(
+            {
+                "uid": rng.integers(0, 30, n).tolist(),
+                "eid": rng.permutation(n).tolist(),
+            }
+        )
+        con = duckdb.connect()
+        con.register("t", tbl)
+        for desc in (False, True):
+            got = with_row_number(
+                ray.data.from_arrow(tbl).repartition(4), "uid", "eid",
+                descending=desc, num_partitions=5,
+            ).to_pandas()
+            d = "DESC" if desc else "ASC"
+            exp = con.execute(
+                f"SELECT uid, eid, row_number() OVER (PARTITION BY uid "
+                f"ORDER BY eid {d})::BIGINT AS rn FROM t"
+            ).fetchdf()
+            pd.testing.assert_frame_equal(_canon(got), _canon(exp), check_dtype=False)
+
+    def test_partition_invariance(self):
+        from text_dedup_ray.pipelines.agg import with_row_number
+
+        tbl = pa.table({"uid": [1, 1, 2], "eid": [5, 3, 9]})
+        ds = ray.data.from_arrow(tbl)
+        a = with_row_number(ds.repartition(1), "uid", "eid", num_partitions=1).to_pandas()
+        b = with_row_number(ds.repartition(3), "uid", "eid", num_partitions=7).to_pandas()
+        pd.testing.assert_frame_equal(_canon(a), _canon(b))
+        assert _canon(a).sort_values(["uid", "eid"]).rn.tolist() == [1, 2, 1]

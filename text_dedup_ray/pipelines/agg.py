@@ -881,6 +881,64 @@ def with_running_sum(
     return hash_partition_exchange(tagged, "part", num_partitions, fold)
 
 
+def with_row_number(
+    ds: ray.data.Dataset,
+    key: str,
+    order_column: str,
+    descending: bool = False,
+    alias: str = "rn",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Per-key ROW_NUMBER stamping over ALL rows (``row_number() OVER
+    (PARTITION BY key ORDER BY order [DESC])`` — the stamp-everything
+    sibling of ``grouped_top_k``'s pruned top-k): key-hash exchange, one
+    lexsort per partition, vectorized group-start differencing.
+    ``order_column`` must be unique within a key."""
+    import hashlib as _h
+
+    from ..stages.exchange import hash_partition_exchange
+
+    def tag(batch: pa.Table) -> pa.Table:
+        t = batch.select([key, order_column])
+        if batch.num_rows == 0:
+            return t.append_column("part", pa.array([], pa.int64()))
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = np.fromiter(
+            (
+                int.from_bytes(_h.sha1(str(v).encode()).digest()[:8], "little")
+                % num_partitions
+                for v in k
+            ),
+            np.int64,
+            count=len(k),
+        )
+        return t.append_column("part", pa.array(part))
+
+    def fold(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key: pa.array([], pa.int64()),
+                order_column: pa.array([], pa.int64()),
+                alias: pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or key not in group.column_names:
+            return empty
+        k = group[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = group[order_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((-o if descending else o, k))
+        ks = k[order]
+        n = len(ks)
+        new = np.r_[True, ks[1:] != ks[:-1]]
+        start = np.maximum.accumulate(np.where(new, np.arange(n), 0))
+        rn = np.arange(n) - start + 1
+        out = group.drop_columns(["part"]).take(pa.array(order))
+        return out.append_column(alias, pa.array(rn.astype(np.int64)))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", batch_size=None)
+    return hash_partition_exchange(tagged, "part", num_partitions, fold)
+
+
 def sessionize(
     ds: ray.data.Dataset,
     ts_column: str = "ts",
