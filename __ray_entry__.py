@@ -654,7 +654,7 @@ def _q_events_row_number(sf_dir: str):
     ev = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_id"]
     )
-    return with_row_number(ev, "user_id", "event_id", descending=True)
+    return with_row_number(ev, "user_id", "event_id", descending=True, ntile=4)
 
 
 def _q_events_distinct_users(sf_dir: str):
@@ -1973,9 +1973,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents d JOIN m USING (lang)"
         ),
         "events_row_number": (
-            "SELECT user_id, event_id, row_number() OVER ("
-            "PARTITION BY user_id ORDER BY event_id DESC)::BIGINT AS rn "
-            "FROM events"
+            "SELECT user_id, event_id, row_number() OVER w::BIGINT AS rn, "
+            "ntile(4) OVER w::BIGINT AS tile FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY event_id DESC)"
         ),
         "events_running_sum": (
             "SELECT user_id, event_id, value, "

@@ -147,3 +147,40 @@ class TestRowNumber:
         b = with_row_number(ds.repartition(3), "uid", "eid", num_partitions=7).to_pandas()
         pd.testing.assert_frame_equal(_canon(a), _canon(b))
         assert _canon(a).sort_values(["uid", "eid"]).rn.tolist() == [1, 2, 1]
+
+
+class TestNtile:
+    def test_matches_duckdb(self):
+        from text_dedup_ray.pipelines.agg import with_row_number
+
+        rng = np.random.default_rng(3)
+        n = 1000
+        tbl = pa.table(
+            {
+                "uid": rng.integers(0, 17, n).tolist(),  # uneven group sizes
+                "eid": rng.permutation(n).tolist(),
+            }
+        )
+        got = with_row_number(
+            ray.data.from_arrow(tbl).repartition(4), "uid", "eid",
+            ntile=4, num_partitions=5,
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("t", tbl)
+        exp = con.execute(
+            "SELECT uid, eid, row_number() OVER w::BIGINT AS rn, "
+            "ntile(4) OVER w::BIGINT AS tile FROM t "
+            "WINDOW w AS (PARTITION BY uid ORDER BY eid)"
+        ).fetchdf()
+        pd.testing.assert_frame_equal(_canon(got), _canon(exp), check_dtype=False)
+
+    def test_group_smaller_than_n(self):
+        from text_dedup_ray.pipelines.agg import with_row_number
+
+        tbl = pa.table({"uid": [1, 1], "eid": [1, 2]})
+        got = (
+            with_row_number(ray.data.from_arrow(tbl), "uid", "eid", ntile=5)
+            .to_pandas()
+            .sort_values("eid")
+        )
+        assert got.tile.tolist() == [1, 2]

@@ -888,12 +888,16 @@ def with_row_number(
     descending: bool = False,
     alias: str = "rn",
     num_partitions: int = 16,
+    ntile: int | None = None,
+    ntile_alias: str = "tile",
 ) -> ray.data.Dataset:
     """Per-key ROW_NUMBER stamping over ALL rows (``row_number() OVER
     (PARTITION BY key ORDER BY order [DESC])`` — the stamp-everything
     sibling of ``grouped_top_k``'s pruned top-k): key-hash exchange, one
     lexsort per partition, vectorized group-start differencing.
-    ``order_column`` must be unique within a key."""
+    ``ntile=n`` additionally stamps SQL ``NTILE(n)`` buckets (the first
+    ``size % n`` buckets take one extra row). ``order_column`` must be
+    unique within a key."""
     import hashlib as _h
 
     from ..stages.exchange import hash_partition_exchange
@@ -915,13 +919,14 @@ def with_row_number(
         return t.append_column("part", pa.array(part))
 
     def fold(group: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                key: pa.array([], pa.int64()),
-                order_column: pa.array([], pa.int64()),
-                alias: pa.array([], pa.int64()),
-            }
-        )
+        cols = {
+            key: pa.array([], pa.int64()),
+            order_column: pa.array([], pa.int64()),
+            alias: pa.array([], pa.int64()),
+        }
+        if ntile:
+            cols[ntile_alias] = pa.array([], pa.int64())
+        empty = pa.table(cols)
         if group.num_rows == 0 or key not in group.column_names:
             return empty
         k = group[key].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -933,7 +938,23 @@ def with_row_number(
         start = np.maximum.accumulate(np.where(new, np.arange(n), 0))
         rn = np.arange(n) - start + 1
         out = group.drop_columns(["part"]).take(pa.array(order))
-        return out.append_column(alias, pa.array(rn.astype(np.int64)))
+        out = out.append_column(alias, pa.array(rn.astype(np.int64)))
+        if ntile:
+            # SQL NTILE: the first (size % ntile) buckets get one extra row
+            starts = np.flatnonzero(new)
+            sizes = np.diff(np.r_[starts, n])
+            size_per_row = np.repeat(sizes, sizes)
+            base = size_per_row // ntile
+            extra = size_per_row % ntile
+            idx0 = rn - 1
+            cut = extra * (base + 1)
+            tile = np.where(
+                idx0 < cut,
+                idx0 // np.maximum(base + 1, 1),
+                extra + (idx0 - cut) // np.maximum(base, 1),
+            ) + 1
+            out = out.append_column(ntile_alias, pa.array(tile.astype(np.int64)))
+        return out
 
     tagged = ds.map_batches(tag, batch_format="pyarrow", batch_size=None)
     return hash_partition_exchange(tagged, "part", num_partitions, fold)
