@@ -657,6 +657,34 @@ def _q_events_row_number(sf_dir: str):
     return with_row_number(ev, "user_id", "event_id", descending=True, ntile=4)
 
 
+def _q_embedding_cov(sf_dir: str):
+    """Exact population covariance of the embedding table: every block
+    reduces to ONE (sum d, outer-sum d x d, n) partial — movement is
+    O(blocks x d^2), independent of row count; only the tiny moment
+    matrix reaches the driver. Long-format (i, j, cov) output uses the
+    same E[xy] - E[x]E[y] expression as the SQL oracle."""
+    from text_dedup_ray.pipelines.pca import embedding_covariance
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+    return embedding_covariance(emb)
+
+
+def _q_embedding_pca(sf_dir: str):
+    """PCA projection onto the top-2 components (rows-only: the
+    eigendecomposition isn't SQL-expressible; parity vs local numpy PCA
+    and partition invariance are pytest-proven in tests/test_pca.py).
+    One moment pass + one broadcast-matmul projection pass."""
+    from text_dedup_ray.pipelines.pca import pca_project
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out, _, _ = pca_project(emb, k=2)
+    return out
+
+
 def _q_events_distinct_users(sf_dir: str):
     """Scalable COUNT(DISTINCT): block-local pair dedup, value-hash
     exchange, partial counts — raw rows never shuffle."""
@@ -1804,6 +1832,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag_lead": _q_events_lag,
         "events_running_sum": _q_events_running_sum,
         "events_row_number": _q_events_row_number,
+        "embedding_covariance": _q_embedding_cov,
+        "embedding_pca2": _q_embedding_pca,
         "decontaminate_docs": _q_decontaminate,
         "doc_repetition": _q_repetition,
         "docs_above_p90": _q_above_p90,
@@ -1971,6 +2001,16 @@ def oracle_sql() -> dict[str, str]:
             "THEN round((d.n_chars - m.s/m.n) / "
             "sqrt(m.ss/m.n - (m.s/m.n)*(m.s/m.n)), 6) ELSE NULL END AS z "
             "FROM documents d JOIN m USING (lang)"
+        ),
+        "embedding_covariance": (
+            # cast BEFORE multiplying: the parquet column is float32 and a
+            # f32 x f32 product would round before the double accumulator
+            "SELECT gi.i, gj.j, round(avg(embedding[gi.i + 1]::DOUBLE * "
+            "embedding[gj.j + 1]::DOUBLE) - avg(embedding[gi.i + 1]::DOUBLE) * "
+            "avg(embedding[gj.j + 1]::DOUBLE), 6) AS cov "
+            "FROM embeddings "
+            "CROSS JOIN (SELECT unnest(range(64)) AS i) gi "
+            "CROSS JOIN (SELECT unnest(range(64)) AS j) gj GROUP BY gi.i, gj.j"
         ),
         "events_row_number": (
             "SELECT user_id, event_id, row_number() OVER w::BIGINT AS rn, "
