@@ -685,6 +685,19 @@ def _q_embedding_pca(sf_dir: str):
     return out
 
 
+def _q_lang_psi(sf_dir: str):
+    """Distribution drift (Population Stability Index) of doc length per
+    language vs English — the cohort-drift primitive (new crawl vs old):
+    stateless fixed-bin histogram partials, one key-hash exchange, only
+    groups x bins integers on the driver; eps-smoothed like the oracle."""
+    from text_dedup_ray.pipelines.agg import grouped_psi
+
+    docs = _docs(sf_dir, ["lang", "n_chars"])
+    return grouped_psi(
+        docs, "lang", "n_chars", reference_group="en", bin_width=100, n_bins=8
+    )
+
+
 def _q_events_distinct_users(sf_dir: str):
     """Scalable COUNT(DISTINCT): block-local pair dedup, value-hash
     exchange, partial counts — raw rows never shuffle."""
@@ -1833,6 +1846,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_sum": _q_events_running_sum,
         "events_row_number": _q_events_row_number,
         "embedding_covariance": _q_embedding_cov,
+        "lang_length_psi": _q_lang_psi,
         "embedding_pca2": _q_embedding_pca,
         "decontaminate_docs": _q_decontaminate,
         "doc_repetition": _q_repetition,
@@ -2001,6 +2015,21 @@ def oracle_sql() -> dict[str, str]:
             "THEN round((d.n_chars - m.s/m.n) / "
             "sqrt(m.ss/m.n - (m.s/m.n)*(m.s/m.n)), 6) ELSE NULL END AS z "
             "FROM documents d JOIN m USING (lang)"
+        ),
+        "lang_length_psi": (
+            "WITH bb AS (SELECT lang AS g, least(greatest(n_chars // 100, 0), 7) "
+            "AS b FROM documents), "
+            "h AS (SELECT g, b, count(*)::DOUBLE AS c FROM bb GROUP BY g, b), "
+            "grid AS (SELECT dg.g, gi.i AS b FROM (SELECT DISTINCT g FROM h) dg "
+            "CROSS JOIN (SELECT unnest(range(8)) AS i) gi), "
+            "filled AS (SELECT grid.g, grid.b, coalesce(h.c, 0) AS c FROM grid "
+            "LEFT JOIN h ON h.g = grid.g AND h.b = grid.b), "
+            "tot AS (SELECT g, sum(c) AS t FROM filled GROUP BY g), "
+            "p AS (SELECT f.g, f.b, f.c / tot.t + 1e-06 AS p FROM filled f "
+            "JOIN tot USING (g)), "
+            "ref AS (SELECT b, p AS pr FROM p WHERE g = 'en') "
+            "SELECT p.g AS lang, round(sum((p.p - ref.pr) * ln(p.p / ref.pr)), 6) "
+            "AS psi FROM p JOIN ref USING (b) WHERE p.g <> 'en' GROUP BY p.g"
         ),
         "embedding_covariance": (
             # cast BEFORE multiplying: the parquet column is float32 and a

@@ -89,3 +89,59 @@ class TestGroupedZscore:
         a = grouped_zscore(ds.repartition(1), "g", "v", num_partitions=1).to_pandas()
         b = grouped_zscore(ds.repartition(4), "g", "v", num_partitions=5).to_pandas()
         pd.testing.assert_frame_equal(_canon(a), _canon(b))
+
+
+class TestGroupedPsi:
+    def _sql(self, W, N, eps, ref):
+        return (
+            f"WITH bb AS (SELECT g, least(greatest(v // {W}, 0), {N-1}) AS b FROM t), "
+            "h AS (SELECT g, b, count(*)::DOUBLE AS c FROM bb GROUP BY g, b), "
+            f"grid AS (SELECT dg.g, gi.i AS b FROM (SELECT DISTINCT g FROM h) dg "
+            f"CROSS JOIN (SELECT unnest(range({N})) AS i) gi), "
+            "filled AS (SELECT grid.g, grid.b, coalesce(h.c, 0) AS c FROM grid "
+            "LEFT JOIN h ON h.g = grid.g AND h.b = grid.b), "
+            "tot AS (SELECT g, sum(c) AS t FROM filled GROUP BY g), "
+            f"p AS (SELECT f.g, f.b, f.c / tot.t + {eps} AS p FROM filled f "
+            "JOIN tot USING (g)), "
+            f"ref AS (SELECT b, p AS pr FROM p WHERE g = '{ref}') "
+            "SELECT p.g, round(sum((p.p - ref.pr) * ln(p.p / ref.pr)), 6) AS psi "
+            f"FROM p JOIN ref USING (b) WHERE p.g <> '{ref}' GROUP BY p.g"
+        )
+
+    def test_matches_duckdb_and_detects_shift(self):
+        from text_dedup_ray.pipelines.agg import grouped_psi
+
+        rng = np.random.default_rng(7)
+        same_a = rng.integers(0, 500, 2000)
+        same_b = rng.integers(0, 500, 2000)
+        shifted = rng.integers(300, 900, 2000)
+        tbl = pa.table(
+            {
+                "g": ["ref"] * 2000 + ["twin"] * 2000 + ["drift"] * 2000,
+                "v": np.concatenate([same_a, same_b, shifted]).tolist(),
+            }
+        )
+        got = grouped_psi(
+            ray.data.from_arrow(tbl).repartition(5), "g", "v",
+            reference_group="ref", bin_width=100, n_bins=10, num_partitions=3,
+        ).to_pandas().set_index("g")["psi"]
+        con = duckdb.connect()
+        con.register("t", tbl)
+        exp = con.execute(self._sql(100, 10, 1e-06, "ref")).fetchdf().set_index("g")["psi"]
+        assert got.sort_index().equals(exp.sort_index())
+        assert got["twin"] < 0.05 < got["drift"]  # standard PSI thresholds
+
+    def test_partition_invariance(self):
+        from text_dedup_ray.pipelines.agg import grouped_psi
+
+        rng = np.random.default_rng(2)
+        tbl = pa.table(
+            {
+                "g": rng.choice(["a", "b"], 600).tolist(),
+                "v": rng.integers(0, 300, 600).tolist(),
+            }
+        )
+        ds = ray.data.from_arrow(tbl)
+        x = grouped_psi(ds.repartition(1), "g", "v", "a", 50, 6, num_partitions=1)
+        y = grouped_psi(ds.repartition(7), "g", "v", "a", 50, 6, num_partitions=5)
+        assert x.to_pandas().equals(y.to_pandas())

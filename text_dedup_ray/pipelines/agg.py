@@ -1026,3 +1026,121 @@ def sessionize(
         return pa.table(out)
 
     return hash_partition_exchange(tagged, "part", num_partitions, build_sessions)
+
+
+def grouped_psi(
+    ds: ray.data.Dataset,
+    group_key: str,
+    column: str,
+    reference_group: str,
+    bin_width: int,
+    n_bins: int,
+    eps: float = 1e-6,
+    alias: str = "psi",
+    round_to: int = 6,
+    num_partitions: int = 8,
+) -> pa.Table:
+    """Population Stability Index of ``column``'s distribution per group
+    vs a reference group — the drift-detection primitive between corpus
+    cohorts (new crawl vs old, language vs language). Fixed-bin contract
+    (``bin = min(floor(value / bin_width), n_bins - 1)``, negatives clamp
+    to bin 0) so the whole computation is SQL-recomputable; proportions
+    are smoothed with ``eps`` before the log so empty bins stay finite
+    (the standard PSI guard, identical in the oracle).
+
+    Scale shape: stateless binning, per-block (group, bin, count) integer
+    partials, one key-hash exchange fold — only groups x n_bins integers
+    ever reach the driver."""
+    import hashlib as _h
+
+    from ..stages.exchange import hash_partition_exchange
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "g": pa.array([], pa.string()),
+                "b": pa.array([], pa.int64()),
+                "c": pa.array([], pa.int64()),
+                "part": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        v = batch[column].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = np.clip(v // bin_width, 0, n_bins - 1)
+        g = np.array([str(x) for x in batch[group_key].to_pylist()], dtype=object)
+        import pandas as pd
+
+        codes, uniq = pd.factorize(g)
+        combo = codes.astype(np.int64) * n_bins + b
+        uc, cnt = np.unique(combo, return_counts=True)
+        gs = uniq[(uc // n_bins).astype(np.int64)]
+        part = np.fromiter(
+            (
+                int.from_bytes(_h.sha1(str(x).encode()).digest()[:8], "little")
+                % num_partitions
+                for x in gs
+            ),
+            np.int64,
+            count=len(uc),
+        )
+        return pa.table(
+            {
+                "g": pa.array(gs.tolist(), pa.string()),
+                "b": pa.array((uc % n_bins).astype(np.int64)),
+                "c": pa.array(cnt.astype(np.int64)),
+                "part": pa.array(part),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "g": pa.array([], pa.string()),
+                "b": pa.array([], pa.int64()),
+                "c": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "g" not in group.column_names:
+            return empty
+        g = np.array(group["g"].to_pylist(), dtype=object)
+        b = group["b"].to_numpy(zero_copy_only=False)
+        c = group["c"].to_numpy(zero_copy_only=False)
+        import pandas as pd
+
+        codes, uniq = pd.factorize(g)
+        combo = codes.astype(np.int64) * n_bins + b
+        uc, inv = np.unique(combo, return_inverse=True)
+        acc = np.zeros(len(uc), np.int64)
+        np.add.at(acc, inv, c)
+        return pa.table(
+            {
+                "g": pa.array(uniq[(uc // n_bins).astype(np.int64)].tolist(), pa.string()),
+                "b": pa.array((uc % n_bins).astype(np.int64)),
+                "c": pa.array(acc),
+            }
+        )
+
+    pre = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    hist = hash_partition_exchange(pre, "part", num_partitions, fold).to_pandas()
+    if hist.empty or reference_group not in set(hist["g"]):
+        return pa.table(
+            {group_key: pa.array([], pa.string()), alias: pa.array([], pa.float64())}
+        )
+    groups = sorted(set(hist["g"]))
+    counts = {g: np.zeros(n_bins, np.float64) for g in groups}
+    for g, b, c in zip(hist["g"], hist["b"], hist["c"]):
+        counts[g][int(b)] = float(c)
+    ref = counts[reference_group]
+    p_ref = ref / ref.sum() + eps
+    out_g, out_psi = [], []
+    for g in groups:
+        if g == reference_group:
+            continue
+        p = counts[g] / counts[g].sum() + eps
+        psi = float(np.sum((p - p_ref) * np.log(p / p_ref)))
+        out_g.append(g)
+        out_psi.append(round(psi, round_to))
+    return pa.table(
+        {group_key: pa.array(out_g, pa.string()), alias: pa.array(out_psi, pa.float64())}
+    )
