@@ -101,3 +101,23 @@ class TestBM25:
             {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
         )
         assert bm25_topk(ray.data.from_arrow(tbl), QUERIES, k=3).count() == 0
+
+    def test_all_stopword_query_returns_zero_scored_topk(self):
+        # regression: an empty query vocabulary must NOT collapse to an
+        # empty result — SQL LEFT JOIN/coalesce semantics give k
+        # zero-scored docs per query (ties -> smallest doc_id)
+        tbl = self._corpus(n=20, seed=9)
+        got = (
+            bm25_topk(
+                ray.data.from_arrow(tbl).repartition(3),
+                {"nohit": "!!! ???", "alsonothing": "..."},
+                k=4,
+            )
+            .to_pandas()
+            .sort_values(["query", "rk"])
+        )
+        assert len(got) == 8
+        assert (got.score == 0.0).all()
+        ids = sorted(tbl["doc_id"].to_pylist())[:4]
+        for q in ("nohit", "alsonothing"):
+            assert got[got["query"] == q].doc_id.tolist() == ids

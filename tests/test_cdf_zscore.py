@@ -90,6 +90,16 @@ class TestGroupedZscore:
         b = grouped_zscore(ds.repartition(4), "g", "v", num_partitions=5).to_pandas()
         pd.testing.assert_frame_equal(_canon(a), _canon(b))
 
+    def test_int64_overflow_raises_instead_of_wrapping(self):
+        # regression: values whose square exceeds int64 must raise, not
+        # silently wrap in the exact-integer sum-of-squares accumulator
+        import pytest
+
+        big = 4_000_000_000  # big^2 > 2^63 - 1
+        tbl = pa.table({"id": [1, 2], "g": ["a", "a"], "v": [big, big + 1]})
+        with pytest.raises(Exception, match="overflow"):
+            grouped_zscore(ray.data.from_arrow(tbl), "g", "v").to_pandas()
+
 
 class TestGroupedPsi:
     def _sql(self, W, N, eps, ref):

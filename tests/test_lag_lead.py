@@ -111,6 +111,46 @@ class TestRunningSum:
         )
         assert got.running_sum.tolist() == [5.0, 10.0, 1.0, 2.0]
 
+    def test_negative_values_exact_prefix(self):
+        # regression: a negative value makes the GLOBAL cumsum
+        # non-monotonic, so forward-filling the per-key base with
+        # maximum.accumulate silently corrupted every later key
+        from text_dedup_ray.pipelines.agg import with_running_sum
+
+        tbl = pa.table(
+            {"uid": [1, 1, 2, 2], "eid": [1, 2, 1, 2], "v": [10.0, -20.0, 5.0, 5.0]}
+        )
+        got = (
+            with_running_sum(ray.data.from_arrow(tbl), "uid", "eid", "v")
+            .to_pandas()
+            .sort_values(["uid", "eid"])
+        )
+        assert got.running_sum.tolist() == [10.0, -10.0, 5.0, 10.0]
+
+    def test_negative_values_match_duckdb(self):
+        from text_dedup_ray.pipelines.agg import with_running_sum
+
+        rng = np.random.default_rng(41)
+        n = 2000
+        tbl = pa.table(
+            {
+                "uid": rng.integers(0, 30, n).tolist(),
+                "eid": rng.permutation(n).tolist(),
+                "v": np.round(rng.standard_normal(n) * 50, 3).tolist(),
+            }
+        )
+        got = with_running_sum(
+            ray.data.from_arrow(tbl).repartition(6), "uid", "eid", "v",
+            num_partitions=4,
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("t", tbl)
+        exp = con.execute(
+            "SELECT uid, eid, v, round(sum(v) OVER (PARTITION BY uid "
+            "ORDER BY eid ROWS UNBOUNDED PRECEDING), 6) AS running_sum FROM t"
+        ).fetchdf()
+        pd.testing.assert_frame_equal(_canon(got), _canon(exp), check_dtype=False)
+
 
 class TestRowNumber:
     def test_matches_duckdb_both_directions(self):

@@ -674,6 +674,19 @@ def grouped_zscore(
         if batch.num_rows == 0:
             return empty
         v = batch[column].to_numpy(zero_copy_only=False).astype(np.int64)
+        # exact-integer contract guard: v*v and its per-block sum must fit
+        # int64, else numpy wraps silently and the stats are garbage
+        amax = int(np.abs(v).max()) if len(v) else 0
+        if amax > 3_037_000_499:
+            raise ValueError(
+                f"grouped_zscore: |{column}| up to {amax} overflows int64 when "
+                "squared; rescale the column or use a float pipeline"
+            )
+        if amax and len(v) > (2**63 - 1) // (amax * amax):
+            raise ValueError(
+                f"grouped_zscore: block of {len(v)} rows with |{column}| up to "
+                f"{amax} can overflow the int64 sum-of-squares accumulator"
+            )
         kv = np.array([str(x) for x in batch[key].to_pylist()], dtype=object)
         uniq, inv = np.unique(kv, return_inverse=True)
         s = np.zeros(len(uniq), np.int64)
@@ -702,9 +715,18 @@ def grouped_zscore(
         uniq, inv = np.unique(kv, return_inverse=True)
         out = {}
         for c in ("s", "ss", "n"):
-            acc = np.zeros(len(uniq), np.int64)
-            np.add.at(acc, inv, group[c].to_numpy(zero_copy_only=False))
-            out[c] = acc
+            # the fold table is tiny (<= keys x partials), so exact Python
+            # ints are free — and they surface int64 overflow as an error
+            # instead of numpy's silent wrap
+            acc_py = [0] * len(uniq)
+            for i, val in zip(inv.tolist(), group[c].to_pylist()):
+                acc_py[i] += val
+            if any(abs(x) > 2**63 - 1 for x in acc_py):
+                raise ValueError(
+                    f"grouped_zscore: folded '{c}' exceeds int64 — rescale "
+                    "the column or use a float pipeline"
+                )
+            out[c] = np.array(acc_py, np.int64)
         return pa.table(
             {"k": pa.array(uniq.tolist(), pa.string()), "s": pa.array(out["s"]),
              "ss": pa.array(out["ss"]), "n": pa.array(out["n"])}
@@ -871,9 +893,12 @@ def with_running_sum(
         # cross-key cancellation before the per-key restart
         cs = np.cumsum(vs, dtype=np.longdouble)
         starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
-        base = np.zeros(len(ks), dtype=np.longdouble)
-        base[starts[1:]] = cs[starts[1:] - 1]
-        run = (cs - np.maximum.accumulate(base)).astype(np.float64)
+        # forward-fill each key's prefix offset explicitly (repeat by group
+        # size) — maximum.accumulate would be wrong once negative values
+        # make the global cumsum non-monotonic
+        sizes = np.diff(np.r_[starts, len(ks)])
+        base = np.repeat(np.r_[np.zeros(1, np.longdouble), cs[starts[1:] - 1]], sizes)
+        run = (cs - base).astype(np.float64)
         out = group.drop_columns(["part"]).take(pa.array(order))
         return out.append_column(alias, pa.array(np.round(run, round_to)))
 

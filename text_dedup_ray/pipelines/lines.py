@@ -70,9 +70,17 @@ def _explode_lines(
     min_line_length: int,
     num_partitions: int,
     delimiter: str,
+    id_type: pa.DataType | None = None,
 ) -> pa.Table:
     """(doc_id, line_no, 16B line key, part) for every qualifying line."""
-    id_type = batch.schema.field(id_column).type if batch.num_rows else pa.int64()
+    # id_type comes from the dataset schema at build time — an empty block
+    # must not emit a hardcoded-int64 partial for a non-int64 id column
+    if id_type is None:
+        id_type = (
+            batch.schema.field(id_column).type
+            if id_column in batch.column_names
+            else pa.int64()
+        )
     empty = pa.table(
         {
             "doc_id": pa.array([], id_type),
@@ -229,7 +237,13 @@ def line_dedup(
 
     occurrences = ds.map_batches(
         lambda b: _explode_lines(
-            b, text_column, id_column, min_line_length, num_partitions, delimiter
+            b,
+            text_column,
+            id_column,
+            min_line_length,
+            num_partitions,
+            delimiter,
+            base.field(id_column).type,
         ),
         batch_format="pyarrow",
         batch_size=None,

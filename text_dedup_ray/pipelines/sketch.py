@@ -23,7 +23,6 @@ SQL oracle uses (never float ``log2`` — the 2^k-1 boundary rounds wrong).
 from __future__ import annotations
 
 import hashlib
-import math
 
 import numpy as np
 import pyarrow as pa
@@ -75,29 +74,22 @@ def _alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
-def _estimate(idx: np.ndarray, rank: np.ndarray, m: int) -> int:
-    """Classic HLL estimate from the non-zero registers (absent registers
-    are rank 0): raw harmonic mean with linear-counting small-range
-    correction."""
-    present = len(idx)
-    zeros = m - present
-    s = float(zeros) + float(np.sum(np.ldexp(1.0, -rank.astype(np.int64))))
-    raw = _alpha(m) * m * m / s
-    if raw <= 2.5 * m and zeros > 0:
-        return int(round(m * math.log(m / zeros)))
-    return int(round(raw))
-
-
 def _block_partial(
     batch: pa.Table,
     column: str,
     key: str | None,
     p: int,
     num_partitions: int,
+    key_type: pa.DataType | None = None,
 ) -> pa.Table:
-    key_type = (
-        batch.schema.field(key).type if (key and batch.num_rows) else pa.string()
-    )
+    # key_type is captured from the dataset schema at pipeline-build time
+    # so empty blocks can't emit schema-mismatched partials
+    if key_type is None:
+        key_type = (
+            batch.schema.field(key).type
+            if (key and key in batch.column_names)
+            else pa.string()
+        )
     empty = pa.table(
         {
             "key": pa.array([], key_type),
@@ -182,8 +174,9 @@ def hll_registers(
 ) -> ray.data.Dataset:
     """The merged (key, idx, rank) register table — all-integer, exactly
     partition-invariant, and SQL-recomputable (the oracle surface)."""
+    key_type = ds.schema().base_schema.field(key).type if key else pa.string()
     partials = ds.map_batches(
-        lambda b: _block_partial(b, column, key, precision, num_partitions),
+        lambda b: _block_partial(b, column, key, precision, num_partitions, key_type),
         batch_format="pyarrow",
         batch_size=None,
     )
@@ -217,25 +210,34 @@ def approx_count_distinct(
         )
         if regs.num_rows == 0:
             return empty
-        keys = np.array([str(v) for v in regs["key"].to_pylist()], dtype=object)
-        idx = regs["idx"].to_numpy(zero_copy_only=False)
-        rank = regs["rank"].to_numpy(zero_copy_only=False)
-        order = np.argsort(keys, kind="stable")
-        sk = keys[order]
-        bounds = np.flatnonzero(
-            np.concatenate(([True], sk[1:] != sk[:-1], [True]))
-        )
-        out_k, out_n = [], []
-        for i in range(len(bounds) - 1):
-            lo, hi = bounds[i], bounds[i + 1]
-            sel = order[lo:hi]
-            out_k.append(sk[lo])
-            out_n.append(_estimate(idx[sel], rank[sel], m))
-        kcol = regs["key"].take(pa.array(order[bounds[:-1]]))
-        return pa.table({"key": kcol, alias: pa.array(out_n, pa.int64())})
+        # vectorized per-key estimate: factorize keys, fold the register
+        # powers and presence counts with add.at/bincount — no per-key
+        # Python loop even with very many distinct keys per partition
+        import pandas as pd
 
+        keys = np.array([str(v) for v in regs["key"].to_pylist()], dtype=object)
+        rank = regs["rank"].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(keys)
+        nk = len(uniq)
+        s = np.zeros(nk, np.float64)
+        np.add.at(s, codes, np.ldexp(1.0, -rank.astype(np.int64)))
+        present = np.bincount(codes, minlength=nk).astype(np.int64)
+        zeros = (m - present).astype(np.float64)
+        raw = _alpha(m) * m * m / (zeros + s)
+        small = (raw <= 2.5 * m) & (zeros > 0)
+        est = np.where(
+            small,
+            np.round(m * np.log(m / np.maximum(zeros, 1.0))),
+            np.round(raw),
+        ).astype(np.int64)
+        first = np.zeros(nk, np.int64)
+        first[codes[::-1]] = np.arange(len(codes) - 1, -1, -1)
+        kcol = regs["key"].take(pa.array(first))
+        return pa.table({"key": kcol, alias: pa.array(est)})
+
+    key_type = ds.schema().base_schema.field(key).type if key else pa.string()
     partials = ds.map_batches(
-        lambda b: _block_partial(b, column, key, precision, num_partitions),
+        lambda b: _block_partial(b, column, key, precision, num_partitions, key_type),
         batch_format="pyarrow",
         batch_size=None,
     )

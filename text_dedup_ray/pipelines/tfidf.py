@@ -54,9 +54,21 @@ def _spart(vals, num_partitions: int) -> np.ndarray:
 
 
 def _term_counts(
-    batch: pa.Table, text_column: str, id_column: str, num_partitions: int
+    batch: pa.Table,
+    text_column: str,
+    id_column: str,
+    num_partitions: int,
+    id_type: pa.DataType | None = None,
 ) -> pa.Table:
-    id_type = batch.schema.field(id_column).type if batch.num_rows else pa.int64()
+    # id_type comes from the dataset schema at pipeline-build time so an
+    # empty block can't emit a schema-mismatched partial (hardcoded int64
+    # would break non-default-typed ids at concat/unify time)
+    if id_type is None:
+        id_type = (
+            batch.schema.field(id_column).type
+            if id_column in batch.column_names
+            else pa.int64()
+        )
     empty = pa.table(
         {
             "doc_id": pa.array([], id_type),
@@ -177,8 +189,9 @@ def tfidf_top_terms(
     counting pass when the caller already knows N."""
     if n_docs is None:
         n_docs = ds.count()
+    id_type = ds.schema().base_schema.field(id_column).type
     counts = ds.map_batches(
-        lambda b: _term_counts(b, text_column, id_column, num_partitions),
+        lambda b: _term_counts(b, text_column, id_column, num_partitions, id_type),
         batch_format="pyarrow",
         batch_size=None,
     )
@@ -225,7 +238,34 @@ def bm25_topk(
     vocab = sorted({t for toks in qtokens.values() for t in toks})
     vocab_arr = np.array(vocab, dtype=object)
 
-    # ---- pass 1: N, total doc length, per-query-token DF (tiny partials)
+    def _vocab_hits(batch: pa.Table):
+        """Vectorized tokenize (Arrow split) + vocab match (searchsorted
+        over the sorted vocab): returns (n_rows, per-row token lengths,
+        doc-index array, vocab-index array) for vocab-token occurrences."""
+        import pyarrow.compute as pc
+
+        splits = pc.split_pattern_regex(
+            pc.utf8_lower(batch[text_column].combine_chunks()), "[^a-z0-9_]+"
+        )
+        flat = pc.list_flatten(splits)
+        parents = pc.list_parent_indices(splits).to_numpy(zero_copy_only=False)
+        nonempty = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+        dl = np.bincount(
+            parents[nonempty], minlength=batch.num_rows
+        ).astype(np.int64)
+        if not len(vocab) or not nonempty.any():
+            return dl, np.empty(0, np.int64), np.empty(0, np.int64)
+        toks = np.asarray(flat.to_pandas(), dtype=object)[nonempty]
+        par = parents[nonempty].astype(np.int64)
+        pos = np.searchsorted(vocab_arr, toks)
+        pos_c = np.minimum(pos, len(vocab) - 1)
+        hit = vocab_arr[pos_c] == toks
+        return dl, par[hit], pos_c[hit].astype(np.int64)
+
+    # ---- pass 1: N, total doc length, per-query-token DF (tiny partials).
+    # N / total_len are counted INDEPENDENT of the vocab (a header row per
+    # block) so an all-stopword query set still ranks zero-scored docs
+    # instead of collapsing to an empty result.
     def stats_partial(batch: pa.Table) -> pa.Table:
         empty = pa.table(
             {
@@ -237,29 +277,21 @@ def bm25_topk(
         )
         if batch.num_rows == 0:
             return empty
-        df = np.zeros(len(vocab), np.int64)
-        total = 0
-        for text in batch[text_column].to_pylist():
-            toks = TOKEN_RE.findall(text.lower())
-            total += len(toks)
-            seen = set(toks)
-            for i, t in enumerate(vocab):
-                if t in seen:
-                    df[i] += 1
+        dl, doc_idx, tok_idx = _vocab_hits(batch)
+        if len(vocab):
+            combo = np.unique(doc_idx * len(vocab) + tok_idx)
+            df = np.bincount(
+                (combo % len(vocab)).astype(np.int64), minlength=len(vocab)
+            ).astype(np.int64)
+        else:
+            df = np.empty(0, np.int64)
+        zeros = np.zeros(len(vocab), np.int64)
         return pa.table(
             {
-                "token": pa.array(vocab, pa.string()),
-                "df": pa.array(df),
-                "n_docs": pa.array(
-                    np.r_[np.int64(batch.num_rows), np.zeros(len(vocab) - 1, np.int64)]
-                    if vocab
-                    else np.array([], np.int64)
-                ),
-                "total_len": pa.array(
-                    np.r_[np.int64(total), np.zeros(len(vocab) - 1, np.int64)]
-                    if vocab
-                    else np.array([], np.int64)
-                ),
+                "token": pa.array([""] + vocab, pa.string()),
+                "df": pa.array(np.r_[np.int64(0), df]),
+                "n_docs": pa.array(np.r_[np.int64(batch.num_rows), zeros]),
+                "total_len": pa.array(np.r_[dl.sum().astype(np.int64), zeros]),
             }
         )
 
@@ -270,7 +302,7 @@ def bm25_topk(
         stats = stats.groupby("token", as_index=False).sum()
         n_docs = int(stats["n_docs"].sum())
         total_len = int(stats["total_len"].sum())
-    else:  # empty corpus (or empty query vocabulary)
+    else:  # empty corpus
         n_docs, total_len = 0, 0
     if n_docs == 0:
         return ray.data.from_arrow(
@@ -283,7 +315,9 @@ def bm25_topk(
                 }
             )
         )
-    avgdl = float(total_len) / float(n_docs)
+    # token-free corpus: dl is all-zero too, any positive avgdl gives the
+    # same zero scores without a 0/0
+    avgdl = (float(total_len) / float(n_docs)) or 1.0
     df_map = dict(zip(stats["token"], stats["df"].astype(int)))
     idf = {
         t: math.log(1.0 + (n_docs - df_map.get(t, 0) + 0.5) / (df_map.get(t, 0) + 0.5))
@@ -306,16 +340,15 @@ def bm25_topk(
         qt, idf_l = ray.get(plan_ref) if isinstance(plan_ref, ray.ObjectRef) else plan_ref
         ids = batch[id_column].to_pylist()
         n = len(ids)
+        dl_i, doc_idx, tok_idx = _vocab_hits(batch)
+        dl = dl_i.astype(np.float64)
         tf = np.zeros((n, len(vocab)), np.float64)
-        dl = np.zeros(n, np.float64)
+        if len(doc_idx):
+            combo, cnt = np.unique(
+                doc_idx * len(vocab) + tok_idx, return_counts=True
+            )
+            tf[combo // len(vocab), combo % len(vocab)] = cnt.astype(np.float64)
         vpos = {t: i for i, t in enumerate(vocab)}
-        for r, text in enumerate(batch[text_column].to_pylist()):
-            toks = TOKEN_RE.findall(text.lower())
-            dl[r] = len(toks)
-            for t in toks:
-                i = vpos.get(t)
-                if i is not None:
-                    tf[r, i] += 1.0
         norm = k1 * (1.0 - b + b * dl / avgdl)
         out_q, out_i, out_s = [], [], []
         for name, toks in qt.items():
@@ -395,22 +428,17 @@ def with_unigram_surprisal(
     (doc, token, tf) rows as TF-IDF exchange once by token hash — the
     in-partition tf sum IS the exact global token count — stamping each
     row's ``tf * ln(count/total)`` contribution; a doc-hash exchange sums
-    contributions into ``(doc_id, n_tokens, surprisal)``. Total corpus
-    token count comes from a tiny integer partial pass."""
-    # pass 0: exact total token count (one int per block)
-    def len_partial(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table({"tl": pa.array([], pa.int64())})
-        t = sum(
-            len(TOKEN_RE.findall(x.lower()))
-            for x in batch[text_column].to_pylist()
-        )
-        return pa.table({"tl": pa.array([t], pa.int64())})
-
-    tl_df = ds.map_batches(
-        len_partial, batch_format="pyarrow", batch_size=None
-    ).to_pandas()
-    total = int(tl_df["tl"].sum()) if "tl" in tl_df.columns else 0
+    contributions into ``(doc_id, n_tokens, surprisal)``. The corpus
+    token total is the sum of the same tf partials (the counts dataset is
+    materialized once — the exchange pins its blocks anyway — so the text
+    is tokenized exactly once end to end)."""
+    id_type = ds.schema().base_schema.field(id_column).type
+    counts = ds.map_batches(
+        lambda b: _term_counts(b, text_column, id_column, num_partitions, id_type),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).materialize()
+    total = int(counts.sum("tf") or 0)
     empty_out = pa.table(
         {
             "doc_id": pa.array([], pa.int64()),
@@ -420,12 +448,6 @@ def with_unigram_surprisal(
     )
     if total == 0:
         return ray.data.from_arrow(empty_out)
-
-    counts = ds.map_batches(
-        lambda b: _term_counts(b, text_column, id_column, num_partitions),
-        batch_format="pyarrow",
-        batch_size=None,
-    )
 
     def stamp_contrib(group: pa.Table) -> pa.Table:
         empty = pa.table(

@@ -296,19 +296,47 @@ def write_partitioned(
 
     ``by`` must be a bounded-cardinality partition key (shard id, lang,
     key-range bucket) — the done-set is broadcast to the filter tasks.
-    Returns ``{"written": [values], "skipped": [values]}``."""
-    is_local = "://" not in path
+    Returns ``{"written": [values], "skipped": [values]}``.
+
+    The marker/skip/overwrite logic runs through ``pyarrow.fs`` so object
+    stores get the SAME resume semantics as local disk (a silent
+    plain-write fallback would double rows on re-run with
+    ``overwrite=False``)."""
+    import pyarrow.fs as pafs
+
+    if "://" in path:
+        fs, rel = pafs.FileSystem.from_uri(path)
+    else:
+        fs, rel = pafs.LocalFileSystem(), path
+
+    def _part_dirs() -> list[pafs.FileInfo]:
+        try:
+            infos = fs.get_file_info(pafs.FileSelector(rel, allow_not_found=True))
+        except (OSError, pa.ArrowInvalid):
+            return []
+        return [
+            i
+            for i in infos
+            if i.type == pafs.FileType.Directory
+            and i.base_name.startswith(f"{by}=")
+        ]
+
     done: set[str] = set()
-    if is_local and os.path.isdir(path):
-        for d in os.listdir(path):
-            full = os.path.join(path, d)
-            if d.startswith(f"{by}=") and os.path.isdir(full):
-                if skip_existing and os.path.exists(os.path.join(full, "_SUCCESS")):
-                    done.add(d.split("=", 1)[1])
-                elif overwrite:
-                    for f in os.listdir(full):
-                        if f.endswith(".parquet") or f == "_SUCCESS":
-                            os.remove(os.path.join(full, f))
+    for info in _part_dirs():
+        marker = f"{info.path}/_SUCCESS"
+        has_marker = (
+            fs.get_file_info(marker).type == pafs.FileType.File
+        )
+        if skip_existing and has_marker:
+            done.add(info.base_name.split("=", 1)[1])
+        elif overwrite:
+            for f in fs.get_file_info(
+                pafs.FileSelector(info.path, allow_not_found=True)
+            ):
+                if f.type == pafs.FileType.File and (
+                    f.path.endswith(".parquet") or f.base_name == "_SUCCESS"
+                ):
+                    fs.delete_file(f.path)
 
     if done:
         done_arr = np.sort(np.array(sorted(done), dtype=object))
@@ -332,17 +360,23 @@ def write_partitioned(
     # (fresh dirs are exactly those holding parquet but no marker yet:
     # stale dirs were cleaned above or already carry their marker)
     written: list[str] = []
-    if is_local and os.path.isdir(path):
-        for d in sorted(os.listdir(path)):
-            full = os.path.join(path, d)
-            if not (d.startswith(f"{by}=") and os.path.isdir(full)):
-                continue
-            marker = os.path.join(full, "_SUCCESS")
-            if os.path.exists(marker):
-                continue
-            if any(f.endswith(".parquet") for f in os.listdir(full)):
-                open(marker, "w").close()
-                written.append(d.split("=", 1)[1])
-    elif is_local:
-        os.makedirs(path, exist_ok=True)
+    dirs = _part_dirs()
+    for info in sorted(dirs, key=lambda i: i.base_name):
+        marker = f"{info.path}/_SUCCESS"
+        if fs.get_file_info(marker).type == pafs.FileType.File:
+            continue
+        children = fs.get_file_info(
+            pafs.FileSelector(info.path, allow_not_found=True)
+        )
+        if any(
+            c.type == pafs.FileType.File and c.path.endswith(".parquet")
+            for c in children
+        ):
+            fs.open_output_stream(marker).close()
+            written.append(info.base_name.split("=", 1)[1])
+    if not dirs:
+        try:
+            fs.create_dir(rel, recursive=True)
+        except (OSError, pa.ArrowInvalid):
+            pass
     return {"written": written, "skipped": sorted(done)}
