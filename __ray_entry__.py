@@ -35,6 +35,13 @@ from text_dedup_ray import oracles as _oracles
 SMOKE_CORPUS_N = 1000
 _CORPUS_N = {"0.001": 1000, "0.01": 3000, "0.1": 20000}
 
+# The image-corpus queries and their oracles must read the SAME corpus:
+# oracle_sql() takes no sf parameter, so BOTH sides pin to the driver
+# gate's sf0.01 (n=3000) corpus — running the gate at any other sf can
+# then never produce a corpus-size row-count mismatch. bench.py builds
+# its own (bigger) corpus independently of this constant.
+_ORACLE_CORPUS_SF = "/root/testdata/sf0.01"
+
 
 def _corpus_path(sf_dir: str) -> str:
     from text_dedup_ray.data.gen import corpus_parquet
@@ -1440,6 +1447,17 @@ def _MINHASH_ORACLE_CFG():
     return MinHashConfig(num_perm=128, bands=32, rows=4, ngram_size=2, hash_func="md5")
 
 
+def _MINHASH_IMAGES_GATE_CFG():
+    """Gate config for the IMAGE-corpus minhash queries: half the
+    permutations of the docs config (the kernel is config-generic and the
+    full 128-perm path is already gate-checked by minhash_dedup_docs /
+    tests), because the md5-recompute oracle is the single most expensive
+    SQL in the gate and runs twice (batch + incremental)."""
+    from text_dedup_ray.functions.minhash import MinHashConfig
+
+    return MinHashConfig(num_perm=64, bands=16, rows=4, ngram_size=2, hash_func="md5")
+
+
 def _SIMHASH_ORACLE_CFG():
     from text_dedup_ray.functions.simhash import SimHashConfig
 
@@ -1597,8 +1615,8 @@ def _q_minhash_images(sf_dir: str):
     # md5 base hash so the DuckDB oracle recomputes the identical clusters
     # over the same corpus parquet (bench.py keeps the sha1 flagship config)
     res = image_caption_dedup(
-        path=_corpus_path(sf_dir),
-        cfg=_MINHASH_ORACLE_CFG(),
+        path=_corpus_path(_ORACLE_CORPUS_SF),
+        cfg=_MINHASH_IMAGES_GATE_CFG(),
     )
     return res.deduped.select_columns(["image_id", "caption", "phash"])
 
@@ -1611,7 +1629,7 @@ def _q_exact_images(sf_dir: str):
     from text_dedup_ray.pipelines.exact import exact_dedup
     from text_dedup_ray.pipelines.images import image_ids_to_row_ids
 
-    ds = image_ids_to_row_ids(_corpus_ds(sf_dir))
+    ds = image_ids_to_row_ids(_corpus_ds(_ORACLE_CORPUS_SF))
     return exact_dedup(ds, text_column="bytes").select_columns(
         ["image_id", "caption", "phash"]
     )
@@ -1621,7 +1639,7 @@ def _q_simhash_images(sf_dir: str):
     from text_dedup_ray.pipelines.images import image_ids_to_row_ids
     from text_dedup_ray.pipelines.simhash import simhash_dedup
 
-    ds = image_ids_to_row_ids(_corpus_ds(sf_dir))
+    ds = image_ids_to_row_ids(_corpus_ds(_ORACLE_CORPUS_SF))
     res = simhash_dedup(
         ds,
         text_column="caption",
@@ -1634,7 +1652,7 @@ def _q_phash_images(sf_dir: str):
     from text_dedup_ray.pipelines.images import image_ids_to_row_ids, phash_near_dedup_parents
     from text_dedup_ray.stages.cc import cluster_map_table
 
-    ds = image_ids_to_row_ids(_corpus_ds(sf_dir))
+    ds = image_ids_to_row_ids(_corpus_ds(_ORACLE_CORPUS_SF))
     parents = phash_near_dedup_parents(ds, bit_diff=2, num_bucket=4)
     return cluster_map_table(parents)
 
@@ -1660,8 +1678,8 @@ def _q_minhash_incremental_images(sf_dir: str):
     from text_dedup_ray.pipelines.minhash import min_length_filter
     from text_dedup_ray.sources.io import ROW_ID
 
-    cfg = _MINHASH_ORACLE_CFG()
-    ds = image_ids_to_row_ids(_corpus_ds(sf_dir))
+    cfg = _MINHASH_IMAGES_GATE_CFG()
+    ds = image_ids_to_row_ids(_corpus_ds(_ORACLE_CORPUS_SF))
     cut = int(ds.max(ROW_ID) * 0.8)
 
     def split(keep_old: bool):
@@ -1728,7 +1746,7 @@ def _q_phash_incremental_images(sf_dir: str):
     )
     from text_dedup_ray.sources.io import ROW_ID
 
-    ds = image_ids_to_row_ids(_corpus_ds(sf_dir)).select_columns([ROW_ID, "phash"])
+    ds = image_ids_to_row_ids(_corpus_ds(_ORACLE_CORPUS_SF)).select_columns([ROW_ID, "phash"])
     cut = int(ds.max(ROW_ID) * 0.8)
 
     def split(keep_old: bool):
@@ -1780,7 +1798,7 @@ def _q_image_decode(sf_dir: str):
 
     from text_dedup_ray.pipelines.images import ImageDecodeStage
 
-    ds = _corpus_ds(sf_dir).map_batches(
+    ds = _corpus_ds(_ORACLE_CORPUS_SF).map_batches(
         ImageDecodeStage, batch_format="pyarrow", batch_size=256, concurrency=(1, 4)
     )
 
@@ -2321,33 +2339,33 @@ def oracle_sql() -> dict[str, str]:
         # the file exists regardless of query/oracle execution order; the
         # driver's correctness gate runs at sf=0.01 -> n=3000)
         "minhash_dedup_images": _oracles.minhash_images_sql(
-            _MINHASH_ORACLE_CFG(), _corpus_path("/root/testdata/sf0.01")
+            _MINHASH_IMAGES_GATE_CFG(), _corpus_path(_ORACLE_CORPUS_SF)
         ),
         "exact_dedup_images": (
             f"SELECT image_id, caption, phash FROM "
-            f"read_parquet('{_corpus_path('/root/testdata/sf0.01')}') QUALIFY "
+            f"read_parquet('{_corpus_path(_ORACLE_CORPUS_SF)}') QUALIFY "
             f"CAST(substr(image_id, 5) AS BIGINT) = "
             f"min(CAST(substr(image_id, 5) AS BIGINT)) OVER (PARTITION BY bytes)"
         ),
         # tiered state == full batch run (tests/test_incremental.py) -> the
         # batch image oracle applies verbatim
         "minhash_incremental_images": _oracles.minhash_images_sql(
-            _MINHASH_ORACLE_CFG(), _corpus_path("/root/testdata/sf0.01")
+            _MINHASH_IMAGES_GATE_CFG(), _corpus_path(_ORACLE_CORPUS_SF)
         ),
         "simhash_dedup_images": _oracles.simhash_images_sql(
-            _SIMHASH_ORACLE_CFG(), _corpus_path("/root/testdata/sf0.01")
+            _SIMHASH_ORACLE_CFG(), _corpus_path(_ORACLE_CORPUS_SF)
         ),
         "phash_near_dedup_images": _oracles.phash_dedup_sql(
-            2, 4, _corpus_path("/root/testdata/sf0.01")
+            2, 4, _corpus_path(_ORACLE_CORPUS_SF)
         ),
         # tiered state == full batch run (tests/test_incremental_phash.py)
         "phash_incremental_images": _oracles.phash_dedup_sql(
-            2, 4, _corpus_path("/root/testdata/sf0.01")
+            2, 4, _corpus_path(_ORACLE_CORPUS_SF)
         ),
         # invariant oracle: the SQL states what decoding MUST produce for
         # every row; the Ray side actually decodes and proves it
         "image_decode_stats": (
             "SELECT image_id, true AS decode_ok, true AS lossless_phash_ok "
-            f"FROM read_parquet('{_corpus_path('/root/testdata/sf0.01')}')"
+            f"FROM read_parquet('{_corpus_path(_ORACLE_CORPUS_SF)}')"
         ),
     }

@@ -5,6 +5,7 @@ entry at a given sf_dir and compare against oracle_sql() via DuckDB
 from __future__ import annotations
 
 import json
+import time
 import sys
 
 import duckdb
@@ -52,11 +53,18 @@ def main(sf_dir: str) -> None:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     report = {}
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.monotonic()
         try:
             ours = canon(to_pandas(fn(sf_dir)))
+            t_q = time.monotonic() - t0
             if name in oracles:
+                t1 = time.monotonic()
                 theirs = canon(con.execute(oracles[name]).fetchdf())
+                t_o = time.monotonic() - t1
                 ok_rows = len(ours) == len(theirs)
                 ok_cols = list(ours.columns) == list(theirs.columns)
                 ok_vals = False
@@ -78,8 +86,14 @@ def main(sf_dir: str) -> None:
                         "ours": list(ours.columns),
                         "theirs": list(theirs.columns),
                     }
+                report[name]["sec_query"] = round(t_q, 2)
+                report[name]["sec_oracle"] = round(t_o, 2)
             else:
-                report[name] = {"status": "ROWS_ONLY", "rows": len(ours)}
+                report[name] = {
+                    "status": "ROWS_ONLY",
+                    "rows": len(ours),
+                    "sec_query": round(t_q, 2),
+                }
         except Exception as e:  # noqa: BLE001
             report[name] = {"status": "ERROR", "detail": f"{type(e).__name__}: {e}"[:300]}
     print(json.dumps(report, indent=1, default=str))

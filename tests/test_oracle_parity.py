@@ -44,20 +44,16 @@ def duck():
     return con
 
 
-# image-corpus oracles embed the driver-gate corpus (sf0.01, n=3000) in the
-# SQL text, so those queries must run at the matching sf dir
-_SF_OVERRIDE = {
-    "phash_near_dedup_images": "/root/testdata/sf0.01",
-    "minhash_dedup_images": "/root/testdata/sf0.01",
-    "simhash_dedup_images": "/root/testdata/sf0.01",
-}
+# image-corpus queries and oracles are both pinned to the gate corpus
+# (__ray_entry__._ORACLE_CORPUS_SF) — sf_dir is ignored by construction,
+# so no per-query sf override is needed here
 
 
 @pytest.mark.parametrize("name", CONVERTED)
 def test_oracle_matches_pipeline(name, duck):
     import __ray_entry__ as E
 
-    out = E.queries()[name](_SF_OVERRIDE.get(name, SF))
+    out = E.queries()[name](SF)
     df = out.to_pandas() if hasattr(out, "to_pandas") else out
     odf = duck.execute(E.oracle_sql()[name]).fetchdf()
 
