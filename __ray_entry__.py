@@ -1787,6 +1787,46 @@ def _q_phash_incremental_images(sf_dir: str):
     )
 
 
+def _q_cluster_report(sf_dir: str):
+    """The reference's interactive cluster-report surface
+    (report/gradio_app.py:105-341 cluster browser) as a checkable query:
+    the 10 largest exact-dup clusters (size desc, id asc) with up to 5
+    member samples each, text truncated to 200 chars. Only the narrow
+    (row_id, cluster_id) table aggregates; member text is fetched for the
+    selected clusters alone (broadcast membership filter) — the report
+    never materializes the corpus."""
+    from text_dedup_ray.pipelines.exact import exact_cluster_table
+    from text_dedup_ray.report import cluster_samples, cluster_summary
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    clusters = exact_cluster_table(docs, id_column="doc_id")
+    summ = cluster_summary(clusters, num_top=10)
+    samples = cluster_samples(
+        clusters,
+        docs,
+        summ["top_clusters"],
+        text_column="text",
+        id_column="doc_id",
+        max_members=5,
+        max_chars=200,
+    )
+    cl, sz, rid, txt = [], [], [], []
+    for c in samples:
+        for m in c["members"]:
+            cl.append(c["cluster_id"])
+            sz.append(c["size"])
+            rid.append(m["row_id"])
+            txt.append(m["text"])
+    return pa.table(
+        {
+            "cluster_id": pa.array(cl, pa.int64()),
+            "csize": pa.array(sz, pa.int64()),
+            "row_id": pa.array(rid, pa.int64()),
+            "text": pa.array(txt, pa.string()),
+        }
+    )
+
+
 def _q_image_decode(sf_dir: str):
     """Per-row decode invariants, stated in SQL and PROVEN by the Ray decode
     pass: every payload decodes against its metadata, and for the lossless
@@ -1917,6 +1957,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phash_near_dedup_images": _q_phash_images,
         "phash_incremental_images": _q_phash_incremental_images,
         "image_decode_stats": _q_image_decode,
+        "cluster_report_top": _q_cluster_report,
     }
 
 
@@ -2364,6 +2405,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         # invariant oracle: the SQL states what decoding MUST produce for
         # every row; the Ray side actually decodes and proves it
+        "cluster_report_top": (
+            "WITH c AS (SELECT doc_id AS row_id, min(doc_id) OVER "
+            "(PARTITION BY text) AS cluster_id FROM documents), "
+            "s AS (SELECT cluster_id, count(*)::BIGINT AS csize FROM c "
+            "GROUP BY cluster_id), "
+            "top AS (SELECT cluster_id, csize FROM s QUALIFY row_number() "
+            "OVER (ORDER BY csize DESC, cluster_id ASC) <= 10), "
+            "m AS (SELECT c.cluster_id, c.row_id, row_number() OVER "
+            "(PARTITION BY c.cluster_id ORDER BY c.row_id) AS mrk "
+            "FROM c JOIN top USING (cluster_id)) "
+            "SELECT t.cluster_id, t.csize, m.row_id, "
+            "substr(d.text, 1, 200) AS text "
+            "FROM m JOIN top t USING (cluster_id) "
+            "JOIN documents d ON d.doc_id = m.row_id WHERE m.mrk <= 5"
+        ),
         "image_decode_stats": (
             "SELECT image_id, true AS decode_ok, true AS lossless_phash_ok "
             f"FROM read_parquet('{_corpus_path(_ORACLE_CORPUS_SF)}')"
