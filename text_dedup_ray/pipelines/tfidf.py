@@ -86,27 +86,29 @@ def _term_counts(
         pc.utf8_lower(batch[text_column].combine_chunks()), "[^a-z0-9_]+"
     )
     flat = pc.list_flatten(splits)
-    parents = pc.list_parent_indices(splits).to_numpy(zero_copy_only=False)
-    nonempty = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
-    if not nonempty.any():
+    nonempty_m = pc.greater(pc.utf8_length(flat), 0)
+    if not pc.any(nonempty_m).as_py():
         return empty
-    import pandas as pd
-
-    toks_arr = np.asarray(flat.to_pandas(), dtype=object)[nonempty]
-    par = parents[nonempty]
-    codes, uniques = pd.factorize(toks_arr)
+    parents = pc.list_parent_indices(splits).to_numpy(zero_copy_only=False)
+    par = parents[nonempty_m.to_numpy(zero_copy_only=False)].astype(np.int64)
+    # native dictionary encode — only the DISTINCT tokens ever become
+    # Python objects (for the partition hash), never the token stream
+    enc = flat.filter(nonempty_m).dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniques = enc.dictionary
+    nv = len(uniques)
     # count (doc, token) pairs with one bincount over combined codes
-    combo = par.astype(np.int64) * len(uniques) + codes
+    combo = par * nv + codes
     ukey, tf = np.unique(combo, return_counts=True)
-    doc_idx = (ukey // len(uniques)).astype(np.int64)
-    tok_idx = (ukey % len(uniques)).astype(np.int64)
-    out_toks = uniques[tok_idx]
+    doc_idx = (ukey // nv).astype(np.int64)
+    tok_idx = (ukey % nv).astype(np.int64)
+    upart = _spart(np.asarray(uniques.to_pandas(), dtype=object), num_partitions)
     return pa.table(
         {
             "doc_id": batch[id_column].take(pa.array(doc_idx)),
-            "token": pa.array(out_toks, pa.string()),
+            "token": uniques.take(pa.array(tok_idx)),
             "tf": pa.array(tf.astype(np.int64)),
-            _PART: pa.array(_spart(out_toks, num_partitions)),
+            _PART: pa.array(upart[tok_idx]),
         }
     )
 
@@ -126,12 +128,17 @@ def _df_join(
     )
     if group.num_rows == 0 or "token" not in group.column_names:
         return empty
-    toks = np.array(group["token"].to_pylist(), dtype=object)
-    uniq, inv, cnt = np.unique(toks, return_inverse=True, return_counts=True)
+    import pyarrow.compute as pc
+
+    # rows are globally-unique (doc, token) pairs, so DF(token) == its row
+    # count here; dictionary-encode natively instead of np.unique(object)
+    enc = group["token"].combine_chunks().dictionary_encode()
+    inv = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    cnt = np.bincount(inv, minlength=len(enc.dictionary))
     df = cnt[inv].astype(np.int64)
     tf = group["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
     score = np.round(tf * np.log(float(n_docs) / df), round_to)
-    ids = group["doc_id"].to_pylist()
+    ids = group["doc_id"].to_numpy(zero_copy_only=False)
     return pa.table(
         {
             "doc_id": group["doc_id"].combine_chunks(),
@@ -157,11 +164,21 @@ def _topk(group: pa.Table, k: int) -> pa.Table:
     )
     if group.num_rows == 0 or "doc_id" not in group.column_names:
         return empty
-    ids = np.array(group["doc_id"].to_pylist(), dtype=object)
-    toks = np.array(group["token"].to_pylist(), dtype=object)
-    score = group["score"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((toks, -score, ids))
-    sids = ids[order]
+    import pyarrow.compute as pc
+
+    # native multi-key sort: (doc asc, score desc, token asc) — the sort
+    # is total because (doc, token) rows are unique, so no object-array
+    # lexsort is needed
+    order_arr = pc.sort_indices(
+        group,
+        sort_keys=[
+            ("doc_id", "ascending"),
+            ("score", "descending"),
+            ("token", "ascending"),
+        ],
+    )
+    order = order_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+    sids = group["doc_id"].to_numpy(zero_copy_only=False)[order]
     newgrp = np.ones(len(sids), dtype=bool)
     newgrp[1:] = sids[1:] != sids[:-1]
     grp_start = np.maximum.accumulate(
@@ -220,13 +237,16 @@ def bm25_topk(
     """BM25 retrieval for a small named query set: ``(query, doc_id,
     score, rk)`` — the top-``k`` corpus docs per query.
 
-    Scale shape: corpus stats (N, total length) and the DF of QUERY
-    tokens only (never the full vocabulary) fold from per-block integer
-    partials; the scoring pass broadcasts the tiny (query-token -> idf)
-    table, keeps each block's local top-k per query, and one exchange
-    folds O(blocks x queries x k) candidate rows to the global top-k.
-    Payload text never shuffles; ranks are computed on the ROUNDED score
-    (ties -> smallest doc id) so the SQL oracle can reproduce them.
+    Scale shape: ONE tokenize pass emits a narrow per-doc (id, dl,
+    dense query-vocab tf vector) table that is materialized once; corpus
+    stats (N, total length, query-token DF — never the full vocabulary)
+    fold from per-block integer partials of that table, and the scoring
+    pass reads it again (no second regex pass over the corpus text),
+    broadcasts the tiny (query-token -> idf) map, keeps each block's
+    local top-k per query, and one exchange folds O(blocks x queries x k)
+    candidate rows to the global top-k. Payload text never shuffles;
+    ranks are computed on the ROUNDED score (ties -> smallest doc id) so
+    the SQL oracle can reproduce them.
 
     Uses the Lucene/ATIRE BM25 idf ``ln(1 + (N - df + .5)/(df + .5))``
     (Robertson-Sparck Jones with the +1 floor).
@@ -236,11 +256,13 @@ def bm25_topk(
         for name, q in queries.items()
     }
     vocab = sorted({t for toks in qtokens.values() for t in toks})
-    vocab_arr = np.array(vocab, dtype=object)
+
+    vocab_set = pa.array(vocab, pa.string())
 
     def _vocab_hits(batch: pa.Table):
-        """Vectorized tokenize (Arrow split) + vocab match (searchsorted
-        over the sorted vocab): returns (n_rows, per-row token lengths,
+        """Vectorized tokenize (Arrow split) + vocab match (native
+        ``pc.index_in`` against the query vocabulary — the token stream
+        never becomes Python objects): returns (per-row token lengths,
         doc-index array, vocab-index array) for vocab-token occurrences."""
         import pyarrow.compute as pc
 
@@ -255,61 +277,103 @@ def bm25_topk(
         ).astype(np.int64)
         if not len(vocab) or not nonempty.any():
             return dl, np.empty(0, np.int64), np.empty(0, np.int64)
-        toks = np.asarray(flat.to_pandas(), dtype=object)[nonempty]
-        par = parents[nonempty].astype(np.int64)
-        pos = np.searchsorted(vocab_arr, toks)
-        pos_c = np.minimum(pos, len(vocab) - 1)
-        hit = vocab_arr[pos_c] == toks
-        return dl, par[hit], pos_c[hit].astype(np.int64)
+        pos = pc.index_in(flat, value_set=vocab_set).fill_null(-1)
+        pos_np = pos.to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = pos_np >= 0
+        return dl, parents[hit].astype(np.int64), pos_np[hit]
 
-    # ---- pass 1: N, total doc length, per-query-token DF (tiny partials).
-    # N / total_len are counted INDEPENDENT of the vocab (a header row per
-    # block) so an all-stopword query set still ranks zero-scored docs
-    # instead of collapsing to an empty result.
+    V = len(vocab)
+    id_type = ds.schema().base_schema.field(id_column).type
+
+    # ---- the ONLY tokenize pass: one row per doc — (id, dl, dense
+    # per-vocab-token tf vector). Both the stats fold and the scoring pass
+    # read this narrow materialized table, so the corpus text is tokenized
+    # exactly once (the second regex pass over 100 TB was pure waste).
+    # Dense V ints per doc is fine because queries is a SMALL named set;
+    # dl is counted INDEPENDENT of the vocab so an all-stopword query set
+    # still ranks zero-scored docs instead of collapsing to empty.
+    def narrow_partial(batch: pa.Table) -> pa.Table:
+        cols = {
+            id_column: pa.array([], id_type),
+            "dl": pa.array([], pa.int64()),
+        }
+        if V:
+            cols["tfs"] = pa.array([], pa.list_(pa.int32(), V))
+        empty = pa.table(cols)
+        if batch.num_rows == 0:
+            return empty
+        dl, doc_idx, tok_idx = _vocab_hits(batch)
+        out = {
+            id_column: batch[id_column].combine_chunks(),
+            "dl": pa.array(dl),
+        }
+        if V:
+            tfm = np.zeros((batch.num_rows, V), np.int32)
+            if len(doc_idx):
+                combo, cnt = np.unique(
+                    doc_idx * V + tok_idx, return_counts=True
+                )
+                tfm[combo // V, combo % V] = cnt.astype(np.int32)
+            out["tfs"] = pa.FixedSizeListArray.from_arrays(
+                pa.array(tfm.reshape(-1), pa.int32()), V
+            )
+        return pa.table(out)
+
+    narrow = ds.map_batches(
+        narrow_partial, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    # ---- stats fold from the narrow table (tiny integer partials)
     def stats_partial(batch: pa.Table) -> pa.Table:
         empty = pa.table(
             {
-                "token": pa.array([], pa.string()),
-                "df": pa.array([], pa.int64()),
+                "df": pa.array([], pa.list_(pa.int64(), max(V, 1))),
                 "n_docs": pa.array([], pa.int64()),
                 "total_len": pa.array([], pa.int64()),
             }
         )
         if batch.num_rows == 0:
             return empty
-        dl, doc_idx, tok_idx = _vocab_hits(batch)
-        if len(vocab):
-            combo = np.unique(doc_idx * len(vocab) + tok_idx)
-            df = np.bincount(
-                (combo % len(vocab)).astype(np.int64), minlength=len(vocab)
-            ).astype(np.int64)
+        import pyarrow.compute as pc
+
+        if V:
+            tfm = (
+                batch["tfs"]
+                .combine_chunks()
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(batch.num_rows, V)
+            )
+            df = (tfm > 0).sum(axis=0).astype(np.int64)
         else:
-            df = np.empty(0, np.int64)
-        zeros = np.zeros(len(vocab), np.int64)
+            df = np.zeros(1, np.int64)
         return pa.table(
             {
-                "token": pa.array([""] + vocab, pa.string()),
-                "df": pa.array(np.r_[np.int64(0), df]),
-                "n_docs": pa.array(np.r_[np.int64(batch.num_rows), zeros]),
-                "total_len": pa.array(np.r_[dl.sum().astype(np.int64), zeros]),
+                "df": pa.FixedSizeListArray.from_arrays(
+                    pa.array(df, pa.int64()), max(V, 1)
+                ),
+                "n_docs": pa.array([np.int64(batch.num_rows)]),
+                "total_len": pa.array(
+                    [pc.sum(batch["dl"]).as_py() or 0], pa.int64()
+                ),
             }
         )
 
-    stats = ds.map_batches(
+    sdf = narrow.map_batches(
         stats_partial, batch_format="pyarrow", batch_size=None
     ).to_pandas()
-    if "token" in stats.columns and len(stats):
-        stats = stats.groupby("token", as_index=False).sum()
-        n_docs = int(stats["n_docs"].sum())
-        total_len = int(stats["total_len"].sum())
+    if len(sdf):
+        n_docs = int(sdf["n_docs"].sum())
+        total_len = int(sdf["total_len"].sum())
+        df_tot = np.sum(np.stack(sdf["df"].to_numpy()), axis=0).astype(np.int64)
     else:  # empty corpus
-        n_docs, total_len = 0, 0
+        n_docs, total_len, df_tot = 0, 0, np.zeros(max(V, 1), np.int64)
     if n_docs == 0:
         return ray.data.from_arrow(
             pa.table(
                 {
                     "query": pa.array([], pa.string()),
-                    id_column: pa.array([], pa.int64()),
+                    id_column: pa.array([], id_type),
                     "score": pa.array([], pa.float64()),
                     "rk": pa.array([], pa.int64()),
                 }
@@ -318,19 +382,20 @@ def bm25_topk(
     # token-free corpus: dl is all-zero too, any positive avgdl gives the
     # same zero scores without a 0/0
     avgdl = (float(total_len) / float(n_docs)) or 1.0
-    df_map = dict(zip(stats["token"], stats["df"].astype(int)))
+    df_map = dict(zip(vocab, df_tot[:V].tolist()))
     idf = {
         t: math.log(1.0 + (n_docs - df_map.get(t, 0) + 0.5) / (df_map.get(t, 0) + 0.5))
         for t in vocab
     }
     plan_ref = ray.put((qtokens, idf))
 
-    # ---- pass 2: score, block-local top-k per query, one tiny exchange
+    # ---- pass 2 over the NARROW table (no re-tokenize): score,
+    # block-local top-k per query, one tiny exchange
     def score_block(batch: pa.Table) -> pa.Table:
         empty = pa.table(
             {
                 "query": pa.array([], pa.string()),
-                id_column: pa.array([], pa.int64()),
+                id_column: pa.array([], id_type),
                 "score": pa.array([], pa.float64()),
                 "part": pa.array([], pa.int64()),
             }
@@ -338,19 +403,24 @@ def bm25_topk(
         if batch.num_rows == 0:
             return empty
         qt, idf_l = ray.get(plan_ref) if isinstance(plan_ref, ray.ObjectRef) else plan_ref
-        ids = batch[id_column].to_pylist()
+        ids = batch[id_column].to_numpy(zero_copy_only=False)
         n = len(ids)
-        dl_i, doc_idx, tok_idx = _vocab_hits(batch)
-        dl = dl_i.astype(np.float64)
-        tf = np.zeros((n, len(vocab)), np.float64)
-        if len(doc_idx):
-            combo, cnt = np.unique(
-                doc_idx * len(vocab) + tok_idx, return_counts=True
+        dl = batch["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        if V:
+            tf = (
+                batch["tfs"]
+                .combine_chunks()
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(n, V)
+                .astype(np.float64)
             )
-            tf[combo // len(vocab), combo % len(vocab)] = cnt.astype(np.float64)
+        else:
+            tf = np.zeros((n, 0), np.float64)
         vpos = {t: i for i, t in enumerate(vocab)}
         norm = k1 * (1.0 - b + b * dl / avgdl)
-        out_q, out_i, out_s = [], [], []
+        out_q, out_s = [], []
+        out_sel = []
         for name, toks in qt.items():
             cols = [vpos[t] for t in toks]
             w = np.array([idf_l[t] for t in toks])
@@ -359,26 +429,26 @@ def bm25_topk(
                 col = tf[:, c]
                 s += wi * (col * (k1 + 1.0)) / (col + norm)
             s = np.round(s, round_to)
-            order = np.lexsort((np.asarray(ids, dtype=object), -s))[:k]
+            order = np.lexsort((ids, -s))[:k]
             out_q.extend([name] * len(order))
-            out_i.extend([ids[j] for j in order])
+            out_sel.extend(order.tolist())
             out_s.extend(s[order].tolist())
         return pa.table(
             {
                 "query": pa.array(out_q, pa.string()),
-                id_column: pa.array(out_i),
+                id_column: batch[id_column].take(pa.array(out_sel, pa.int64())),
                 "score": pa.array(out_s, pa.float64()),
                 "part": pa.array(np.zeros(len(out_q), np.int64)),
             }
         )
 
-    cands = ds.map_batches(score_block, batch_format="pyarrow", batch_size=None)
+    cands = narrow.map_batches(score_block, batch_format="pyarrow", batch_size=None)
 
     def fold(group: pa.Table) -> pa.Table:
         empty = pa.table(
             {
                 "query": pa.array([], pa.string()),
-                id_column: pa.array([], pa.int64()),
+                id_column: pa.array([], id_type),
                 "score": pa.array([], pa.float64()),
                 "rk": pa.array([], pa.int64()),
             }
@@ -460,15 +530,15 @@ def with_unigram_surprisal(
         )
         if group.num_rows == 0 or "token" not in group.column_names:
             return empty
-        toks = np.array(group["token"].to_pylist(), dtype=object)
-        uniq, inv = np.unique(toks, return_inverse=True)
-        ct = np.zeros(len(uniq), np.int64)
+        enc = group["token"].combine_chunks().dictionary_encode()
+        inv = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ct = np.zeros(len(enc.dictionary), np.int64)
         tf = group["tf"].to_numpy(zero_copy_only=False)
         np.add.at(ct, inv, tf)
         contrib = tf.astype(np.float64) * np.log(
             ct[inv].astype(np.float64) / float(total)
         )
-        ids = group["doc_id"].to_pylist()
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "doc_id": group["doc_id"].combine_chunks(),
@@ -485,7 +555,7 @@ def with_unigram_surprisal(
     def per_doc(group: pa.Table) -> pa.Table:
         if group.num_rows == 0 or "doc_id" not in group.column_names:
             return empty_out
-        ids = np.array(group["doc_id"].to_pylist(), dtype=object)
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
         uniq, inv = np.unique(ids, return_inverse=True)
         dl = np.zeros(len(uniq), np.int64)
         np.add.at(dl, inv, group["tf"].to_numpy(zero_copy_only=False))
