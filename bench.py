@@ -339,6 +339,24 @@ def run_benchmarks() -> None:
             num_partitions=32,
         ).count()
 
+    def bm25_captions():
+        from text_dedup_ray.pipelines.tfidf import bm25_topk
+
+        ds = ray.data.read_parquet(docs_path, columns=["image_id", "caption"])
+        return bm25_topk(
+            ds,
+            {"storage": "table scan filter", "stream": "stream window batch"},
+            text_column="caption", id_column="image_id", k=10,
+        ).count()
+
+    def surprisal_captions():
+        from text_dedup_ray.pipelines.tfidf import with_unigram_surprisal
+
+        ds = ray.data.read_parquet(docs_path, columns=["image_id", "caption"])
+        return with_unigram_surprisal(
+            ds, text_column="caption", id_column="image_id"
+        ).count()
+
     def sketches():
         from text_dedup_ray.pipelines.sketch import approx_count_distinct, cms_registers
 
@@ -363,6 +381,8 @@ def run_benchmarks() -> None:
     if not headline_only:
         timed("line_dedup_captions", line_dedup_captions)
         timed("tfidf_captions", tfidf_captions)
+        timed("bm25_captions", bm25_captions)
+        timed("surprisal_captions", surprisal_captions)
         timed("sketches_hll_cms", sketches)
         timed("pack_plan", pack_plan)
 

@@ -100,7 +100,14 @@ def _block_partial(
     )
     if batch.num_rows == 0:
         return empty
-    hv = _hash64(batch[column].to_pylist())
+    # md5 only the DISTINCT values of the block (value columns like user
+    # ids repeat heavily); hash-based factorize — never a sort of the
+    # value column — maps the digests back through the codes
+    import pandas as pd
+
+    vals = batch[column].to_numpy(zero_copy_only=False)
+    vinv, uvals = pd.factorize(vals)
+    hv = _hash64(uvals.tolist())[vinv]
     idx, rank = _ranks(hv, p)
     keys = (
         np.array([str(v) for v in batch[key].to_pylist()], dtype=object)
@@ -280,7 +287,13 @@ def cms_registers(
         )
         if batch.num_rows == 0:
             return empty
-        vals = batch[column].to_pylist()
+        # md5 only the DISTINCT values per row d (hash-based factorize, no
+        # sort); fold duplicate counts through bincount weights
+        import pandas as pd
+
+        vals_np = batch[column].to_numpy(zero_copy_only=False)
+        codes, uvals = pd.factorize(vals_np)
+        ucnt = np.bincount(codes, minlength=len(uvals)).astype(np.int64)
         out_d, out_i, out_c = [], [], []
         for d in range(depth):
             pre = f"{d}:"
@@ -290,12 +303,12 @@ def cms_registers(
                         hashlib.md5((pre + str(v)).encode()).digest()[:8], "big"
                     )
                     % width
-                    for v in vals
+                    for v in uvals
                 ),
                 np.int64,
-                count=len(vals),
+                count=len(uvals),
             )
-            cnt = np.bincount(hv, minlength=width)
+            cnt = np.bincount(hv, weights=ucnt, minlength=width).astype(np.int64)
             nz = np.flatnonzero(cnt)
             out_d.append(np.full(len(nz), d, np.int64))
             out_i.append(nz.astype(np.int64))
