@@ -17,6 +17,8 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Sum
 
+from ..stages.exchange import distinct_key_partition
+
 
 def grouped_sum_count(
     ds: ray.data.Dataset,
@@ -288,18 +290,8 @@ def grouped_quantiles(
         tbl = batch.select([key, column])
         out = tbl.group_by([key, column]).aggregate([(column, "count")])
         out = out.rename_columns([key, column, "__cnt"])
-        kv = out[key].to_pylist()
-        import hashlib as _h
-
-        part = np.fromiter(
-            (
-                int.from_bytes(_h.sha1(str(v).encode()).digest()[:8], "little")
-                % num_partitions
-                for v in kv
-            ),
-            np.int64,
-            count=len(kv),
-        )
+        kv = out[key].to_numpy(zero_copy_only=False)
+        part = distinct_key_partition(kv, num_partitions)
         return out.append_column("part", pa.array(part))
 
     pre = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
@@ -787,15 +779,7 @@ def with_lag_lead(
         if batch.num_rows == 0:
             return t.append_column("part", pa.array([], pa.int64()))
         k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
-        part = np.fromiter(
-            (
-                int.from_bytes(_h.sha1(str(v).encode()).digest()[:8], "little")
-                % num_partitions
-                for v in k
-            ),
-            np.int64,
-            count=len(k),
-        )
+        part = distinct_key_partition(k, num_partitions)
         return t.append_column("part", pa.array(part))
 
     def fold(group: pa.Table) -> pa.Table:
@@ -861,15 +845,7 @@ def with_running_sum(
         if batch.num_rows == 0:
             return t.append_column("part", pa.array([], pa.int64()))
         k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
-        part = np.fromiter(
-            (
-                int.from_bytes(_h.sha1(str(v).encode()).digest()[:8], "little")
-                % num_partitions
-                for v in k
-            ),
-            np.int64,
-            count=len(k),
-        )
+        part = distinct_key_partition(k, num_partitions)
         return t.append_column("part", pa.array(part))
 
     def fold(group: pa.Table) -> pa.Table:
@@ -932,15 +908,7 @@ def with_row_number(
         if batch.num_rows == 0:
             return t.append_column("part", pa.array([], pa.int64()))
         k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
-        part = np.fromiter(
-            (
-                int.from_bytes(_h.sha1(str(v).encode()).digest()[:8], "little")
-                % num_partitions
-                for v in k
-            ),
-            np.int64,
-            count=len(k),
-        )
+        part = distinct_key_partition(k, num_partitions)
         return t.append_column("part", pa.array(part))
 
     def fold(group: pa.Table) -> pa.Table:

@@ -39,6 +39,29 @@ import ray
 import ray.data
 
 
+def distinct_key_partition(vals, num_partitions: int) -> np.ndarray:
+    """Per-value partition id ``sha1(str(v))[:8] % P`` — the deterministic
+    key->partition map shared by the window/aggregate tag stages — hashing
+    each DISTINCT value exactly once (hash-based ``pd.factorize``, never a
+    sort, never one sha1 per row: a block of 100k events over 3k users
+    pays 3k digests, not 100k)."""
+    import hashlib
+
+    import pandas as pd
+
+    codes, uniq = pd.factorize(np.asarray(vals))
+    hp = np.fromiter(
+        (
+            int.from_bytes(hashlib.sha1(str(v).encode()).digest()[:8], "little")
+            % num_partitions
+            for v in uniq
+        ),
+        np.int64,
+        count=len(uniq),
+    )
+    return hp[codes]
+
+
 def _split_block(block: pa.Table, part_col: str, num_partitions: int) -> list[pa.Table]:
     if block.num_rows == 0:  # Ray emits schema-less empty blocks sometimes
         return [block] * num_partitions
