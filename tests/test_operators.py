@@ -280,3 +280,40 @@ class TestImages:
         for g in groups.values():
             roots = {res.parents.get(m, m) for m in g}
             assert len(roots) == 1
+
+
+class TestVectorizedTextStats:
+    def test_native_kernels_match_scalar_reference(self):
+        # the Arrow count_substring_regex kernels must agree with the
+        # Python reference kernels on edge inputs (unicode, empty,
+        # punctuation-only, digits)
+        import pyarrow as pa
+        import ray.data
+
+        from text_dedup_ray.functions.textstats import count_tokens, quality_stats
+        from text_dedup_ray.pipelines.textops import with_quality, with_token_counts
+
+        texts = [
+            "", "   ", "Hello, world! 123", "éàü über naïve", "a_b_c",
+            "123 456", "!!!", "mixed: Ünïcode and ascii_tok3ns, 42",
+        ]
+        tbl = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+        got_q = (
+            with_quality(ray.data.from_arrow(tbl))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        got_t = (
+            with_token_counts(ray.data.from_arrow(tbl))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        for i, t in enumerate(texts):
+            nc, nt, al, dg = quality_stats(t)
+            assert got_t.n_tokens[i] == count_tokens(t), t
+            assert got_q.n_tokens[i] == nt, t
+            assert got_q.n_chars_q[i] == nc, t
+            assert abs(got_q.alpha_ratio[i] - al) < 1e-12, t
+            assert abs(got_q.digit_ratio[i] - dg) < 1e-12, t
