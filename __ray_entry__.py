@@ -1369,7 +1369,7 @@ def _q_minhash_verified(sf_dir: str):
         _docs(sf_dir, ["doc_id", "text"]),
         text_column="text",
         id_column="doc_id",
-        cfg=replace(_MINHASH_ORACLE_CFG(), check_false_positive=True),
+        cfg=replace(_MINHASH_HALF_CFG(), check_false_positive=True),
     )
     return res.deduped.select_columns(["doc_id", "__CLUSTER__"]).rename_columns(
         {"__CLUSTER__": "cluster_id"}
@@ -1406,7 +1406,7 @@ def _q_minhash_incremental(sf_dir: str):
         return f
 
     state = tempfile.mkdtemp(prefix="lsh_state_", dir="/tmp")
-    cfg = _MINHASH_ORACLE_CFG()
+    cfg = _MINHASH_HALF_CFG()
     minhash_bootstrap(
         docs.map_batches(split(True), batch_format="pyarrow"),
         state,
@@ -1447,15 +1447,29 @@ def _MINHASH_ORACLE_CFG():
     return MinHashConfig(num_perm=128, bands=32, rows=4, ngram_size=2, hash_func="md5")
 
 
-def _MINHASH_IMAGES_GATE_CFG():
-    """Gate config for the IMAGE-corpus minhash queries: half the
-    permutations of the docs config (the kernel is config-generic and the
-    full 128-perm path is already gate-checked by minhash_dedup_docs /
-    tests), because the md5-recompute oracle is the single most expensive
-    SQL in the gate and runs twice (batch + incremental)."""
+def _MINHASH_HALF_CFG():
+    """Half-permutation docs config for the gate queries that exercise logic
+    ORTHOGONAL to permutation count (the FP-verify regroup pass and the
+    tiered bootstrap/increment equivalence): the md5-recompute oracle costs
+    scale linearly in num_perm (profiled: verified 16.6 s at 128 vs 8.3 s at
+    64 on sf0.01), and the full 128-perm path stays gate-checked by
+    minhash_dedup_docs."""
     from text_dedup_ray.functions.minhash import MinHashConfig
 
     return MinHashConfig(num_perm=64, bands=16, rows=4, ngram_size=2, hash_func="md5")
+
+
+def _MINHASH_IMAGES_GATE_CFG():
+    """Gate config for the IMAGE-corpus minhash queries: a quarter of the
+    permutations of the docs config (the kernel is config-generic and the
+    full 128-perm path is already gate-checked by minhash_dedup_docs /
+    tests), because the md5-recompute oracle is the single most expensive
+    SQL in the gate and runs twice (batch + incremental). Profiled on the
+    n=3000 corpus: 20.6 s at 64 perms vs 7.4 s at 32, still flagging ~640
+    duplicates — the whole LSH → CC → survivor path stays exercised."""
+    from text_dedup_ray.functions.minhash import MinHashConfig
+
+    return MinHashConfig(num_perm=32, bands=8, rows=4, ngram_size=2, hash_func="md5")
 
 
 def _SIMHASH_ORACLE_CFG():
@@ -1542,6 +1556,23 @@ def _q_simhash_incremental(sf_dir: str):
     return docs.map_batches(survivors, batch_format="pyarrow")
 
 
+# Gate-only corpus subset for the suffix queries: the oracle's L-gram scan
+# is O(corpus bytes) in DuckDB (md5 at every position), so both sides take
+# every other doc — ~2x cheaper per suffix oracle, semantics unchanged.
+_SUFFIX_GATE_WHERE = "doc_id % 2 = 0"
+
+
+def _suffix_gate_docs(sf_dir: str) -> ray.data.Dataset:
+    import pyarrow.compute as pc
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.equal(pc.bit_wise_and(t["doc_id"], pa.scalar(1, pa.int64())), 0)
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(keep, batch_format="pyarrow")
+
+
 def _q_suffix_docs(sf_dir: str):
     """Reference-semantics suffix-array dedup: ONE corpus-wide partition
     (sort + repartition(1) pins the concatenation to doc_id order so the
@@ -1549,7 +1580,7 @@ def _q_suffix_docs(sf_dir: str):
     anchor-grouped corpora is suffix_array_global_docs."""
     from text_dedup_ray.pipelines.suffix_array import suffix_array_dedup
 
-    docs = _docs(sf_dir, ["doc_id", "text"]).sort("doc_id").repartition(1)
+    docs = _suffix_gate_docs(sf_dir).sort("doc_id").repartition(1)
     return suffix_array_dedup(
         docs, text_column="text", length_threshold=100
     ).select_columns(["doc_id", "text"])
@@ -1559,7 +1590,7 @@ def _q_suffix_global_docs(sf_dir: str):
     from text_dedup_ray.pipelines.suffix_array import suffix_array_dedup_global
 
     return suffix_array_dedup_global(
-        _docs(sf_dir, ["doc_id", "text"]),
+        _suffix_gate_docs(sf_dir),
         text_column="text",
         id_column="doc_id",
         length_threshold=100,
@@ -1583,7 +1614,7 @@ def _q_suffix_incremental_docs(sf_dir: str):
         suffix_increment,
     )
 
-    docs = _docs(sf_dir, ["doc_id", "text"])
+    docs = _suffix_gate_docs(sf_dir)
     cut = int(docs.max("doc_id") * 0.8)
 
     def split(keep_old: bool):
@@ -2357,8 +2388,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup_docs": _oracles.minhash_dedup_sql(_MINHASH_ORACLE_CFG()),
         # incremental state == full batch run (tests/test_incremental.py),
         # so the same SQL is the oracle for the tiered path
-        "minhash_verified_docs": _oracles.minhash_verified_sql(_MINHASH_ORACLE_CFG()),
-        "minhash_incremental_docs": _oracles.minhash_dedup_sql(_MINHASH_ORACLE_CFG()),
+        "minhash_verified_docs": _oracles.minhash_verified_sql(_MINHASH_HALF_CFG()),
+        "minhash_incremental_docs": _oracles.minhash_dedup_sql(_MINHASH_HALF_CFG()),
         "simhash_dedup_docs": _oracles.simhash_dedup_sql(_SIMHASH_ORACLE_CFG()),
         "simhash_incremental_docs": _oracles.simhash_dedup_sql(_SIMHASH_ORACLE_CFG()),
         "embedding_cosine_dedup": _oracles.embedding_dedup_sql(0.98, PLANT_OFFSET),
@@ -2368,13 +2399,19 @@ def oracle_sql() -> dict[str, str]:
         "embedding_incremental_docs": _oracles.embedding_dedup_sql(0.98, PLANT_OFFSET),
         "embedding_cosine_pairs": _oracles.embedding_pairs_sql(0.98, PLANT_OFFSET),
         "doc_winnowing_fp": _oracles.winnowing_sql(),
-        "suffix_array_dedup_docs": _oracles.suffix_dedup_sql(100),
+        "suffix_array_dedup_docs": _oracles.suffix_dedup_sql(
+            100, where=_SUFFIX_GATE_WHERE
+        ),
         # the cross-partition global variant reproduces corpus-wide semantics
         # exactly (tests/test_suffix_global.py), so it shares the same
         # first-principles SQL recomputation
-        "suffix_array_global_docs": _oracles.suffix_dedup_sql(100),
+        "suffix_array_global_docs": _oracles.suffix_dedup_sql(
+            100, where=_SUFFIX_GATE_WHERE
+        ),
         # tiered: old docs cut vs old corpus only, new docs vs old ∪ new
-        "suffix_incremental_docs": _oracles.suffix_tiered_sql(100),
+        "suffix_incremental_docs": _oracles.suffix_tiered_sql(
+            100, where=_SUFFIX_GATE_WHERE
+        ),
         # image-corpus pipelines: the oracle recomputes them in DuckDB
         # directly over the deterministic corpus parquet (generated here so
         # the file exists regardless of query/oracle execution order; the

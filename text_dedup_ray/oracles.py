@@ -578,7 +578,7 @@ SELECT doc_id, fp64 FROM tiny
 """
 
 
-def suffix_dedup_sql(length_threshold: int = 100) -> str:
+def suffix_dedup_sql(length_threshold: int = 100, where: str = "TRUE") -> str:
     """Corpus-wide exact-substring dedup (pipelines/suffix_array.
     suffix_array_dedup over ONE corpus partition) in SQL.
 
@@ -590,51 +590,11 @@ def suffix_dedup_sql(length_threshold: int = 100) -> str:
     is each maximal covered run clipped to the doc and kept iff still >= L
     (restore_and_merge, intervals.py:86-102); remaining bytes are re-joined
     and empty docs dropped. Valid for ASCII documents (byte == char).
-    L-gram identity via md5 (collisions negligible)."""
-    L = length_threshold
+    L-gram identity via md5 (collisions negligible). ``where`` restricts the
+    corpus (bare ``doc_id`` references) — the grams scan is O(corpus bytes),
+    so gate queries subset with it."""
     return f"""
-WITH offs AS (
-  SELECT doc_id, text, length(text) AS n,
-         1 + coalesce(sum(length(text)) OVER (ORDER BY doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
-  FROM documents
-),
-corpus AS (SELECT string_agg(text, '' ORDER BY doc_id) AS c FROM documents),
-grams AS (
-  SELECT i, md5(substr(c, i, {L})) AS g
-  FROM corpus, LATERAL (SELECT unnest(generate_series(1, length(c) - {L - 1})) AS i)
-),
-rep AS (SELECT i FROM grams QUALIFY count(*) OVER (PARTITION BY g) >= 2),
-isl AS (
-  SELECT i, CASE WHEN i - lag(i) OVER (ORDER BY i) <= {L} THEN 0 ELSE 1 END AS brk
-  FROM rep
-),
-grp AS (SELECT i, sum(brk) OVER (ORDER BY i) AS gid FROM isl),
-runs AS (SELECT min(i) AS s, max(i) + {L} AS e FROM grp GROUP BY gid),
-cuts AS (
-  SELECT o.doc_id, greatest(r.s, o.start) AS cs, least(r.e, o.start + o.n) AS ce
-  FROM runs r JOIN offs o ON r.s < o.start + o.n AND r.e > o.start
-  WHERE least(r.e, o.start + o.n) - greatest(r.s, o.start) >= {L}
-),
-loc AS (
-  SELECT c.doc_id, c.cs - o.start + 1 AS ls, c.ce - o.start + 1 AS le
-  FROM cuts c JOIN offs o ON o.doc_id = c.doc_id
-),
-seg AS (
-  SELECT doc_id, coalesce(lag(le) OVER (PARTITION BY doc_id ORDER BY ls), 1) AS ks,
-         ls AS ke
-  FROM loc
-  UNION ALL
-  SELECT o.doc_id, coalesce(max(l.le), 1) AS ks, o.n + 1 AS ke
-  FROM offs o LEFT JOIN loc l ON l.doc_id = o.doc_id
-  GROUP BY o.doc_id, o.n
-),
-rebuilt AS (
-  SELECT s.doc_id, string_agg(substr(o.text, s.ks::INT, (s.ke - s.ks)::INT), '' ORDER BY s.ks) AS text
-  FROM seg s JOIN offs o ON o.doc_id = s.doc_id
-  WHERE s.ke > s.ks
-  GROUP BY s.doc_id
-)
+WITH {_suffix_pipe(length_threshold, "", where, "TRUE")}
 SELECT doc_id, text FROM rebuilt WHERE length(text) > 0
 """
 
@@ -690,17 +650,25 @@ rebuilt{sfx} AS (
 )"""
 
 
-def suffix_tiered_sql(length_threshold: int, cut_expr: str | None = None) -> str:
+def suffix_tiered_sql(
+    length_threshold: int, cut_expr: str | None = None, where: str = "TRUE"
+) -> str:
     """Tiered exact-substring dedup (pipelines/incremental_suffix): OLD docs
     (doc_id <= cut) are cut against the OLD corpus only (they shipped before
     the new batch existed); NEW docs (doc_id > cut) are cut against the FULL
     corpus (old ∪ new). Same L-gram coverage equivalence as
     :func:`suffix_dedup_sql`, applied per tier. ``cut_expr`` defaults to the
-    80% doc_id split the driver query uses (floor, matching Python int())."""
+    80% doc_id split the driver query uses (floor, matching Python int());
+    ``where`` restricts the corpus (both tiers AND the default cut)."""
     if cut_expr is None:
-        cut_expr = "(SELECT CAST(floor(max(doc_id) * 0.8) AS BIGINT) FROM documents)"
-    old = _suffix_pipe(length_threshold, "_o", f"doc_id <= {cut_expr}", "TRUE")
-    new = _suffix_pipe(length_threshold, "_a", "TRUE", f"o.doc_id > {cut_expr}")
+        cut_expr = (
+            "(SELECT CAST(floor(max(doc_id) * 0.8) AS BIGINT) "
+            f"FROM documents WHERE {where})"
+        )
+    old = _suffix_pipe(
+        length_threshold, "_o", f"doc_id <= {cut_expr} AND ({where})", "TRUE"
+    )
+    new = _suffix_pipe(length_threshold, "_a", where, f"o.doc_id > {cut_expr}")
     return f"""
 WITH {old},
 {new}
