@@ -101,6 +101,69 @@ def _q_quality(sf_dir: str):
     )
 
 
+_GOPHER_KW = dict(min_words=50, max_words=100_000, min_mean_word_len=3.0,
+                  max_mean_word_len=10.0, max_symbol_word_ratio=0.1,
+                  min_stopword_hits=2)
+_GOPHER_COLS = [
+    "doc_id", "n_words", "n_word_chars", "n_symbols", "n_stopword_hits",
+    "mean_word_len", "symbol_word_ratio", "ok_word_count",
+    "ok_mean_word_len", "ok_symbol_ratio", "ok_stopwords", "gopher_pass",
+]
+
+
+def _q_gopher(sf_dir: str):
+    from text_dedup_ray.pipelines.textops import with_gopher_rules
+
+    return with_gopher_rules(
+        _docs(sf_dir, ["doc_id", "text"]), **_GOPHER_KW
+    ).select_columns(_GOPHER_COLS)
+
+
+def _q_scrub_events(sf_dir: str):
+    from text_dedup_ray.pipelines.textops import with_scrubbed
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
+    return with_scrubbed(ds, "props", r"\d+", "<NUM>").select_columns(
+        ["event_id", "scrubbed", "n_scrubbed"]
+    )
+
+
+# binds at every gate scale: sf0.001/sf0.01 documents carry ~27k total
+# tokens, so the greedy longest-first selection genuinely cuts the corpus
+TOKEN_BUDGET = 15_000
+
+
+def _q_token_budget(sf_dir: str):
+    from text_dedup_ray.pipelines.select import select_token_budget
+    from text_dedup_ray.pipelines.textops import with_token_counts
+
+    ds = with_token_counts(_docs(sf_dir, ["doc_id", "text"])).map_batches(
+        lambda t: t.append_column("score", t["n_tokens"]), batch_format="pyarrow"
+    )
+    return select_token_budget(
+        ds, "doc_id", "n_tokens", "score", budget=TOKEN_BUDGET
+    )
+
+
+def _q_simhash_keep_best(sf_dir: str):
+    """Quality-aware survivor policy over SimHash near-dup clusters: keep
+    the LONGEST member per cluster (ties -> min doc_id) instead of the
+    reference's min-id policy."""
+    from text_dedup_ray.pipelines.select import keep_best_in_cluster
+    from text_dedup_ray.pipelines.simhash import simhash_dedup
+    from text_dedup_ray.pipelines.textops import with_token_counts
+
+    res = simhash_dedup(
+        _docs(sf_dir, ["doc_id", "text"]),
+        text_column="text",
+        id_column="doc_id",
+        cfg=_SIMHASH_ORACLE_CFG(),
+    )
+    scored = with_token_counts(res.assigned)
+    best = keep_best_in_cluster(scored, "__CLUSTER__", "n_tokens", "doc_id")
+    return best.select_columns(["doc_id", "n_tokens"])
+
+
 def _q_md5(sf_dir: str):
     from text_dedup_ray.pipelines.textops import with_fingerprints
 
@@ -1897,6 +1960,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint_md5": _q_md5,
         "doc_normalize_ccnet": _q_normalize,
         "min_length_filter": _q_min_length,
+        "gopher_quality_docs": _q_gopher,
+        "scrub_events_props": _q_scrub_events,
+        # --- corpus selection / curation (SQL-checked) ---
+        "token_budget_selection": _q_token_budget,
+        "simhash_keep_best_docs": _q_simhash_keep_best,
         # --- dedup (SQL-checked where expressible) ---
         "exact_dedup_docs": _q_exact_dedup,
         "exact_clusters": _q_exact_clusters,
@@ -2007,6 +2075,55 @@ def oracle_sql() -> dict[str, str]:
             "length(regexp_replace(text,'[^0-9]','','g'))::DOUBLE / length(text) END AS digit_ratio "
             "FROM documents"
         ),
+        "gopher_quality_docs": r"""
+WITH g AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z0-9_]+'))::BIGINT AS n_words,
+         len(regexp_extract_all(text, '[A-Za-z0-9_]'))::BIGINT AS n_word_chars,
+         len(regexp_extract_all(text, '(#|\.\.\.|…)'))::BIGINT AS n_symbols,
+         len(regexp_extract_all(text, '\b(the|be|to|of|and|that|have|with|a|in)\b'))::BIGINT
+             AS n_stopword_hits
+  FROM documents
+), r AS (
+  SELECT *,
+         CASE WHEN n_words = 0 THEN 0.0
+              ELSE n_word_chars::DOUBLE / n_words END AS mean_word_len,
+         CASE WHEN n_words = 0 THEN 0.0
+              ELSE n_symbols::DOUBLE / n_words END AS symbol_word_ratio
+  FROM g
+)
+SELECT doc_id, n_words, n_word_chars, n_symbols, n_stopword_hits,
+       mean_word_len, symbol_word_ratio,
+       (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+       (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_mean_word_len,
+       (symbol_word_ratio <= 0.1) AS ok_symbol_ratio,
+       (n_stopword_hits >= 2) AS ok_stopwords,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        AND (symbol_word_ratio <= 0.1)
+        AND (n_stopword_hits >= 2)) AS gopher_pass
+FROM r
+""",
+        "scrub_events_props": r"""
+SELECT event_id,
+       regexp_replace(props, '\d+', '<NUM>', 'g') AS scrubbed,
+       len(regexp_extract_all(props, '\d+'))::BIGINT AS n_scrubbed
+FROM events
+""",
+        "token_budget_selection": f"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z0-9_]+'))::BIGINT AS n_tokens
+  FROM documents
+), s AS (
+  SELECT doc_id, n_tokens, n_tokens AS score,
+         coalesce(sum(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sel_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, score, sel_offset FROM s
+WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
+""",
         "doc_fingerprint_md5": "SELECT doc_id, md5(text) AS content_md5 FROM documents",
         "doc_normalize_ccnet": (
             r"SELECT doc_id, regexp_replace(regexp_replace(lower(trim(text)), '\d', '0', 'g'), "
@@ -2391,6 +2508,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_verified_docs": _oracles.minhash_verified_sql(_MINHASH_HALF_CFG()),
         "minhash_incremental_docs": _oracles.minhash_dedup_sql(_MINHASH_HALF_CFG()),
         "simhash_dedup_docs": _oracles.simhash_dedup_sql(_SIMHASH_ORACLE_CFG()),
+        "simhash_keep_best_docs": _oracles.simhash_keep_best_sql(_SIMHASH_ORACLE_CFG()),
         "simhash_incremental_docs": _oracles.simhash_dedup_sql(_SIMHASH_ORACLE_CFG()),
         "embedding_cosine_dedup": _oracles.embedding_dedup_sql(0.98, PLANT_OFFSET),
         "semdedup_embeddings": _oracles.semdedup_sql(0.98, PLANT_OFFSET),

@@ -488,6 +488,24 @@ WHERE d.doc_id NOT IN (SELECT node FROM cc WHERE cluster_id <> node)
 """
 
 
+def simhash_keep_best_sql(cfg: SimHashConfig) -> str:
+    """Quality-aware survivor policy (pipelines/select.keep_best_in_cluster
+    over simhash_dedup clusters): per cluster keep the member with the most
+    ``[A-Za-z0-9_]+`` tokens, ties -> smallest doc_id. Clusters are the same
+    SimHash CC as :func:`simhash_dedup_sql`; singletons keep themselves."""
+    return f"""
+WITH RECURSIVE {_simhash_core(cfg, "documents")},
+assign AS (
+  SELECT d.doc_id,
+         coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+         len(regexp_extract_all(d.text, '[A-Za-z0-9_]+'))::BIGINT AS n_tokens
+  FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+)
+SELECT doc_id, n_tokens FROM assign
+QUALIFY row_number() OVER (PARTITION BY cluster_id ORDER BY n_tokens DESC, doc_id) = 1
+"""
+
+
 def simhash_images_sql(cfg: SimHashConfig, corpus_path: str) -> str:
     """SimHash dedup of the image+caption corpus captions: survivors'
     (image_id, caption)."""

@@ -283,3 +283,105 @@ def with_normalized(
         )
 
     return ds.map_batches(add, batch_format="pyarrow")
+
+
+# word-soup-safe subset of the Gopher stopwords (Rae et al. 2021 use
+# the/be/to/of/and/that/have/with); RE2 \b word boundaries, shared
+# verbatim with the DuckDB oracle (both engines are RE2)
+GOPHER_STOPWORD_RE = r"\b(the|be|to|of|and|that|have|with|a|in)\b"
+
+
+def with_gopher_rules(
+    ds: ray.data.Dataset,
+    text_column: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_stopword_hits: int = 2,
+) -> ray.data.Dataset:
+    """Gopher quality gates (Rae et al. 2021 §A1.1, public heuristics):
+    word-count bounds, mean-word-length bounds, symbol-to-word ratio
+    (``#``/ellipsis), and a minimum stopword-hit count. Emits the exact
+    integer signals, the two derived ratios, per-rule booleans, and the
+    overall ``gopher_pass`` — all from native Arrow RE2 kernels (zero
+    per-doc Python), so the DuckDB oracle reproduces every double
+    bit-for-bit from the same integer counts."""
+    import pyarrow.compute as pc
+
+    def add(batch: pa.Table) -> pa.Table:
+        text = batch[text_column]
+        n_words = (
+            pc.count_substring_regex(text, r"[A-Za-z0-9_]+")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        n_word_chars = (
+            pc.count_substring_regex(text, r"[A-Za-z0-9_]")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        n_symbols = (
+            pc.count_substring_regex(text, r"(#|\.\.\.|…)")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        n_stop = (
+            pc.count_substring_regex(text, GOPHER_STOPWORD_RE)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        safe = np.maximum(n_words, 1).astype(np.float64)
+        mean_wl = np.where(n_words == 0, 0.0, n_word_chars / safe)
+        sym_ratio = np.where(n_words == 0, 0.0, n_symbols / safe)
+        ok_words = (n_words >= min_words) & (n_words <= max_words)
+        ok_wl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+        ok_sym = sym_ratio <= max_symbol_word_ratio
+        ok_stop = n_stop >= min_stopword_hits
+        return (
+            batch.append_column("n_words", pa.array(n_words))
+            .append_column("n_word_chars", pa.array(n_word_chars))
+            .append_column("n_symbols", pa.array(n_symbols))
+            .append_column("n_stopword_hits", pa.array(n_stop))
+            .append_column("mean_word_len", pa.array(mean_wl))
+            .append_column("symbol_word_ratio", pa.array(sym_ratio))
+            .append_column("ok_word_count", pa.array(ok_words))
+            .append_column("ok_mean_word_len", pa.array(ok_wl))
+            .append_column("ok_symbol_ratio", pa.array(ok_sym))
+            .append_column("ok_stopwords", pa.array(ok_stop))
+            .append_column(
+                "gopher_pass", pa.array(ok_words & ok_wl & ok_sym & ok_stop)
+            )
+        )
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def with_scrubbed(
+    ds: ray.data.Dataset,
+    text_column: str,
+    pattern: str,
+    replacement: str,
+    out_column: str = "scrubbed",
+    hits_column: str = "n_scrubbed",
+) -> ray.data.Dataset:
+    """PII-style pattern scrubbing: replace every non-overlapping RE2
+    ``pattern`` match with ``replacement`` and count the replacements —
+    the redaction pass (emails / phone numbers / free digits) that runs
+    before a corpus ships to training. Native Arrow kernels; DuckDB's
+    ``regexp_replace(..., 'g')`` / ``regexp_extract_all`` are the same
+    RE2 semantics, so the oracle is exact."""
+    import pyarrow.compute as pc
+
+    def add(batch: pa.Table) -> pa.Table:
+        text = batch[text_column]
+        return batch.append_column(
+            out_column,
+            pc.replace_substring_regex(text, pattern, replacement),
+        ).append_column(
+            hits_column,
+            pc.count_substring_regex(text, pattern).cast(pa.int64()),
+        )
+
+    return ds.map_batches(add, batch_format="pyarrow")
