@@ -164,6 +164,17 @@ def _q_simhash_keep_best(sf_dir: str):
     return best.select_columns(["doc_id", "n_tokens"])
 
 
+def _q_source_overlap(sf_dir: str):
+    from text_dedup_ray.pipelines.overlap import source_overlap
+
+    return source_overlap(
+        _docs(sf_dir, ["doc_id", "text", "source"]),
+        group_column="source",
+        ngram_size=3,
+        min_length=1,
+    )
+
+
 def _q_md5(sf_dir: str):
     from text_dedup_ray.pipelines.textops import with_fingerprints
 
@@ -1965,6 +1976,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- corpus selection / curation (SQL-checked) ---
         "token_budget_selection": _q_token_budget,
         "simhash_keep_best_docs": _q_simhash_keep_best,
+        "source_overlap_matrix": _q_source_overlap,
         # --- dedup (SQL-checked where expressible) ---
         "exact_dedup_docs": _q_exact_dedup,
         "exact_clusters": _q_exact_clusters,
@@ -2509,6 +2521,7 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
         "minhash_incremental_docs": _oracles.minhash_dedup_sql(_MINHASH_HALF_CFG()),
         "simhash_dedup_docs": _oracles.simhash_dedup_sql(_SIMHASH_ORACLE_CFG()),
         "simhash_keep_best_docs": _oracles.simhash_keep_best_sql(_SIMHASH_ORACLE_CFG()),
+        "source_overlap_matrix": _oracles.source_overlap_sql(3, 1),
         "simhash_incremental_docs": _oracles.simhash_dedup_sql(_SIMHASH_ORACLE_CFG()),
         "embedding_cosine_dedup": _oracles.embedding_dedup_sql(0.98, PLANT_OFFSET),
         "semdedup_embeddings": _oracles.semdedup_sql(0.98, PLANT_OFFSET),

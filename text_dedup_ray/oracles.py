@@ -106,6 +106,35 @@ FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
 """
 
 
+def source_overlap_sql(
+    ngram_size: int = 3, min_length: int = 1, group_column: str = "source"
+) -> str:
+    """Pairwise exact cohort shingle-set Jaccard (pipelines/overlap.
+    source_overlap): distinct md5-prefix-64 shingle hashes per cohort —
+    the IDENTICAL hash the op applies, so the counts agree exactly —
+    then |A∩B| / (|A|+|B|-|A∩B|) per unordered pair (1.0 on empty∪empty)."""
+    return f"""
+WITH {_grams_cte(ngram_size, min_length)},
+ss AS (
+  SELECT DISTINCT d.{group_column} AS s,
+         ('0x' || substr(md5(g.g), 1, 16))::UBIGINT AS h
+  FROM grams g JOIN documents d USING (doc_id)
+),
+sizes AS (SELECT s, count(*) AS n FROM ss GROUP BY s),
+inter AS (
+  SELECT x.s AS sa, y.s AS sb, count(*) AS c
+  FROM ss x JOIN ss y ON x.h = y.h AND x.s < y.s GROUP BY 1, 2
+)
+SELECT a.s AS source_a, b.s AS source_b, a.n AS n_a, b.n AS n_b,
+       coalesce(i.c, 0) AS n_common,
+       CASE WHEN a.n + b.n - coalesce(i.c, 0) = 0 THEN 1.0
+            ELSE coalesce(i.c, 0)::DOUBLE / (a.n + b.n - coalesce(i.c, 0))
+       END AS jaccard
+FROM sizes a JOIN sizes b ON a.s < b.s
+LEFT JOIN inter i ON i.sa = a.s AND i.sb = b.s
+"""
+
+
 def jaccard_dedup_sql(ngram_size: int = 2, threshold: float = 0.6) -> str:
     """Exact n-gram-Jaccard clusters (pipelines/jaccard_dedup.ngram_jaccard_dedup
     with an uncapped df): pair table >= threshold, then CC; output is the
