@@ -164,6 +164,17 @@ def _q_simhash_keep_best(sf_dir: str):
     return best.select_columns(["doc_id", "n_tokens"])
 
 
+def _q_nbayes(sf_dir: str):
+    """Train a multinomial NB language classifier on the corpus and score
+    the same corpus (the classic train-a-filter-then-stamp-the-corpus
+    pattern); prediction ranking on round-6 scores in BOTH engines."""
+    from text_dedup_ray.pipelines.nbayes import naive_bayes_fit, naive_bayes_predict
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+    model = naive_bayes_fit(docs, text_column="text", label_column="lang")
+    return naive_bayes_predict(docs, model, text_column="text", id_column="doc_id")
+
+
 def _q_source_overlap(sf_dir: str):
     from text_dedup_ray.pipelines.overlap import source_overlap
 
@@ -1977,6 +1988,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_selection": _q_token_budget,
         "simhash_keep_best_docs": _q_simhash_keep_best,
         "source_overlap_matrix": _q_source_overlap,
+        "nbayes_lang_pred": _q_nbayes,
         # --- dedup (SQL-checked where expressible) ---
         "exact_dedup_docs": _q_exact_dedup,
         "exact_clusters": _q_exact_clusters,
@@ -2522,6 +2534,7 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
         "simhash_dedup_docs": _oracles.simhash_dedup_sql(_SIMHASH_ORACLE_CFG()),
         "simhash_keep_best_docs": _oracles.simhash_keep_best_sql(_SIMHASH_ORACLE_CFG()),
         "source_overlap_matrix": _oracles.source_overlap_sql(3, 1),
+        "nbayes_lang_pred": _oracles.naive_bayes_sql(),
         "simhash_incremental_docs": _oracles.simhash_dedup_sql(_SIMHASH_ORACLE_CFG()),
         "embedding_cosine_dedup": _oracles.embedding_dedup_sql(0.98, PLANT_OFFSET),
         "semdedup_embeddings": _oracles.semdedup_sql(0.98, PLANT_OFFSET),

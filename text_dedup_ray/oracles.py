@@ -135,6 +135,58 @@ LEFT JOIN inter i ON i.sa = a.s AND i.sb = b.s
 """
 
 
+def naive_bayes_sql(
+    label_column: str = "lang", alpha: float = 1.0, round_to: int = 6
+) -> str:
+    """Multinomial Naive Bayes train+score over documents (pipelines/
+    nbayes): Laplace-``alpha`` smoothing, vocab-size-normalized denominator,
+    prediction = argmax over ``round_to``-rounded scores with label-order
+    tie-break — the identical rounded ranking the Ray op computes, so libm
+    ulp noise cannot flip a prediction in one engine only."""
+    a = float(alpha)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, t AS token, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t
+        FROM documents)
+  GROUP BY doc_id, t
+),
+lab AS (SELECT DISTINCT {label_column} AS lang FROM documents),
+nd AS (SELECT {label_column} AS lang, count(*)::BIGINT AS n FROM documents GROUP BY 1),
+total AS (SELECT count(*)::BIGINT AS n FROM documents),
+cnts AS (
+  SELECT d.{label_column} AS lang, t.token, sum(t.tf)::BIGINT AS c
+  FROM tok t JOIN documents d USING (doc_id) GROUP BY 1, 2
+),
+vocab AS (SELECT count(DISTINCT token)::BIGINT AS v FROM tok),
+tot AS (
+  SELECT l.lang, coalesce(sum(c.c), 0)::BIGINT AS tot
+  FROM lab l LEFT JOIN cnts c ON c.lang = l.lang GROUP BY l.lang
+),
+contrib AS (
+  SELECT t.doc_id, l.lang,
+         sum(t.tf * ln((coalesce(c.c, 0) + {a}) / (tt.tot + {a} * v.v))) AS s
+  FROM tok t
+  CROSS JOIN lab l
+  LEFT JOIN cnts c ON c.lang = l.lang AND c.token = t.token
+  JOIN tot tt ON tt.lang = l.lang
+  CROSS JOIN vocab v
+  GROUP BY 1, 2
+),
+spine AS (SELECT d.doc_id, l.lang FROM documents d CROSS JOIN lab l),
+sc AS (
+  SELECT sp.doc_id, sp.lang,
+         round(ln(nd.n::DOUBLE / total.n) + coalesce(ct.s, 0.0), {round_to}) AS score
+  FROM spine sp
+  JOIN nd ON nd.lang = sp.lang
+  CROSS JOIN total
+  LEFT JOIN contrib ct ON ct.doc_id = sp.doc_id AND ct.lang = sp.lang
+)
+SELECT doc_id, lang AS pred_label FROM sc
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) = 1
+"""
+
+
 def jaccard_dedup_sql(ngram_size: int = 2, threshold: float = 0.6) -> str:
     """Exact n-gram-Jaccard clusters (pipelines/jaccard_dedup.ngram_jaccard_dedup
     with an uncapped df): pair table >= threshold, then CC; output is the
