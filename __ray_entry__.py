@@ -164,6 +164,14 @@ def _q_simhash_keep_best(sf_dir: str):
     return best.select_columns(["doc_id", "n_tokens"])
 
 
+def _q_embedding_outliers(sf_dir: str):
+    from text_dedup_ray.pipelines.pca import embedding_outliers
+
+    return embedding_outliers(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"), z_threshold=2.0
+    )
+
+
 def _q_nbayes(sf_dir: str):
     """Train a multinomial NB language classifier on the corpus and score
     the same corpus (the classic train-a-filter-then-stamp-the-corpus
@@ -1989,6 +1997,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_keep_best_docs": _q_simhash_keep_best,
         "source_overlap_matrix": _q_source_overlap,
         "nbayes_lang_pred": _q_nbayes,
+        "embedding_outliers": _q_embedding_outliers,
         # --- dedup (SQL-checked where expressible) ---
         "exact_dedup_docs": _q_exact_dedup,
         "exact_clusters": _q_exact_clusters,
@@ -2535,6 +2544,7 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
         "simhash_keep_best_docs": _oracles.simhash_keep_best_sql(_SIMHASH_ORACLE_CFG()),
         "source_overlap_matrix": _oracles.source_overlap_sql(3, 1),
         "nbayes_lang_pred": _oracles.naive_bayes_sql(),
+        "embedding_outliers": _oracles.embedding_outliers_sql(2.0),
         "simhash_incremental_docs": _oracles.simhash_dedup_sql(_SIMHASH_ORACLE_CFG()),
         "embedding_cosine_dedup": _oracles.embedding_dedup_sql(0.98, PLANT_OFFSET),
         "semdedup_embeddings": _oracles.semdedup_sql(0.98, PLANT_OFFSET),

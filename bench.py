@@ -378,6 +378,42 @@ def run_benchmarks() -> None:
             ds, "w", id_column="row_id", capacity=4096, num_partitions=32
         ).count()
 
+    def overlap_by_fmt():
+        from text_dedup_ray.pipelines.overlap import source_overlap
+
+        ds = ray.data.read_parquet(docs_path, columns=["caption", "fmt"])
+        return source_overlap(
+            ds, text_column="caption", group_column="fmt", ngram_size=3,
+            num_partitions=32,
+        ).count()
+
+    def nbayes_fmt():
+        from text_dedup_ray.pipelines.nbayes import naive_bayes_fit, naive_bayes_predict
+
+        ds = ray.data.read_parquet(docs_path, columns=["image_id", "caption", "fmt"])
+        model = naive_bayes_fit(
+            ds, text_column="caption", label_column="fmt", num_partitions=32
+        )
+        return naive_bayes_predict(
+            ds, model, text_column="caption", id_column="image_id"
+        ).count()
+
+    def curation_select():
+        from text_dedup_ray.pipelines.images import image_ids_to_row_ids
+        from text_dedup_ray.pipelines.select import select_token_budget
+        from text_dedup_ray.pipelines.textops import with_gopher_rules, with_token_counts
+
+        ds = image_ids_to_row_ids(
+            ray.data.read_parquet(docs_path, columns=["image_id", "caption"])
+        )
+        n = with_gopher_rules(ds, text_column="caption", min_words=5).count()
+        scored = with_token_counts(ds, text_column="caption")
+        n += select_token_budget(
+            scored, "row_id", "n_tokens", "n_tokens", budget=CORPUS_N * 3,
+            num_partitions=32,
+        ).count()
+        return n
+
     if not headline_only:
         timed("line_dedup_captions", line_dedup_captions)
         timed("tfidf_captions", tfidf_captions)
@@ -385,6 +421,9 @@ def run_benchmarks() -> None:
         timed("surprisal_captions", surprisal_captions)
         timed("sketches_hll_cms", sketches)
         timed("pack_plan", pack_plan)
+        timed("overlap_by_fmt", overlap_by_fmt)
+        timed("nbayes_fmt", nbayes_fmt)
+        timed("curation_select", curation_select)
 
     headline = timings["minhash_images"]
     result = {

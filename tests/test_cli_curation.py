@@ -1,0 +1,131 @@
+"""Fresh-process CLI smoke for the round-4 curation modes: gopher_filter,
+scrub, token_budget, and the keep_best_by survivor policy."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+import pyarrow.parquet as pq
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def _run(config_path) -> dict:
+    proc = subprocess.run(
+        [sys.executable, "-m", "text_dedup_ray", "--config", str(config_path)],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=240,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def test_cli_gopher_filter(tmp_path):
+    config = tmp_path / "run.toml"
+    out = tmp_path / "out"
+    config.write_text(
+        f"""
+[input]
+path = "{DOCS}"
+id_column = "doc_id"
+
+[output]
+path = "{out}"
+
+[algorithm]
+name = "gopher_filter"
+min_words = 50
+"""
+    )
+    stats = _run(config)
+    t = pq.read_table(str(out))
+    assert 0 < t.num_rows < 500  # the 50-word gate genuinely filters
+    assert all(t["gopher_pass"].to_pylist())
+    assert stats["algorithm"] == "gopher_filter"
+
+
+def test_cli_scrub_rewrites_text_in_place(tmp_path):
+    config = tmp_path / "run.toml"
+    out = tmp_path / "out"
+    config.write_text(
+        f"""
+[input]
+path = "/root/testdata/sf0.001/events.parquet"
+text_column = "props"
+id_column = "event_id"
+
+[output]
+path = "{out}"
+
+[algorithm]
+name = "scrub"
+pattern = '\\d+'
+replacement = "<NUM>"
+"""
+    )
+    _run(config)
+    t = pq.read_table(str(out))
+    assert t.num_rows == 1000
+    import re
+
+    assert not any(re.search(r"\d", p) for p in t["props"].to_pylist())
+    assert sum(t["n_scrubbed"].to_pylist()) > 0
+
+
+def test_cli_token_budget_plan(tmp_path):
+    config = tmp_path / "run.toml"
+    out = tmp_path / "out"
+    config.write_text(
+        f"""
+[input]
+path = "{DOCS}"
+id_column = "doc_id"
+
+[output]
+path = "{out}"
+
+[algorithm]
+name = "token_budget"
+budget = 5000
+"""
+    )
+    stats = _run(config)
+    t = pq.read_table(str(out))
+    assert stats["budget"] == 5000
+    assert 0 < t.num_rows < 500
+    toks = t["n_tokens"].to_pylist()
+    offs = t["sel_offset"].to_pylist()
+    assert max(o + n for o, n in zip(offs, toks)) <= 5000
+
+
+def test_cli_minhash_keep_best(tmp_path):
+    config = tmp_path / "run.toml"
+    out = tmp_path / "out"
+    config.write_text(
+        f"""
+[input]
+path = "{DOCS}"
+id_column = "doc_id"
+
+[output]
+path = "{out}"
+
+[algorithm]
+name = "minhash"
+num_perm = 64
+bands = 16
+rows = 4
+hash_func = "sha1"
+keep_best_by = "n_tokens"
+"""
+    )
+    stats = _run(config)
+    assert stats["survivor_policy"] == "best:n_tokens"
+    t = pq.read_table(str(out))
+    # same cluster count as min-id policy, one survivor per cluster
+    assert t.num_rows > 0 and "__CLUSTER__" not in t.column_names
+    assert len(set(t["doc_id"].to_pylist())) == t.num_rows

@@ -22,8 +22,11 @@ reference's config.toml):
 
     [algorithm]
     name = "minhash"             # minhash | simhash | exact | suffix_array | jaccard
+                                 # | *_incremental | decontaminate | line_dedup | mix
+                                 # | gopher_filter | scrub | token_budget
     num_perm = 200
     ngram_size = 2
+    keep_best_by = "n_tokens"    # minhash/simhash: per-cluster argmax survivor
     ...
 """
 
@@ -88,23 +91,46 @@ def main(argv: list[str] | None = None) -> None:
     stats: dict = {"algorithm": name}
     parents = None
 
+    # [algorithm].keep_best_by = "<score column>": quality-aware survivor
+    # policy — per cluster keep the HIGHEST-scoring member instead of the
+    # min-id one ("n_tokens" is computed on the fly when absent)
+    def _apply_keep_best(assigned, score_col: str):
+        from .pipelines.select import keep_best_in_cluster
+        from .sources.io import ROW_ID
+
+        if score_col == "n_tokens" and "n_tokens" not in assigned.schema().names:
+            from .pipelines.textops import with_token_counts
+
+            assigned = with_token_counts(assigned, text_column=text_column)
+        best = keep_best_in_cluster(assigned, "__CLUSTER__", score_col, ROW_ID)
+        drop = [c for c in ("__CLUSTER__", "__duplicate__") if c in best.schema().names]
+        return best.drop_columns(drop) if drop else best
+
     if name == "minhash":
         from .functions.minhash import MinHashConfig
         from .pipelines.minhash import minhash_dedup
 
+        keep_best_by = algo.pop("keep_best_by", None)
         fields = {f for f in MinHashConfig.__dataclass_fields__}
         mh_cfg = MinHashConfig(**_algo_kwargs(algo, fields))
         res = minhash_dedup(ds, text_column=text_column, cfg=mh_cfg, skip_filtering=skip_filtering)
         result_ds, parents = res.deduped, res.parents
+        if keep_best_by and not skip_filtering:
+            result_ds = _apply_keep_best(res.assigned, keep_best_by)
+            stats["survivor_policy"] = f"best:{keep_best_by}"
         stats.update(res.metrics)
     elif name == "simhash":
         from .functions.simhash import SimHashConfig
         from .pipelines.simhash import simhash_dedup
 
+        keep_best_by = algo.pop("keep_best_by", None)
         fields = {f for f in SimHashConfig.__dataclass_fields__}
         sh_cfg = SimHashConfig(**_algo_kwargs(algo, fields))
         res = simhash_dedup(ds, text_column=text_column, cfg=sh_cfg, skip_filtering=skip_filtering)
         result_ds, parents = res.deduped, res.parents
+        if keep_best_by and not skip_filtering:
+            result_ds = _apply_keep_best(res.assigned, keep_best_by)
+            stats["survivor_policy"] = f"best:{keep_best_by}"
     elif name in ("exact", "bloom_filter"):  # bloom alias: exact first-wins
         from .pipelines.exact import exact_dedup
 
@@ -331,6 +357,67 @@ def main(argv: list[str] | None = None) -> None:
                 lambda b: b.filter(_pc.not_equal(b[text_column], "")),
                 batch_format="pyarrow",
             )
+    elif name == "gopher_filter":
+        from .pipelines.textops import with_gopher_rules
+
+        kw = {
+            k: algo[k]
+            for k in (
+                "min_words", "max_words", "min_mean_word_len",
+                "max_mean_word_len", "max_symbol_word_ratio", "min_stopword_hits",
+            )
+            if k in algo
+        }
+        result_ds = with_gopher_rules(ds, text_column=text_column, **kw)
+        if not skip_filtering:
+            import pyarrow.compute as _pc
+
+            result_ds = result_ds.map_batches(
+                lambda b: b.filter(_pc.equal(b["gopher_pass"], True)),
+                batch_format="pyarrow",
+            )
+    elif name == "scrub":
+        # in-place redaction: text_column is rewritten, n_scrubbed counts hits
+        from .pipelines.textops import with_scrubbed
+
+        pattern = algo.get("pattern")
+        if not pattern:
+            raise SystemExit("scrub needs [algorithm].pattern (RE2)")
+        result_ds = with_scrubbed(
+            ds,
+            text_column,
+            pattern,
+            algo.get("replacement", "<REDACTED>"),
+            out_column="__scrubbed",
+        ).map_batches(
+            lambda b: b.drop_columns([text_column]).append_column(
+                text_column, b["__scrubbed"]
+            ).drop_columns(["__scrubbed"]),
+            batch_format="pyarrow",
+        )
+    elif name == "token_budget":
+        # greedy selection plan under a global token budget; output is the
+        # (id, tokens, score, sel_offset) PLAN table — semi-join it back
+        # against the corpus to materialize the selected rows
+        from .pipelines.select import select_token_budget
+        from .pipelines.textops import with_token_counts
+        from .sources.io import ROW_ID
+
+        budget = algo.get("budget")
+        if budget is None:
+            raise SystemExit("token_budget needs [algorithm].budget")
+        work = ds
+        if "n_tokens" not in work.schema().names:
+            work = with_token_counts(work, text_column=text_column)
+        score_col = algo.get("score_column", "n_tokens")
+        result_ds = select_token_budget(
+            work,
+            id_column=cfg.get("input", {}).get("id_column") or ROW_ID,
+            token_column="n_tokens",
+            score_column=score_col,
+            budget=int(budget),
+        )
+        stats["budget"] = int(budget)
     elif name == "mix":
         from .pipelines.sample import weighted_sample_by_group
         from .sources.io import ROW_ID

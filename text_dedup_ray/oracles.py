@@ -135,6 +135,37 @@ LEFT JOIN inter i ON i.sa = a.s AND i.sb = b.s
 """
 
 
+def embedding_outliers_sql(z_threshold: float = 2.0, round_to: int = 6) -> str:
+    """Centroid-distance outliers (pipelines/pca.embedding_outliers): the
+    SAME moment expressions (sum/n, sumsq/n - mean^2 — never var_pop, whose
+    Welford accumulation differs in ulps) and the SAME rounded-vs-rounded
+    flag comparison, so the boolean can only flip ON a rounding boundary."""
+    z = float(z_threshold)
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+),
+el AS (
+  SELECT vec_id, unnest(e) AS val, unnest(range(len(e))) AS i FROM v
+),
+mu AS (SELECT i, sum(val) / (SELECT count(*) FROM v) AS m FROM el GROUP BY i),
+d2 AS (
+  SELECT el.vec_id, sum((el.val - mu.m) * (el.val - mu.m)) AS dist2
+  FROM el JOIN mu USING (i) GROUP BY el.vec_id
+),
+st AS (
+  SELECT sum(dist2) / count(*) AS m2,
+         sum(dist2 * dist2) / count(*)
+           - (sum(dist2) / count(*)) * (sum(dist2) / count(*)) AS var
+  FROM d2
+)
+SELECT d.vec_id, round(d.dist2, {round_to}) AS dist2,
+       round(d.dist2, {round_to}) >
+         round(st.m2 + {z} * sqrt(greatest(st.var, 0.0)), {round_to}) AS is_outlier
+FROM d2 d CROSS JOIN st
+"""
+
+
 def naive_bayes_sql(
     label_column: str = "lang", alpha: float = 1.0, round_to: int = 6
 ) -> str:

@@ -109,6 +109,83 @@ def embedding_covariance(
     )
 
 
+def embedding_outliers(
+    ds: ray.data.Dataset,
+    vector_column: str = "embedding",
+    id_column: str = "vec_id",
+    z_threshold: float = 2.0,
+    round_to: int = 6,
+) -> ray.data.Dataset:
+    """Centroid-distance outlier detection over an embedding column — the
+    pre-training anomaly sweep (mislabeled / corrupted / off-distribution
+    vectors). Three narrow passes, nothing row-sized on the driver:
+
+    1. the shared moment fold gives the global centroid (d doubles);
+    2. one stateless pass folds per-block (sum, sum-of-squares, n) of the
+       squared centroid distance to driver SCALARS;
+    3. one stamp pass emits ``dist2`` (rounded) and ``is_outlier =
+       round(dist2) > round(mean + z*std)`` — the comparison runs on
+       ROUNDED values in both this op and the SQL oracle, so cross-engine
+       ulp noise cannot flip a flag off-boundary."""
+    s, ss, n = _moment_partials(ds, vector_column)
+    empty = pa.table(
+        {
+            id_column: pa.array([], pa.int64()),
+            "dist2": pa.array([], pa.float64()),
+            "is_outlier": pa.array([], pa.bool_()),
+        }
+    )
+    if n == 0:
+        return ray.data.from_arrow(empty)
+    mean = s / n
+    mean_ref = ray.put(mean)
+
+    def d2_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "sd": pa.array([], pa.float64()),
+                    "sd2": pa.array([], pa.float64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        mu = ray.get(mean_ref) if isinstance(mean_ref, ray.ObjectRef) else mean_ref
+        m = np.array(batch[vector_column].to_pylist(), dtype=np.float64)
+        d2 = ((m - mu) ** 2).sum(axis=1)
+        return pa.table(
+            {
+                "sd": pa.array([float(d2.sum())]),
+                "sd2": pa.array([float((d2 * d2).sum())]),
+                "n": pa.array([len(d2)], pa.int64()),
+            }
+        )
+
+    st = ds.select_columns([vector_column]).map_batches(
+        d2_partial, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    mu2 = float(st["sd"].sum()) / n
+    var = float(st["sd2"].sum()) / n - mu2 * mu2
+    thr = round(mu2 + z_threshold * (max(var, 0.0) ** 0.5), round_to)
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        mu = ray.get(mean_ref) if isinstance(mean_ref, ray.ObjectRef) else mean_ref
+        m = np.array(batch[vector_column].to_pylist(), dtype=np.float64)
+        d2 = np.round(((m - mu) ** 2).sum(axis=1), round_to)
+        return pa.table(
+            {
+                id_column: batch[id_column].combine_chunks(),
+                "dist2": pa.array(d2),
+                "is_outlier": pa.array(d2 > thr),
+            }
+        )
+
+    return ds.select_columns([id_column, vector_column]).map_batches(
+        stamp, batch_format="pyarrow", batch_size=None
+    )
+
+
 def pca_project(
     ds: ray.data.Dataset,
     k: int,

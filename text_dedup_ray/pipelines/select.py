@@ -96,21 +96,19 @@ def select_token_budget(
                 ROWS UNBOUNDED PRECEDING) <= budget
 
     Returns (id, tokens, score, sel_offset) for the selected docs, where
-    ``sel_offset`` is the exclusive prefix sum in selection order. Integer
-    scores and ids must fit 31 bits (raises otherwise) so the composite
-    order key is exact int64 arithmetic end-to-end."""
-    id_t = ds.schema().base_schema.field(id_column).type
-    tok_t = ds.schema().base_schema.field(token_column).type
-    score_t = ds.schema().base_schema.field(score_column).type
+    ``sel_offset`` is the exclusive prefix sum in selection order
+    (``score_column == token_column`` is allowed — the column appears
+    once). Integer scores and ids must fit 31 bits (raises otherwise) so
+    the composite order key is exact int64 arithmetic end-to-end."""
+    base = ds.schema().base_schema
+    value_cols = [id_column, token_column]
+    if score_column != token_column:
+        value_cols.append(score_column)
     out_schema = pa.schema(
-        [
-            pa.field(id_column, id_t),
-            pa.field(token_column, tok_t),
-            pa.field(score_column, score_t),
-            pa.field("sel_offset", pa.int64()),
-        ]
+        [pa.field(c, base.field(c).type) for c in value_cols]
+        + [pa.field("sel_offset", pa.int64())]
     )
-    out_names = [id_column, token_column, score_column, "sel_offset"]
+    out_names = value_cols + ["sel_offset"]
 
     def key(batch: pa.Table) -> np.ndarray:
         s = batch[score_column].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -136,7 +134,7 @@ def select_token_budget(
         step = max(1, len(v) // samples_per_block)
         return pa.table({"k": pa.array(v[::step][:samples_per_block])})
 
-    slim_src = ds.select_columns([id_column, token_column, score_column])
+    slim_src = ds.select_columns(value_cols)
     pool_df = slim_src.map_batches(
         sample, batch_format="pyarrow", batch_size=None
     ).to_pandas()
