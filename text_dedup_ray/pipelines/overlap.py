@@ -82,17 +82,29 @@ def source_overlap(
         gmap = ray.get(gid_ref) if isinstance(gid_ref, ray.ObjectRef) else gid_ref
         texts = batch[text_column].to_pylist()
         srcs = batch[group_column].to_pylist()
-        seen: set[tuple[int, int]] = set()
+        # dedup (gram, cohort) pairs FIRST, then hash each distinct gram
+        # exactly once — captions repeat shingles heavily, so this cuts the
+        # md5 count by the block's duplication factor
+        seen: set[tuple[str, int]] = set()
         for txt, s in zip(texts, srcs):
             b = gmap[s]
-            for gram in ngrams(tokenize(txt or ""), ngram_size, min_length):
-                h = int.from_bytes(
-                    hashlib.md5(" ".join(gram).encode("utf-8")).digest()[:8], "big"
-                )
-                seen.add((h - (1 << 64) if h >= 1 << 63 else h, b))
+            seen.update(
+                (" ".join(gram), b)
+                for gram in ngrams(tokenize(txt or ""), ngram_size, min_length)
+            )
         if not seen:
             return empty
-        hs = np.fromiter((p[0] for p in seen), np.int64, count=len(seen))
+        memo: dict[str, int] = {}
+
+        def h64(g: str) -> int:
+            h = memo.get(g)
+            if h is None:
+                h = int.from_bytes(hashlib.md5(g.encode("utf-8")).digest()[:8], "big")
+                h = h - (1 << 64) if h >= 1 << 63 else h
+                memo[g] = h
+            return h
+
+        hs = np.fromiter((h64(p[0]) for p in seen), np.int64, count=len(seen))
         bs = np.fromiter((p[1] for p in seen), np.int64, count=len(seen))
         part = (hs % num_partitions + num_partitions) % num_partitions
         return pa.table({"h": pa.array(hs), "bit": pa.array(bs), "part": pa.array(part)})
