@@ -279,6 +279,31 @@ def main(argv: list[str] | None = None) -> None:
         result_ds = res.assigned if skip_filtering else res.deduped
         stats["state_version"] = res.state_version
         stats.update(res.metrics)
+    elif name == "phash_incremental":
+        # tiered IMAGE near-dup over a stored 64-bit perceptual-hash column
+        # ([algorithm].phash_column, default "phash") — no text involved
+        from .pipelines.images import phash_bootstrap, phash_increment
+
+        state_dir = algo.pop("state_dir", None)
+        if not state_dir:
+            raise SystemExit("phash_incremental needs [algorithm].state_dir")
+        import os as _os
+
+        kw = dict(
+            bit_diff=int(algo.get("bit_diff", 2)),
+            num_bucket=int(algo.get("num_bucket", 4)),
+            phash_column=algo.get("phash_column", "phash"),
+        )
+        if _os.path.exists(_os.path.join(state_dir, "meta.json")):
+            res = phash_increment(ds, state_dir, **kw)
+            stats["mode"] = "increment"
+            stats["merged_old_roots"] = len(res.merged_old_roots)
+        else:
+            res = phash_bootstrap(ds, state_dir, **kw)
+            stats["mode"] = "bootstrap"
+        result_ds = res.assigned if skip_filtering else res.deduped
+        stats["state_version"] = res.state_version
+        stats.update(res.metrics)
     elif name == "jaccard_incremental":
         from .pipelines.incremental_jaccard import jaccard_bootstrap, jaccard_increment
 
