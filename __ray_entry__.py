@@ -164,6 +164,25 @@ def _q_simhash_keep_best(sf_dir: str):
     return best.select_columns(["doc_id", "n_tokens"])
 
 
+_CURATE_BUDGET = 8_000
+_CURATE_CAPACITY = 512
+
+
+def _q_curate(sf_dir: str):
+    """The composed curation chain: exact dedup -> minhash keep-best ->
+    Gopher gates -> token budget -> packing plan, one lazy Dataset chain;
+    the oracle recomputes the WHOLE chain in a single DuckDB statement."""
+    from text_dedup_ray.pipelines.curate import curate_corpus
+
+    return curate_corpus(
+        _docs(sf_dir, ["doc_id", "text"]),
+        minhash_cfg=_MINHASH_HALF_CFG(),
+        gopher_kw=_GOPHER_KW,
+        budget=_CURATE_BUDGET,
+        capacity=_CURATE_CAPACITY,
+    ).plan
+
+
 def _q_embedding_outliers(sf_dir: str):
     from text_dedup_ray.pipelines.pca import embedding_outliers
 
@@ -1998,6 +2017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap_matrix": _q_source_overlap,
         "nbayes_lang_pred": _q_nbayes,
         "embedding_outliers": _q_embedding_outliers,
+        "curated_corpus": _q_curate,
         # --- dedup (SQL-checked where expressible) ---
         "exact_dedup_docs": _q_exact_dedup,
         "exact_clusters": _q_exact_clusters,
@@ -2545,6 +2565,12 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
         "source_overlap_matrix": _oracles.source_overlap_sql(3, 1),
         "nbayes_lang_pred": _oracles.naive_bayes_sql(),
         "embedding_outliers": _oracles.embedding_outliers_sql(2.0),
+        "curated_corpus": _oracles.curate_sql(
+            _MINHASH_HALF_CFG(),
+            budget=_CURATE_BUDGET,
+            capacity=_CURATE_CAPACITY,
+            **_GOPHER_KW,
+        ),
         "simhash_incremental_docs": _oracles.simhash_dedup_sql(_SIMHASH_ORACLE_CFG()),
         "embedding_cosine_dedup": _oracles.embedding_dedup_sql(0.98, PLANT_OFFSET),
         "semdedup_embeddings": _oracles.semdedup_sql(0.98, PLANT_OFFSET),

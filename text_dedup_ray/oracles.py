@@ -447,6 +447,85 @@ WHERE cc.node IS NULL OR cc.cluster_id = d.doc_id
 """
 
 
+def curate_sql(
+    cfg: MinHashConfig,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_stopword_hits: int = 2,
+    budget: int = 15_000,
+    capacity: int = 2048,
+) -> str:
+    """The COMPOSED curation chain (pipelines/curate.curate_corpus) as one
+    statement: exact first-wins dedup -> MinHashLSH CC over the exact
+    survivors -> keep the (n_tokens DESC, id ASC) argmax per cluster among
+    min-length docs -> Gopher gates -> token-budget window cut ->
+    doc-id-order packing offsets/bins. Every fragment is the same SQL its
+    standalone oracle uses, so a mismatch isolates to the composition."""
+    stop_re = r"\b(the|be|to|of|and|that|have|with|a|in)\b"
+    return f"""
+WITH RECURSIVE exact AS (
+  SELECT doc_id, text FROM documents
+  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)
+),
+{_minhash_core(cfg, "exact")},
+ntok AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(text, '[A-Za-z0-9_]+'))::BIGINT AS n_tokens
+  FROM exact
+),
+scored AS (
+  SELECT n.doc_id, n.text, n.n_tokens,
+         coalesce(cc.cluster_id, n.doc_id) AS cluster_id
+  FROM ntok n JOIN docs d ON d.doc_id = n.doc_id
+  LEFT JOIN cc ON cc.node = n.doc_id
+),
+best AS (
+  SELECT doc_id, text, n_tokens FROM scored
+  QUALIFY row_number() OVER (
+    PARTITION BY cluster_id ORDER BY n_tokens DESC, doc_id) = 1
+),
+g AS (
+  SELECT doc_id, n_tokens,
+         len(regexp_extract_all(text, '[A-Za-z0-9_]'))::BIGINT AS nwc,
+         len(regexp_extract_all(text, '(#|\\.\\.\\.|…)'))::BIGINT AS nsym,
+         len(regexp_extract_all(text, '{stop_re}'))::BIGINT AS nstop
+  FROM best
+),
+gop AS (
+  SELECT doc_id, n_tokens FROM g
+  WHERE n_tokens >= {min_words} AND n_tokens <= {max_words}
+    AND (CASE WHEN n_tokens = 0 THEN 0.0 ELSE nwc::DOUBLE / n_tokens END)
+        BETWEEN {min_mean_word_len} AND {max_mean_word_len}
+    AND (CASE WHEN n_tokens = 0 THEN 0.0 ELSE nsym::DOUBLE / n_tokens END)
+        <= {max_symbol_word_ratio}
+    AND nstop >= {min_stopword_hits}
+),
+sel AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS so
+  FROM gop
+),
+kept AS (SELECT doc_id, n_tokens FROM sel WHERE so + n_tokens <= {budget}),
+packed AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
+  FROM kept
+)
+SELECT doc_id, n_tokens, "offset",
+       "offset" // {capacity} AS first_bin,
+       CASE WHEN n_tokens > 0 THEN ("offset" + n_tokens - 1) // {capacity}
+            ELSE "offset" // {capacity} END AS last_bin,
+       (CASE WHEN n_tokens > 0 THEN ("offset" + n_tokens - 1) // {capacity}
+             ELSE "offset" // {capacity} END) > ("offset" // {capacity}) AS straddles
+FROM packed
+"""
+
+
 def minhash_verified_sql(cfg: MinHashConfig) -> str:
     """MinHashLSH dedup WITH the false-positive Jaccard verify pass
     (pipelines/minhash.minhash_dedup with check_false_positive, reference
