@@ -414,6 +414,31 @@ def run_benchmarks() -> None:
         ).count()
         return n
 
+    def curate_e2e():
+        # the composed funnel: exact -> minhash keep-best -> gopher ->
+        # token budget -> packing plan, one lazy chain over 100k captions
+        from text_dedup_ray.pipelines.curate import curate_corpus
+        from text_dedup_ray.pipelines.images import image_ids_to_row_ids
+
+        ds = image_ids_to_row_ids(
+            ray.data.read_parquet(docs_path, columns=["image_id", "caption"])
+        ).drop_columns(["image_id"])
+        return curate_corpus(
+            ds,
+            text_column="caption",
+            id_column="row_id",
+            minhash_cfg=MinHashConfig(
+                num_perm=128, bands=32, rows=4, ngram_size=2, hash_func="sha1"
+            ),
+            # caption-soup-appropriate gates: the synthetic captions rarely
+            # carry >= 2 English stopwords, so the default gate would empty
+            # the funnel before the budget stage gets exercised
+            gopher_kw=dict(min_words=5, min_stopword_hits=0),
+            budget=CORPUS_N * 3,
+            capacity=2048,
+            num_partitions=32,
+        ).plan.count()
+
     if not headline_only:
         timed("line_dedup_captions", line_dedup_captions)
         timed("tfidf_captions", tfidf_captions)
@@ -424,6 +449,7 @@ def run_benchmarks() -> None:
         timed("overlap_by_fmt", overlap_by_fmt)
         timed("nbayes_fmt", nbayes_fmt)
         timed("curation_select", curation_select)
+        timed("curate_e2e", curate_e2e)
 
     headline = timings["minhash_images"]
     result = {
