@@ -168,6 +168,27 @@ _CURATE_BUDGET = 8_000
 _CURATE_CAPACITY = 512
 
 
+def _q_substring_decontaminate(sf_dir: str):
+    """Substring-level decontamination: corpus = doc_id % 7 != 0, benchmark
+    = the rest; every >=64-byte run shared with the benchmark is CUT from
+    the corpus doc (spans removed, not whole docs flagged)."""
+    from text_dedup_ray.pipelines.decontaminate import substring_decontaminate
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def split(keep_corpus: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            mask = (ids % 7 != 0) if keep_corpus else (ids % 7 == 0)
+            return t.filter(pa.array(mask))
+
+        return docs.map_batches(f, batch_format="pyarrow")
+
+    return substring_decontaminate(
+        split(True), split(False), length_threshold=64
+    ).select_columns(["doc_id", "text"])
+
+
 def _q_curate(sf_dir: str):
     """The composed curation chain: exact dedup -> minhash keep-best ->
     Gopher gates -> token budget -> packing plan, one lazy Dataset chain;
@@ -2018,6 +2039,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nbayes_lang_pred": _q_nbayes,
         "embedding_outliers": _q_embedding_outliers,
         "curated_corpus": _q_curate,
+        "substring_decontaminate_docs": _q_substring_decontaminate,
         # --- dedup (SQL-checked where expressible) ---
         "exact_dedup_docs": _q_exact_dedup,
         "exact_clusters": _q_exact_clusters,
@@ -2565,6 +2587,7 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
         "source_overlap_matrix": _oracles.source_overlap_sql(3, 1),
         "nbayes_lang_pred": _oracles.naive_bayes_sql(),
         "embedding_outliers": _oracles.embedding_outliers_sql(2.0),
+        "substring_decontaminate_docs": _oracles.substring_decontaminate_sql(64, 7),
         "curated_corpus": _oracles.curate_sql(
             _MINHASH_HALF_CFG(),
             budget=_CURATE_BUDGET,

@@ -859,6 +859,56 @@ rebuilt{sfx} AS (
 )"""
 
 
+def substring_decontaminate_sql(length_threshold: int, mod: int) -> str:
+    """Cross-corpus substring decontamination (pipelines/decontaminate.
+    substring_decontaminate): corpus = doc_id % mod != 0, benchmark = the
+    rest; cut every maximal corpus byte run covered by L-byte windows that
+    occur anywhere in the benchmark (same island/run/rebuild semantics as
+    :func:`suffix_dedup_sql`, per-doc positions, md5-window identity on
+    BOTH sides so the match is exact)."""
+    L = length_threshold
+    return f"""
+WITH bw AS (
+  SELECT DISTINCT ('0x' || substr(md5(substr(text, i, {L})), 1, 16))::UBIGINT AS h
+  FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text) - {L - 1})) AS i)
+  WHERE doc_id % {mod} = 0
+),
+tw AS (
+  SELECT doc_id, i,
+         ('0x' || substr(md5(substr(text, i, {L})), 1, 16))::UBIGINT AS h
+  FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text) - {L - 1})) AS i)
+  WHERE doc_id % {mod} != 0
+),
+hits AS (SELECT doc_id, i FROM tw WHERE h IN (SELECT h FROM bw)),
+isl AS (
+  SELECT doc_id, i,
+         CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= {L}
+              THEN 0 ELSE 1 END AS brk
+  FROM hits
+),
+grp AS (SELECT doc_id, i, sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS gid FROM isl),
+runs AS (SELECT doc_id, min(i) AS s, max(i) + {L} AS e FROM grp GROUP BY doc_id, gid),
+seg AS (
+  SELECT doc_id, coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS ks,
+         s AS ke
+  FROM runs
+  UNION ALL
+  SELECT d.doc_id, coalesce(max(r.e), 1) AS ks, length(d.text) + 1 AS ke
+  FROM documents d LEFT JOIN runs r ON r.doc_id = d.doc_id
+  WHERE d.doc_id % {mod} != 0
+  GROUP BY d.doc_id, d.text
+),
+rebuilt AS (
+  SELECT s.doc_id,
+         string_agg(substr(d.text, s.ks::INT, (s.ke - s.ks)::INT), '' ORDER BY s.ks) AS text
+  FROM seg s JOIN documents d USING (doc_id)
+  WHERE s.ke > s.ks
+  GROUP BY s.doc_id
+)
+SELECT doc_id, text FROM rebuilt WHERE length(text) > 0
+"""
+
+
 def suffix_tiered_sql(
     length_threshold: int, cut_expr: str | None = None, where: str = "TRUE"
 ) -> str:

@@ -414,3 +414,114 @@ def _decontaminate_shuffle(
         corpus_p, stats_p, "part", num_partitions, annotate_join
     )
     return DecontaminationResult(annotated, {"path": "shuffle", "bench_grams": None})
+
+
+def substring_decontaminate(
+    corpus: ray.data.Dataset,
+    benchmark: ray.data.Dataset,
+    text_column: str = "text",
+    bench_text_column: str | None = None,
+    length_threshold: int = 64,
+    drop_empty: bool = True,
+    max_bench_windows: int = 50_000_000,
+) -> ray.data.Dataset:
+    """Substring-level decontamination (Lee et al. exact-substring semantics
+    applied cross-corpus): CUT from every corpus doc each maximal byte run
+    covered by ``length_threshold``-byte windows that occur anywhere in the
+    benchmark — instead of flagging whole docs, only the contaminated spans
+    are removed (the suffix-array dedup treatment, with the benchmark as the
+    "other occurrence").
+
+    Coverage semantics mirror the engine's suffix oracles exactly: window
+    start positions whose L-byte window appears in the benchmark form
+    islands (split where the gap > L); each island covers [first, last+L);
+    covered runs are cut and the remainder re-joined, dropping docs that
+    become empty (``drop_empty``). ASCII byte==char assumption, as in
+    ``pipelines/suffix_array``.
+
+    Scale shape: the benchmark is the small side by construction, so this is
+    a pure broadcast pass — every block of the benchmark emits its DISTINCT
+    md5-prefix-64 window hashes (bounded by ``max_bench_windows``; raises
+    above it — at that size use the anchor-partitioned suffix machinery
+    instead), the sorted hash array ships via ``ray.put`` once, and ONE
+    streaming ``map_batches`` over the corpus does searchsorted membership +
+    interval cuts. Payload rows never shuffle."""
+    import hashlib
+
+    from ..functions.intervals import clean_up
+
+    bcol = bench_text_column or text_column
+    L = int(length_threshold)
+
+    def win_hashes(data: bytes) -> np.ndarray:
+        n = len(data) - L + 1
+        if n <= 0:
+            return np.empty(0, np.int64)
+        md5 = hashlib.md5
+        return np.fromiter(
+            (
+                int.from_bytes(md5(data[i : i + L]).digest()[:8], "big") - (1 << 63)
+                for i in range(n)
+            ),
+            np.int64,
+            count=n,
+        )
+
+    def bench_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"h": pa.array([], pa.int64())})
+        hs = [win_hashes((t or "").encode("utf-8")) for t in batch[bcol].to_pylist()]
+        merged = np.unique(np.concatenate(hs)) if hs else np.empty(0, np.int64)
+        return pa.table({"h": pa.array(merged)})
+
+    pool = (
+        benchmark.select_columns([bcol])
+        .map_batches(bench_partial, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    bset = (
+        np.unique(pool["h"].to_numpy())
+        if "h" in pool.columns and len(pool)
+        else np.empty(0, np.int64)
+    )
+    if len(bset) > max_bench_windows:
+        raise ValueError(
+            f"benchmark has {len(bset)} distinct windows > max_bench_windows="
+            f"{max_bench_windows}; use the anchor-partitioned suffix machinery"
+        )
+    bset_ref = ray.put(bset)
+
+    def cut(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        bs = ray.get(bset_ref) if isinstance(bset_ref, ray.ObjectRef) else bset_ref
+        texts = batch[text_column].to_pylist()
+        out = []
+        for t in texts:
+            t = t or ""
+            if len(bs) == 0:
+                out.append(t)
+                continue
+            hs = win_hashes(t.encode("utf-8"))
+            if len(hs) == 0:
+                out.append(t)
+                continue
+            idx = np.clip(np.searchsorted(bs, hs), 0, len(bs) - 1)
+            pos = np.flatnonzero(bs[idx] == hs)
+            if pos.size == 0:
+                out.append(t)
+                continue
+            brk = np.flatnonzero(np.diff(pos) > L)
+            starts = np.r_[pos[0], pos[brk + 1]]
+            ends = np.r_[pos[brk], pos[-1]] + L
+            out.append(clean_up(t, list(zip(starts.tolist(), ends.tolist()))))
+        res = batch.drop_columns([text_column]).append_column(
+            text_column, pa.array(out, pa.string())
+        )
+        if drop_empty:
+            import pyarrow.compute as pc
+
+            res = res.filter(pc.greater(pc.utf8_length(res[text_column]), 0))
+        return res
+
+    return corpus.map_batches(cut, batch_format="pyarrow")
