@@ -441,31 +441,25 @@ def substring_decontaminate(
 
     Scale shape: the benchmark is the small side by construction, so this is
     a pure broadcast pass — every block of the benchmark emits its DISTINCT
-    md5-prefix-64 window hashes (bounded by ``max_bench_windows``; raises
-    above it — at that size use the anchor-partitioned suffix machinery
-    instead), the sorted hash array ships via ``ray.put`` once, and ONE
-    streaming ``map_batches`` over the corpus does searchsorted membership +
-    interval cuts. Payload rows never shuffle."""
-    import hashlib
+    64-bit window hashes (bounded by ``max_bench_windows``; raises above it
+    — at that size use the anchor-partitioned suffix machinery instead),
+    the sorted hash array ships via ``ray.put`` once, and ONE streaming
+    ``map_batches`` over the corpus does searchsorted membership + interval
+    cuts. Payload rows never shuffle.
 
+    Window identity is a vectorized polynomial rolling hash (FNV-prime
+    base, wraparound mod 2^64) — O(bytes) per doc instead of O(L x bytes)
+    of per-window digests. Both sides hash identically, so a corpus window
+    matches iff the same bytes occur in the benchmark, up to a 64-bit
+    collision (probability ~ corpus_windows x bench_windows / 2^64 — e.g.
+    ~5e-10 at 2e5 x 5e4 windows — and deterministic for a fixed corpus);
+    the DuckDB oracle detects the same window equality via md5 grams, so a
+    gate pass certifies the outputs agree."""
     from ..functions.intervals import clean_up
 
     bcol = bench_text_column or text_column
     L = int(length_threshold)
-
-    def win_hashes(data: bytes) -> np.ndarray:
-        n = len(data) - L + 1
-        if n <= 0:
-            return np.empty(0, np.int64)
-        md5 = hashlib.md5
-        return np.fromiter(
-            (
-                int.from_bytes(md5(data[i : i + L]).digest()[:8], "big") - (1 << 63)
-                for i in range(n)
-            ),
-            np.int64,
-            count=n,
-        )
+    win_hashes = lambda data: _rolling_window_hashes(data, L)  # noqa: E731
 
     def bench_partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -525,3 +519,34 @@ def substring_decontaminate(
         return res
 
     return corpus.map_batches(cut, batch_format="pyarrow")
+
+
+# polynomial rolling-hash constants: FNV-64 prime base (odd, so invertible
+# mod 2^64) and its modular inverse
+_ROLL_R = np.uint64(1099511628211)
+_ROLL_RINV = np.uint64(pow(1099511628211, -1, 1 << 64))
+
+
+def _rolling_window_hashes(data: bytes, L: int) -> np.ndarray:
+    """64-bit hash of every L-byte window of ``data`` in O(len) vectorized
+    numpy: h(i) = sum_k data[i+k] * R^(L-1-k) (mod 2^64), computed from the
+    prefix sums of data[k] * R^(-k) — equal windows hash equal by
+    construction; uint64 wraparound IS the mod."""
+    n = len(data)
+    m = n - L + 1
+    if m <= 0:
+        return np.empty(0, np.int64)
+    b = np.frombuffer(data, np.uint8).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        rinv_pow = np.empty(n, np.uint64)
+        rinv_pow[0] = 1
+        rinv_pow[1:] = _ROLL_RINV
+        np.multiply.accumulate(rinv_pow, out=rinv_pow)
+        r_pow = np.empty(n, np.uint64)
+        r_pow[0] = 1
+        r_pow[1:] = _ROLL_R
+        np.multiply.accumulate(r_pow, out=r_pow)
+        t = np.cumsum(b * rinv_pow, dtype=np.uint64)
+        t_prev = np.concatenate(([np.uint64(0)], t[:-1]))  # T[i-1], T[-1]=0
+        w = (t[L - 1 :] - t_prev[:m]) * r_pow[L - 1 :]
+    return w.view(np.int64)
