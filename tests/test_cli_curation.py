@@ -129,3 +129,45 @@ keep_best_by = "n_tokens"
     # same cluster count as min-id policy, one survivor per cluster
     assert t.num_rows > 0 and "__CLUSTER__" not in t.column_names
     assert len(set(t["doc_id"].to_pylist())) == t.num_rows
+
+
+def test_cli_substring_decontaminate(tmp_path):
+    import pyarrow as pa
+
+    secret = "the quick brown fox jumps over the lazy dog again and again!!"
+    pq.write_table(
+        pa.table({"doc_id": [0], "text": [f"bench doc holds {secret} inside"]}),
+        tmp_path / "bench.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [0, 1],
+                "text": ["A" * 30 + secret + "B" * 30, "clean document " * 10],
+            }
+        ),
+        tmp_path / "corpus.parquet",
+    )
+    config = tmp_path / "run.toml"
+    out = tmp_path / "out"
+    config.write_text(
+        f"""
+[input]
+path = "{tmp_path / 'corpus.parquet'}"
+id_column = "doc_id"
+
+[output]
+path = "{out}"
+
+[algorithm]
+name = "substring_decontaminate"
+benchmark_path = "{tmp_path / 'bench.parquet'}"
+length_threshold = 32
+"""
+    )
+    _run(config)
+    t = pq.read_table(str(out)).to_pandas().sort_values("doc_id")
+    assert t["doc_id"].tolist() == [0, 1]
+    assert secret not in t["text"].iloc[0]
+    assert t["text"].iloc[0].endswith("B" * 30)
+    assert t["text"].iloc[1] == "clean document " * 10

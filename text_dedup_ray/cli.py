@@ -363,6 +363,23 @@ def main(argv: list[str] | None = None) -> None:
         )
         stats["decontaminate"] = res.metrics
         result_ds = res.annotated if skip_filtering else res.clean
+    elif name == "substring_decontaminate":
+        # cut every >= length_threshold-byte run shared with the benchmark
+        from .pipelines.decontaminate import substring_decontaminate
+        from .sources.io import read_table
+
+        bench_path = algo.get("benchmark_path") or cfg.get("benchmark", {}).get("path")
+        if not bench_path:
+            raise SystemExit("substring_decontaminate needs algorithm.benchmark_path")
+        bench = read_table(bench_path, fmt=algo.get("benchmark_format", "parquet"))
+        result_ds = substring_decontaminate(
+            ds,
+            bench,
+            text_column=text_column,
+            bench_text_column=algo.get("benchmark_text_column", text_column),
+            length_threshold=int(algo.get("length_threshold", 64)),
+            drop_empty=not skip_filtering,
+        )
     elif name == "line_dedup":
         from .pipelines.lines import line_dedup
         from .sources.io import ROW_ID
