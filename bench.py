@@ -439,7 +439,49 @@ def run_benchmarks() -> None:
             num_partitions=32,
         ).plan.count()
 
+    recall_state: dict = {}
+
+    def recall_vs_reference():
+        # the BASELINE's headline correctness criterion measured directly:
+        # flagship-config MinHash clusters vs the straight-line reference
+        # reimplementation (tests/reference_impl.py) on the deterministic
+        # 3000-row corpus — dup-pair recall AND precision must both be 1.0
+        # (the same equivalence the DuckDB oracle certifies per round)
+        from tests.reference_impl import dup_pairs, minhash_reference_parents
+        from text_dedup_ray.functions.evaluation import clusters_to_pairs
+        from text_dedup_ray.pipelines.images import image_ids_to_row_ids
+        from text_dedup_ray.pipelines.minhash import minhash_dedup
+
+        ref_path, _ = corpus_parquet(3000, seed=42)
+        ds = image_ids_to_row_ids(
+            ray.data.read_parquet(ref_path, columns=["image_id", "caption"])
+        )
+        cfg = MinHashConfig(
+            num_perm=128, bands=32, rows=4, ngram_size=2, hash_func="sha1"
+        )
+        res = minhash_dedup(ds, text_column="caption", cfg=cfg)
+        ours = res.parents
+        if not isinstance(ours, dict):
+            ours = {
+                int(r["row_id"]): int(r["cluster_id"]) for r in ours.iter_rows()
+            }
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(ref_path, columns=["image_id", "caption"])
+        ids = [int(i.rsplit("-", 1)[-1]) for i in t["image_id"].to_pylist()]
+        ref = minhash_reference_parents(t["caption"].to_pylist(), ids, cfg)
+        ref_pairs = dup_pairs(ref)
+        our_pairs = clusters_to_pairs(ours)
+        recall_state["recall"] = (
+            1.0 if not ref_pairs else len(our_pairs & ref_pairs) / len(ref_pairs)
+        )
+        recall_state["precision"] = (
+            1.0 if not our_pairs else len(our_pairs & ref_pairs) / len(our_pairs)
+        )
+        return len(ref_pairs)
+
     if not headline_only:
+        timed("recall_vs_reference_3k", recall_vs_reference)
         timed("line_dedup_captions", line_dedup_captions)
         timed("tfidf_captions", tfidf_captions)
         timed("bm25_captions", bm25_captions)
@@ -467,6 +509,9 @@ def run_benchmarks() -> None:
     }
     if "recall" in ann_state:
         result["ann_lsh_recall_vs_exact"] = ann_state["recall"]
+    if "recall" in recall_state:
+        result["dup_pair_recall_vs_reference"] = recall_state["recall"]
+        result["dup_pair_precision_vs_reference"] = recall_state["precision"]
     print(json.dumps(result))
     ray.shutdown()
 
