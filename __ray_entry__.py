@@ -1812,6 +1812,19 @@ def _q_simhash_images(sf_dir: str):
     return res.deduped.select_columns(["image_id", "caption"])
 
 
+def _q_multimodal_images(sf_dir: str):
+    """OR-fusion dedup over the pinned image corpus: caption MinHashLSH
+    edges UNION phash Hamming edges -> one CC; survivors keep min row id."""
+    from text_dedup_ray.pipelines.images import multimodal_dedup
+
+    return multimodal_dedup(
+        path=_corpus_path(_ORACLE_CORPUS_SF),
+        cfg=_MINHASH_IMAGES_GATE_CFG(),
+        bit_diff=2,
+        num_bucket=4,
+    ).select_columns(["image_id", "caption"])
+
+
 def _q_phash_images(sf_dir: str):
     from text_dedup_ray.pipelines.images import image_ids_to_row_ids, phash_near_dedup_parents
     from text_dedup_ray.stages.cc import cluster_map_table
@@ -2129,6 +2142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_incremental_images": _q_minhash_incremental_images,
         "simhash_dedup_images": _q_simhash_images,
         "phash_near_dedup_images": _q_phash_images,
+        "multimodal_dedup_images": _q_multimodal_images,
         "phash_incremental_images": _q_phash_incremental_images,
         "image_decode_stats": _q_image_decode,
         "cluster_report_top": _q_cluster_report,
@@ -2635,6 +2649,9 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
         ),
         "simhash_dedup_images": _oracles.simhash_images_sql(
             _SIMHASH_ORACLE_CFG(), _corpus_path(_ORACLE_CORPUS_SF)
+        ),
+        "multimodal_dedup_images": _oracles.multimodal_images_sql(
+            _MINHASH_IMAGES_GATE_CFG(), 2, 4, _corpus_path(_ORACLE_CORPUS_SF)
         ),
         "phash_near_dedup_images": _oracles.phash_dedup_sql(
             2, 4, _corpus_path(_ORACLE_CORPUS_SF)

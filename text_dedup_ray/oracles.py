@@ -710,6 +710,52 @@ WHERE CAST(substr(c.image_id, 5) AS BIGINT) NOT IN
 """
 
 
+def multimodal_images_sql(
+    cfg: MinHashConfig, bit_diff: int, num_bucket: int, corpus_path: str
+) -> str:
+    """OR-fusion image dedup (pipelines/images.multimodal_dedup): caption
+    MinHashLSH star edges UNION phash Hamming edges feed ONE CC; survivors
+    = docs that are not non-root members (all docs participate — the
+    min-length filter only silences the caption signal). The two edge
+    fragments are the same SQL the standalone oracles use, with the phash
+    candidate/edge CTEs renamed (pcand/pedges) to avoid colliding with the
+    MinHash names."""
+    perms = create_permutations(64, bit_diff, num_bucket)
+    sig_i = _sig_ubigint_to_bigint("s1.sig")
+    sig_j = _sig_ubigint_to_bigint("s2.sig")
+    return f"""
+WITH RECURSIVE {_corpus_docs_cte(corpus_path)},
+{_minhash_bands_core(cfg, "corpus_docs")},
+mbuckets AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY band_idx, band_val) AS m FROM bands
+),
+medges AS (SELECT DISTINCT doc_id AS hi, m AS lo FROM mbuckets WHERE doc_id <> m),
+all_sigs AS (
+  SELECT CAST(substr(image_id, 5) AS BIGINT) AS doc_id,
+         CASE WHEN phash < 0 THEN (phash::HUGEINT + {U64})::UBIGINT
+              ELSE phash::UBIGINT END AS sig
+  FROM read_parquet('{corpus_path}')
+),
+keys AS ({_simhash_keys_cte(perms)}),
+pcand AS (
+  SELECT a.doc_id AS i, b.doc_id AS j
+  FROM keys a JOIN keys b ON a.perm = b.perm AND a.key = b.key AND a.doc_id > b.doc_id
+  GROUP BY 1, 2
+),
+pedges AS (
+  SELECT c.i AS hi, c.j AS lo
+  FROM pcand c JOIN all_sigs s1 ON s1.doc_id = c.i JOIN all_sigs s2 ON s2.doc_id = c.j
+  WHERE bit_count(xor({sig_i}, {sig_j})) <= {bit_diff}
+),
+edges AS (SELECT hi, lo FROM medges UNION SELECT hi, lo FROM pedges),
+{CC_FRAGMENT}
+SELECT c.image_id, c.caption
+FROM read_parquet('{corpus_path}') c
+WHERE CAST(substr(c.image_id, 5) AS BIGINT) NOT IN
+      (SELECT node FROM cc WHERE cluster_id <> node)
+"""
+
+
 def phash_dedup_sql(bit_diff: int, num_bucket: int, corpus_path: str) -> str:
     """Perceptual-hash near-dup clusters (pipelines/images.
     phash_near_dedup_parents — the SimHash block-permutation machinery

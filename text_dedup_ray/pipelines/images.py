@@ -333,3 +333,83 @@ def check_row_invariants(
         worst = min(worst, p)
         checked += 1
     return {"checked": checked, "worst_psnr": worst}
+
+
+def _parents_to_edges(parents) -> ray.data.Dataset:
+    """Cluster map (dict or Dataset(row_id, cluster_id)) -> (src, dst) edge
+    Dataset; connectivity-equivalent input for a union CC."""
+    if isinstance(parents, dict):
+        items = [(int(k), int(v)) for k, v in parents.items() if k != v]
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([a for a, _ in items], pa.int64()),
+                    "dst": pa.array([b for _, b in items], pa.int64()),
+                }
+            )
+        )
+
+    def conv(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": t["row_id"].cast(pa.int64()),
+                "dst": t["cluster_id"].cast(pa.int64()),
+            }
+        )
+
+    return parents.map_batches(conv, batch_format="pyarrow")
+
+
+def multimodal_dedup(
+    ds: ray.data.Dataset | None = None,
+    path: str | None = None,
+    cfg: "MinHashConfig | None" = None,
+    bit_diff: int = 2,
+    num_bucket: int = 4,
+    caption_column: str = "caption",
+    phash_column: str = "phash",
+    driver_threshold: int = 2_000_000,
+):
+    """OR-fusion near-dup over image+caption rows: two rows are duplicates
+    when their captions collide under MinHashLSH **or** their perceptual
+    hashes are within ``bit_diff`` — the practical multimodal dedup policy
+    (caption paraphrases catch re-encodes the pixel hash misses, and vice
+    versa). Both signals reuse their existing edge machinery; the union of
+    the two cluster graphs feeds ONE connected-components pass (transitive
+    across modalities by construction: a caption-dup of a pixel-dup lands
+    in the same cluster). Survivors keep the min row id per merged cluster;
+    short-caption docs still dedup via phash (the MinHash min-length filter
+    only silences the caption signal, it does not drop rows here)."""
+    from ..stages.assign import assign_clusters, assign_clusters_sharded, filter_cluster_roots
+    from ..stages.cc import connected_components_auto
+    from .minhash import minhash_dedup
+
+    if path is not None:
+        ds = image_ids_to_row_ids(ray.data.read_parquet(path))
+    elif ROW_ID not in ds.schema().names:
+        ds = image_ids_to_row_ids(ds)
+
+    narrow = ds.select_columns([ROW_ID, caption_column])
+    mh = minhash_dedup(
+        narrow,
+        text_column=caption_column,
+        cfg=cfg,
+        skip_filtering=True,
+        driver_threshold=driver_threshold,
+    ).parents
+    ph = phash_near_dedup_parents(
+        ds.select_columns([ROW_ID, phash_column]),
+        bit_diff=bit_diff,
+        num_bucket=num_bucket,
+        phash_column=phash_column,
+        driver_threshold=driver_threshold,
+    )
+    edges = _parents_to_edges(mh).union(_parents_to_edges(ph))
+    merged = connected_components_auto(
+        edges, driver_threshold=driver_threshold, include_roots=False
+    )
+    if isinstance(merged, dict):
+        assigned = assign_clusters(ds, {k: v for k, v in merged.items() if k != v})
+    else:
+        assigned = assign_clusters_sharded(ds, merged.materialize())
+    return filter_cluster_roots(assigned)
