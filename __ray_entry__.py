@@ -1964,6 +1964,64 @@ def _q_phash_incremental_images(sf_dir: str):
     )
 
 
+def _q_multimodal_incremental_images(sf_dir: str):
+    """Tiered FUSED dedup: 80/20 bootstrap+increment of BOTH signal
+    families (caption LSH index + phash index) over the pinned corpus,
+    then a union-CC of the two persisted cluster maps. Each family's
+    tiered map equals its batch map (per-family equivalence tests), so
+    the fusion equals batch ``multimodal_dedup`` and
+    ``multimodal_images_sql`` applies verbatim."""
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from text_dedup_ray.pipelines.images import (
+        image_ids_to_row_ids,
+        multimodal_merge_cluster_maps,
+        phash_bootstrap,
+        phash_increment,
+    )
+    from text_dedup_ray.pipelines.incremental import minhash_bootstrap, minhash_increment
+    from text_dedup_ray.sources.io import ROW_ID
+
+    cfg = _MINHASH_IMAGES_GATE_CFG()
+    ds = image_ids_to_row_ids(_corpus_ds(_ORACLE_CORPUS_SF))
+    cut = int(ds.max(ROW_ID) * 0.8)
+
+    def split(keep_old: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = pc.less_equal(t[ROW_ID], pa.scalar(cut, pa.int64()))
+            return t.filter(m if keep_old else pc.invert(m))
+
+        return f
+
+    old = ds.map_batches(split(True), batch_format="pyarrow")
+    new = ds.map_batches(split(False), batch_format="pyarrow")
+
+    s_mh = tempfile.mkdtemp(prefix="mm_lsh_state_", dir="/tmp")
+    minhash_bootstrap(old, s_mh, text_column="caption", cfg=cfg, num_partitions=16)
+    inc_mh = minhash_increment(new, s_mh, text_column="caption", cfg=cfg)
+
+    s_ph = tempfile.mkdtemp(prefix="mm_phash_state_", dir="/tmp")
+    narrow = ds.select_columns([ROW_ID, "phash"])
+    phash_bootstrap(
+        narrow.map_batches(split(True), batch_format="pyarrow"),
+        s_ph, bit_diff=2, num_bucket=4, num_partitions=16,
+    )
+    inc_ph = phash_increment(
+        narrow.map_batches(split(False), batch_format="pyarrow"),
+        s_ph, bit_diff=2, num_bucket=4,
+    )
+
+    maps = [
+        ray.data.read_parquet(f"{s_mh}/v{inc_mh.state_version:05d}/clusters"),
+        ray.data.read_parquet(f"{s_ph}/v{inc_ph.state_version:05d}/clusters"),
+    ]
+    return multimodal_merge_cluster_maps(ds, maps).select_columns(
+        ["image_id", "caption"]
+    )
+
+
 def _q_cluster_report(sf_dir: str):
     """The reference's interactive cluster-report surface
     (report/gradio_app.py:105-341 cluster browser) as a checkable query:
@@ -2143,6 +2201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup_images": _q_simhash_images,
         "phash_near_dedup_images": _q_phash_images,
         "multimodal_dedup_images": _q_multimodal_images,
+        "multimodal_incremental_images": _q_multimodal_incremental_images,
         "phash_incremental_images": _q_phash_incremental_images,
         "image_decode_stats": _q_image_decode,
         "cluster_report_top": _q_cluster_report,
@@ -2651,6 +2710,11 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
             _SIMHASH_ORACLE_CFG(), _corpus_path(_ORACLE_CORPUS_SF)
         ),
         "multimodal_dedup_images": _oracles.multimodal_images_sql(
+            _MINHASH_IMAGES_GATE_CFG(), 2, 4, _corpus_path(_ORACLE_CORPUS_SF)
+        ),
+        # tiered fused state == batch fused run (per-family equivalences +
+        # union-CC is map-composition-invariant), so the same SQL applies
+        "multimodal_incremental_images": _oracles.multimodal_images_sql(
             _MINHASH_IMAGES_GATE_CFG(), 2, 4, _corpus_path(_ORACLE_CORPUS_SF)
         ),
         "phash_near_dedup_images": _oracles.phash_dedup_sql(

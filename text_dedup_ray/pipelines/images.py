@@ -404,7 +404,25 @@ def multimodal_dedup(
         phash_column=phash_column,
         driver_threshold=driver_threshold,
     )
-    edges = _parents_to_edges(mh).union(_parents_to_edges(ph))
+    return multimodal_merge_cluster_maps(ds, [mh, ph], driver_threshold)
+
+
+def multimodal_merge_cluster_maps(
+    ds: ray.data.Dataset,
+    cluster_maps: list,
+    driver_threshold: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Union-CC over any number of cluster maps (dicts or Datasets of
+    (row_id, cluster_id)) and keep the min-id root per merged cluster —
+    the fusion step shared by batch ``multimodal_dedup`` and the tiered
+    variant (each signal's tiered map equals its batch map, so merging the
+    tiered maps equals merging the batch maps)."""
+    from ..stages.assign import assign_clusters, assign_clusters_sharded, filter_cluster_roots
+    from ..stages.cc import connected_components_auto
+
+    edges = _parents_to_edges(cluster_maps[0])
+    for m in cluster_maps[1:]:
+        edges = edges.union(_parents_to_edges(m))
     merged = connected_components_auto(
         edges, driver_threshold=driver_threshold, include_roots=False
     )
