@@ -480,7 +480,21 @@ def run_benchmarks() -> None:
         )
         return len(ref_pairs)
 
+    def multimodal_images():
+        # the graft-cell thesis leg: caption LSH UNION phash Hamming
+        from text_dedup_ray.pipelines.images import multimodal_dedup
+
+        return multimodal_dedup(
+            path=docs_path,
+            cfg=MinHashConfig(
+                num_perm=128, bands=32, rows=4, ngram_size=2, hash_func="sha1"
+            ),
+            bit_diff=2,
+            num_bucket=4,
+        ).count()
+
     if not headline_only:
+        timed("multimodal_images", multimodal_images)
         timed("recall_vs_reference_3k", recall_vs_reference)
         timed("line_dedup_captions", line_dedup_captions)
         timed("tfidf_captions", tfidf_captions)

@@ -171,3 +171,38 @@ length_threshold = 32
     assert secret not in t["text"].iloc[0]
     assert t["text"].iloc[0].endswith("B" * 30)
     assert t["text"].iloc[1] == "clean document " * 10
+
+
+def test_cli_multimodal(tmp_path):
+    import sys as _s
+
+    _s.path.insert(0, "/root/repo")
+    from text_dedup_ray.data.gen import corpus_parquet
+
+    path, _ = corpus_parquet(1000, seed=42)
+    config = tmp_path / "run.toml"
+    out = tmp_path / "out"
+    config.write_text(
+        f"""
+[input]
+path = "{path}"
+
+[output]
+path = "{out}"
+save_clusters = false
+
+[algorithm]
+name = "multimodal"
+caption_column = "caption"
+num_perm = 32
+bands = 8
+rows = 4
+hash_func = "sha1"
+bit_diff = 2
+num_bucket = 4
+"""
+    )
+    _run(config)
+    t = pq.read_table(str(out))
+    assert 0 < t.num_rows < 1000
+    assert "__CLUSTER__" not in t.column_names

@@ -363,6 +363,24 @@ def main(argv: list[str] | None = None) -> None:
         )
         stats["decontaminate"] = res.metrics
         result_ds = res.annotated if skip_filtering else res.clean
+    elif name == "multimodal":
+        # OR-fusion image dedup: caption LSH UNION phash Hamming -> one CC
+        from .functions.minhash import MinHashConfig
+        from .pipelines.images import multimodal_dedup
+
+        fields = {f for f in MinHashConfig.__dataclass_fields__}
+        mm_cfg = MinHashConfig(**_algo_kwargs(algo, fields))
+        result_ds = multimodal_dedup(
+            ds=ds,
+            cfg=mm_cfg,
+            bit_diff=int(algo.get("bit_diff", 2)),
+            num_bucket=int(algo.get("num_bucket", 4)),
+            caption_column=algo.get("caption_column", text_column),
+            phash_column=algo.get("phash_column", "phash"),
+        )
+        drop = [c for c in ("__CLUSTER__", "__duplicate__") if c in result_ds.schema().names]
+        if drop:
+            result_ds = result_ds.drop_columns(drop)
     elif name == "substring_decontaminate":
         # cut every >= length_threshold-byte run shared with the benchmark
         from .pipelines.decontaminate import substring_decontaminate
