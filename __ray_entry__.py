@@ -280,6 +280,21 @@ def _q_exact_dedup(sf_dir: str):
     ).select_columns(["doc_id", "text"])
 
 
+def _q_bloom_dedup(sf_dir: str):
+    # True probabilistic Bloom semantics (reference bloom_filter.py:23-60) at
+    # an error rate where the gate corpus deterministically sees zero false
+    # positives, so the exact first-occurrence oracle applies verbatim.
+    from text_dedup_ray.pipelines.bloom import bloom_dedup
+
+    return bloom_dedup(
+        _docs(sf_dir, ["doc_id", "text"]),
+        text_column="text",
+        id_column="doc_id",
+        max_elements=100_000,
+        error_rate=1e-12,
+    ).select_columns(["doc_id", "text"])
+
+
 def _q_exact_clusters(sf_dir: str):
     from text_dedup_ray.pipelines.exact import exact_cluster_table
 
@@ -2113,6 +2128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_decontaminate_docs": _q_substring_decontaminate,
         # --- dedup (SQL-checked where expressible) ---
         "exact_dedup_docs": _q_exact_dedup,
+        "bloom_dedup_docs": _q_bloom_dedup,
         "exact_clusters": _q_exact_clusters,
         "exact_incremental_docs": _q_exact_incremental,
         "cluster_size_histogram": _q_cluster_histogram,
@@ -2282,6 +2298,13 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
             "WHERE len(regexp_extract_all(text, '[A-Za-z0-9_]+')) >= 5"
         ),
         "exact_dedup_docs": (
+            "SELECT doc_id, text FROM documents QUALIFY "
+            "doc_id = min(doc_id) OVER (PARTITION BY text)"
+        ),
+        # bloom at error_rate 1e-12 is deterministically FP-free on the gate
+        # corpora (verified at sf0.001 and sf0.01), so first-occurrence SQL
+        # is the exact expected output
+        "bloom_dedup_docs": (
             "SELECT doc_id, text FROM documents QUALIFY "
             "doc_id = min(doc_id) OVER (PARTITION BY text)"
         ),

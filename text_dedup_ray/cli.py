@@ -21,7 +21,7 @@ reference's config.toml):
     save_clusters = true         # write clusters.parquet next to the output
 
     [algorithm]
-    name = "minhash"             # minhash | simhash | exact | suffix_array | jaccard
+    name = "minhash"             # minhash | simhash | exact | bloom | suffix_array | jaccard
                                  # | *_incremental | decontaminate | line_dedup | mix
                                  # | gopher_filter | scrub | token_budget
     num_perm = 200
@@ -131,10 +131,28 @@ def main(argv: list[str] | None = None) -> None:
         if keep_best_by and not skip_filtering:
             result_ds = _apply_keep_best(res.assigned, keep_best_by)
             stats["survivor_policy"] = f"best:{keep_best_by}"
-    elif name in ("exact", "bloom_filter"):  # bloom alias: exact first-wins
+    elif name == "exact":
         from .pipelines.exact import exact_dedup
 
         result_ds = exact_dedup(ds, text_column=text_column)
+    elif name in ("bloom", "bloom_filter"):
+        # true probabilistic Bloom semantics (reference bloom_filter.py:63-94;
+        # max_elements/error_rate as in rbloom.Bloom); skip_filtering keeps
+        # every row stamped with a `duplicate` column, like the reference
+        from .pipelines.bloom import bloom_dedup
+
+        result_ds = bloom_dedup(
+            ds,
+            text_column=text_column,
+            max_elements=int(algo.get("max_elements", 1_000_000)),
+            error_rate=float(algo.get("error_rate", 1e-9)),
+            num_shards=int(algo.get("num_shards", 32)),
+            keep_flag=skip_filtering,
+        )
+        stats["bloom"] = {
+            "max_elements": int(algo.get("max_elements", 1_000_000)),
+            "error_rate": float(algo.get("error_rate", 1e-9)),
+        }
     elif name == "suffix_array":
         from .pipelines.suffix_array import suffix_array_dedup, suffix_array_dedup_global
 
