@@ -1503,6 +1503,47 @@ def _q_exact_incremental(sf_dir: str):
     )
 
 
+def _q_bloom_incremental(sf_dir: str):
+    """Tiered Bloom dedup: bootstrap on the first ~80% of doc ids, resume the
+    register walk with the rest. Persisted per-shard bits make the resumed
+    walk literally equal the batch walk (FPs included); at error_rate 1e-12
+    the gate corpus is FP-free, so the oracle is the same first-occurrence
+    SQL as ``bloom_dedup_docs``. Returns survivors' (doc_id, text)."""
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from text_dedup_ray.pipelines.bloom import bloom_bootstrap, bloom_increment
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    cut = int(docs.max("doc_id") * 0.8)
+
+    def split(keep_old: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = pc.less_equal(t["doc_id"], pa.scalar(cut, pa.int64()))
+            return t.filter(m if keep_old else pc.invert(m))
+
+        return f
+
+    state = tempfile.mkdtemp(prefix="bloom_state_", dir="/tmp")
+    boot = bloom_bootstrap(
+        docs.map_batches(split(True), batch_format="pyarrow"),
+        state,
+        id_column="doc_id",
+        max_elements=100_000,
+        error_rate=1e-12,
+        num_shards=16,
+    )
+    inc = bloom_increment(
+        docs.map_batches(split(False), batch_format="pyarrow"),
+        state,
+        id_column="doc_id",
+    )
+    return boot.deduped.select_columns(["doc_id", "text"]).union(
+        inc.deduped.select_columns(["doc_id", "text"])
+    )
+
+
 def _q_minhash_verified(sf_dir: str):
     """MinHashLSH dedup WITH the false-positive Jaccard verify pass
     (check_false_positive=True): verified members regroup under min(verified)
@@ -2131,6 +2172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_dedup_docs": _q_bloom_dedup,
         "exact_clusters": _q_exact_clusters,
         "exact_incremental_docs": _q_exact_incremental,
+        "bloom_incremental_docs": _q_bloom_incremental,
         "cluster_size_histogram": _q_cluster_histogram,
         # --- aggregates / windows (SQL-checked) ---
         "top_sources": _q_top_sources,
@@ -2313,6 +2355,10 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
             "FROM documents"
         ),
         "exact_incremental_docs": (
+            "SELECT doc_id, text FROM documents QUALIFY "
+            "doc_id = min(doc_id) OVER (PARTITION BY text)"
+        ),
+        "bloom_incremental_docs": (
             "SELECT doc_id, text FROM documents QUALIFY "
             "doc_id = min(doc_id) OVER (PARTITION BY text)"
         ),

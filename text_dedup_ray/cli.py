@@ -214,6 +214,31 @@ def main(argv: list[str] | None = None) -> None:
         result_ds = res.assigned if skip_filtering else res.deduped
         stats["state_version"] = res.state_version
         stats.update(res.metrics)
+    elif name == "bloom_incremental":
+        # tiered Bloom: persisted per-shard register bits resume the walk
+        # exactly (FPs included); register size is fixed at bootstrap, so
+        # max_elements must cover the EVENTUAL corpus
+        from .pipelines.bloom import bloom_bootstrap, bloom_increment
+
+        state_dir = algo.pop("state_dir", None)
+        if not state_dir:
+            raise SystemExit("bloom_incremental needs [algorithm].state_dir")
+        import os as _os
+
+        if _os.path.exists(_os.path.join(state_dir, "meta.json")):
+            res = bloom_increment(ds, state_dir, text_column=text_column)
+            stats["mode"] = "increment"
+        else:
+            res = bloom_bootstrap(
+                ds, state_dir, text_column=text_column,
+                max_elements=int(algo.get("max_elements", 1_000_000)),
+                error_rate=float(algo.get("error_rate", 1e-9)),
+                num_shards=int(algo.get("num_shards", 32)),
+            )
+            stats["mode"] = "bootstrap"
+        result_ds = res.flagged if skip_filtering else res.deduped
+        stats["state_version"] = res.state_version
+        stats.update(res.metrics)
     elif name == "exact_incremental":
         from .pipelines.incremental_exact import exact_bootstrap, exact_increment
 
