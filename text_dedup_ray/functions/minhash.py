@@ -132,8 +132,14 @@ class MinHasher:
         self.a, self.b = cfg.permutations()
         self.hash_func = cfg.base_hash()
         self.perm_chunk = perm_chunk
-        self._hbuf = np.empty((self.SLAB, 1), dtype=self.dtype)
-        self._pbuf = np.empty((self.SLAB, perm_chunk), dtype=self.dtype)
+        # permutation buffer is TRANSPOSED — (perm_chunk, slab) — so
+        # minimum.reduceat runs along the contiguous axis (axis=1): the
+        # per-doc reduction walks sequential memory instead of striding
+        # perm_chunk*8 bytes per element (measured ~30% off the whole
+        # mult+add+mod+reduceat chain at slab=64k). np.mod by a scalar
+        # stays: numpy's constant-divisor path beats a Mersenne
+        # shift/add/min fold here (measured), so keep the simple form.
+        self._pbuf = np.empty((perm_chunk, self.SLAB), dtype=self.dtype)
         # shingle -> base-hash memo: shingles follow a Zipf distribution, so
         # an actor-lifetime cache skips most sha1 calls (values unchanged)
         self._memo: dict[bytes, int] = {}
@@ -151,15 +157,20 @@ class MinHasher:
         memo = self._memo
         if len(memo) > self._memo_cap:
             memo.clear()
+        mget = memo.get
         for i, text in enumerate(texts):
             sh = shingle_set(text, cfg.ngram_size, cfg.min_length)
             counts[i] = len(sh)
-            for s in sh:
-                h = memo.get(s)
-                if h is None:
-                    h = hfun(s)
-                    memo[s] = h
-                flat_hashes.append(h)
+            # C-level bulk lookup; the per-shingle Python loop runs only on
+            # memo misses (cold start), not the Zipf-warm common case
+            vals = list(map(mget, sh))
+            if None in vals:
+                for j, s in enumerate(sh):  # set iteration order is stable
+                    if vals[j] is None:
+                        v = hfun(s)
+                        memo[s] = v
+                        vals[j] = v
+            flat_hashes.extend(vals)
 
         n_docs = len(texts)
         out = np.full((n_docs, cfg.num_perm), self.max_hash, dtype=self.dtype)
@@ -182,20 +193,18 @@ class MinHasher:
                 s0, s1 = int(offsets[lo_doc]), int(offsets[hi_doc])
                 m = s1 - s0
                 if m > self.SLAB:  # single doc larger than the slab: grow once
-                    self._hbuf = np.empty((m, 1), dtype=self.dtype)
-                    self._pbuf = np.empty((m, self.perm_chunk), dtype=self.dtype)
-                hbuf = self._hbuf[:m]
-                hbuf[:, 0] = h_all[s0:s1]
+                    self._pbuf = np.empty((self.perm_chunk, m), dtype=self.dtype)
+                hrow = h_all[s0:s1][None, :]  # (1, m) broadcast row
                 starts = (offsets[lo_doc:hi_doc] - s0).astype(np.int64)
                 rows = doc_idx[lo_doc:hi_doc]
                 for lo in range(0, cfg.num_perm, self.perm_chunk):
                     hi = min(lo + self.perm_chunk, cfg.num_perm)
-                    pb = self._pbuf[:m, : hi - lo]
-                    np.multiply(hbuf, self.a[lo:hi], out=pb)
-                    np.add(pb, self.b[lo:hi], out=pb)
+                    pb = self._pbuf[: hi - lo, :m]
+                    np.multiply(self.a[lo:hi, None], hrow, out=pb)
+                    np.add(pb, self.b[lo:hi, None], out=pb)
                     np.mod(pb, self.prime, out=pb)
                     np.bitwise_and(pb, self.max_hash, out=pb)
-                    out[rows, lo:hi] = np.minimum.reduceat(pb, starts, axis=0)
+                    out[rows, lo:hi] = np.minimum.reduceat(pb, starts, axis=1).T
                 lo_doc = hi_doc
         return out
 
