@@ -380,30 +380,51 @@ def multimodal_dedup(
     in the same cluster). Survivors keep the min row id per merged cluster;
     short-caption docs still dedup via phash (the MinHash min-length filter
     only silences the caption signal, it does not drop rows here)."""
-    from ..stages.assign import assign_clusters, assign_clusters_sharded, filter_cluster_roots
-    from ..stages.cc import connected_components_auto
+    from concurrent.futures import ThreadPoolExecutor
+
     from .minhash import minhash_dedup
 
     if path is not None:
+        # Prune at the read: each signal branch reads ONLY its own column —
+        # the 3 KB image payload never flows through the stamping map for
+        # the narrow branches (it is read once, for the final assign pass).
+        narrow = image_ids_to_row_ids(
+            ray.data.read_parquet(path, columns=["image_id", caption_column])
+        )
+        ph_in = image_ids_to_row_ids(
+            ray.data.read_parquet(path, columns=["image_id", phash_column])
+        )
         ds = image_ids_to_row_ids(ray.data.read_parquet(path))
-    elif ROW_ID not in ds.schema().names:
-        ds = image_ids_to_row_ids(ds)
+    else:
+        if ROW_ID not in ds.schema().names:
+            ds = image_ids_to_row_ids(ds)
+        narrow = ds.select_columns([ROW_ID, caption_column])
+        ph_in = ds.select_columns([ROW_ID, phash_column])
 
-    narrow = ds.select_columns([ROW_ID, caption_column])
-    mh = minhash_dedup(
-        narrow,
-        text_column=caption_column,
-        cfg=cfg,
-        skip_filtering=True,
-        driver_threshold=driver_threshold,
-    ).parents
-    ph = phash_near_dedup_parents(
-        ds.select_columns([ROW_ID, phash_column]),
-        bit_diff=bit_diff,
-        num_bucket=num_bucket,
-        phash_column=phash_column,
-        driver_threshold=driver_threshold,
-    )
+    # The two signal branches are independent dataflows; materialize their
+    # cluster maps concurrently (same daemon-thread overlap the flagship
+    # uses for payload prefetch) instead of serializing 9s + 2s of work.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_mh = pool.submit(
+            lambda: minhash_dedup(
+                narrow,
+                text_column=caption_column,
+                cfg=cfg,
+                skip_filtering=True,
+                driver_threshold=driver_threshold,
+            ).parents
+        )
+        f_ph = pool.submit(
+            lambda: phash_near_dedup_parents(
+                ph_in,
+                bit_diff=bit_diff,
+                num_bucket=num_bucket,
+                phash_column=phash_column,
+                driver_threshold=driver_threshold,
+            )
+        )
+        mh = f_mh.result()
+        ph = f_ph.result()
     return multimodal_merge_cluster_maps(ds, [mh, ph], driver_threshold)
 
 
