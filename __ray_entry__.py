@@ -1544,6 +1544,38 @@ def _q_bloom_incremental(sf_dir: str):
     )
 
 
+def _q_clustering_ari(sf_dir: str):
+    """Distributed Adjusted Rand Index between the MinHashLSH clustering
+    and the exact identical-text clustering over the min-length survivors —
+    the reference's NEWS-COPY eval statistic (sklearn adjusted_rand_score
+    on driver labels, reference benchmarks/benchmark_news.py) as a
+    pair-counting contingency computed with groupbys; only scalars reach
+    the driver. One row: integer component sums + round-6 ARI."""
+    import ray.data
+
+    from text_dedup_ray.pipelines.eval_cluster import clustering_ari
+    from text_dedup_ray.pipelines.exact import exact_cluster_table
+    from text_dedup_ray.pipelines.minhash import minhash_dedup
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    mh = minhash_dedup(
+        docs,
+        text_column="text",
+        id_column="doc_id",
+        cfg=_MINHASH_HALF_CFG(),
+        skip_filtering=True,
+    ).assigned
+    la = mh.select_columns(["doc_id", "__CLUSTER__"]).rename_columns(
+        {"__CLUSTER__": "mh_label"}
+    )
+    lb = exact_cluster_table(
+        mh.select_columns(["doc_id", "text"]), text_column="text", id_column="doc_id"
+    ).rename_columns({"row_id": "doc_id", "cluster_id": "exact_label"})
+    return ray.data.from_arrow(
+        clustering_ari(la, lb, "doc_id", "mh_label", "exact_label")
+    )
+
+
 def _q_minhash_verified(sf_dir: str):
     """MinHashLSH dedup WITH the false-positive Jaccard verify pass
     (check_false_positive=True): verified members regroup under min(verified)
@@ -2242,6 +2274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_incremental_docs": _q_embedding_incremental,
         # --- near-dup pipelines (SQL-checked via md5 base hash + recursive-CTE CC) ---
         "minhash_dedup_docs": _q_minhash_docs,
+        "clustering_ari": _q_clustering_ari,
         "minhash_verified_docs": _q_minhash_verified,
         "minhash_incremental_docs": _q_minhash_incremental,
         "simhash_dedup_docs": _q_simhash_docs,
@@ -2722,6 +2755,7 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
         "minhash_dedup_docs": _oracles.minhash_dedup_sql(_MINHASH_ORACLE_CFG()),
         # incremental state == full batch run (tests/test_incremental.py),
         # so the same SQL is the oracle for the tiered path
+        "clustering_ari": _oracles.clustering_ari_sql(_MINHASH_HALF_CFG()),
         "minhash_verified_docs": _oracles.minhash_verified_sql(_MINHASH_HALF_CFG()),
         "minhash_incremental_docs": _oracles.minhash_dedup_sql(_MINHASH_HALF_CFG()),
         "simhash_dedup_docs": _oracles.simhash_dedup_sql(_SIMHASH_ORACLE_CFG()),

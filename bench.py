@@ -203,7 +203,7 @@ def run_benchmarks() -> None:
             state,
             text_column="caption",
             cfg=MinHashConfig(num_perm=128, bands=32, rows=4, ngram_size=2, hash_func="sha1"),
-            fingerprint_concurrency=max(1, min(NUM_CPUS - 1, NUM_CPUS // 2)),
+            fingerprint_concurrency=(1, max(1, min(NUM_CPUS - 1, NUM_CPUS // 2))),
         )
         return res.deduped.count()
 
@@ -226,7 +226,7 @@ def run_benchmarks() -> None:
             inc_state["state"],
             text_column="caption",
             cfg=MinHashConfig(num_perm=128, bands=32, rows=4, ngram_size=2, hash_func="sha1"),
-            fingerprint_concurrency=max(1, min(NUM_CPUS - 1, NUM_CPUS // 2)),
+            fingerprint_concurrency=(1, max(1, min(NUM_CPUS - 1, NUM_CPUS // 2))),
         )
         return res.deduped.count()
 

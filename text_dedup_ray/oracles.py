@@ -447,6 +447,52 @@ WHERE cc.node IS NULL OR cc.cluster_id = d.doc_id
 """
 
 
+def clustering_ari_sql(cfg: MinHashConfig) -> str:
+    """ARI between the MinHashLSH clustering and the exact (identical-text)
+    clustering over the min-length survivors — the reference's NEWS-COPY
+    eval statistic (sklearn adjusted_rand_score, reference
+    benchmarks/benchmark_news.py) recomputed purely in SQL via pair
+    counting. Label VALUES need not match the engine's (ARI depends only on
+    the partitions); the integer component sums and the round-6 ARI mirror
+    pipelines/eval_cluster.ari_components expression-for-expression
+    (float64 op order included) so the hash compare is exact."""
+    return f"""
+WITH RECURSIVE {_minhash_core(cfg, "documents")},
+la AS (
+  SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS a
+  FROM docs d LEFT JOIN cc ON cc.node = d.doc_id
+),
+lb AS (
+  SELECT t.doc_id, min(t.doc_id) OVER (PARTITION BY t.text) AS b
+  FROM documents t JOIN docs USING (doc_id)
+),
+labels AS (SELECT la.a, lb.b FROM la JOIN lb USING (doc_id)),
+cont AS (SELECT a, b, count(*)::BIGINT AS nij FROM labels GROUP BY a, b),
+asum AS (SELECT a, sum(nij)::BIGINT AS c FROM cont GROUP BY a),
+bsum AS (SELECT b, sum(nij)::BIGINT AS c FROM cont GROUP BY b),
+comp AS (
+  SELECT
+    (SELECT coalesce(sum(nij), 0)::BIGINT FROM cont) AS n_items,
+    (SELECT coalesce(sum(nij * (nij - 1) // 2), 0)::BIGINT FROM cont) AS sum_pairs_ab,
+    (SELECT coalesce(sum(c * (c - 1) // 2), 0)::BIGINT FROM asum) AS sum_pairs_a,
+    (SELECT coalesce(sum(c * (c - 1) // 2), 0)::BIGINT FROM bsum) AS sum_pairs_b
+)
+SELECT n_items, sum_pairs_ab, sum_pairs_a, sum_pairs_b,
+  CASE
+    WHEN n_items < 2 THEN 1.0::DOUBLE
+    WHEN ((sum_pairs_a + sum_pairs_b) / 2.0
+          - (sum_pairs_a::DOUBLE / (n_items * (n_items - 1) // 2)) * sum_pairs_b) = 0.0
+      THEN 1.0::DOUBLE
+    ELSE round(
+      (sum_pairs_ab - (sum_pairs_a::DOUBLE / (n_items * (n_items - 1) // 2)) * sum_pairs_b)
+      / ((sum_pairs_a + sum_pairs_b) / 2.0
+         - (sum_pairs_a::DOUBLE / (n_items * (n_items - 1) // 2)) * sum_pairs_b),
+      6)
+  END AS ari
+FROM comp
+"""
+
+
 def curate_sql(
     cfg: MinHashConfig,
     min_words: int = 50,
