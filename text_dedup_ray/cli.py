@@ -23,7 +23,7 @@ reference's config.toml):
     [algorithm]
     name = "minhash"             # minhash | simhash | exact | bloom | suffix_array | jaccard
                                  # | *_incremental | decontaminate | line_dedup | mix
-                                 # | gopher_filter | scrub | token_budget
+                                 # | gopher_filter | scrub | token_budget | ari
     num_perm = 200
     ngram_size = 2
     keep_best_by = "n_tokens"    # minhash/simhash: per-cluster argmax survivor
@@ -521,6 +521,37 @@ def main(argv: list[str] | None = None) -> None:
             budget=int(budget),
         )
         stats["budget"] = int(budget)
+    elif name == "ari":
+        # clustering-agreement eval between two cluster-map parquets (the
+        # files `save_clusters = true` writes): input.path is the left map,
+        # algorithm.right_path the right. Prints the pair-counting Adjusted
+        # Rand Index (reference benchmarks/benchmark_news.py statistic) and
+        # writes the 1-row component table.
+        import ray.data as _rd
+
+        from .pipelines.eval_cluster import clustering_ari
+
+        right_path = algo.get("right_path")
+        if not right_path:
+            raise SystemExit("ari needs algorithm.right_path (second cluster map)")
+        id_col = algo.get("id_key", "row_id")
+        label_col = algo.get("label_key", "cluster_id")
+        left = _rd.read_parquet(cfg["input"]["path"])
+        right = _rd.read_parquet(right_path)
+        tbl = clustering_ari(
+            left.select_columns([id_col, label_col]).rename_columns(
+                {label_col: "label_a"}
+            ),
+            right.select_columns([id_col, label_col]).rename_columns(
+                {label_col: "label_b"}
+            ),
+            id_col,
+            "label_a",
+            "label_b",
+        )
+        result_ds = _rd.from_arrow(tbl)
+        stats["n_items"] = tbl["n_items"][0].as_py()
+        stats["ari"] = tbl["ari"][0].as_py()
     elif name == "mix":
         from .pipelines.sample import weighted_sample_by_group
         from .sources.io import ROW_ID
