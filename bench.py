@@ -44,6 +44,14 @@ def run_benchmarks() -> None:
         logging_level="ERROR",
     )
 
+    # Ray's read planner defaults to >=200 blocks per read op; at bench scale
+    # that is 1000-row (~50 KB) blocks whose per-task overhead dominates the
+    # vectorized kernels (measured: fingerprint map 6.7 s -> 2.3 s, whole
+    # flagship ~11 s -> ~6 s at 100k/32 cpus). 2 blocks per CPU keeps every
+    # core busy; at real scale target_max_block_size (128 MB) binds first,
+    # so this floor only affects small inputs.
+    ray.data.DataContext.get_current().read_op_min_num_blocks = max(8, 2 * NUM_CPUS)
+
     from text_dedup_ray.data.gen import corpus_parquet
     from text_dedup_ray.functions.minhash import MinHashConfig
     from text_dedup_ray.functions.simhash import SimHashConfig
