@@ -72,12 +72,14 @@ def _round_col(ds: ray.data.Dataset, col: str, digits: int = 3) -> ray.data.Data
 
 
 def _tune_read_blocks() -> None:
-    """Ray's read planner floors every read op at >=200 blocks; at gate
-    scale that means KB-sized blocks whose per-task overhead dominates the
-    vectorized kernels (measured: whole flagship ~11 s -> ~6 s at 100k/32
-    cpus). Two blocks per CPU keeps cores busy; large inputs hit
-    target_max_block_size (128 MB) first, so the floor is scale-neutral.
-    Called lazily (the driver owns ray.init)."""
+    """Ray's read planner targets >=200 blocks per read op; at gate scale
+    (sf0.01, <=100k-row tables) that means KB-sized blocks whose per-task
+    overhead dominates the vectorized kernels (measured: whole flagship
+    ~9.4 s -> ~5.6 s at 100k/32 cpus). The measured optimum is ~one actor
+    batch (2048 rows) per block — finer pays task overhead, much coarser
+    stalls actor pools on multi-batch bundles — so this floor is sized for
+    the gate-scale tables it runs on; bench.py sizes its own floor from
+    the corpus row count. Called lazily (the driver owns ray.init)."""
     import ray
 
     if ray.is_initialized():

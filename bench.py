@@ -44,13 +44,19 @@ def run_benchmarks() -> None:
         logging_level="ERROR",
     )
 
-    # Ray's read planner defaults to >=200 blocks per read op; at bench scale
-    # that is 1000-row (~50 KB) blocks whose per-task overhead dominates the
-    # vectorized kernels (measured: fingerprint map 6.7 s -> 2.3 s, whole
-    # flagship ~11 s -> ~6 s at 100k/32 cpus). 2 blocks per CPU keeps every
-    # core busy; at real scale target_max_block_size (128 MB) binds first,
-    # so this floor only affects small inputs.
-    ray.data.DataContext.get_current().read_op_min_num_blocks = max(8, 2 * NUM_CPUS)
+    # Ray's read planner targets >=200 blocks per read op regardless of
+    # input size; at 100k rows that is 1000-row (~50 KB) blocks whose
+    # per-task overhead dominates the vectorized kernels. The measured
+    # optimum granularity is ONE actor batch (2048 rows) per block: finer
+    # pays task overhead (flagship 9.4 s vs 5.6 s at 100k/32 cpus), coarser
+    # stalls the actor pipeline on multi-batch bundles (8 cpus/400k: 25 s at
+    # 16 blocks vs 14.9 s at 200). Keep >=2 blocks per CPU so every core
+    # stays busy; at real scale target_max_block_size (128 MB) binds first.
+    floor = os.environ.get(
+        "GRAFT_BLOCK_FLOOR", str(max(2 * NUM_CPUS, CORPUS_N // 2048))
+    )
+    if floor != "off":
+        ray.data.DataContext.get_current().read_op_min_num_blocks = int(floor)
 
     from text_dedup_ray.data.gen import corpus_parquet
     from text_dedup_ray.functions.minhash import MinHashConfig

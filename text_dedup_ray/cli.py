@@ -85,13 +85,11 @@ def main(argv: list[str] | None = None) -> None:
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
-    # Ray defaults to >=200 blocks per read op; for small inputs that means
-    # KB-sized blocks whose task overhead dominates vectorized kernels. Two
-    # blocks per CPU keeps cores busy; big inputs hit target_max_block_size
-    # first, so this floor is scale-neutral.
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
-    ray.data.DataContext.get_current().read_op_min_num_blocks = max(8, 2 * ncpu)
-
+    # Read-block granularity: Ray's default (>=200 blocks/read op) is kept —
+    # the measured optimum is ~one actor batch (2048 rows) per block, and
+    # CLI inputs can be arbitrarily large, where lowering the target causes
+    # multi-batch bundles that stall actor pools (bench.py sizes its floor
+    # from the known corpus row count instead).
     ds, text_column = _load_input(cfg)
     t0 = time.perf_counter()
     stats: dict = {"algorithm": name}
