@@ -2199,6 +2199,44 @@ def _q_image_decode(sf_dir: str):
     return ds.map_batches(invariants, batch_format="pyarrow")
 
 
+# Video corpus: pinned (n, seed) so query and oracle always read the SAME
+# generated parquet (the image-family lesson from VERDICT r3 #2).
+_VIDEO_N = 600
+
+
+def _video_corpus_path() -> str:
+    from text_dedup_ray.data.gen import videos_parquet
+
+    path, _ = videos_parquet(_VIDEO_N, seed=7)
+    return path
+
+
+def _q_video_frame_stats(sf_dir: str):
+    """Per-video decode stats: the pipeline recomputes sampled-frame phashes
+    from the raw rawv bytes; the oracle reads the generator's ground-truth
+    frame_phashes list — equality proves the decode+hash path bit-exact."""
+    from text_dedup_ray.pipelines.video import video_frame_stats
+
+    ds = ray.data.read_parquet(_video_corpus_path())
+    return video_frame_stats(ds, every_n=2)
+
+
+def _q_video_near_dedup(sf_dir: str):
+    """Video near-dup cluster map: exact Jaccard >= 0.5 over each video's
+    distinct sampled-frame phash set (every 2nd frame), CC min-id roots.
+    Video bytes never shuffle — only (phash, row_id, size) postings leave
+    the fused decode stage (pipelines/video.py)."""
+    from text_dedup_ray.pipelines.video import video_near_dedup
+    from text_dedup_ray.stages.cc import cluster_map_table
+
+    ds = ray.data.read_parquet(
+        _video_corpus_path(),
+        columns=["video_id", "bytes", "fmt", "n_frames", "w", "h"],
+    )
+    parents = video_near_dedup(ds, every_n=2, threshold=0.5)
+    return cluster_map_table(parents)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     _tune_read_blocks()
     return {
@@ -2315,6 +2353,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phash_incremental_images": _q_phash_incremental_images,
         "image_decode_stats": _q_image_decode,
         "cluster_report_top": _q_cluster_report,
+        "video_frame_stats": _q_video_frame_stats,
+        "video_near_dedup_videos": _q_video_near_dedup,
     }
 
 
@@ -2866,5 +2906,11 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
         "image_decode_stats": (
             "SELECT image_id, true AS decode_ok, true AS lossless_phash_ok "
             f"FROM read_parquet('{_corpus_path(_ORACLE_CORPUS_SF)}')"
+        ),
+        "video_frame_stats": _oracles.video_frame_stats_sql(
+            _video_corpus_path(), every_n=2
+        ),
+        "video_near_dedup_videos": _oracles.video_near_dedup_sql(
+            _video_corpus_path(), threshold=0.5, every_n=2
         ),
     }

@@ -195,3 +195,142 @@ def corpus_parquet(n: int, seed: int = 42, cache_dir: str = "/tmp/tdr_corpus") -
 def image_row_ids(image_ids: list[str]) -> np.ndarray:
     """image_id 'img-%012d' -> int64 row id (order-stable natural key)."""
     return np.array([int(s.rsplit("-", 1)[1]) for s in image_ids], dtype=np.int64)
+
+
+_VID_W = 16
+_VID_H = 16
+
+
+def _frame(fseed: int) -> np.ndarray:
+    return np.random.RandomState(fseed).randint(
+        0, 256, size=(_VID_H, _VID_W), dtype=np.uint8
+    )
+
+
+def generate_videos(n: int, seed: int = 7) -> tuple[pa.Table, pa.Table]:
+    """Deterministic synthetic VIDEO corpus with planted near-duplicates.
+
+    Schema mirrors the image table's opaque-binary stance: ``(video_id:
+    string, bytes:binary, fmt:'rawv', n_frames:int32, w:int32, h:int32,
+    frame_phashes:list<int64>)`` plus a ``truth(video_id, cluster_id,
+    kind)`` sidecar. ``bytes`` is the rawv container (concatenated w*h-byte
+    grayscale frames — functions/codecs has no video codec, FIXTURES.md
+    stance); ``frame_phashes`` is the per-frame average_phash ground truth
+    the SQL oracles read, recomputed from the raw bytes by the pipeline.
+
+    Planted kinds (each duplicate shares a cluster with its base):
+    - exact     (~6%): identical frame list -> Jaccard 1.0
+    - trimmed   (~8%): the base with a SUFFIX of frames dropped (suffix-only
+                       so every_n sampling sees a clean subset) -> Jaccard =
+                       kept/total in [0.6, 0.95]
+    - perturbed (~8%): fraction r in [0.05, 0.25] of frames replaced by new
+                       noise -> Jaccard (1-r)/(1+r) in [0.6, 0.9]
+    - near-miss (~4%): r in [0.45, 0.6] -> Jaccard ~[0.25, 0.38], planted
+                       BELOW the 0.5 gate threshold (same cluster_id in
+                       truth, must NOT merge at threshold 0.5)
+    - singleton (rest)
+    """
+    rng = np.random.RandomState(seed)
+    fseed_lists: list[list[int]] = []
+    kinds: list[str] = []
+    cluster_of: list[int] = []
+
+    def fresh_frames(k: int) -> list[int]:
+        return [int(s) for s in rng.randint(0, 2**31 - 1, size=k)]
+
+    plan = [("exact", 0.06), ("trimmed", 0.08), ("perturbed", 0.08), ("near-miss", 0.04)]
+    budget = {k: int(n * frac) for k, frac in plan}
+    i = 0
+    next_cluster = 0
+    while i < n:
+        placed = False
+        for kind, _frac in plan:
+            if budget[kind] > 0 and rng.rand() < 0.25 and n - i >= 2:
+                size = min(int(rng.randint(2, 4)), n - i, budget[kind] + 1)
+                if size < 2:
+                    continue
+                cid = next_cluster
+                next_cluster += 1
+                base = fresh_frames(int(rng.randint(12, 49)))
+                for m in range(size):
+                    if kind == "exact" or m == 0:
+                        frames = list(base)
+                    elif kind == "trimmed":
+                        keep = int(len(base) * rng.uniform(0.6, 0.95))
+                        frames = base[: max(keep, 1)]
+                    else:  # perturbed / near-miss: replace a fraction in place
+                        r = (
+                            rng.uniform(0.05, 0.25)
+                            if kind == "perturbed"
+                            else rng.uniform(0.45, 0.6)
+                        )
+                        frames = list(base)
+                        n_rep = max(1, int(len(frames) * r))
+                        pos = rng.choice(len(frames), size=n_rep, replace=False)
+                        repl = fresh_frames(n_rep)
+                        for p, s in zip(pos, repl):
+                            frames[p] = s
+                    fseed_lists.append(frames)
+                    kinds.append(kind)
+                    cluster_of.append(cid)
+                    i += 1
+                budget[kind] -= size - 1
+                placed = True
+                break
+        if placed or i >= n:
+            continue
+        cid = next_cluster
+        next_cluster += 1
+        fseed_lists.append(fresh_frames(int(rng.randint(12, 49))))
+        kinds.append("singleton")
+        cluster_of.append(cid)
+        i += 1
+
+    from ..functions.codecs import average_phash_stack
+
+    blobs: list[bytes] = []
+    phash_lists: list[list[int]] = []
+    nfs = np.empty(n, dtype=np.int32)
+    for j, frames in enumerate(fseed_lists):
+        pix = np.stack([_frame(s) for s in frames])
+        blobs.append(pix.tobytes())
+        phash_lists.append([int(p) for p in average_phash_stack(pix)])
+        nfs[j] = len(frames)
+
+    video_ids = [f"vid-{j:09d}" for j in range(n)]
+    videos = pa.table(
+        {
+            "video_id": pa.array(video_ids, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "fmt": pa.array(["rawv"] * n, pa.string()),
+            "n_frames": pa.array(nfs),
+            "w": pa.array(np.full(n, _VID_W, dtype=np.int32)),
+            "h": pa.array(np.full(n, _VID_H, dtype=np.int32)),
+            "frame_phashes": pa.array(phash_lists, pa.list_(pa.int64())),
+        }
+    )
+    truth = pa.table(
+        {
+            "video_id": pa.array(video_ids, pa.string()),
+            "cluster_id": pa.array(cluster_of, pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+        }
+    )
+    return videos, truth
+
+
+def videos_parquet(
+    n: int, seed: int = 7, cache_dir: str = "/tmp/tdr_corpus"
+) -> tuple[str, str]:
+    """Generate (or reuse a cached) video corpus; returns (videos_path,
+    truth_path). Cache key (n, seed); generation is deterministic."""
+    os.makedirs(cache_dir, exist_ok=True)
+    vids_path = os.path.join(cache_dir, f"videos_n{n}_s{seed}.parquet")
+    truth_path = os.path.join(cache_dir, f"videos_truth_n{n}_s{seed}.parquet")
+    if not (os.path.exists(vids_path) and os.path.exists(truth_path)):
+        videos, truth = generate_videos(n, seed)
+        pq.write_table(videos, vids_path + ".tmp", row_group_size=1024)
+        pq.write_table(truth, truth_path + ".tmp", row_group_size=65536)
+        os.replace(vids_path + ".tmp", vids_path)
+        os.replace(truth_path + ".tmp", truth_path)
+    return vids_path, truth_path

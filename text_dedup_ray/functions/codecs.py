@@ -138,3 +138,28 @@ def average_phash(pixels: np.ndarray, grid: int = 8) -> int:
                 ].mean()
     bits = (cells > cells.mean()).astype(np.uint8).reshape(-1)
     return int.from_bytes(np.packbits(bits).tobytes(), "big", signed=True)
+
+
+def average_phash_stack(frames: np.ndarray, grid: int = 8) -> np.ndarray:
+    """Vectorized :func:`average_phash` over a stack of same-size GRAYSCALE
+    frames ``(n, h, w) uint8`` -> ``int64[n]``.
+
+    Bit-identical to ``average_phash(frame[:, :, None])`` per frame: the
+    uint8 -> float64 block means are exact (integer sums below 2**53,
+    divisors h//grid * w//grid and grid*grid), so vectorizing the reduction
+    cannot change any threshold comparison. Frames whose shape doesn't tile
+    the grid fall back to the scalar kernel (exactness over speed)."""
+    n, h, w = frames.shape
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    if grid != 8 or h % grid or w % grid:
+        return np.fromiter(
+            (average_phash(f[:, :, None], grid) for f in frames),
+            dtype=np.int64,
+            count=n,
+        )
+    gray = frames.astype(np.float64)
+    cells = gray.reshape(n, grid, h // grid, grid, w // grid).mean(axis=(2, 4))
+    bits = (cells > cells.mean(axis=(1, 2), keepdims=True)).astype(np.uint8)
+    packed = np.packbits(bits.reshape(n, grid * grid), axis=1)
+    return packed.view(">i8").astype(np.int64).reshape(n)

@@ -1090,3 +1090,55 @@ SELECT a.vec_id AS src, b.vec_id AS dst,
 FROM base a JOIN base b ON a.vec_id > b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {threshold}
 """
+
+
+def video_frame_stats_sql(corpus_path: str, every_n: int = 1) -> str:
+    """Per-video frame statistics (pipelines/video.video_frame_stats): the
+    pipeline recomputes each sampled frame's phash from the raw bytes; the
+    oracle reads the generator's ground-truth ``frame_phashes`` list —
+    equality proves the decode+hash path bit-exact."""
+    return f"""
+WITH f AS (
+  SELECT video_id, n_frames,
+         unnest(frame_phashes) AS ph,
+         generate_subscripts(frame_phashes, 1) - 1 AS fidx
+  FROM read_parquet('{corpus_path}')
+)
+SELECT video_id,
+       any_value(n_frames)::BIGINT AS n_frames,
+       count(*)::BIGINT AS n_sampled,
+       count(DISTINCT ph)::BIGINT AS n_distinct_phash
+FROM f WHERE fidx % {every_n} = 0
+GROUP BY video_id
+"""
+
+
+def video_near_dedup_sql(
+    corpus_path: str, threshold: float = 0.5, every_n: int = 1
+) -> str:
+    """Video near-dup cluster map (pipelines/video.video_near_dedup): exact
+    Jaccard >= threshold over each video's DISTINCT sampled-frame phash set,
+    then connected components (min-id roots, members of any edge incl.
+    roots). Same shape as jaccard_dedup_sql with frame hashes as the set
+    elements."""
+    return f"""
+WITH RECURSIVE f AS (
+  SELECT CAST(substr(video_id, 5) AS BIGINT) AS rid,
+         unnest(frame_phashes) AS ph,
+         generate_subscripts(frame_phashes, 1) - 1 AS fidx
+  FROM read_parquet('{corpus_path}')
+),
+sets AS (SELECT DISTINCT rid, ph FROM f WHERE fidx % {every_n} = 0),
+sizes AS (SELECT rid, count(*) AS sz FROM sets GROUP BY rid),
+co AS (
+  SELECT a.rid AS i, b.rid AS j, count(*) AS co
+  FROM sets a JOIN sets b USING (ph) WHERE a.rid > b.rid GROUP BY 1, 2
+),
+edges AS (
+  SELECT co.i AS hi, co.j AS lo
+  FROM co JOIN sizes sa ON sa.rid = co.i JOIN sizes sb ON sb.rid = co.j
+  WHERE co.co::DOUBLE / (sa.sz + sb.sz - co.co) >= {threshold}
+),
+{CC_FRAGMENT}
+SELECT node AS row_id, cluster_id FROM cc
+"""

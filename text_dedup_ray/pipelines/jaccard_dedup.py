@@ -43,44 +43,23 @@ def _shingle_hash64(s: bytes) -> int:
     return int.from_bytes(hashlib.sha1(s).digest()[:8], "little", signed=True)
 
 
-def jaccard_pair_table(
-    ds: ray.data.Dataset,
-    text_column: str = "text",
-    id_column: str | None = None,
-    ngram_size: int = 1,
-    min_length: int = 0,
+def pairs_from_postings(
+    postings: ray.data.Dataset,
     threshold: float = 0.8,
     num_partitions: int = 32,
     df_cap: int = 200,
 ) -> ray.data.Dataset:
-    """All pairs with exact shingle Jaccard >= threshold:
-    (src, dst, jaccard) with src > dst."""
-    if id_column is not None:
-        ds = stamp_row_ids_from_key(ds, id_column)
+    """Exact set-Jaccard pairs from an inverted-index postings dataset.
 
-    def explode(batch: pa.Table) -> pa.Table:
-        texts = batch[text_column].to_pylist()
-        ids = batch[ROW_ID].to_numpy(zero_copy_only=False).astype(np.int64)
-        out_h: list[int] = []
-        out_id: list[int] = []
-        out_sz: list[int] = []
-        for i, t in enumerate(texts):
-            sh = shingle_set(t, ngram_size, min_length)
-            for s in sh:
-                out_h.append(_shingle_hash64(s))
-                out_id.append(int(ids[i]))
-                out_sz.append(len(sh))
-        t_out = pa.table(
-            {
-                "sh": pa.array(out_h, pa.int64()),
-                "row_id": pa.array(out_id, pa.int64()),
-                "size": pa.array(out_sz, pa.int64()),
-            }
-        )
-        part = (np.abs(np.array(out_h, dtype=np.int64)) % num_partitions).astype(np.int64)
-        return t_out.append_column("part", pa.array(part))
-
-    postings = ds.map_batches(explode, batch_format="pyarrow")
+    ``postings`` rows are ``(sh:int64, row_id:int64, size:int64,
+    part:int64)`` — one row per (set element, owning row), with the owner's
+    DISTINCT set size riding along and ``part = |sh| % num_partitions``.
+    Steps 2-3 of the module docstring: exchange by element hash, emit
+    co-occurring pairs per posting list (``df_cap`` bounds hot elements),
+    exchange by pair hash, fold co-counts into exact Jaccard. Shared by the
+    text shingle path (:func:`jaccard_pair_table`) and the video
+    frame-phash path (pipelines/video.py) — the element can be any 64-bit
+    set member."""
 
     def emit_pairs(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
@@ -164,6 +143,47 @@ def jaccard_pair_table(
         )
 
     return hash_partition_exchange(pair_partials, "part", num_partitions, reduce_pairs)
+
+
+def jaccard_pair_table(
+    ds: ray.data.Dataset,
+    text_column: str = "text",
+    id_column: str | None = None,
+    ngram_size: int = 1,
+    min_length: int = 0,
+    threshold: float = 0.8,
+    num_partitions: int = 32,
+    df_cap: int = 200,
+) -> ray.data.Dataset:
+    """All pairs with exact shingle Jaccard >= threshold:
+    (src, dst, jaccard) with src > dst."""
+    if id_column is not None:
+        ds = stamp_row_ids_from_key(ds, id_column)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch[text_column].to_pylist()
+        ids = batch[ROW_ID].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_h: list[int] = []
+        out_id: list[int] = []
+        out_sz: list[int] = []
+        for i, t in enumerate(texts):
+            sh = shingle_set(t, ngram_size, min_length)
+            for s in sh:
+                out_h.append(_shingle_hash64(s))
+                out_id.append(int(ids[i]))
+                out_sz.append(len(sh))
+        t_out = pa.table(
+            {
+                "sh": pa.array(out_h, pa.int64()),
+                "row_id": pa.array(out_id, pa.int64()),
+                "size": pa.array(out_sz, pa.int64()),
+            }
+        )
+        part = (np.abs(np.array(out_h, dtype=np.int64)) % num_partitions).astype(np.int64)
+        return t_out.append_column("part", pa.array(part))
+
+    postings = ds.map_batches(explode, batch_format="pyarrow")
+    return pairs_from_postings(postings, threshold, num_partitions, df_cap)
 
 
 def ngram_jaccard_dedup(
