@@ -2237,6 +2237,63 @@ def _q_video_near_dedup(sf_dir: str):
     return cluster_map_table(parents)
 
 
+def _q_video_incremental(sf_dir: str):
+    """Tiered video near-dup: bootstrap ~80% of the pinned video corpus,
+    increment the rest against the saved frame-phash posting index; the
+    final state equals a full batch re-run (tests/test_incremental_video.py),
+    so ``video_near_dedup_sql`` applies verbatim. Returns the (row_id,
+    cluster_id) map incl roots like ``video_near_dedup_videos``."""
+    import glob as _glob
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from text_dedup_ray.pipelines.incremental_video import (
+        video_bootstrap,
+        video_increment,
+    )
+
+    ds = ray.data.read_parquet(
+        _video_corpus_path(),
+        columns=["video_id", "bytes", "fmt", "n_frames", "w", "h"],
+    )
+    cut = int(_VIDEO_N * 0.8)
+
+    def split(keep_old: bool):
+        def f(t: pa.Table) -> pa.Table:
+            rid = pc.cast(pc.utf8_slice_codeunits(t["video_id"], 4), pa.int64())
+            m = pc.less(rid, pa.scalar(cut, pa.int64()))
+            return t.filter(m if keep_old else pc.invert(m))
+
+        return f
+
+    state = tempfile.mkdtemp(prefix="vid_state_", dir="/tmp")
+    video_bootstrap(
+        ds.map_batches(split(True), batch_format="pyarrow"),
+        state,
+        every_n=2,
+        threshold=0.5,
+        num_partitions=16,
+    )
+    inc = video_increment(ds.map_batches(split(False), batch_format="pyarrow"), state)
+    rows, roots = [], []
+    for f in _glob.glob(f"{state}/v{inc.state_version:05d}/clusters/*.parquet"):
+        t = pq.read_table(f)
+        if t.num_rows:
+            rows.append(t["row_id"].to_numpy(zero_copy_only=False))
+            roots.append(t["cluster_id"].to_numpy(zero_copy_only=False))
+    mids = np.concatenate(rows).astype(np.int64) if rows else np.empty(0, np.int64)
+    mroots = np.concatenate(roots).astype(np.int64) if roots else np.empty(0, np.int64)
+    nontrivial = mids != mroots
+    mids, mroots = mids[nontrivial], mroots[nontrivial]
+    distinct_roots = np.unique(mroots)
+    all_ids = np.concatenate([mids, distinct_roots])
+    all_roots = np.concatenate([mroots, distinct_roots])
+    order = np.argsort(all_ids, kind="stable")
+    return pa.table({"row_id": all_ids[order], "cluster_id": all_roots[order]})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     _tune_read_blocks()
     return {
@@ -2355,6 +2412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_report_top": _q_cluster_report,
         "video_frame_stats": _q_video_frame_stats,
         "video_near_dedup_videos": _q_video_near_dedup,
+        "video_incremental_videos": _q_video_incremental,
     }
 
 
@@ -2911,6 +2969,9 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
             _video_corpus_path(), every_n=2
         ),
         "video_near_dedup_videos": _oracles.video_near_dedup_sql(
+            _video_corpus_path(), threshold=0.5, every_n=2
+        ),
+        "video_incremental_videos": _oracles.video_near_dedup_sql(
             _video_corpus_path(), threshold=0.5, every_n=2
         ),
     }

@@ -257,6 +257,66 @@ def _exchange_postings(
     return ray.data.from_arrow_refs(reduced)
 
 
+def posting_state_bootstrap(
+    ds: ray.data.Dataset,
+    state_dir: str,
+    postings_of,
+    parents_of,
+    meta_fields: dict,
+    num_partitions: int = 32,
+    driver_threshold: int = 2_000_000,
+) -> IncrementResult:
+    """Family-agnostic tiered bootstrap over the posting-index contract.
+
+    Any dedup family whose signature is a SET of 64-bit elements per row
+    plugs in here: ``postings_of(ds)`` yields the ``(sh, row_id, size,
+    part)`` postings, ``parents_of(ds)`` runs the family's full batch dedup.
+    ``ds`` must already carry ``row_id``; ``meta_fields`` must include the
+    family's ``algo`` tag, ``threshold``, ``df_cap`` and whatever config the
+    family's increment needs to rebuild its postings stage. Used by the text
+    n-gram family (:func:`jaccard_bootstrap`) and the video frame-phash
+    family (pipelines/incremental_video.py)."""
+    timer = Timer()
+    ds_max = ds.select_columns([ROW_ID]).max(ROW_ID)
+    max_row_id = -1 if ds_max is None else int(ds_max)
+
+    version = 1
+    _clean_version_dir(state_dir, version)
+    with timer("posting_index"):
+        _exchange_postings(
+            postings_of(ds),
+            _bootstrap_index_write,
+            lambda p: (_index_file(state_dir, version, p),),
+            num_partitions,
+        ).materialize()  # index files on disk before meta flips
+    with timer("dedup"):
+        parents = parents_of(ds)
+    with timer("assign+state"):
+        _write_clusters(parents, _clusters_dir(state_dir, version))
+        if isinstance(parents, dict):
+            assigned = assign_clusters(ds, parents)
+        else:
+            assigned = assign_clusters_sharded(
+                ds, parents.materialize(), num_shards=num_partitions
+            )
+    _write_meta(
+        state_dir,
+        {
+            **meta_fields,
+            "version": version,
+            "max_row_id": max_row_id,
+            "num_partitions": num_partitions,
+        },
+    )
+    return IncrementResult(
+        assigned=assigned,
+        deduped=filter_cluster_roots(assigned),
+        parents=parents,
+        state_version=version,
+        metrics={"stage_seconds": timer.report()},
+    )
+
+
 def jaccard_bootstrap(
     ds: ray.data.Dataset,
     state_dir: str,
@@ -273,65 +333,35 @@ def jaccard_bootstrap(
     posting index + cluster rows + meta to ``state_dir``."""
     from .jaccard_dedup import ngram_jaccard_dedup
 
-    timer = Timer()
     if id_column is not None:
         ds = stamp_row_ids_from_key(ds, id_column)
     elif ROW_ID not in ds.schema().names:
         raise ValueError("dataset must have a row_id column or pass id_column")
-    ds_max = ds.select_columns([ROW_ID]).max(ROW_ID)
-    max_row_id = -1 if ds_max is None else int(ds_max)
 
-    version = 1
-    _clean_version_dir(state_dir, version)
-    postings = ds.map_batches(
-        _make_explode(text_column, ngram_size, min_length, num_partitions),
-        batch_format="pyarrow",
-    )
-    with timer("posting_index"):
-        _exchange_postings(
-            postings,
-            _bootstrap_index_write,
-            lambda p: (_index_file(state_dir, version, p),),
-            num_partitions,
-        ).materialize()  # index files on disk before meta flips
-    with timer("dedup"):
-        parents = ngram_jaccard_dedup(
-            ds, text_column=text_column, ngram_size=ngram_size,
+    explode = _make_explode(text_column, ngram_size, min_length, num_partitions)
+    return posting_state_bootstrap(
+        ds,
+        state_dir,
+        postings_of=lambda d: d.map_batches(explode, batch_format="pyarrow"),
+        parents_of=lambda d: ngram_jaccard_dedup(
+            d, text_column=text_column, ngram_size=ngram_size,
             min_length=min_length, threshold=threshold,
             driver_threshold=driver_threshold,
             num_partitions=num_partitions, df_cap=df_cap,
-        )
-    with timer("assign+state"):
-        _write_clusters(parents, _clusters_dir(state_dir, version))
-        if isinstance(parents, dict):
-            assigned = assign_clusters(ds, parents)
-        else:
-            assigned = assign_clusters_sharded(
-                ds, parents.materialize(), num_shards=num_partitions
-            )
-    _write_meta(
-        state_dir,
-        {
+        ),
+        meta_fields={
             "algo": "jaccard_posting",
-            "version": version,
             "cfg_hash": _jac_cfg_hash(
                 text_column, ngram_size, min_length, threshold, num_partitions
             ),
-            "max_row_id": max_row_id,
-            "num_partitions": num_partitions,
             "text_column": text_column,
             "ngram_size": ngram_size,
             "min_length": min_length,
             "threshold": threshold,
             "df_cap": df_cap,
         },
-    )
-    return IncrementResult(
-        assigned=assigned,
-        deduped=filter_cluster_roots(assigned),
-        parents=parents,
-        state_version=version,
-        metrics={"stage_seconds": timer.report()},
+        num_partitions=num_partitions,
+        driver_threshold=driver_threshold,
     )
 
 
@@ -345,20 +375,50 @@ def jaccard_increment(
     """Dedup ``new_ds`` against the saved posting index AND itself; persist
     the next version. Cluster assignments equal a full exact-Jaccard re-run
     over old ∪ new. Shingle/threshold parameters come from the saved meta."""
-    timer = Timer()
     meta = load_meta(state_dir)
     if meta.get("algo") != "jaccard_posting":
         raise ValueError(f"state at {state_dir} is not a jaccard_posting index")
+    if id_column is not None:
+        new_ds = stamp_row_ids_from_key(new_ds, id_column)
+    elif ROW_ID not in new_ds.schema().names:
+        raise ValueError("dataset must have a row_id column or pass id_column")
+    explode = _make_explode(
+        meta["text_column"], int(meta["ngram_size"]),
+        int(meta["min_length"]), int(meta["num_partitions"]),
+    )
+    return posting_state_increment(
+        new_ds,
+        state_dir,
+        meta,
+        postings_of=lambda d: d.map_batches(explode, batch_format="pyarrow"),
+        driver_threshold=driver_threshold,
+        validate_ids=validate_ids,
+    )
+
+
+def posting_state_increment(
+    new_ds: ray.data.Dataset,
+    state_dir: str,
+    meta: dict,
+    postings_of,
+    driver_threshold: int = 2_000_000,
+    validate_ids: bool = True,
+) -> IncrementResult:
+    """Family-agnostic tiered increment over the posting-index contract
+    (counterpart of :func:`posting_state_bootstrap`): explode ONLY the new
+    batch via ``postings_of``, merge against the prior posting files read
+    locally per partition (the old index never re-shuffles), emit
+    new-involving pairs, compose with the prior cluster map. ``new_ds`` must
+    already carry ``row_id``; ``meta`` is the loaded state meta (the caller
+    has validated its ``algo`` tag and rebuilt the family's postings
+    stage from it)."""
+    timer = Timer()
     prior_version = int(meta["version"])
     num_partitions = int(meta["num_partitions"])
     prior_max = int(meta["max_row_id"])
     threshold = float(meta["threshold"])
     df_cap = int(meta["df_cap"])
 
-    if id_column is not None:
-        new_ds = stamp_row_ids_from_key(new_ds, id_column)
-    elif ROW_ID not in new_ds.schema().names:
-        raise ValueError("dataset must have a row_id column or pass id_column")
     ids_narrow = new_ds.select_columns([ROW_ID])
     batch_max = ids_narrow.max(ROW_ID)
     new_max = prior_max if batch_max is None else int(batch_max)
@@ -372,13 +432,7 @@ def jaccard_increment(
 
     version = prior_version + 1
     _clean_version_dir(state_dir, version)
-    postings = new_ds.map_batches(
-        _make_explode(
-            meta["text_column"], int(meta["ngram_size"]),
-            int(meta["min_length"]), num_partitions,
-        ),
-        batch_format="pyarrow",
-    )
+    postings = postings_of(new_ds)
     from ..stages.exchange import hash_partition_exchange
 
     with timer("postings+index"):
