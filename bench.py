@@ -507,8 +507,31 @@ def run_benchmarks() -> None:
             num_bucket=4,
         ).count()
 
+    # video corpus: CORPUS_N/10 videos of 12-48 16x16 rawv frames (payload
+    # ~0.77 KB/row-equivalent). Generated+warmed OUTSIDE the timed leg, like
+    # the image corpus — the measured pipeline is fused decode+sample+hash
+    # -> postings -> exact-Jaccard pairs -> CC.
+    video_n = max(1000, CORPUS_N // 10)
+    if not headline_only:
+        from text_dedup_ray.data.gen import videos_parquet
+
+        video_path, _ = videos_parquet(video_n, seed=7)
+        ray.data.read_parquet(video_path).count()  # page-cache warm
+
+    def video_dedup():
+        from text_dedup_ray.pipelines.video import video_near_dedup
+        from text_dedup_ray.stages.cc import cluster_map_table
+
+        ds = ray.data.read_parquet(
+            video_path, columns=["video_id", "bytes", "fmt", "n_frames", "w", "h"]
+        )
+        parents = video_near_dedup(ds, every_n=2, threshold=0.5)
+        cm = cluster_map_table(parents)
+        return cm.num_rows if hasattr(cm, "num_rows") else cm.count()
+
     if not headline_only:
         timed("multimodal_images", multimodal_images)
+        timed("video_dedup_10pct_n", video_dedup)
         timed("recall_vs_reference_3k", recall_vs_reference)
         timed("line_dedup_captions", line_dedup_captions)
         timed("tfidf_captions", tfidf_captions)

@@ -428,6 +428,61 @@ def main(argv: list[str] | None = None) -> None:
         drop = [c for c in ("__CLUSTER__", "__duplicate__") if c in result_ds.schema().names]
         if drop:
             result_ds = result_ds.drop_columns(drop)
+    elif name == "video_dedup":
+        # video near-dup: frame-phash-set Jaccard (rawv container only —
+        # real codecs raise NotImplementedError; pipelines/video.py)
+        from .pipelines.video import video_ids_to_row_ids, video_near_dedup
+        from .sources.io import ROW_ID
+        from .stages.assign import assign_clusters, filter_cluster_roots
+
+        vid_col = algo.get("id_column", "video_id")
+        # prefer the natural 'vid-%09d' key over _load_input's positional
+        # stamp: the same video must map to the same row_id across runs
+        if vid_col in ds.schema().names:
+            if ROW_ID in ds.schema().names:
+                ds = ds.drop_columns([ROW_ID])
+            ds = video_ids_to_row_ids(ds, vid_col)
+        parents = video_near_dedup(
+            ds,
+            every_n=int(algo.get("every_n", 1)),
+            threshold=float(algo.get("threshold", 0.5)),
+            id_column=vid_col,
+        )
+        assigned = assign_clusters(ds, parents)
+        result_ds = assigned if skip_filtering else filter_cluster_roots(assigned)
+    elif name == "video_incremental":
+        # tiered video near-dup against a saved frame-phash posting index
+        from .pipelines.incremental_video import video_bootstrap, video_increment
+
+        state_dir = algo.pop("state_dir", None)
+        if not state_dir:
+            raise SystemExit("video_incremental needs [algorithm].state_dir")
+        import os as _os
+
+        vid_col = algo.get("id_column", "video_id")
+        from .pipelines.video import video_ids_to_row_ids
+        from .sources.io import ROW_ID
+
+        if vid_col in ds.schema().names:
+            if ROW_ID in ds.schema().names:
+                ds = ds.drop_columns([ROW_ID])
+            ds = video_ids_to_row_ids(ds, vid_col)
+        if _os.path.exists(_os.path.join(state_dir, "meta.json")):
+            res = video_increment(ds, state_dir, id_column=vid_col)
+            stats["mode"] = "increment"
+            stats["merged_old_roots"] = len(res.merged_old_roots)
+        else:
+            res = video_bootstrap(
+                ds,
+                state_dir,
+                every_n=int(algo.get("every_n", 1)),
+                threshold=float(algo.get("threshold", 0.5)),
+                id_column=vid_col,
+            )
+            stats["mode"] = "bootstrap"
+        result_ds = res.assigned if skip_filtering else res.deduped
+        stats["state_version"] = res.state_version
+        stats.update(res.metrics)
     elif name == "substring_decontaminate":
         # cut every >= length_threshold-byte run shared with the benchmark
         from .pipelines.decontaminate import substring_decontaminate
