@@ -2237,6 +2237,96 @@ def _q_video_near_dedup(sf_dir: str):
     return cluster_map_table(parents)
 
 
+_AUDIO_N = 600
+
+
+def _audio_corpus_path() -> str:
+    from text_dedup_ray.data.gen import audio_parquet
+
+    path, _ = audio_parquet(_AUDIO_N, seed=11)
+    return path
+
+
+def _q_audio_window_stats(sf_dir: str):
+    """Per-track decode stats: the pipeline recomputes window fingerprints
+    from the raw rawa PCM; the oracle reads the generator's ground-truth
+    window_hashes list — equality proves the decode+fingerprint path
+    bit-exact."""
+    from text_dedup_ray.pipelines.audio import audio_window_stats
+
+    return audio_window_stats(ray.data.read_parquet(_audio_corpus_path()))
+
+
+def _q_audio_near_dedup(sf_dir: str):
+    """Audio near-dup cluster map: exact Jaccard >= 0.5 over each track's
+    distinct window-fingerprint set, CC min-id roots. Audio bytes never
+    shuffle — only (fingerprint, row_id, size) postings leave the fused
+    decode stage (pipelines/audio.py)."""
+    from text_dedup_ray.pipelines.audio import audio_near_dedup
+    from text_dedup_ray.stages.cc import cluster_map_table
+
+    ds = ray.data.read_parquet(
+        _audio_corpus_path(),
+        columns=["audio_id", "bytes", "fmt", "n_samples", "sr"],
+    )
+    return cluster_map_table(audio_near_dedup(ds, threshold=0.5))
+
+
+def _q_audio_incremental(sf_dir: str):
+    """Tiered audio near-dup: bootstrap ~80% of the pinned audio corpus,
+    increment the rest against the saved fingerprint posting index; final
+    state equals a full batch re-run (tests/test_audio_dedup.py), so
+    ``audio_near_dedup_sql`` applies verbatim."""
+    import glob as _glob
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from text_dedup_ray.pipelines.incremental_audio import (
+        audio_bootstrap,
+        audio_increment,
+    )
+
+    ds = ray.data.read_parquet(
+        _audio_corpus_path(),
+        columns=["audio_id", "bytes", "fmt", "n_samples", "sr"],
+    )
+    cut = int(_AUDIO_N * 0.8)
+
+    def split(keep_old: bool):
+        def f(t: pa.Table) -> pa.Table:
+            rid = pc.cast(pc.utf8_slice_codeunits(t["audio_id"], 4), pa.int64())
+            m = pc.less(rid, pa.scalar(cut, pa.int64()))
+            return t.filter(m if keep_old else pc.invert(m))
+
+        return f
+
+    state = tempfile.mkdtemp(prefix="aud_state_", dir="/tmp")
+    audio_bootstrap(
+        ds.map_batches(split(True), batch_format="pyarrow"),
+        state,
+        threshold=0.5,
+        num_partitions=16,
+    )
+    inc = audio_increment(ds.map_batches(split(False), batch_format="pyarrow"), state)
+    rows, roots = [], []
+    for f in _glob.glob(f"{state}/v{inc.state_version:05d}/clusters/*.parquet"):
+        t = pq.read_table(f)
+        if t.num_rows:
+            rows.append(t["row_id"].to_numpy(zero_copy_only=False))
+            roots.append(t["cluster_id"].to_numpy(zero_copy_only=False))
+    mids = np.concatenate(rows).astype(np.int64) if rows else np.empty(0, np.int64)
+    mroots = np.concatenate(roots).astype(np.int64) if roots else np.empty(0, np.int64)
+    nontrivial = mids != mroots
+    mids, mroots = mids[nontrivial], mroots[nontrivial]
+    distinct_roots = np.unique(mroots)
+    all_ids = np.concatenate([mids, distinct_roots])
+    all_roots = np.concatenate([mroots, distinct_roots])
+    order = np.argsort(all_ids, kind="stable")
+    return pa.table({"row_id": all_ids[order], "cluster_id": all_roots[order]})
+
+
 def _q_video_incremental(sf_dir: str):
     """Tiered video near-dup: bootstrap ~80% of the pinned video corpus,
     increment the rest against the saved frame-phash posting index; the
@@ -2413,6 +2503,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frame_stats": _q_video_frame_stats,
         "video_near_dedup_videos": _q_video_near_dedup,
         "video_incremental_videos": _q_video_incremental,
+        "audio_window_stats": _q_audio_window_stats,
+        "audio_near_dedup_audio": _q_audio_near_dedup,
+        "audio_incremental_audio": _q_audio_incremental,
     }
 
 
@@ -2973,5 +3066,12 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
         ),
         "video_incremental_videos": _oracles.video_near_dedup_sql(
             _video_corpus_path(), threshold=0.5, every_n=2
+        ),
+        "audio_window_stats": _oracles.audio_window_stats_sql(_audio_corpus_path()),
+        "audio_near_dedup_audio": _oracles.audio_near_dedup_sql(
+            _audio_corpus_path(), threshold=0.5
+        ),
+        "audio_incremental_audio": _oracles.audio_near_dedup_sql(
+            _audio_corpus_path(), threshold=0.5
         ),
     }

@@ -529,9 +529,28 @@ def run_benchmarks() -> None:
         cm = cluster_map_table(parents)
         return cm.num_rows if hasattr(cm, "num_rows") else cm.count()
 
+    # audio corpus: same scale stance (CORPUS_N/10 tracks of 20-80 1 KB
+    # fingerprint windows, ~50 KB payload per row)
+    if not headline_only:
+        from text_dedup_ray.data.gen import audio_parquet
+
+        audio_path, _ = audio_parquet(video_n, seed=11)
+        ray.data.read_parquet(audio_path).count()  # page-cache warm
+
+    def audio_dedup():
+        from text_dedup_ray.pipelines.audio import audio_near_dedup
+        from text_dedup_ray.stages.cc import cluster_map_table
+
+        ds = ray.data.read_parquet(
+            audio_path, columns=["audio_id", "bytes", "fmt", "n_samples", "sr"]
+        )
+        cm = cluster_map_table(audio_near_dedup(ds, threshold=0.5))
+        return cm.num_rows if hasattr(cm, "num_rows") else cm.count()
+
     if not headline_only:
         timed("multimodal_images", multimodal_images)
         timed("video_dedup_10pct_n", video_dedup)
+        timed("audio_dedup_10pct_n", audio_dedup)
         timed("recall_vs_reference_3k", recall_vs_reference)
         timed("line_dedup_captions", line_dedup_captions)
         timed("tfidf_captions", tfidf_captions)

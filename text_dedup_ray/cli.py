@@ -483,6 +483,56 @@ def main(argv: list[str] | None = None) -> None:
         result_ds = res.assigned if skip_filtering else res.deduped
         stats["state_version"] = res.state_version
         stats.update(res.metrics)
+    elif name == "audio_dedup":
+        # audio near-dup: window-fingerprint-set Jaccard (rawa container
+        # only — real codecs raise NotImplementedError; pipelines/audio.py)
+        from .pipelines.audio import audio_ids_to_row_ids, audio_near_dedup
+        from .sources.io import ROW_ID
+        from .stages.assign import assign_clusters, filter_cluster_roots
+
+        aud_col = algo.get("id_column", "audio_id")
+        if aud_col in ds.schema().names:
+            if ROW_ID in ds.schema().names:
+                ds = ds.drop_columns([ROW_ID])
+            ds = audio_ids_to_row_ids(ds, aud_col)
+        parents = audio_near_dedup(
+            ds,
+            threshold=float(algo.get("threshold", 0.5)),
+            id_column=aud_col,
+        )
+        assigned = assign_clusters(ds, parents)
+        result_ds = assigned if skip_filtering else filter_cluster_roots(assigned)
+    elif name == "audio_incremental":
+        # tiered audio near-dup against a saved fingerprint posting index
+        from .pipelines.audio import audio_ids_to_row_ids
+        from .pipelines.incremental_audio import audio_bootstrap, audio_increment
+        from .sources.io import ROW_ID
+
+        state_dir = algo.pop("state_dir", None)
+        if not state_dir:
+            raise SystemExit("audio_incremental needs [algorithm].state_dir")
+        import os as _os
+
+        aud_col = algo.get("id_column", "audio_id")
+        if aud_col in ds.schema().names:
+            if ROW_ID in ds.schema().names:
+                ds = ds.drop_columns([ROW_ID])
+            ds = audio_ids_to_row_ids(ds, aud_col)
+        if _os.path.exists(_os.path.join(state_dir, "meta.json")):
+            res = audio_increment(ds, state_dir, id_column=aud_col)
+            stats["mode"] = "increment"
+            stats["merged_old_roots"] = len(res.merged_old_roots)
+        else:
+            res = audio_bootstrap(
+                ds,
+                state_dir,
+                threshold=float(algo.get("threshold", 0.5)),
+                id_column=aud_col,
+            )
+            stats["mode"] = "bootstrap"
+        result_ds = res.assigned if skip_filtering else res.deduped
+        stats["state_version"] = res.state_version
+        stats.update(res.metrics)
     elif name == "substring_decontaminate":
         # cut every >= length_threshold-byte run shared with the benchmark
         from .pipelines.decontaminate import substring_decontaminate

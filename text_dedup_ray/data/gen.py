@@ -319,6 +319,137 @@ def generate_videos(n: int, seed: int = 7) -> tuple[pa.Table, pa.Table]:
     return videos, truth
 
 
+_AUD_WINDOW = 1024  # samples per fingerprint window (folds to 32x32)
+
+
+def generate_audio(n: int, seed: int = 11) -> tuple[pa.Table, pa.Table]:
+    """Deterministic synthetic AUDIO corpus with planted near-duplicates.
+
+    Schema: ``(audio_id:string, bytes:binary, fmt:'rawa', n_samples:int64,
+    sr:int32, window_hashes:list<int64>)`` plus ``truth(audio_id,
+    cluster_id, kind)``. ``bytes`` is the rawa container — raw mono uint8
+    PCM (no audio codec exists in this environment; real decoders slot in
+    front of the same stages). ``window_hashes`` is the ground truth the
+    SQL oracles read: each non-overlapping 1024-sample window folded to
+    32x32 and hashed by the SAME mean-threshold kernel the image/video
+    families use (functions/codecs.average_phash_stack) — recomputed from
+    the raw bytes by the pipeline.
+
+    Planted kinds mirror the video generator (same fractions): exact /
+    clipped (suffix windows dropped, Jaccard in [0.6, 0.95]) / re-noised
+    (5-25% of windows replaced) / near-miss (45-60% replaced, below the
+    0.5 gate threshold) / singleton.
+    """
+    rng = np.random.RandomState(seed)
+    wseed_lists: list[list[int]] = []
+    kinds: list[str] = []
+    cluster_of: list[int] = []
+
+    def fresh(k: int) -> list[int]:
+        return [int(s) for s in rng.randint(0, 2**31 - 1, size=k)]
+
+    plan = [("exact", 0.06), ("clipped", 0.08), ("re-noised", 0.08), ("near-miss", 0.04)]
+    budget = {k: int(n * frac) for k, frac in plan}
+    i = 0
+    next_cluster = 0
+    while i < n:
+        placed = False
+        for kind, _frac in plan:
+            if budget[kind] > 0 and rng.rand() < 0.25 and n - i >= 2:
+                size = min(int(rng.randint(2, 4)), n - i, budget[kind] + 1)
+                if size < 2:
+                    continue
+                cid = next_cluster
+                next_cluster += 1
+                base = fresh(int(rng.randint(20, 81)))
+                for m in range(size):
+                    if kind == "exact" or m == 0:
+                        wins = list(base)
+                    elif kind == "clipped":
+                        keep = int(len(base) * rng.uniform(0.6, 0.95))
+                        wins = base[: max(keep, 1)]
+                    else:
+                        r = (
+                            rng.uniform(0.05, 0.25)
+                            if kind == "re-noised"
+                            else rng.uniform(0.45, 0.6)
+                        )
+                        wins = list(base)
+                        n_rep = max(1, int(len(wins) * r))
+                        pos = rng.choice(len(wins), size=n_rep, replace=False)
+                        for p, s in zip(pos, fresh(n_rep)):
+                            wins[p] = s
+                    wseed_lists.append(wins)
+                    kinds.append(kind)
+                    cluster_of.append(cid)
+                    i += 1
+                budget[kind] -= size - 1
+                placed = True
+                break
+        if placed or i >= n:
+            continue
+        cid = next_cluster
+        next_cluster += 1
+        wseed_lists.append(fresh(int(rng.randint(20, 81))))
+        kinds.append("singleton")
+        cluster_of.append(cid)
+        i += 1
+
+    from ..functions.codecs import average_phash_stack
+
+    blobs: list[bytes] = []
+    hash_lists: list[list[int]] = []
+    n_samples = np.empty(n, dtype=np.int64)
+    for j, wins in enumerate(wseed_lists):
+        pcm = np.concatenate(
+            [
+                np.random.RandomState(s).randint(0, 256, size=_AUD_WINDOW, dtype=np.uint8)
+                for s in wins
+            ]
+        )
+        blobs.append(pcm.tobytes())
+        folded = pcm.reshape(len(wins), 32, 32)
+        hash_lists.append([int(p) for p in average_phash_stack(folded)])
+        n_samples[j] = len(pcm)
+
+    audio_ids = [f"aud-{j:09d}" for j in range(n)]
+    audio = pa.table(
+        {
+            "audio_id": pa.array(audio_ids, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "fmt": pa.array(["rawa"] * n, pa.string()),
+            "n_samples": pa.array(n_samples),
+            "sr": pa.array(np.full(n, 16000, dtype=np.int32)),
+            "window_hashes": pa.array(hash_lists, pa.list_(pa.int64())),
+        }
+    )
+    truth = pa.table(
+        {
+            "audio_id": pa.array(audio_ids, pa.string()),
+            "cluster_id": pa.array(cluster_of, pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+        }
+    )
+    return audio, truth
+
+
+def audio_parquet(
+    n: int, seed: int = 11, cache_dir: str = "/tmp/tdr_corpus"
+) -> tuple[str, str]:
+    """Generate (or reuse a cached) audio corpus; returns (audio_path,
+    truth_path). Cache key (n, seed); generation is deterministic."""
+    os.makedirs(cache_dir, exist_ok=True)
+    aud_path = os.path.join(cache_dir, f"audio_n{n}_s{seed}.parquet")
+    truth_path = os.path.join(cache_dir, f"audio_truth_n{n}_s{seed}.parquet")
+    if not (os.path.exists(aud_path) and os.path.exists(truth_path)):
+        audio, truth = generate_audio(n, seed)
+        pq.write_table(audio, aud_path + ".tmp", row_group_size=1024)
+        pq.write_table(truth, truth_path + ".tmp", row_group_size=65536)
+        os.replace(aud_path + ".tmp", aud_path)
+        os.replace(truth_path + ".tmp", truth_path)
+    return aud_path, truth_path
+
+
 def videos_parquet(
     n: int, seed: int = 7, cache_dir: str = "/tmp/tdr_corpus"
 ) -> tuple[str, str]:

@@ -1142,3 +1142,47 @@ edges AS (
 {CC_FRAGMENT}
 SELECT node AS row_id, cluster_id FROM cc
 """
+
+
+def audio_window_stats_sql(corpus_path: str) -> str:
+    """Per-track window statistics (pipelines/audio.audio_window_stats):
+    the pipeline recomputes each window's fingerprint from the raw PCM
+    bytes; the oracle reads the generator's ground-truth ``window_hashes``
+    list — equality proves the decode+fingerprint path bit-exact."""
+    return f"""
+SELECT audio_id,
+       any_value(n_samples)::BIGINT AS n_samples,
+       count(ph)::BIGINT AS n_windows,
+       count(DISTINCT ph)::BIGINT AS n_distinct_fp
+FROM (
+  SELECT audio_id, n_samples, unnest(window_hashes) AS ph
+  FROM read_parquet('{corpus_path}')
+)
+GROUP BY audio_id
+"""
+
+
+def audio_near_dedup_sql(corpus_path: str, threshold: float = 0.5) -> str:
+    """Audio near-dup cluster map (pipelines/audio.audio_near_dedup): exact
+    Jaccard >= threshold over each track's DISTINCT window-fingerprint set,
+    then connected components (min-id roots, members of any edge incl.
+    roots)."""
+    return f"""
+WITH RECURSIVE sets AS (
+  SELECT DISTINCT CAST(substr(audio_id, 5) AS BIGINT) AS rid,
+         unnest(window_hashes) AS ph
+  FROM read_parquet('{corpus_path}')
+),
+sizes AS (SELECT rid, count(*) AS sz FROM sets GROUP BY rid),
+co AS (
+  SELECT a.rid AS i, b.rid AS j, count(*) AS co
+  FROM sets a JOIN sets b USING (ph) WHERE a.rid > b.rid GROUP BY 1, 2
+),
+edges AS (
+  SELECT co.i AS hi, co.j AS lo
+  FROM co JOIN sizes sa ON sa.rid = co.i JOIN sizes sb ON sb.rid = co.j
+  WHERE co.co::DOUBLE / (sa.sz + sb.sz - co.co) >= {threshold}
+),
+{CC_FRAGMENT}
+SELECT node AS row_id, cluster_id FROM cc
+"""
