@@ -207,6 +207,76 @@ def _frame(fseed: int) -> np.ndarray:
     )
 
 
+def _planted_seed_sets(
+    rng: np.random.RandomState,
+    n: int,
+    len_lo: int,
+    len_hi: int,
+    kind_names: tuple[str, str, str, str],
+) -> tuple[list[list[int]], list[str], list[int]]:
+    """Shared planted-duplicate plan for SET-signature corpora (video
+    frames, audio windows): each row is a list of element seeds; duplicate
+    kinds are (exact copy, suffix-trim keeping 60-95%, replace 5-25% of
+    elements, replace 45-60% = below-0.5-threshold near-miss), at fractions
+    (6%, 8%, 8%, 4%), clusters of 2-3, singletons for the rest. Returns
+    (seed_lists, kinds, cluster_of); fully determined by ``rng``."""
+    seed_lists: list[list[int]] = []
+    kinds: list[str] = []
+    cluster_of: list[int] = []
+
+    def fresh(k: int) -> list[int]:
+        return [int(s) for s in rng.randint(0, 2**31 - 1, size=k)]
+
+    exact_k, trim_k, replace_k, miss_k = kind_names
+    plan = [(exact_k, 0.06), (trim_k, 0.08), (replace_k, 0.08), (miss_k, 0.04)]
+    budget = {k: int(n * frac) for k, frac in plan}
+    i = 0
+    next_cluster = 0
+    while i < n:
+        placed = False
+        for kind, _frac in plan:
+            if budget[kind] > 0 and rng.rand() < 0.25 and n - i >= 2:
+                size = min(int(rng.randint(2, 4)), n - i, budget[kind] + 1)
+                if size < 2:
+                    continue
+                cid = next_cluster
+                next_cluster += 1
+                base = fresh(int(rng.randint(len_lo, len_hi + 1)))
+                for m in range(size):
+                    if kind == exact_k or m == 0:
+                        elems = list(base)
+                    elif kind == trim_k:
+                        keep = int(len(base) * rng.uniform(0.6, 0.95))
+                        elems = base[: max(keep, 1)]
+                    else:  # replace a fraction in place
+                        r = (
+                            rng.uniform(0.05, 0.25)
+                            if kind == replace_k
+                            else rng.uniform(0.45, 0.6)
+                        )
+                        elems = list(base)
+                        n_rep = max(1, int(len(elems) * r))
+                        pos = rng.choice(len(elems), size=n_rep, replace=False)
+                        for p, s in zip(pos, fresh(n_rep)):
+                            elems[p] = s
+                    seed_lists.append(elems)
+                    kinds.append(kind)
+                    cluster_of.append(cid)
+                    i += 1
+                budget[kind] -= size - 1
+                placed = True
+                break
+        if placed or i >= n:
+            continue
+        cid = next_cluster
+        next_cluster += 1
+        seed_lists.append(fresh(int(rng.randint(len_lo, len_hi + 1))))
+        kinds.append("singleton")
+        cluster_of.append(cid)
+        i += 1
+    return seed_lists, kinds, cluster_of
+
+
 def generate_videos(n: int, seed: int = 7) -> tuple[pa.Table, pa.Table]:
     """Deterministic synthetic VIDEO corpus with planted near-duplicates.
 
@@ -231,60 +301,9 @@ def generate_videos(n: int, seed: int = 7) -> tuple[pa.Table, pa.Table]:
     - singleton (rest)
     """
     rng = np.random.RandomState(seed)
-    fseed_lists: list[list[int]] = []
-    kinds: list[str] = []
-    cluster_of: list[int] = []
-
-    def fresh_frames(k: int) -> list[int]:
-        return [int(s) for s in rng.randint(0, 2**31 - 1, size=k)]
-
-    plan = [("exact", 0.06), ("trimmed", 0.08), ("perturbed", 0.08), ("near-miss", 0.04)]
-    budget = {k: int(n * frac) for k, frac in plan}
-    i = 0
-    next_cluster = 0
-    while i < n:
-        placed = False
-        for kind, _frac in plan:
-            if budget[kind] > 0 and rng.rand() < 0.25 and n - i >= 2:
-                size = min(int(rng.randint(2, 4)), n - i, budget[kind] + 1)
-                if size < 2:
-                    continue
-                cid = next_cluster
-                next_cluster += 1
-                base = fresh_frames(int(rng.randint(12, 49)))
-                for m in range(size):
-                    if kind == "exact" or m == 0:
-                        frames = list(base)
-                    elif kind == "trimmed":
-                        keep = int(len(base) * rng.uniform(0.6, 0.95))
-                        frames = base[: max(keep, 1)]
-                    else:  # perturbed / near-miss: replace a fraction in place
-                        r = (
-                            rng.uniform(0.05, 0.25)
-                            if kind == "perturbed"
-                            else rng.uniform(0.45, 0.6)
-                        )
-                        frames = list(base)
-                        n_rep = max(1, int(len(frames) * r))
-                        pos = rng.choice(len(frames), size=n_rep, replace=False)
-                        repl = fresh_frames(n_rep)
-                        for p, s in zip(pos, repl):
-                            frames[p] = s
-                    fseed_lists.append(frames)
-                    kinds.append(kind)
-                    cluster_of.append(cid)
-                    i += 1
-                budget[kind] -= size - 1
-                placed = True
-                break
-        if placed or i >= n:
-            continue
-        cid = next_cluster
-        next_cluster += 1
-        fseed_lists.append(fresh_frames(int(rng.randint(12, 49))))
-        kinds.append("singleton")
-        cluster_of.append(cid)
-        i += 1
+    fseed_lists, kinds, cluster_of = _planted_seed_sets(
+        rng, n, 12, 48, ("exact", "trimmed", "perturbed", "near-miss")
+    )
 
     from ..functions.codecs import average_phash_stack
 
@@ -341,59 +360,9 @@ def generate_audio(n: int, seed: int = 11) -> tuple[pa.Table, pa.Table]:
     0.5 gate threshold) / singleton.
     """
     rng = np.random.RandomState(seed)
-    wseed_lists: list[list[int]] = []
-    kinds: list[str] = []
-    cluster_of: list[int] = []
-
-    def fresh(k: int) -> list[int]:
-        return [int(s) for s in rng.randint(0, 2**31 - 1, size=k)]
-
-    plan = [("exact", 0.06), ("clipped", 0.08), ("re-noised", 0.08), ("near-miss", 0.04)]
-    budget = {k: int(n * frac) for k, frac in plan}
-    i = 0
-    next_cluster = 0
-    while i < n:
-        placed = False
-        for kind, _frac in plan:
-            if budget[kind] > 0 and rng.rand() < 0.25 and n - i >= 2:
-                size = min(int(rng.randint(2, 4)), n - i, budget[kind] + 1)
-                if size < 2:
-                    continue
-                cid = next_cluster
-                next_cluster += 1
-                base = fresh(int(rng.randint(20, 81)))
-                for m in range(size):
-                    if kind == "exact" or m == 0:
-                        wins = list(base)
-                    elif kind == "clipped":
-                        keep = int(len(base) * rng.uniform(0.6, 0.95))
-                        wins = base[: max(keep, 1)]
-                    else:
-                        r = (
-                            rng.uniform(0.05, 0.25)
-                            if kind == "re-noised"
-                            else rng.uniform(0.45, 0.6)
-                        )
-                        wins = list(base)
-                        n_rep = max(1, int(len(wins) * r))
-                        pos = rng.choice(len(wins), size=n_rep, replace=False)
-                        for p, s in zip(pos, fresh(n_rep)):
-                            wins[p] = s
-                    wseed_lists.append(wins)
-                    kinds.append(kind)
-                    cluster_of.append(cid)
-                    i += 1
-                budget[kind] -= size - 1
-                placed = True
-                break
-        if placed or i >= n:
-            continue
-        cid = next_cluster
-        next_cluster += 1
-        wseed_lists.append(fresh(int(rng.randint(20, 81))))
-        kinds.append("singleton")
-        cluster_of.append(cid)
-        i += 1
+    wseed_lists, kinds, cluster_of = _planted_seed_sets(
+        rng, n, 20, 80, ("exact", "clipped", "re-noised", "near-miss")
+    )
 
     from ..functions.codecs import average_phash_stack
 
