@@ -241,6 +241,25 @@ def _q_nbayes(sf_dir: str):
     return naive_bayes_predict(docs, model, text_column="text", id_column="doc_id")
 
 
+def _q_dsir(sf_dir: str):
+    """DSIR importance-resampling selection: target = the src13 cohort,
+    raw = the whole corpus; top-100 docs by hashed-unigram+bigram llr
+    weight (round-6 ranking in BOTH engines, md5-bucketed both sides)."""
+    from text_dedup_ray.pipelines.dsir import dsir_select
+
+    docs = _docs(sf_dir, ["doc_id", "text", "source"])
+
+    def tgt(t: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t["source"], "src13"))
+
+    target = docs.map_batches(tgt, batch_format="pyarrow")
+    return dsir_select(
+        docs, target, k=100, num_buckets=4096
+    ).select_columns(["doc_id", "dsir_score"])
+
+
 def _q_source_overlap(sf_dir: str):
     from text_dedup_ray.pipelines.overlap import source_overlap
 
@@ -2403,6 +2422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_outliers": _q_embedding_outliers,
         "curated_corpus": _q_curate,
         "substring_decontaminate_docs": _q_substring_decontaminate,
+        "dsir_selection": _q_dsir,
         # --- dedup (SQL-checked where expressible) ---
         "exact_dedup_docs": _q_exact_dedup,
         "bloom_dedup_docs": _q_bloom_dedup,
@@ -2972,6 +2992,9 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
         "simhash_keep_best_docs": _oracles.simhash_keep_best_sql(_SIMHASH_ORACLE_CFG()),
         "source_overlap_matrix": _oracles.source_overlap_sql(3, 1),
         "nbayes_lang_pred": _oracles.naive_bayes_sql(),
+        "dsir_selection": _oracles.dsir_select_sql(
+            "source = 'src13'", k=100, num_buckets=4096
+        ),
         "embedding_outliers": _oracles.embedding_outliers_sql(2.0),
         "substring_decontaminate_docs": _oracles.substring_decontaminate_sql(64, 7),
         "curated_corpus": _oracles.curate_sql(

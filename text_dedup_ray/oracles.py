@@ -1186,3 +1186,66 @@ edges AS (
 {CC_FRAGMENT}
 SELECT node AS row_id, cluster_id FROM cc
 """
+
+
+def dsir_select_sql(
+    target_where: str,
+    k: int = 100,
+    num_buckets: int = 4096,
+    smoothing: float = 1.0,
+    ngram_max: int = 2,
+    round_to: int = 6,
+) -> str:
+    """DSIR importance-resampling selection (pipelines/dsir.dsir_select):
+    hashed unigram(+bigram) count vectors for the TARGET cohort
+    (``documents WHERE target_where``) and the RAW corpus (all documents),
+    per-bucket llr with add-``smoothing``, per-doc summed weight rounded to
+    ``round_to``, global top-``k`` by (weight DESC, doc_id ASC). Gram
+    bucket = md5-prefix-64 mod ``num_buckets`` — bit-identical to the
+    Python kernel; the llr expression mirrors dsir_llr's float op order
+    (divide THEN ln), and ``+ 0.0`` normalizes any -0.0 on both sides."""
+    a = repr(float(smoothing))
+    nb = repr(float(num_buckets))
+    big = (
+        """
+big AS (SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS g
+        FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM tok)),
+grams AS (SELECT doc_id, g FROM uni UNION ALL SELECT doc_id, g FROM big),"""
+        if ngram_max >= 2
+        else """
+grams AS (SELECT doc_id, g FROM uni),"""
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+  FROM documents
+),
+uni AS (SELECT doc_id, unnest(ts) AS g FROM tok),{big}
+hb AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(g), 1, 16))::UBIGINT % {num_buckets})::BIGINT AS b
+  FROM grams
+),
+rawc AS (SELECT b, count(*)::BIGINT AS c FROM hb GROUP BY b),
+tgtc AS (
+  SELECT b, count(*)::BIGINT AS c
+  FROM hb JOIN documents USING (doc_id) WHERE {target_where} GROUP BY b
+),
+rt AS (SELECT coalesce(sum(c), 0)::BIGINT AS n FROM rawc),
+tt AS (SELECT coalesce(sum(c), 0)::BIGINT AS n FROM tgtc),
+llr AS (
+  SELECT r.b,
+         ln((coalesce(t.c, 0) + {a}) / (tt.n + {a} * {nb}))
+           - ln((r.c + {a}) / (rt.n + {a} * {nb})) AS w
+  FROM rawc r LEFT JOIN tgtc t USING (b) CROSS JOIN rt CROSS JOIN tt
+),
+sc AS (
+  SELECT d.doc_id, round(coalesce(sum(l.w), 0.0), {round_to}) + 0.0 AS dsir_score
+  FROM documents d
+  LEFT JOIN hb ON hb.doc_id = d.doc_id
+  LEFT JOIN llr l ON l.b = hb.b
+  GROUP BY d.doc_id
+)
+SELECT doc_id, dsir_score FROM sc
+ORDER BY dsir_score DESC, doc_id ASC LIMIT {k}
+"""
