@@ -428,6 +428,28 @@ def run_benchmarks() -> None:
         ).count()
         return n
 
+    def dsir_select_captions():
+        # importance-resampling selection at scale posture: target = the
+        # png cohort's captions, raw = all 100k; 64k hash buckets, top-1k
+        from text_dedup_ray.pipelines.dsir import dsir_select
+
+        ds = ray.data.read_parquet(docs_path, columns=["image_id", "caption", "fmt"])
+
+        def tgt(t):
+            import pyarrow.compute as pc
+
+            return t.filter(pc.equal(t["fmt"], "png"))
+
+        target = ds.map_batches(tgt, batch_format="pyarrow")
+        return dsir_select(
+            ds,
+            target,
+            k=1000,
+            id_column="image_id",
+            text_column="caption",
+            num_buckets=65536,
+        ).count()
+
     def curate_e2e():
         # the composed funnel: exact -> minhash keep-best -> gopher ->
         # token budget -> packing plan, one lazy chain over 100k captions
@@ -561,6 +583,7 @@ def run_benchmarks() -> None:
         timed("overlap_by_fmt", overlap_by_fmt)
         timed("nbayes_fmt", nbayes_fmt)
         timed("curation_select", curation_select)
+        timed("dsir_select_captions", dsir_select_captions)
         timed("curate_e2e", curate_e2e)
 
     headline = timings["minhash_images"]

@@ -23,7 +23,7 @@ reference's config.toml):
     [algorithm]
     name = "minhash"             # minhash | simhash | exact | bloom | suffix_array | jaccard
                                  # | *_incremental | decontaminate | line_dedup | mix
-                                 # | gopher_filter | scrub | token_budget | ari
+                                 # | gopher_filter | scrub | token_budget | ari | dsir
     num_perm = 200
     ngram_size = 2
     keep_best_by = "n_tokens"    # minhash/simhash: per-cluster argmax survivor
@@ -630,6 +630,31 @@ def main(argv: list[str] | None = None) -> None:
             budget=int(budget),
         )
         stats["budget"] = int(budget)
+    elif name == "dsir":
+        # DSIR importance-resampling selection: keep the k raw docs whose
+        # hashed-ngram distribution looks most like the target cohort.
+        # [algorithm].target_path points at the seed-set parquet (same
+        # text column); k / num_buckets / ngram_max / smoothing optional.
+        from .pipelines.dsir import dsir_select
+
+        target_path = algo.get("target_path")
+        k = algo.get("k")
+        if target_path is None or k is None:
+            raise SystemExit("dsir needs [algorithm].target_path and .k")
+        from .sources.io import ROW_ID
+
+        target = ray.data.read_parquet(target_path)
+        result_ds = dsir_select(
+            ds,
+            target,
+            k=int(k),
+            id_column=cfg.get("input", {}).get("id_column") or ROW_ID,
+            text_column=text_column,
+            num_buckets=int(algo.get("num_buckets", 4096)),
+            ngram_max=int(algo.get("ngram_max", 2)),
+            smoothing=float(algo.get("smoothing", 1.0)),
+        )
+        stats["k"] = int(k)
     elif name == "ari":
         # clustering-agreement eval between two cluster-map parquets (the
         # files `save_clusters = true` writes): input.path is the left map,
