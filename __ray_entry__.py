@@ -241,6 +241,16 @@ def _q_nbayes(sf_dir: str):
     return naive_bayes_predict(docs, model, text_column="text", id_column="doc_id")
 
 
+def _q_seeded_shuffle(sf_dir: str):
+    """Deterministic global shuffle manifest: every doc's 0-based position
+    under the seeded md5-63 order plus its export-shard id."""
+    from text_dedup_ray.pipelines.sample import seeded_shuffle
+
+    return seeded_shuffle(
+        _docs(sf_dir, ["doc_id"]), "doc_id", seed=42, rows_per_shard=64
+    ).select_columns(["doc_id", "shuffle_pos", "shard"])
+
+
 def _q_dsir(sf_dir: str):
     """DSIR importance-resampling selection: target = the src13 cohort,
     raw = the whole corpus; top-100 docs by hashed-unigram+bigram llr
@@ -2423,6 +2433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curated_corpus": _q_curate,
         "substring_decontaminate_docs": _q_substring_decontaminate,
         "dsir_selection": _q_dsir,
+        "seeded_shuffle_manifest": _q_seeded_shuffle,
         # --- dedup (SQL-checked where expressible) ---
         "exact_dedup_docs": _q_exact_dedup,
         "bloom_dedup_docs": _q_bloom_dedup,
@@ -2992,6 +3003,7 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
         "simhash_keep_best_docs": _oracles.simhash_keep_best_sql(_SIMHASH_ORACLE_CFG()),
         "source_overlap_matrix": _oracles.source_overlap_sql(3, 1),
         "nbayes_lang_pred": _oracles.naive_bayes_sql(),
+        "seeded_shuffle_manifest": _oracles.seeded_shuffle_sql(42, 64),
         "dsir_selection": _oracles.dsir_select_sql(
             "source = 'src13'", k=100, num_buckets=4096
         ),

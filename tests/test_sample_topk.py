@@ -170,3 +170,79 @@ class TestSamplePerGroup:
         )
         got = sample_per_group(ray.data.from_arrow(tbl), "g", "id", 3).to_pandas()
         assert got.groupby("g").size().to_dict() == {"a": 2, "b": 3}
+
+
+class TestSeededShuffle:
+    def _ref_positions(self, ids, seed):
+        import hashlib
+
+        keyed = sorted(
+            ids,
+            key=lambda v: (
+                int(hashlib.md5(f"{seed}:{v}".encode()).hexdigest()[:16], 16)
+                % 2**63,
+                v,
+            ),
+        )
+        return {v: i for i, v in enumerate(keyed)}
+
+    def test_positions_match_reference_and_are_partition_invariant(self):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from text_dedup_ray.pipelines.sample import seeded_shuffle
+
+        ids = list(range(1000))
+        tbl = pa.table({"doc_id": pa.array(ids, pa.int64())})
+        ref = self._ref_positions(ids, 7)
+        for parts in (1, 5):
+            ds = ray.data.from_arrow(tbl).repartition(parts)
+            out = seeded_shuffle(
+                ds, "doc_id", seed=7, rows_per_shard=128, num_partitions=4
+            ).to_pandas()
+            assert len(out) == 1000
+            got = dict(zip(out["doc_id"], out["shuffle_pos"]))
+            assert got == ref, f"parts={parts}"
+            assert (
+                out["shard"] == out["shuffle_pos"] // 128
+            ).all()
+        # a different seed produces a genuinely different order
+        out2 = seeded_shuffle(
+            ray.data.from_arrow(tbl), "doc_id", seed=8
+        ).to_pandas()
+        got2 = dict(zip(out2["doc_id"], out2["shuffle_pos"]))
+        assert got2 != ref
+
+    def test_empty_and_single_row(self):
+        import pyarrow as pa
+        import ray.data
+
+        from text_dedup_ray.pipelines.sample import seeded_shuffle
+
+        empty = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64())})
+        )
+        assert seeded_shuffle(empty, "doc_id").count() == 0
+        one = ray.data.from_arrow(pa.table({"doc_id": pa.array([9], pa.int64())}))
+        row = seeded_shuffle(one, "doc_id", rows_per_shard=10).take_all()[0]
+        assert row["shuffle_pos"] == 0 and row["shard"] == 0
+
+    def test_string_ids_and_payload_carried(self):
+        import pyarrow as pa
+        import ray.data
+
+        from text_dedup_ray.pipelines.sample import seeded_shuffle
+
+        tbl = pa.table(
+            {
+                "img": pa.array([f"img-{i}" for i in range(50)]),
+                "payload": pa.array([bytes([i]) * 4 for i in range(50)]),
+            }
+        )
+        out = seeded_shuffle(
+            ray.data.from_arrow(tbl).repartition(3), "img", seed=1
+        ).to_pandas()
+        ref = self._ref_positions([f"img-{i}" for i in range(50)], 1)
+        assert dict(zip(out["img"], out["shuffle_pos"])) == ref
+        assert set(out.columns) == {"img", "payload", "shuffle_pos"}

@@ -1249,3 +1249,23 @@ sc AS (
 SELECT doc_id, dsir_score FROM sc
 ORDER BY dsir_score DESC, doc_id ASC LIMIT {k}
 """
+
+
+def seeded_shuffle_sql(seed: int = 42, rows_per_shard: int = 64) -> str:
+    """Deterministic training-export shuffle (pipelines/sample.seeded_shuffle):
+    0-based position under (md5-63('seed:'||id) ASC, id ASC) plus the
+    pos // rows_per_shard shard assignment — pure integer semantics, no
+    float anywhere."""
+    h = (
+        f"(('0x' || substr(md5('{seed}:' || doc_id::VARCHAR), 1, 16))::UBIGINT"
+        " % 9223372036854775808)::BIGINT"
+    )
+    return f"""
+WITH ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY {h}, doc_id) - 1 AS shuffle_pos
+  FROM documents
+)
+SELECT doc_id, shuffle_pos, shuffle_pos // {rows_per_shard} AS shard
+FROM ranked
+"""

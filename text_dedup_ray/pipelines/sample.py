@@ -163,3 +163,142 @@ def weighted_sample_by_group(
         return batch.filter(pa.array(u < thr))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+_U63 = 2**63
+HASH_U63_SQL = (
+    "(('0x' || substr(md5({expr}), 1, 16))::UBIGINT "
+    "% 9223372036854775808)::BIGINT"
+)
+
+
+def _hash_u63(values, salt: str = "") -> np.ndarray:
+    """First 63 bits of md5(salt + str(v)) as non-negative int64 — the
+    exact quantity ``HASH_U63_SQL`` computes in DuckDB (the % 2^63 keeps
+    the value inside BIGINT so both engines order it identically)."""
+    return np.fromiter(
+        (
+            int(hashlib.md5(f"{salt}{v}".encode()).hexdigest()[:16], 16) % _U63
+            for v in values
+        ),
+        np.int64,
+        count=len(values),
+    )
+
+
+def seeded_shuffle(
+    ds: ray.data.Dataset,
+    id_column: str,
+    seed: int = 42,
+    rows_per_shard: int | None = None,
+    num_partitions: int = 16,
+    samples_per_block: int = 32,
+    pos_alias: str = "shuffle_pos",
+    shard_alias: str = "shard",
+) -> ray.data.Dataset:
+    """Deterministic global shuffle for training export: stamp every row
+    with its 0-based position under the seeded-hash order (md5-63(seed:id)
+    ASC, id ASC) — SQL ``row_number() OVER (ORDER BY hash(id), id) - 1``.
+    With ``rows_per_shard`` also stamp ``shard = pos // rows_per_shard``,
+    the output-shard assignment a resumable export writes by.
+
+    Unlike ``ds.random_shuffle()`` this is reproducible from the seed
+    alone (re-running a killed export yields byte-identical shard
+    membership), and the order is auditable in SQL. Mechanics mirror
+    select_token_budget's exact global ranking: sampled range boundaries
+    (P cuts on the driver), per-range row counts -> exclusive base
+    offsets (P integers), one range exchange + in-partition C++ sort.
+    Rows move through the exchange exactly once — that single all-to-all
+    IS the shuffle and is inherent to the semantics; pass a slim
+    (id-only) dataset to build just the manifest. Hash ties land in one
+    range partition by construction, so the id tie-break is global."""
+    from ..stages.exchange import hash_partition_exchange
+
+    base_schema = ds.schema().base_schema
+    out_fields = list(base_schema) + [pa.field(pos_alias, pa.int64())]
+    if rows_per_shard is not None:
+        out_fields.append(pa.field(shard_alias, pa.int64()))
+    out_schema = pa.schema(out_fields)
+    salt = f"{seed}:"
+
+    def _empty() -> pa.Table:
+        return pa.table(
+            {f.name: pa.array([], f.type) for f in out_schema}
+        )
+
+    def key(batch: pa.Table) -> np.ndarray:
+        return _hash_u63(batch[id_column].to_pylist(), salt)
+
+    def sample(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"k": pa.array([], pa.int64())})
+        v = np.sort(key(batch))
+        step = max(1, len(v) // samples_per_block)
+        return pa.table({"k": pa.array(v[::step][:samples_per_block])})
+
+    pool_df = ds.map_batches(
+        sample, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    if "k" not in pool_df.columns or len(pool_df) == 0:
+        return ray.data.from_arrow(_empty())
+    pool = np.sort(pool_df["k"].to_numpy())
+    cuts = np.unique(
+        pool[np.linspace(0, len(pool) - 1, num_partitions + 1).astype(int)][1:-1]
+    )
+    bounds_ref = ray.put(cuts)
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(
+                "__k", pa.array([], pa.int64())
+            ).append_column("__rp", pa.array([], pa.int64()))
+        b = ray.get(bounds_ref)
+        k = key(batch)
+        part = np.searchsorted(b, k, side="right").astype(np.int64)
+        return batch.append_column("__k", pa.array(k)).append_column(
+            "__rp", pa.array(part)
+        )
+
+    tagged = ds.map_batches(stamp, batch_format="pyarrow", batch_size=None)
+
+    def counts(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"__rp": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        acc = np.bincount(
+            batch["__rp"].to_numpy(zero_copy_only=False), minlength=len(cuts) + 1
+        )
+        nz = np.flatnonzero(acc)
+        return pa.table(
+            {"__rp": pa.array(nz.astype(np.int64)), "n": pa.array(acc[nz].astype(np.int64))}
+        )
+
+    cnt = (
+        tagged.select_columns(["__rp"])
+        .map_batches(counts, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    per_part = np.zeros(len(cuts) + 1, np.int64)
+    if len(cnt):
+        np.add.at(per_part, cnt["__rp"].to_numpy(), cnt["n"].to_numpy())
+    base = np.concatenate(([0], np.cumsum(per_part)[:-1]))
+    base_ref = ray.put(base)
+
+    def fold(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "__k" not in group.column_names:
+            return _empty()
+        bb = ray.get(base_ref)
+        p = int(group["__rp"][0].as_py())
+        s = group.sort_by([("__k", "ascending"), (id_column, "ascending")])
+        pos = bb[p] + np.arange(s.num_rows, dtype=np.int64)
+        out = s.drop_columns(["__k", "__rp"]).append_column(
+            pos_alias, pa.array(pos)
+        )
+        if rows_per_shard is not None:
+            out = out.append_column(
+                shard_alias, pa.array(pos // int(rows_per_shard))
+            )
+        return out
+
+    return hash_partition_exchange(tagged, "__rp", len(cuts) + 1, fold)
