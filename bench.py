@@ -428,6 +428,16 @@ def run_benchmarks() -> None:
         ).count()
         return n
 
+    def shuffle_export():
+        # deterministic training-export shuffle: full 100k rows WITH the
+        # ~3 KB image payload move through the one range exchange
+        from text_dedup_ray.pipelines.sample import seeded_shuffle
+
+        ds = ray.data.read_parquet(docs_path, columns=["image_id", "bytes"])
+        return seeded_shuffle(
+            ds, "image_id", seed=42, rows_per_shard=8192, num_partitions=32
+        ).count()
+
     def dsir_select_captions():
         # importance-resampling selection at scale posture: target = the
         # png cohort's captions, raw = all 100k; 64k hash buckets, top-1k
@@ -584,6 +594,7 @@ def run_benchmarks() -> None:
         timed("nbayes_fmt", nbayes_fmt)
         timed("curation_select", curation_select)
         timed("dsir_select_captions", dsir_select_captions)
+        timed("shuffle_export_100k", shuffle_export)
         timed("curate_e2e", curate_e2e)
 
     headline = timings["minhash_images"]
