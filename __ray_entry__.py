@@ -241,6 +241,17 @@ def _q_nbayes(sf_dir: str):
     return naive_bayes_predict(docs, model, text_column="text", id_column="doc_id")
 
 
+def _q_line_dedup_within(sf_dir: str):
+    """Within-document line dedup (per-doc half of the C4 recipe): the
+    gate corpus has no newlines, so ' ' is the line separator — same
+    convention as line_dedup_docs."""
+    from text_dedup_ray.pipelines.lines import dedup_lines_within
+
+    return dedup_lines_within(
+        _docs(sf_dir, ["doc_id", "text"]), sep=" ", min_line_length=4
+    )
+
+
 def _q_seeded_shuffle(sf_dir: str):
     """Deterministic global shuffle manifest: every doc's 0-based position
     under the seeded md5-63 order plus its export-shard id."""
@@ -2434,6 +2445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_decontaminate_docs": _q_substring_decontaminate,
         "dsir_selection": _q_dsir,
         "seeded_shuffle_manifest": _q_seeded_shuffle,
+        "line_dedup_within_docs": _q_line_dedup_within,
         # --- dedup (SQL-checked where expressible) ---
         "exact_dedup_docs": _q_exact_dedup,
         "bloom_dedup_docs": _q_bloom_dedup,
@@ -2866,6 +2878,18 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
             "unnest(range(len(string_split(text, ' ')))) AS d FROM documents)), "
             "ranked AS (SELECT doc_id, line_no, line, (length(line) >= 4) AS q, "
             "row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn "
+            "FROM ex) "
+            "SELECT r.doc_id, coalesce(string_agg(line, ' ' ORDER BY line_no) "
+            "FILTER (WHERE NOT q OR rn = 1), '') AS text, "
+            "count(*) FILTER (WHERE q AND rn > 1)::BIGINT AS n_dropped "
+            "FROM ranked r GROUP BY r.doc_id"
+        ),
+        "line_dedup_within_docs": (
+            "WITH ex AS (SELECT doc_id, d AS line_no, ls[d + 1] AS line "
+            "FROM (SELECT doc_id, string_split(text, ' ') AS ls, "
+            "unnest(range(len(string_split(text, ' ')))) AS d FROM documents)), "
+            "ranked AS (SELECT doc_id, line_no, line, (length(line) >= 4) AS q, "
+            "row_number() OVER (PARTITION BY doc_id, line ORDER BY line_no) AS rn "
             "FROM ex) "
             "SELECT r.doc_id, coalesce(string_agg(line, ' ' ORDER BY line_no) "
             "FILTER (WHERE NOT q OR rn = 1), '') AS text, "

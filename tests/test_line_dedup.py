@@ -127,3 +127,49 @@ class TestLineDedup:
         )
         out = line_dedup(ray.data.from_arrow(tbl), num_partitions=2)
         assert out.count() == 0
+
+
+class TestDedupLinesWithin:
+    def _run(self, texts, **kw):
+        import pyarrow as pa
+        import ray.data
+
+        from text_dedup_ray.pipelines.lines import dedup_lines_within
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts),
+                }
+            )
+        )
+        out = dedup_lines_within(ds, **kw).to_pandas().set_index("doc_id")
+        return out.sort_index()
+
+    def test_first_occurrence_kept_short_lines_verbatim(self):
+        out = self._run(
+            [
+                "hello\nworld\nhello\nhi\nhi\nworld",
+                "unique\nlines\nonly",
+                "",
+            ],
+            min_line_length=4,
+        )
+        # 'hello'/'world' dupes cut; 'hi' (<4 chars) kept both times
+        assert out.loc[0, "text"] == "hello\nworld\nhi\nhi"
+        assert out.loc[0, "n_dropped"] == 2
+        assert out.loc[1, "text"] == "unique\nlines\nonly"
+        assert out.loc[1, "n_dropped"] == 0
+        assert out.loc[2, "text"] == "" and out.loc[2, "n_dropped"] == 0
+
+    def test_cross_doc_lines_untouched(self):
+        out = self._run(["same line", "same line"], sep="\n")
+        assert list(out["text"]) == ["same line", "same line"]
+        assert list(out["n_dropped"]) == [0, 0]
+
+    def test_custom_sep_and_empty_segments(self):
+        out = self._run(["aaaa  aaaa bbbb"], sep=" ", min_line_length=4)
+        # 'aaaa' repeated (2nd dropped); empty segment (<4) kept
+        assert out.loc[0, "text"] == "aaaa  bbbb"
+        assert out.loc[0, "n_dropped"] == 1

@@ -270,3 +270,69 @@ def line_dedup(
         num_partitions,
         lambda l, r: _rebuild(l, r, text_column, id_column, out_schema, delimiter),
     )
+
+
+def dedup_lines_within(
+    ds: ray.data.Dataset,
+    text_column: str = "text",
+    sep: str = "\n",
+    min_line_length: int = 4,
+    dropped_alias: str = "n_dropped",
+) -> ray.data.Dataset:
+    """WITHIN-document line dedup (the per-doc half of the C4 recipe —
+    Gopher's "fraction of duplicate lines" gate, applied as a cut): each
+    document keeps only the FIRST occurrence of every repeated line of at
+    least ``min_line_length`` chars; shorter lines are kept verbatim.
+
+    Unlike :func:`line_dedup` (corpus-wide, needs a key exchange) this is
+    embarrassingly parallel — one stateless vectorized ``map_batches``
+    pass, zero shuffle, payload never moves: Arrow ``split_pattern`` ->
+    within-(doc, line) first-occurrence mask via one stable argsort over
+    ``parent * n_distinct + code`` -> ``binary_join`` rebuild.
+
+    SQL parity: ``row_number() OVER (PARTITION BY doc_id, line ORDER BY
+    line_no) = 1 OR length(line) < min_line_length``, rebuilt with
+    ``string_agg(line, sep ORDER BY line_no)``.
+    """
+
+    def cut(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            t = batch.set_column(
+                batch.column_names.index(text_column),
+                text_column,
+                pa.array([], pa.string()),
+            )
+            return t.append_column(dropped_alias, pa.array([], pa.int64()))
+        splits = pc.split_pattern(
+            batch[text_column].combine_chunks(), sep
+        )
+        flat = pc.list_flatten(splits)
+        parents = pc.list_parent_indices(splits).to_numpy(zero_copy_only=False)
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        key = parents.astype(np.int64) * np.int64(len(enc.dictionary)) + codes
+        order = np.argsort(key, kind="stable")  # stable => line_no order
+        dup = np.zeros(len(key), bool)
+        dup[order[1:]] = key[order[1:]] == key[order[:-1]]
+        qual = (
+            pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+            >= min_line_length
+        )
+        drop = dup & qual
+        keep = ~drop
+        n = batch.num_rows
+        kept_counts = np.bincount(parents[keep], minlength=n)
+        offsets = np.concatenate(([0], np.cumsum(kept_counts))).astype(np.int32)
+        rebuilt_lists = pa.ListArray.from_arrays(
+            pa.array(offsets), flat.filter(pa.array(keep))
+        )
+        rebuilt = pc.binary_join(
+            rebuilt_lists.cast(pa.list_(pa.string())), sep
+        )
+        dropped = np.bincount(parents[drop], minlength=n).astype(np.int64)
+        out = batch.set_column(
+            batch.column_names.index(text_column), text_column, rebuilt
+        )
+        return out.append_column(dropped_alias, pa.array(dropped))
+
+    return ds.map_batches(cut, batch_format="pyarrow", batch_size=None)
