@@ -241,6 +241,16 @@ def _q_nbayes(sf_dir: str):
     return naive_bayes_predict(docs, model, text_column="text", id_column="doc_id")
 
 
+def _q_chunk_text(sf_dir: str):
+    """Character-window chunking for RAG/long-doc preprocessing: exact
+    integer chunk-count arithmetic shared verbatim with the oracle."""
+    from text_dedup_ray.pipelines.textops import chunk_text
+
+    return chunk_text(
+        _docs(sf_dir, ["doc_id", "text"]), size=200, overlap=40
+    )
+
+
 def _q_line_dedup_within(sf_dir: str):
     """Within-document line dedup (per-doc half of the C4 recipe): the
     gate corpus has no newlines, so ' ' is the line separator — same
@@ -2446,6 +2456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_selection": _q_dsir,
         "seeded_shuffle_manifest": _q_seeded_shuffle,
         "line_dedup_within_docs": _q_line_dedup_within,
+        "doc_chunks": _q_chunk_text,
         # --- dedup (SQL-checked where expressible) ---
         "exact_dedup_docs": _q_exact_dedup,
         "bloom_dedup_docs": _q_bloom_dedup,
@@ -2883,6 +2894,15 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
             "FILTER (WHERE NOT q OR rn = 1), '') AS text, "
             "count(*) FILTER (WHERE q AND rn > 1)::BIGINT AS n_dropped "
             "FROM ranked r GROUP BY r.doc_id"
+        ),
+        "doc_chunks": (
+            "WITH n AS (SELECT doc_id, text, length(text) AS len, "
+            "CASE WHEN length(text) = 0 THEN 0 ELSE "
+            "(greatest(length(text) - 40, 1) + 159) // 160 END AS nc "
+            "FROM documents) "
+            "SELECT doc_id, i AS chunk_no, i * 160 AS chunk_start, "
+            "substr(text, i * 160 + 1, 200) AS chunk "
+            "FROM (SELECT doc_id, text, unnest(range(nc)) AS i FROM n)"
         ),
         "line_dedup_within_docs": (
             "WITH ex AS (SELECT doc_id, d AS line_no, ls[d + 1] AS line "

@@ -317,3 +317,45 @@ class TestVectorizedTextStats:
             assert got_q.n_chars_q[i] == nc, t
             assert abs(got_q.alpha_ratio[i] - al) < 1e-12, t
             assert abs(got_q.digit_ratio[i] - dg) < 1e-12, t
+
+
+class TestChunkText:
+    def test_coverage_overlap_and_edges(self):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from text_dedup_ray.pipelines.textops import chunk_text
+
+        texts = ["a" * 512, "b" * 513, "c" * 100, "", "d" * 64, "é" * 300]
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts),
+                }
+            )
+        )
+        out = chunk_text(ds, size=512, overlap=64).to_pandas()
+        by_doc = dict(out.groupby("doc_id").size())
+        assert by_doc == {0: 1, 1: 2, 2: 1, 4: 1, 5: 1}  # doc 3 (empty): none
+        two = out[out.doc_id == 1].sort_values("chunk_no")
+        assert list(two.chunk_start) == [0, 448]
+        assert len(two.iloc[0]["chunk"]) == 512 and len(two.iloc[1]["chunk"]) == 65
+        # reconstruction: stitching chunks re-covers every char
+        s = "b" * 513
+        assert two.iloc[0]["chunk"] + two.iloc[1]["chunk"][64:] == s
+        # unicode char (not byte) windows
+        uni = out[out.doc_id == 5].iloc[0]["chunk"]
+        assert uni == "é" * 300
+
+    def test_overlap_must_be_smaller(self):
+        import pyarrow as pa
+        import pytest
+        import ray.data
+
+        from text_dedup_ray.pipelines.textops import chunk_text
+
+        ds = ray.data.from_arrow(pa.table({"doc_id": [1], "text": ["x"]}))
+        with pytest.raises(ValueError):
+            chunk_text(ds, size=64, overlap=64)

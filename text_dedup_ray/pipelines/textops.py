@@ -385,3 +385,72 @@ def with_scrubbed(
         )
 
     return ds.map_batches(add, batch_format="pyarrow")
+
+
+def chunk_text(
+    ds: ray.data.Dataset,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    size: int = 512,
+    overlap: int = 64,
+    chunk_alias: str = "chunk_no",
+    start_alias: str = "chunk_start",
+    out_column: str = "chunk",
+) -> ray.data.Dataset:
+    """Explode each document into fixed-size character windows with
+    ``overlap``-char stride overlap — the RAG / long-context
+    preprocessing split. Stateless flat-map (zero shuffle); chunk count
+    is exact integer arithmetic shared verbatim with the SQL oracle::
+
+        step     = size - overlap
+        n_chunks = 0                                  if len == 0
+                 = (max(len - overlap, 1) + step - 1) // step   otherwise
+        chunk_i  = text[i*step : i*step + size]       (character slices)
+
+    The stride guarantees full coverage (every char is in >=1 chunk) and
+    the tail chunk may be shorter than ``size``. Character (not byte)
+    slicing so unicode matches DuckDB ``substr`` semantics — the
+    per-chunk Python slice is O(output chunks), which is the output
+    size, not a hidden per-row scan.
+
+    Output: (id_column, chunk_no, chunk_start, chunk), 0-based.
+    """
+    if overlap >= size:
+        raise ValueError("chunk_text needs overlap < size")
+    step = size - overlap
+
+    def explode(batch: pa.Table) -> pa.Table:
+        id_type = batch.schema.field(id_column).type if id_column in batch.column_names else pa.int64()
+        empty = pa.table(
+            {
+                id_column: pa.array([], id_type),
+                chunk_alias: pa.array([], pa.int64()),
+                start_alias: pa.array([], pa.int64()),
+                out_column: pa.array([], pa.string()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        texts = batch[text_column].to_pylist()
+        lens = np.fromiter((len(t or "") for t in texts), np.int64, count=len(texts))
+        n_chunks = np.where(
+            lens == 0, 0, (np.maximum(lens - overlap, 1) + step - 1) // step
+        )
+        if int(n_chunks.sum()) == 0:
+            return empty
+        doc_idx = np.repeat(np.arange(len(texts)), n_chunks)
+        chunk_no = np.concatenate([np.arange(n) for n in n_chunks if n > 0])
+        starts = chunk_no * step
+        chunks = [
+            texts[d][s : s + size] for d, s in zip(doc_idx, starts)
+        ]
+        return pa.table(
+            {
+                id_column: batch[id_column].take(pa.array(doc_idx)),
+                chunk_alias: pa.array(chunk_no.astype(np.int64)),
+                start_alias: pa.array(starts.astype(np.int64)),
+                out_column: pa.array(chunks, pa.string()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow", batch_size=None)
