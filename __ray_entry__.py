@@ -1438,6 +1438,22 @@ def _q_jaccard_pairs(sf_dir: str):
     return _round_col(pairs, "jaccard", 4)
 
 
+def _q_containment_pairs(sf_dir: str):
+    """Asymmetric containment pairs (snippet detection): the smaller
+    doc's shingle set >= 60% inside the larger's."""
+    from text_dedup_ray.pipelines.jaccard_dedup import ngram_containment_pairs
+
+    pairs = ngram_containment_pairs(
+        _docs(sf_dir, ["doc_id", "text"]),
+        id_column="doc_id",
+        ngram_size=3,
+        min_length=0,
+        threshold=0.6,
+        df_cap=1_000_000_000,
+    )
+    return _round_col(pairs, "containment", 4)
+
+
 def _q_jaccard_dedup(sf_dir: str):
     from text_dedup_ray.pipelines.jaccard_dedup import ngram_jaccard_dedup
     from text_dedup_ray.stages.cc import cluster_map_table
@@ -2516,6 +2532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": _q_customers_no_orders,
         # --- exact n-gram Jaccard (SQL-checked pair table + clusters) ---
         "ngram_jaccard_pairs": _q_jaccard_pairs,
+        "ngram_containment_pairs": _q_containment_pairs,
         "ngram_jaccard_dedup": _q_jaccard_dedup,
         "jaccard_incremental_docs": _q_jaccard_incremental,
         # --- similarity search ---
@@ -3003,6 +3020,9 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
             "round(co.co::DOUBLE / (sa.sz + sb.sz - co.co), 4) AS jaccard "
             "FROM co JOIN sizes sa ON sa.doc_id = co.i JOIN sizes sb ON sb.doc_id = co.j "
             "WHERE co.co::DOUBLE / (sa.sz + sb.sz - co.co) >= 0.8"
+        ),
+        "ngram_containment_pairs": _oracles.containment_pairs_sql(
+            ngram_size=3, min_length=0, threshold=0.6
         ),
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5) "

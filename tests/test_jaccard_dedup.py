@@ -67,3 +67,48 @@ class TestJaccardDedup:
             num_partitions=4, df_cap=10,
         )
         assert parents == {}
+
+
+class TestContainmentPairs:
+    def test_snippet_detected_where_jaccard_misses(self):
+        import pyarrow as pa
+        import ray.data
+
+        from text_dedup_ray.pipelines.jaccard_dedup import (
+            jaccard_pair_table,
+            ngram_containment_pairs,
+        )
+
+        snippet = "the quick brown fox jumps over the lazy dog"
+        host = snippet + " " + " ".join(f"filler{i} pad{i} word{i}" for i in range(40))
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array([snippet, host, "completely different words only"]),
+            }
+        )
+        ds = ray.data.from_arrow(tbl)
+        cont = ngram_containment_pairs(
+            ds, id_column="doc_id", ngram_size=3, threshold=0.9,
+            df_cap=10**9,
+        ).to_pandas()
+        assert len(cont) == 1
+        assert {int(cont.iloc[0]["src"]), int(cont.iloc[0]["dst"])} == {1, 2}
+        assert cont.iloc[0]["containment"] == 1.0
+        jac = jaccard_pair_table(
+            ds, id_column="doc_id", ngram_size=3, threshold=0.9, df_cap=10**9
+        ).to_pandas()
+        assert len(jac) == 0  # Jaccard misses the snippet at the same bar
+
+    def test_score_validation(self):
+        import pyarrow as pa
+        import pytest
+        import ray.data
+
+        from text_dedup_ray.pipelines.jaccard_dedup import pairs_from_postings
+
+        ds = ray.data.from_arrow(
+            pa.table({"sh": [1], "row_id": [1], "size": [1], "part": [0]})
+        )
+        with pytest.raises(ValueError):
+            pairs_from_postings(ds, score="dice")

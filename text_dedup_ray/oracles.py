@@ -1269,3 +1269,23 @@ WITH ranked AS (
 SELECT doc_id, shuffle_pos, shuffle_pos // {rows_per_shard} AS shard
 FROM ranked
 """
+
+
+def containment_pairs_sql(
+    ngram_size: int = 3, min_length: int = 0, threshold: float = 0.6
+) -> str:
+    """Asymmetric containment pairs (pipelines/jaccard_dedup.
+    ngram_containment_pairs): co / min(|A|, |B|) over distinct shingle
+    sets — same grams fragment as the Jaccard oracles."""
+    return f"""
+WITH {_grams_cte(ngram_size, min_length)},
+sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+co AS (
+  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS co
+  FROM grams a JOIN grams b USING (g) WHERE a.doc_id > b.doc_id GROUP BY 1, 2
+)
+SELECT co.i AS src, co.j AS dst,
+       round(co.co::DOUBLE / least(sa.sz, sb.sz), 4) AS containment
+FROM co JOIN sizes sa ON sa.doc_id = co.i JOIN sizes sb ON sb.doc_id = co.j
+WHERE co.co::DOUBLE / least(sa.sz, sb.sz) >= {threshold}
+"""

@@ -48,6 +48,7 @@ def pairs_from_postings(
     threshold: float = 0.8,
     num_partitions: int = 32,
     df_cap: int = 200,
+    score: str = "jaccard",
 ) -> ray.data.Dataset:
     """Exact set-Jaccard pairs from an inverted-index postings dataset.
 
@@ -59,7 +60,15 @@ def pairs_from_postings(
     exchange by pair hash, fold co-counts into exact Jaccard. Shared by the
     text shingle path (:func:`jaccard_pair_table`) and the video
     frame-phash path (pipelines/video.py) — the element can be any 64-bit
-    set member."""
+    set member.
+
+    ``score`` picks the pair statistic: ``"jaccard"`` (co / |A ∪ B|) or
+    ``"containment"`` (co / min(|A|, |B|) — the fraction of the SMALLER
+    set covered, which catches snippet/quote containment that Jaccard
+    misses when the host document is much larger). The output column is
+    named after the score."""
+    if score not in ("jaccard", "containment"):
+        raise ValueError(f"unknown score {score!r}")
 
     def emit_pairs(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
@@ -119,7 +128,7 @@ def pairs_from_postings(
         if group.num_rows == 0:
             return pa.table(
                 {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64()),
-                 "jaccard": pa.array([], pa.float64())}
+                 score: pa.array([], pa.float64())}
             )
         a = group["a"].to_numpy(zero_copy_only=False)
         b = group["b"].to_numpy(zero_copy_only=False)
@@ -131,14 +140,17 @@ def pairs_from_postings(
         bounds = np.flatnonzero(np.r_[True, (np.diff(a) != 0) | (np.diff(b) != 0)])
         co_sum = np.add.reduceat(co, bounds)
         a, b, sa, sb = a[bounds], b[bounds], sa[bounds], sb[bounds]
-        union = sa + sb - co_sum
-        jac = np.where(union > 0, co_sum / np.maximum(union, 1), 1.0)
+        if score == "containment":
+            denom = np.minimum(sa, sb)
+        else:
+            denom = sa + sb - co_sum
+        jac = np.where(denom > 0, co_sum / np.maximum(denom, 1), 1.0)
         keep = jac >= threshold
         return pa.table(
             {
                 "src": a[keep].astype(np.int64),
                 "dst": b[keep].astype(np.int64),
-                "jaccard": jac[keep].astype(np.float64),
+                score: jac[keep].astype(np.float64),
             }
         )
 
@@ -154,9 +166,10 @@ def jaccard_pair_table(
     threshold: float = 0.8,
     num_partitions: int = 32,
     df_cap: int = 200,
+    score: str = "jaccard",
 ) -> ray.data.Dataset:
-    """All pairs with exact shingle Jaccard >= threshold:
-    (src, dst, jaccard) with src > dst."""
+    """All pairs with exact shingle ``score`` >= threshold:
+    (src, dst, <score>) with src > dst."""
     if id_column is not None:
         ds = stamp_row_ids_from_key(ds, id_column)
 
@@ -183,7 +196,35 @@ def jaccard_pair_table(
         return t_out.append_column("part", pa.array(part))
 
     postings = ds.map_batches(explode, batch_format="pyarrow")
-    return pairs_from_postings(postings, threshold, num_partitions, df_cap)
+    return pairs_from_postings(postings, threshold, num_partitions, df_cap, score)
+
+
+def ngram_containment_pairs(
+    ds: ray.data.Dataset,
+    text_column: str = "text",
+    id_column: str | None = None,
+    ngram_size: int = 1,
+    min_length: int = 0,
+    threshold: float = 0.8,
+    num_partitions: int = 32,
+    df_cap: int = 200,
+) -> ray.data.Dataset:
+    """Asymmetric near-dup: pairs where the SMALLER doc's shingle set is
+    >= ``threshold`` contained in the larger's (co / min(|A|, |B|)) —
+    snippet / quotation / boilerplate-inclusion detection that plain
+    Jaccard misses when the host document dwarfs the snippet. Same
+    postings machinery and cost model as :func:`jaccard_pair_table`."""
+    return jaccard_pair_table(
+        ds,
+        text_column=text_column,
+        id_column=id_column,
+        ngram_size=ngram_size,
+        min_length=min_length,
+        threshold=threshold,
+        num_partitions=num_partitions,
+        df_cap=df_cap,
+        score="containment",
+    )
 
 
 def ngram_jaccard_dedup(
