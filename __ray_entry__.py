@@ -241,6 +241,16 @@ def _q_nbayes(sf_dir: str):
     return naive_bayes_predict(docs, model, text_column="text", id_column="doc_id")
 
 
+def _q_cap_duplicates(sf_dir: str):
+    """Bounded-repetition curation: keep at most 2 copies per distinct
+    text, stamp the duplication factor."""
+    from text_dedup_ray.pipelines.exact import cap_duplicates
+
+    return cap_duplicates(
+        _docs(sf_dir, ["doc_id", "text"]), id_column="doc_id", k=2
+    ).select_columns(["doc_id", "n_copies"])
+
+
 def _q_chunk_text(sf_dir: str):
     """Character-window chunking for RAG/long-doc preprocessing: exact
     integer chunk-count arithmetic shared verbatim with the oracle."""
@@ -2473,6 +2483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seeded_shuffle_manifest": _q_seeded_shuffle,
         "line_dedup_within_docs": _q_line_dedup_within,
         "doc_chunks": _q_chunk_text,
+        "cap_duplicates_docs": _q_cap_duplicates,
         # --- dedup (SQL-checked where expressible) ---
         "exact_dedup_docs": _q_exact_dedup,
         "bloom_dedup_docs": _q_bloom_dedup,
@@ -2911,6 +2922,13 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
             "FILTER (WHERE NOT q OR rn = 1), '') AS text, "
             "count(*) FILTER (WHERE q AND rn > 1)::BIGINT AS n_dropped "
             "FROM ranked r GROUP BY r.doc_id"
+        ),
+        "cap_duplicates_docs": (
+            "WITH ranked AS (SELECT doc_id, "
+            "row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn, "
+            "count(*) OVER (PARTITION BY text)::BIGINT AS n_copies "
+            "FROM documents) "
+            "SELECT doc_id, n_copies FROM ranked WHERE rn <= 2"
         ),
         "doc_chunks": (
             "WITH n AS (SELECT doc_id, text, length(text) AS len, "

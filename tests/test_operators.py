@@ -359,3 +359,47 @@ class TestChunkText:
         ds = ray.data.from_arrow(pa.table({"doc_id": [1], "text": ["x"]}))
         with pytest.raises(ValueError):
             chunk_text(ds, size=64, overlap=64)
+
+
+class TestCapDuplicates:
+    def test_keeps_k_smallest_and_stamps_counts(self):
+        import pyarrow as pa
+        import ray.data
+
+        from text_dedup_ray.pipelines.exact import cap_duplicates
+
+        texts = ["aa", "bb", "aa", "aa", "cc", "bb", "aa"]
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts),
+                }
+            )
+        ).repartition(3)
+        out = (
+            cap_duplicates(ds, id_column="doc_id", k=2, num_partitions=4)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        # 'aa' x4 -> keep ids 0,2; 'bb' x2 -> keep 1,5; 'cc' -> keep 4
+        assert list(out["doc_id"]) == [0, 1, 2, 4, 5]
+        got = dict(zip(out["doc_id"], out["n_copies"]))
+        assert got == {0: 4, 2: 4, 1: 2, 5: 2, 4: 1}
+        # k=1 == exact_dedup survivor set
+        one = cap_duplicates(ds, id_column="doc_id", k=1).to_pandas()
+        assert sorted(one["doc_id"]) == [0, 1, 4]
+
+    def test_k_validation_and_empty(self):
+        import pyarrow as pa
+        import pytest
+        import ray.data
+
+        from text_dedup_ray.pipelines.exact import cap_duplicates
+
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+        )
+        with pytest.raises(ValueError):
+            cap_duplicates(ds, id_column="doc_id", k=0)
+        assert cap_duplicates(ds, id_column="doc_id", k=2).count() == 0

@@ -260,3 +260,66 @@ def exact_cluster_table(
         num_partitions,
         assign_partition,
     )
+
+
+def cap_duplicates(
+    ds: ray.data.Dataset,
+    text_column: str = "text",
+    id_column: str | None = None,
+    k: int = 2,
+    copies_alias: str = "n_copies",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Frequency-CAPPED exact dedup: keep the ``k`` smallest-row_id
+    occurrences of each distinct text (instead of only the first) and
+    stamp every survivor with the text's total occurrence count — the
+    "bounded repetition" curation policy (a few copies of popular
+    content help training; hundreds don't), with ``copies_alias``
+    carrying the duplication factor for loss re-weighting.
+
+    ``k=1`` degenerates to exact_dedup's survivor set plus the count
+    column. One payload exchange keyed by the 128-bit content digest
+    (the same zero-driver-state scale path as exact_dedup's shuffle
+    branch); ranks and counts are one lexsort + reduceat per partition.
+    """
+    if k < 1:
+        raise ValueError("cap_duplicates needs k >= 1")
+    hash_col = "__content_hash__"
+    if id_column is not None:
+        ds = stamp_row_ids_from_key(ds, id_column)
+    elif ROW_ID not in ds.schema().names:
+        raise ValueError("dataset must have a row_id column or pass id_column")
+    hashed = add_content_hash(ds, text_column, hash_col)
+
+    def keep_first_k(group: pa.Table) -> pa.Table:
+        drop = [c for c in ("part", hash_col) if c in group.column_names]
+        if group.num_rows == 0:
+            out = group.drop_columns(drop) if drop else group
+            return out.append_column(copies_alias, pa.array([], pa.int64()))
+        h = _hash_view(group[hash_col], group.num_rows)
+        r = group[ROW_ID].to_numpy(zero_copy_only=False)
+        order = np.lexsort((r, h))
+        hs = h[order]
+        diff = np.r_[True, hs[1:] != hs[:-1]]
+        starts = np.flatnonzero(diff)
+        grp = np.cumsum(diff) - 1
+        counts = np.diff(np.r_[starts, len(hs)]).astype(np.int64)
+        rank = np.arange(len(hs)) - starts[grp]
+        keep_sorted = rank < k
+        take_idx = np.asarray(order)[keep_sorted]
+        kept = group.take(pa.array(np.sort(take_idx)))
+        # counts in ORIGINAL row order of the kept rows
+        n_copies = np.empty(len(hs), np.int64)
+        n_copies[order] = counts[grp]
+        kept_counts = n_copies[np.sort(take_idx)]
+        out = kept.drop_columns(drop) if drop else kept
+        return out.append_column(copies_alias, pa.array(kept_counts))
+
+    return hash_partition_exchange(
+        hashed.map_batches(
+            _add_hash_part(hash_col, num_partitions), batch_format="pyarrow"
+        ),
+        "part",
+        num_partitions,
+        keep_first_k,
+    )
