@@ -241,6 +241,21 @@ def _q_nbayes(sf_dir: str):
     return naive_bayes_predict(docs, model, text_column="text", id_column="doc_id")
 
 
+def _q_budget_by_lang(sf_dir: str):
+    """Per-language token quotas: greedy (n_chars DESC, id ASC) selection
+    per lang while the lang's running char total fits 15k."""
+    from text_dedup_ray.pipelines.select import select_token_budget_by_group
+
+    return select_token_budget_by_group(
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"]),
+        group_column="lang",
+        id_column="doc_id",
+        token_column="n_chars",
+        score_column="n_chars",
+        budget=15000,
+    )
+
+
 def _q_cap_duplicates(sf_dir: str):
     """Bounded-repetition curation: keep at most 2 copies per distinct
     text, stamp the duplication factor."""
@@ -2484,6 +2499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_within_docs": _q_line_dedup_within,
         "doc_chunks": _q_chunk_text,
         "cap_duplicates_docs": _q_cap_duplicates,
+        "token_budget_by_lang": _q_budget_by_lang,
         # --- dedup (SQL-checked where expressible) ---
         "exact_dedup_docs": _q_exact_dedup,
         "bloom_dedup_docs": _q_bloom_dedup,
@@ -2922,6 +2938,13 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
             "FILTER (WHERE NOT q OR rn = 1), '') AS text, "
             "count(*) FILTER (WHERE q AND rn > 1)::BIGINT AS n_dropped "
             "FROM ranked r GROUP BY r.doc_id"
+        ),
+        "token_budget_by_lang": (
+            "WITH ranked AS (SELECT lang, doc_id, n_chars, "
+            "sum(n_chars) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id "
+            "ROWS UNBOUNDED PRECEDING) AS run FROM documents) "
+            "SELECT lang, doc_id, n_chars, (run - n_chars)::BIGINT AS sel_offset "
+            "FROM ranked WHERE run <= 15000"
         ),
         "cap_duplicates_docs": (
             "WITH ranked AS (SELECT doc_id, "

@@ -403,3 +403,48 @@ class TestCapDuplicates:
         with pytest.raises(ValueError):
             cap_duplicates(ds, id_column="doc_id", k=0)
         assert cap_duplicates(ds, id_column="doc_id", k=2).count() == 0
+
+
+class TestSelectTokenBudgetByGroup:
+    def _ds(self):
+        import pyarrow as pa
+        import ray.data
+
+        rows = [
+            ("en", 0, 50), ("en", 1, 80), ("en", 2, 80), ("en", 3, 30),
+            ("fr", 4, 100), ("fr", 5, 100), ("fr", 6, 1),
+        ]
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "lang": pa.array([r[0] for r in rows]),
+                    "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+                    "tok": pa.array([r[2] for r in rows], pa.int64()),
+                }
+            )
+        ).repartition(3)
+
+    def test_int_budget_per_group(self):
+        from text_dedup_ray.pipelines.select import select_token_budget_by_group
+
+        out = (
+            select_token_budget_by_group(
+                self._ds(), "lang", "doc_id", "tok", "tok", budget=160
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        # en ranked: 80(id1),80(id2),50(id0),30(id3) -> cum 80,160,210,240 -> keep 1,2
+        # fr ranked: 100(id4),100(id5),1(id6) -> cum 100,200,201 -> keep 4
+        assert list(out["doc_id"]) == [1, 2, 4]
+        offs = dict(zip(out["doc_id"], out["sel_offset"]))
+        assert offs == {1: 0, 2: 80, 4: 0}
+
+    def test_dict_budget_missing_group_excluded(self):
+        from text_dedup_ray.pipelines.select import select_token_budget_by_group
+
+        out = select_token_budget_by_group(
+            self._ds(), "lang", "doc_id", "tok", "tok",
+            budget={"en": 300, "de": 999},
+        ).to_pandas()
+        assert sorted(out["doc_id"]) == [0, 1, 2, 3]  # fr absent -> excluded

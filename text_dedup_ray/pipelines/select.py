@@ -210,3 +210,100 @@ def select_token_budget(
         return out
 
     return hash_partition_exchange(slim, "__rp", len(cuts) + 1, fold)
+
+
+def select_token_budget_by_group(
+    ds: ray.data.Dataset,
+    group_column: str,
+    id_column: str,
+    token_column: str,
+    score_column: str,
+    budget: "int | dict",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Per-GROUP greedy token-budget selection (language / source
+    quotas — the "mix by budget" curation policy): within each group,
+    rank by (``score_column`` DESC, ``id_column`` ASC) and keep rows
+    while the group's running token total stays <= its budget. SQL::
+
+        QUALIFY sum(tokens) OVER (PARTITION BY grp ORDER BY score DESC,
+                id ROWS UNBOUNDED PRECEDING) <= budget(grp)
+
+    ``budget`` is one int for every group or a {group: budget} dict
+    (groups absent from the dict get budget 0, i.e. are excluded).
+
+    One group-hash exchange co-locates each group in a single partition
+    (the per-key-fits-a-partition assumption shared by the join/group
+    kernels — groups here are languages/sources, a handful of values);
+    the fold is one C++ multi-key sort + a vectorized segmented cumsum.
+    Returns (group, id, tokens, score, sel_offset) with ``sel_offset``
+    the within-group exclusive prefix sum in selection order."""
+    value_cols = [group_column, id_column, token_column]
+    if score_column not in value_cols:
+        value_cols.append(score_column)
+    base = ds.schema().base_schema
+    out_schema = pa.schema(
+        [pa.field(c, base.field(c).type) for c in value_cols]
+        + [pa.field("sel_offset", pa.int64())]
+    )
+    out_names = value_cols + ["sel_offset"]
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_like(out_schema, out_names[:-1]).append_column(
+                "__gp", pa.array([], pa.int64())
+            )
+        import hashlib as _h
+
+        gp = np.fromiter(
+            (
+                int.from_bytes(
+                    _h.sha1(str(v).encode()).digest()[:8], "little"
+                )
+                % num_partitions
+                for v in batch[group_column].to_pylist()
+            ),
+            np.int64,
+            count=batch.num_rows,
+        )
+        return batch.select(out_names[:-1]).append_column("__gp", pa.array(gp))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", batch_size=None)
+
+    def fold(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group_column not in group.column_names:
+            return _empty_like(out_schema, out_names)
+        s = group.drop_columns(["__gp"]).sort_by(
+            [
+                (group_column, "ascending"),
+                (score_column, "descending"),
+                (id_column, "ascending"),
+            ]
+        )
+        codes = (
+            s[group_column]
+            .combine_chunks()
+            .dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False)
+        )
+        tok = s[token_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        brk = np.r_[True, codes[1:] != codes[:-1]]
+        starts = np.flatnonzero(brk)
+        sizes = np.diff(np.r_[starts, len(codes)])
+        cs = np.cumsum(tok)
+        base_off = np.repeat(np.r_[np.int64(0), cs[starts[1:] - 1]], sizes)
+        run = cs - base_off  # inclusive within-group running total
+        if isinstance(budget, dict):
+            uniq = s[group_column].combine_chunks().dictionary_encode().dictionary.to_pylist()
+            per_grp = np.fromiter(
+                (int(budget.get(g, 0)) for g in uniq), np.int64, count=len(uniq)
+            )
+            cap = per_grp[codes]
+        else:
+            cap = np.full(len(codes), int(budget), np.int64)
+        keep = run <= cap
+        return s.append_column(
+            "sel_offset", pa.array((run - tok).astype(np.int64))
+        ).filter(pa.array(keep))
+
+    return hash_partition_exchange(tagged, "__gp", num_partitions, fold)
