@@ -656,6 +656,13 @@ def run_scaling() -> None:
         rows = r_lo["corpus_rows"]
     t_lo, t_hi = min(lo_secs), min(hi_secs)
     eff = (t_lo / t_hi) / (hi / lo)
+    # paired efficiency: each interleave round's lo and hi run back-to-back
+    # in the same host phase, so their ratio controls for the 2-3x drift
+    # that min-per-level can mismatch (a lucky lo min against an unlucky
+    # hi min understates true scaling, and vice versa)
+    paired = [
+        round((a / b) / (hi / lo), 3) for a, b in zip(lo_secs, hi_secs)
+    ]
     print(
         json.dumps(
             {
@@ -668,6 +675,8 @@ def run_scaling() -> None:
                 f"images_per_sec_{lo}": round(rows / t_lo, 1),
                 f"images_per_sec_{hi}": round(rows / t_hi, 1),
                 "scaling_efficiency": round(eff, 3),
+                "paired_efficiencies": paired,
+                "best_paired_efficiency": max(paired),
                 "corpus_rows": rows,
             }
         )
