@@ -23,7 +23,7 @@ reference's config.toml):
     [algorithm]
     name = "minhash"             # minhash | simhash | exact | bloom | suffix_array | jaccard
                                  # | *_incremental | decontaminate | line_dedup | mix
-                                 # | gopher_filter | scrub | token_budget | ari | dsir
+                                 # | gopher_filter | scrub | token_budget | ari | dsir | shuffle
     num_perm = 200
     ngram_size = 2
     keep_best_by = "n_tokens"    # minhash/simhash: per-cluster argmax survivor
@@ -702,6 +702,30 @@ def main(argv: list[str] | None = None) -> None:
             default=float(algo.get("default", 0.0)),
         )
         stats["weights"] = weights
+    elif name == "shuffle":
+        # deterministic training-export shuffle: stamp positions (+ shard
+        # ids when rows_per_shard is set) under the seeded-hash order;
+        # with rows_per_shard the output is written hive-partitioned by
+        # shard (resumable re-runs give byte-identical shard membership)
+        from .pipelines.sample import seeded_shuffle
+        from .sources.io import ROW_ID, write_partitioned
+
+        rows_per_shard = algo.get("rows_per_shard")
+        result_ds = seeded_shuffle(
+            ds,
+            id_column=cfg.get("input", {}).get("id_column") or ROW_ID,
+            seed=int(algo.get("seed", 42)),
+            rows_per_shard=int(rows_per_shard) if rows_per_shard else None,
+            num_partitions=int(algo.get("num_partitions", 16)),
+        )
+        stats["seed"] = int(algo.get("seed", 42))
+        if rows_per_shard:
+            write_partitioned(result_ds, out_path, by="shard")
+            stats["rows_per_shard"] = int(rows_per_shard)
+            stats["seconds"] = round(time.perf_counter() - t0, 3)
+            stats["output"] = out_path
+            print(json.dumps(stats))
+            return
     else:
         raise SystemExit(f"unknown algorithm {name!r}")
 
