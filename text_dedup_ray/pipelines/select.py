@@ -280,12 +280,8 @@ def select_token_budget_by_group(
                 (id_column, "ascending"),
             ]
         )
-        codes = (
-            s[group_column]
-            .combine_chunks()
-            .dictionary_encode()
-            .indices.to_numpy(zero_copy_only=False)
-        )
+        enc = s[group_column].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
         tok = s[token_column].to_numpy(zero_copy_only=False).astype(np.int64)
         brk = np.r_[True, codes[1:] != codes[:-1]]
         starts = np.flatnonzero(brk)
@@ -294,7 +290,7 @@ def select_token_budget_by_group(
         base_off = np.repeat(np.r_[np.int64(0), cs[starts[1:] - 1]], sizes)
         run = cs - base_off  # inclusive within-group running total
         if isinstance(budget, dict):
-            uniq = s[group_column].combine_chunks().dictionary_encode().dictionary.to_pylist()
+            uniq = enc.dictionary.to_pylist()
             per_grp = np.fromiter(
                 (int(budget.get(g, 0)) for g in uniq), np.int64, count=len(uniq)
             )
