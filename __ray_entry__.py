@@ -241,6 +241,20 @@ def _q_nbayes(sf_dir: str):
     return naive_bayes_predict(docs, model, text_column="text", id_column="doc_id")
 
 
+def _q_debounce(sf_dir: str):
+    """Windowed repeat suppression: keep an event iff its (user, type)
+    key saw no previous occurrence within the last hour (lag semantics)."""
+    from text_dedup_ray.pipelines.agg import debounce_events
+
+    return debounce_events(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "event_type", "ts"],
+        ),
+        window_seconds=3600,
+    ).select_columns(["event_id", "user_id", "event_type"])
+
+
 def _q_budget_by_lang(sf_dir: str):
     """Per-language token quotas: greedy (n_chars DESC, id ASC) selection
     per lang while the lang's running char total fits 15k."""
@@ -2500,6 +2514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": _q_chunk_text,
         "cap_duplicates_docs": _q_cap_duplicates,
         "token_budget_by_lang": _q_budget_by_lang,
+        "events_debounced": _q_debounce,
         # --- dedup (SQL-checked where expressible) ---
         "exact_dedup_docs": _q_exact_dedup,
         "bloom_dedup_docs": _q_bloom_dedup,
@@ -2938,6 +2953,13 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
             "FILTER (WHERE NOT q OR rn = 1), '') AS text, "
             "count(*) FILTER (WHERE q AND rn > 1)::BIGINT AS n_dropped "
             "FROM ranked r GROUP BY r.doc_id"
+        ),
+        "events_debounced": (
+            "WITH w AS (SELECT event_id, user_id, event_type, ts, "
+            "lag(ts) OVER (PARTITION BY user_id, event_type "
+            "ORDER BY ts, event_id) AS pts FROM events) "
+            "SELECT event_id, user_id, event_type FROM w "
+            "WHERE pts IS NULL OR ts - pts > INTERVAL 3600 SECOND"
         ),
         "token_budget_by_lang": (
             "WITH ranked AS (SELECT lang, doc_id, n_chars, "

@@ -224,3 +224,63 @@ class TestNtile:
             .sort_values("eid")
         )
         assert got.tile.tolist() == [1, 2]
+
+
+class TestDebounceEvents:
+    def test_lag_window_semantics_and_boundary(self):
+        import datetime as dt
+
+        import pyarrow as pa
+        import ray.data
+
+        from text_dedup_ray.pipelines.agg import debounce_events
+
+        t0 = dt.datetime(2026, 1, 1)
+
+        def ts(sec):
+            return t0 + dt.timedelta(seconds=sec)
+
+        rows = [
+            # user 1 / click: repeats at +0, +10 (suppressed), +3600 (== window,
+            # suppressed: strict >), +3601+3600 -> kept
+            (1, 1, "click", ts(0)),
+            (2, 1, "click", ts(10)),
+            (3, 1, "click", ts(10 + 3600)),
+            (4, 1, "click", ts(10 + 3600 + 3601)),
+            # same user, other type: independent
+            (5, 1, "view", ts(5)),
+            # other user, same type: independent
+            (6, 2, "click", ts(6)),
+        ]
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": pa.array([r[2] for r in rows]),
+                "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+            }
+        )
+        out = debounce_events(
+            ray.data.from_arrow(tbl).repartition(3), window_seconds=3600
+        ).to_pandas()
+        assert sorted(out["event_id"]) == [1, 4, 5, 6]
+
+    def test_identical_timestamps_keep_min_id(self):
+        import datetime as dt
+
+        import pyarrow as pa
+        import ray.data
+
+        from text_dedup_ray.pipelines.agg import debounce_events
+
+        t = dt.datetime(2026, 1, 1)
+        tbl = pa.table(
+            {
+                "event_id": pa.array([7, 3, 5], pa.int64()),
+                "user_id": pa.array([1, 1, 1], pa.int64()),
+                "event_type": pa.array(["x", "x", "x"]),
+                "ts": pa.array([t, t, t], pa.timestamp("us")),
+            }
+        )
+        out = debounce_events(ray.data.from_arrow(tbl), window_seconds=60).to_pandas()
+        assert sorted(out["event_id"]) == [3]

@@ -1137,3 +1137,82 @@ def grouped_psi(
     return pa.table(
         {group_key: pa.array(out_g, pa.string()), alias: pa.array(out_psi, pa.float64())}
     )
+
+
+def debounce_events(
+    ds: ray.data.Dataset,
+    user_column: str = "user_id",
+    type_column: str = "event_type",
+    ts_column: str = "ts",
+    id_column: str = "event_id",
+    window_seconds: int = 3600,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Windowed repeat suppression (alert/event debounce — the streaming
+    dedup semantics): keep an event iff its (user, type) key has NO
+    previous occurrence within ``window_seconds``. "Previous" is the
+    immediately preceding event of the same key under (ts, id) order —
+    SQL ``lag(ts) OVER (PARTITION BY user, type ORDER BY ts, id)`` with
+    ``prev IS NULL OR ts - prev > window`` — the exactly-parallel,
+    SQL-checkable variant. (Debouncing against the previous *kept*
+    event is an inherently sequential per-key scan; this lag form is
+    what stream processors implement for exactly this reason.)
+
+    One user-hash exchange co-locates each user's rows; one C++
+    multi-key sort + vectorized boundary/delta masks per partition.
+    Returns the surviving rows as (id, user, type, ts)."""
+    from ..stages.exchange import distinct_key_partition, hash_partition_exchange
+
+    cols = [id_column, user_column, type_column, ts_column]
+    win_us = np.int64(int(window_seconds) * 1_000_000)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        t = batch.select(cols)
+        if batch.num_rows == 0:
+            return t.append_column("part", pa.array([], pa.int64()))
+        u = t[user_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "part", pa.array(distinct_key_partition(u, num_partitions))
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or id_column not in group.column_names:
+            return pa.table(
+                {
+                    id_column: pa.array([], pa.int64()),
+                    user_column: pa.array([], pa.int64()),
+                    type_column: pa.array([], pa.string()),
+                    ts_column: pa.array([], pa.timestamp("us")),
+                }
+            )
+        s = group.drop_columns(["part"]).sort_by(
+            [
+                (user_column, "ascending"),
+                (type_column, "ascending"),
+                (ts_column, "ascending"),
+                (id_column, "ascending"),
+            ]
+        )
+        u = s[user_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        tcodes = (
+            s[type_column]
+            .combine_chunks()
+            .dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False)
+        )
+        ts = s[ts_column].to_numpy(zero_copy_only=False).view("int64")
+        new_key = np.r_[
+            True, (u[1:] != u[:-1]) | (tcodes[1:] != tcodes[:-1])
+        ]
+        delta = np.empty(len(ts), np.int64)
+        delta[0] = 0
+        delta[1:] = ts[1:] - ts[:-1]
+        keep = new_key | (delta > win_us)
+        return s.filter(pa.array(keep))
+
+    return hash_partition_exchange(
+        ds.map_batches(tag, batch_format="pyarrow", batch_size=None),
+        "part",
+        num_partitions,
+        fold,
+    )
