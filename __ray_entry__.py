@@ -319,14 +319,14 @@ def _q_dsir(sf_dir: str):
 
     docs = _docs(sf_dir, ["doc_id", "text", "source"])
 
-    def tgt(t: "pa.Table") -> "pa.Table":
+    def mask(t: "pa.Table") -> "pa.Table":
         import pyarrow.compute as pc
 
-        return t.filter(pc.equal(t["source"], "src13"))
+        return t.append_column("__is_tgt", pc.equal(t["source"], "src13"))
 
-    target = docs.map_batches(tgt, batch_format="pyarrow")
+    masked = docs.map_batches(mask, batch_format="pyarrow")
     return dsir_select(
-        docs, target, k=100, num_buckets=4096
+        masked, None, k=100, num_buckets=4096, target_mask_column="__is_tgt"
     ).select_columns(["doc_id", "dsir_score"])
 
 

@@ -445,19 +445,19 @@ def run_benchmarks() -> None:
 
         ds = ray.data.read_parquet(docs_path, columns=["image_id", "caption", "fmt"])
 
-        def tgt(t):
+        def mask(t):
             import pyarrow.compute as pc
 
-            return t.filter(pc.equal(t["fmt"], "png"))
+            return t.append_column("__is_tgt", pc.equal(t["fmt"], "png"))
 
-        target = ds.map_batches(tgt, batch_format="pyarrow")
         return dsir_select(
-            ds,
-            target,
+            ds.map_batches(mask, batch_format="pyarrow"),
+            None,
             k=1000,
             id_column="image_id",
             text_column="caption",
             num_buckets=65536,
+            target_mask_column="__is_tgt",  # raw+target counts in ONE pass
         ).count()
 
     def curate_e2e():

@@ -126,3 +126,33 @@ def test_empty_and_token_free_docs_score_zero(ray_session):
     assert not np.signbit(scored["dsir_score"].to_numpy()).any() or (
         scored["dsir_score"].to_numpy()[np.signbit(scored["dsir_score"])] < 0
     ).all()
+
+
+def test_mask_path_equals_two_pass(ray_session):
+    import pyarrow.compute as pc
+
+    texts = [f"doc {i} alpha beta" if i % 3 else f"target gamma {i}" for i in range(60)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(60), pa.int64()),
+            "text": pa.array(texts),
+            "is_t": pa.array([i % 3 == 0 for i in range(60)]),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    target = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["is_t"], True)), batch_format="pyarrow"
+    )
+    two = (
+        dsir_weights(ds, target, num_buckets=256)
+        .to_pandas()
+        .set_index("doc_id")["dsir_score"]
+        .sort_index()
+    )
+    one = (
+        dsir_weights(ds, None, num_buckets=256, target_mask_column="is_t")
+        .to_pandas()
+        .set_index("doc_id")["dsir_score"]
+        .sort_index()
+    )
+    assert (two == one).all()

@@ -159,6 +159,83 @@ def hashed_gram_counts(
     return np.asarray(rows[0]["counts"], dtype=np.int64)
 
 
+def hashed_gram_counts_pair(
+    ds: ray.data.Dataset,
+    mask_column: str,
+    text_column: str = "text",
+    num_buckets: int = 4096,
+    ngram_max: int = 2,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(raw_counts, target_counts) in ONE corpus pass, for the common
+    case where the target cohort is a boolean-masked subset of the raw
+    corpus — halves the scan count vs two :func:`hashed_gram_counts`
+    calls (at 100 TB, one fewer full read of the corpus)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "b": pa.array([], pa.int64()),
+                "c": pa.array([], pa.int64()),
+                "ct": pa.array([], pa.int64()),
+                _PART: pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or text_column not in batch.column_names:
+            return empty
+        doc_idx, buck = _gram_occurrences(
+            batch[text_column], num_buckets, ngram_max
+        )
+        if len(buck) == 0:
+            return empty
+        mask = (
+            batch[mask_column]
+            .to_numpy(zero_copy_only=False)
+            .astype(bool)
+        )
+        cnt = np.bincount(buck, minlength=num_buckets)
+        tgt_occ = buck[mask[doc_idx]]
+        ct = np.bincount(tgt_occ, minlength=num_buckets)
+        nz = np.flatnonzero(cnt)  # ct nonzero implies cnt nonzero
+        return pa.table(
+            {
+                "b": pa.array(nz.astype(np.int64)),
+                "c": pa.array(cnt[nz].astype(np.int64)),
+                "ct": pa.array(ct[nz].astype(np.int64)),
+                _PART: pa.array(np.zeros(len(nz), np.int64)),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "b" not in group.column_names:
+            return pa.table(
+                {
+                    "counts": pa.array([], pa.list_(pa.int64())),
+                    "tcounts": pa.array([], pa.list_(pa.int64())),
+                }
+            )
+        b = group["b"].to_numpy(zero_copy_only=False)
+        dense = np.zeros(num_buckets, np.int64)
+        tdense = np.zeros(num_buckets, np.int64)
+        np.add.at(dense, b, group["c"].to_numpy(zero_copy_only=False))
+        np.add.at(tdense, b, group["ct"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "counts": pa.array([dense.tolist()]),
+                "tcounts": pa.array([tdense.tolist()]),
+            }
+        )
+
+    pre = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    rows = hash_partition_exchange(pre, _PART, 1, fold).take_all()
+    if not rows:
+        z = np.zeros(num_buckets, np.int64)
+        return z, z.copy()
+    return (
+        np.asarray(rows[0]["counts"], dtype=np.int64),
+        np.asarray(rows[0]["tcounts"], dtype=np.int64),
+    )
+
+
 def dsir_llr(
     target_counts: np.ndarray,
     raw_counts: np.ndarray,
@@ -181,23 +258,37 @@ def dsir_llr(
 
 def dsir_weights(
     ds: ray.data.Dataset,
-    target_ds: ray.data.Dataset,
+    target_ds: ray.data.Dataset | None,
     text_column: str = "text",
     num_buckets: int = 4096,
     ngram_max: int = 2,
     smoothing: float = 1.0,
     round_to: int = 6,
     score_alias: str = "dsir_score",
+    target_mask_column: str | None = None,
 ) -> ray.data.Dataset:
     """Stamp every raw-corpus row with its DSIR importance log-weight.
 
-    Docs with zero grams score exactly 0.0 (the empty product), matching
-    the oracle's LEFT JOIN + coalesce semantics.
+    The target distribution comes from ``target_ds`` (any dataset, two
+    count passes) OR — when the target is a subset of ``ds`` — from a
+    boolean ``target_mask_column`` on ``ds`` itself (ONE count pass for
+    both distributions; pass ``target_ds=None``). Docs with zero grams
+    score exactly 0.0 (the empty product), matching the oracle's LEFT
+    JOIN + coalesce semantics.
     """
-    raw_counts = hashed_gram_counts(ds, text_column, num_buckets, ngram_max)
-    tgt_counts = hashed_gram_counts(
-        target_ds, text_column, num_buckets, ngram_max
-    )
+    if target_mask_column is not None:
+        raw_counts, tgt_counts = hashed_gram_counts_pair(
+            ds, target_mask_column, text_column, num_buckets, ngram_max
+        )
+    elif target_ds is None:
+        raise ValueError("need target_ds or target_mask_column")
+    else:
+        raw_counts = hashed_gram_counts(
+            ds, text_column, num_buckets, ngram_max
+        )
+        tgt_counts = hashed_gram_counts(
+            target_ds, text_column, num_buckets, ngram_max
+        )
     llr_ref = ray.put(dsir_llr(tgt_counts, raw_counts, smoothing))
 
     def stamp(batch: pa.Table) -> pa.Table:
@@ -225,7 +316,7 @@ def dsir_weights(
 
 def dsir_select(
     ds: ray.data.Dataset,
-    target_ds: ray.data.Dataset,
+    target_ds: ray.data.Dataset | None,
     k: int,
     id_column: str = "doc_id",
     text_column: str = "text",
@@ -234,6 +325,7 @@ def dsir_select(
     smoothing: float = 1.0,
     round_to: int = 6,
     score_alias: str = "dsir_score",
+    target_mask_column: str | None = None,
 ) -> ray.data.Dataset:
     """Global top-``k`` raw docs by (rounded DSIR weight DESC, id ASC).
 
@@ -253,6 +345,7 @@ def dsir_select(
         smoothing=smoothing,
         round_to=round_to,
         score_alias=score_alias,
+        target_mask_column=target_mask_column,
     )
 
     def const_key(batch: pa.Table) -> pa.Table:
