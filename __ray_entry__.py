@@ -431,6 +431,24 @@ def _q_lang_counts(sf_dir: str):
     return grouped_sum_count(_docs(sf_dir, ["doc_id", "lang"]), ["lang"], [], "n_docs")
 
 
+def _q_temperature_weights(sf_dir: str):
+    from text_dedup_ray.pipelines.corpus import temperature_weights
+
+    return temperature_weights(
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"]), group_column="lang",
+        size_column="n_chars", alpha=0.3,
+    )
+
+
+def _q_shingle_redundancy(sf_dir: str):
+    from text_dedup_ray.pipelines.corpus import shingle_redundancy
+
+    return shingle_redundancy(
+        _docs(sf_dir, ["doc_id", "text", "source"]), text_column="text",
+        group_column="source", ngram=3, num_partitions=16,
+    )
+
+
 def _q_events_hourly(sf_dir: str):
     from text_dedup_ray.pipelines.agg import tumbling_window_agg
 
@@ -2515,6 +2533,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_duplicates_docs": _q_cap_duplicates,
         "token_budget_by_lang": _q_budget_by_lang,
         "events_debounced": _q_debounce,
+        "lang_temperature_weights": _q_temperature_weights,
+        "source_shingle_redundancy": _q_shingle_redundancy,
         # --- dedup (SQL-checked where expressible) ---
         "exact_dedup_docs": _q_exact_dedup,
         "bloom_dedup_docs": _q_bloom_dedup,
@@ -2727,6 +2747,23 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
             "FROM documents GROUP BY source"
         ),
         "lang_counts": "SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang",
+        "lang_temperature_weights": (
+            "WITH g AS (SELECT lang, count(*)::BIGINT AS n_docs, "
+            "sum(n_chars)::BIGINT AS n_units FROM documents GROUP BY lang) "
+            "SELECT lang, n_docs, n_units, power(n_units, 0.3) AS pow_alpha, "
+            "power(n_units, 0.3) / max(power(n_units, 0.3)) OVER () AS sampling_weight "
+            "FROM g"
+        ),
+        "source_shingle_redundancy": (
+            "WITH tk AS (SELECT source, "
+            "regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts FROM documents), "
+            "w AS (SELECT source, unnest(list_transform(generate_series(1, len(ts) - 2), "
+            "j -> array_to_string(ts[j:j+2], ' '))) AS g FROM tk WHERE len(ts) >= 3) "
+            "SELECT source, count(*)::BIGINT AS n_shingles, "
+            "count(DISTINCT g)::BIGINT AS n_distinct_shingles, "
+            "1.0 - (count(DISTINCT g)::DOUBLE / count(*)) AS redundancy "
+            "FROM w GROUP BY source"
+        ),
         "events_hourly": (
             "SELECT event_type, date_trunc('hour', ts) AS window_start, "
             "round(sum(value), 3) AS value, count(*)::BIGINT AS n FROM events "

@@ -1,0 +1,133 @@
+"""corpus.temperature_weights / shingle_redundancy: DuckDB parity, edge
+cases (empty input, all-short docs, single group), partition invariance."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from text_dedup_ray.pipelines.corpus import shingle_redundancy, temperature_weights
+
+
+def _docs_table(seed: int = 7, n: int = 300) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    vocab = ["spark", "ray", "data", "join", "sort", "hash", "merge", "scan"]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(0, 12))))
+        for _ in range(n)
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": texts,
+            "lang": [f"l{int(i)}" for i in rng.integers(0, 4, n)],
+            "source": [f"s{int(i)}" for i in rng.integers(0, 3, n)],
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+
+
+def test_temperature_weights_match_duckdb():
+    t = _docs_table()
+    got = temperature_weights(ray.data.from_arrow(t), alpha=0.3).to_pandas()
+    exp = duckdb.sql(
+        """
+        WITH g AS (SELECT lang, count(*)::BIGINT AS n_docs,
+                          sum(n_chars)::BIGINT AS n_units FROM t GROUP BY lang)
+        SELECT lang, n_docs, n_units, power(n_units, 0.3) AS pow_alpha,
+               power(n_units, 0.3) / max(power(n_units, 0.3)) OVER ()
+                   AS sampling_weight
+        FROM g ORDER BY lang
+        """
+    ).fetchdf()
+    assert got["lang"].tolist() == exp["lang"].tolist()
+    assert got["n_docs"].tolist() == exp["n_docs"].tolist()
+    assert got["n_units"].tolist() == exp["n_units"].tolist()
+    # single-libm-op doubles: bit-identical, not just close
+    assert got["pow_alpha"].tolist() == exp["pow_alpha"].tolist()
+    assert got["sampling_weight"].tolist() == exp["sampling_weight"].tolist()
+    assert got["sampling_weight"].max() == 1.0
+
+
+def test_temperature_weights_empty():
+    t = _docs_table().slice(0, 0)
+    got = temperature_weights(ray.data.from_arrow(t))
+    assert got.num_rows == 0
+    assert got.column_names == [
+        "lang", "n_docs", "n_units", "pow_alpha", "sampling_weight",
+    ]
+
+
+def _redundancy_oracle(t: pa.Table, ngram: int) -> "object":
+    return duckdb.sql(
+        f"""
+        WITH tk AS (SELECT source,
+                      regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts FROM t),
+        w AS (SELECT source,
+                unnest(list_transform(generate_series(1, len(ts) - {ngram - 1}),
+                       j -> array_to_string(ts[j:j+{ngram - 1}], ' '))) AS g
+              FROM tk WHERE len(ts) >= {ngram})
+        SELECT source, count(*)::BIGINT AS n_shingles,
+               count(DISTINCT g)::BIGINT AS n_distinct_shingles,
+               1.0 - (count(DISTINCT g)::DOUBLE / count(*)) AS redundancy
+        FROM w GROUP BY source ORDER BY source
+        """
+    ).fetchdf()
+
+
+@pytest.mark.parametrize("ngram", [2, 3])
+def test_shingle_redundancy_match_duckdb(ngram):
+    t = _docs_table()
+    got = shingle_redundancy(
+        ray.data.from_arrow(t), ngram=ngram, num_partitions=5
+    ).to_pandas()
+    exp = _redundancy_oracle(t, ngram)
+    assert got["source"].tolist() == exp["source"].tolist()
+    assert got["n_shingles"].tolist() == exp["n_shingles"].tolist()
+    assert got["n_distinct_shingles"].tolist() == exp["n_distinct_shingles"].tolist()
+    assert got["redundancy"].tolist() == exp["redundancy"].tolist()
+
+
+def test_shingle_redundancy_partition_invariance():
+    t = _docs_table(seed=11)
+    a = shingle_redundancy(
+        ray.data.from_arrow(t), ngram=3, num_partitions=2
+    ).to_pandas()
+    b = shingle_redundancy(
+        ray.data.from_arrow(t).repartition(7), ngram=3, num_partitions=13
+    ).to_pandas()
+    assert a.values.tolist() == b.values.tolist()
+
+
+def test_shingle_redundancy_all_short_docs():
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": ["one two", ""],  # no doc reaches 3 tokens
+            "source": ["s0", "s1"],
+        }
+    )
+    got = shingle_redundancy(ray.data.from_arrow(t), ngram=3)
+    assert got.num_rows == 0
+    assert got.column_names == [
+        "source", "n_shingles", "n_distinct_shingles", "redundancy",
+    ]
+
+
+def test_shingle_redundancy_cross_doc_distinct():
+    # two docs in one source sharing every shingle: distinct must be
+    # counted across documents, not per-doc
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": ["a b c d", "a b c d"],
+            "source": ["s0", "s0"],
+        }
+    )
+    got = shingle_redundancy(ray.data.from_arrow(t), ngram=3).to_pandas()
+    assert got["n_shingles"].tolist() == [4]
+    assert got["n_distinct_shingles"].tolist() == [2]
+    assert got["redundancy"].tolist() == [0.5]

@@ -1,0 +1,241 @@
+"""Corpus-composition statistics for training-data planning — the numbers a
+curation team computes BEFORE deciding what to dedup, up-sample or drop:
+
+* :func:`temperature_weights` — multilingual temperature-sampling weights
+  (the mBERT/XLM-R ``p^alpha`` recipe, Conneau et al. 2019, public): per
+  group (language), the exact doc/char totals plus ``pow_alpha =
+  n_units**alpha`` and ``sampling_weight = pow_alpha / max(pow_alpha)``.
+  Every double is a single libm op on exact integers (one ``pow``, one
+  max, one divide), so the engine and a SQL oracle produce bit-identical
+  values — no multi-term float sums whose order could differ.
+
+* :func:`shingle_redundancy` — per-group corpus-level n-gram redundancy:
+  total sliding n-gram occurrences, exact distinct n-gram count across the
+  whole group (cross-document), and ``redundancy = 1 - distinct/total`` —
+  the "how much would shingle-level dedup save per source" planning
+  metric. Occurrence counts pre-aggregate per block (one row per distinct
+  (group, shingle) per block, never per occurrence); shingles travel as
+  16-byte md5 keys (same scale contract as line-level dedup in
+  ``pipelines/lines.py``); the exchange co-locates every copy of a shingle
+  key in one partition so per-partition distinct counts sum to the exact
+  global distinct count.
+
+Neither operator exists in the reference (it stops at dedup); both are the
+standard upstream planning steps for the corpora the reference dedups.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..stages.exchange import hash_partition_exchange
+
+_PART = "__cs_part"
+
+
+def temperature_weights(
+    ds: ray.data.Dataset,
+    group_column: str = "lang",
+    size_column: str = "n_chars",
+    alpha: float = 0.3,
+) -> pa.Table:
+    """Temperature-sampling weights per ``group_column``: exact ``n_docs``
+    and ``n_units`` (sum of ``size_column``) per group, ``pow_alpha =
+    float(n_units) ** alpha`` and ``sampling_weight = pow_alpha /
+    max_over_groups(pow_alpha)``. The whole reduction is one blockwise
+    pre-aggregated groupby (O(groups) rows move); only the group-count-sized
+    result reaches the driver — languages are bounded (~hundreds), so this
+    holds at 100 TB."""
+    from .agg import grouped_sum_count
+
+    tiny = grouped_sum_count(
+        ds.select_columns([group_column, size_column]),
+        [group_column],
+        [size_column],
+        count_alias="n_docs",
+    )
+    tbl = pa.concat_tables(
+        [pa.Table.from_pydict(b) if isinstance(b, dict) else b
+         for b in ray.get(tiny.to_arrow_refs())],
+        promote_options="permissive",
+    )
+    if tbl.num_rows == 0:
+        return pa.table(
+            {
+                group_column: pa.array([], pa.string()),
+                "n_docs": pa.array([], pa.int64()),
+                "n_units": pa.array([], pa.int64()),
+                "pow_alpha": pa.array([], pa.float64()),
+                "sampling_weight": pa.array([], pa.float64()),
+            }
+        )
+    tbl = tbl.sort_by([(group_column, "ascending")])
+    n_units = tbl[size_column].to_numpy(zero_copy_only=False).astype(np.int64)
+    pw = np.power(n_units.astype(np.float64), np.float64(alpha))
+    return pa.table(
+        {
+            group_column: tbl[group_column],
+            "n_docs": tbl["n_docs"].cast(pa.int64()),
+            "n_units": pa.array(n_units),
+            "pow_alpha": pa.array(pw),
+            "sampling_weight": pa.array(pw / pw.max()),
+        }
+    )
+
+
+def _shingle_partial(
+    batch: pa.Table,
+    text_column: str,
+    group_column: str,
+    ngram: int,
+    num_partitions: int,
+    group_type: pa.DataType,
+) -> pa.Table:
+    """Distinct (group, shingle-md5) pairs with occurrence counts for one
+    block. Tokenize is the shared Arrow split kernel (lower + split on the
+    token-class complement); window uniqueness is found on CODE tuples (a
+    void-view np.unique), so only the block-DISTINCT shingles are ever
+    joined into strings and md5'd."""
+    empty = pa.table(
+        {
+            group_column: pa.array([], group_type),
+            "key": pa.array([], pa.binary(16)),
+            "cnt": pa.array([], pa.int64()),
+            _PART: pa.array([], pa.int64()),
+        }
+    )
+    if batch.num_rows == 0:
+        return empty
+    import pyarrow.compute as pc
+
+    splits = pc.split_pattern_regex(
+        pc.utf8_lower(batch[text_column].combine_chunks()), "[^a-z0-9_]+"
+    )
+    flat = pc.list_flatten(splits)
+    nonempty_m = pc.greater(pc.utf8_length(flat), 0)
+    if not pc.any(nonempty_m).as_py():
+        return empty
+    parents = pc.list_parent_indices(splits).to_numpy(zero_copy_only=False)
+    par = parents[nonempty_m.to_numpy(zero_copy_only=False)].astype(np.int64)
+    enc = flat.filter(nonempty_m).dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq_toks = np.asarray(enc.dictionary.to_pandas(), dtype=object)
+    n_tok = len(codes)
+    if n_tok < ngram:
+        return empty
+    # window j is valid iff tokens j..j+n-1 belong to the same doc
+    valid = par[: n_tok - ngram + 1] == par[ngram - 1 :]
+    if not valid.any():
+        return empty
+    starts = np.flatnonzero(valid)
+    win = np.empty((len(starts), ngram), np.int64)
+    for k in range(ngram):
+        win[:, k] = codes[starts + k]
+    wv = np.ascontiguousarray(win).view([("", np.int64)] * ngram).ravel()
+    uwin, winv = np.unique(wv, return_inverse=True)
+    uwin_codes = uwin.view(np.int64).reshape(-1, ngram)
+    # group identity per window occurrence = the doc's group value
+    genc = batch[group_column].combine_chunks().dictionary_encode()
+    gcodes_doc = genc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    gcode = gcodes_doc[par[starts]]
+    n_uwin = len(uwin)
+    combo = gcode * n_uwin + winv
+    ukey, cnt = np.unique(combo, return_counts=True)
+    g_idx = (ukey // n_uwin).astype(np.int64)
+    w_idx = (ukey % n_uwin).astype(np.int64)
+    # md5 only the block-distinct shingles (the lines.py contract)
+    digests = np.empty(n_uwin, object)
+    parts = np.empty(n_uwin, np.int64)
+    for i in range(n_uwin):
+        s = " ".join(uniq_toks[c] for c in uwin_codes[i])
+        d = hashlib.md5(s.encode()).digest()
+        digests[i] = d
+        parts[i] = int.from_bytes(d[:8], "little") % num_partitions
+    return pa.table(
+        {
+            group_column: genc.dictionary.take(pa.array(g_idx)),
+            "key": pa.array(list(digests[w_idx]), pa.binary(16)),
+            "cnt": pa.array(cnt.astype(np.int64)),
+            _PART: pa.array(parts[w_idx]),
+        }
+    )
+
+
+def shingle_redundancy(
+    ds: ray.data.Dataset,
+    text_column: str = "text",
+    group_column: str = "source",
+    ngram: int = 3,
+    num_partitions: int = 32,
+) -> pa.Table:
+    """Per-group shingle-level redundancy over sliding word ``ngram``-grams
+    (plain windows — docs shorter than ``ngram`` tokens contribute nothing;
+    a group whose docs are all short is absent from the result, matching
+    the SQL GROUP BY over exploded windows). Returns ``(group, n_shingles,
+    n_distinct_shingles, redundancy)`` where ``redundancy = 1.0 -
+    n_distinct/n_shingles``.
+
+    Scale shape: blocks emit one (group, md5-16B, cnt) row per DISTINCT
+    shingle per block; the exchange routes by the shingle hash, so one
+    partition sees every copy of a shingle and its per-group distinct/total
+    partials are exact; only O(partitions x groups) partial rows reach the
+    final fold."""
+    group_type = ds.schema().base_schema.field(group_column).type
+
+    pre = ds.map_batches(
+        lambda b: _shingle_partial(
+            b, text_column, group_column, ngram, num_partitions, group_type
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    def reduce(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "key" not in group.column_names:
+            return pa.table(
+                {
+                    group_column: pa.array([], group_type),
+                    "__tot": pa.array([], pa.int64()),
+                    "__dis": pa.array([], pa.int64()),
+                }
+            )
+        pairs = (
+            group.select([group_column, "key", "cnt"])
+            .group_by([group_column, "key"])
+            .aggregate([("cnt", "sum")])
+        )
+        out = pairs.group_by([group_column]).aggregate(
+            [("cnt_sum", "sum"), ("key", "count")]
+        )
+        return out.rename_columns([group_column, "__tot", "__dis"])
+
+    partials = hash_partition_exchange(pre, _PART, num_partitions, reduce)
+    rows = partials.take_all()
+    if not rows:
+        return pa.table(
+            {
+                group_column: pa.array([], group_type),
+                "n_shingles": pa.array([], pa.int64()),
+                "n_distinct_shingles": pa.array([], pa.int64()),
+                "redundancy": pa.array([], pa.float64()),
+            }
+        )
+    import pandas as pd
+
+    df = pd.DataFrame(rows).groupby(group_column, as_index=False).sum()
+    df = df.sort_values(group_column).reset_index(drop=True)
+    tot = df["__tot"].to_numpy(np.int64)
+    dis = df["__dis"].to_numpy(np.int64)
+    return pa.table(
+        {
+            group_column: pa.array(df[group_column], group_type),
+            "n_shingles": pa.array(tot),
+            "n_distinct_shingles": pa.array(dis),
+            "redundancy": pa.array(1.0 - (dis.astype(np.float64) / tot)),
+        }
+    )
