@@ -2063,54 +2063,117 @@ def _q_phash_images(sf_dir: str):
     return cluster_map_table(parents)
 
 
-def _q_minhash_incremental_images(sf_dir: str):
-    """Tiered dedup over the IMAGE corpus (the graft cell — tier dedup x
-    image payload): bootstrap on the first ~80% of image row ids, increment
-    with the rest. By the incremental-equivalence guarantee the final state
-    equals a full batch run, so ``minhash_images_sql`` applies verbatim.
-    Survivors = min-length-passing images never flagged duplicate, output
-    (image_id, caption, phash) like ``minhash_dedup_images``."""
-    import glob as _glob
-    import tempfile
+_TIERED_IMG_STATE: dict[str, tuple[str, int]] = {}
+"""Per-process memo of the tiered image-index state dirs.
 
+The gate queries ``minhash_incremental_images`` and
+``multimodal_incremental_images`` bootstrap+increment the SAME caption-LSH
+index (identical cfg, corpus, and 80/20 row-id split), and
+``phash_incremental_images`` / ``multimodal_incremental_images`` likewise
+share the phash index. The pipelines are deterministic, so the second
+build can only reproduce the first — memoizing the (state_dir, version)
+pair saves one full bootstrap+increment per family per gate run."""
+
+
+def _img_8020_split(cut: int, keep_old: bool):
     import pyarrow.compute as pc
-    import pyarrow.parquet as pq
+
+    def f(t: pa.Table) -> pa.Table:
+        m = pc.less_equal(t["row_id"], pa.scalar(cut, pa.int64()))
+        return t.filter(m if keep_old else pc.invert(m))
+
+    return f
+
+
+def _tiered_image_minhash_state() -> tuple[str, int]:
+    if "mh" in _TIERED_IMG_STATE:
+        return _TIERED_IMG_STATE["mh"]
+    import tempfile
 
     from text_dedup_ray.pipelines.images import image_ids_to_row_ids
     from text_dedup_ray.pipelines.incremental import (
         minhash_bootstrap,
         minhash_increment,
     )
-    from text_dedup_ray.pipelines.minhash import min_length_filter
     from text_dedup_ray.sources.io import ROW_ID
 
     cfg = _MINHASH_IMAGES_GATE_CFG()
     ds = image_ids_to_row_ids(_corpus_ds(_ORACLE_CORPUS_SF))
     cut = int(ds.max(ROW_ID) * 0.8)
-
-    def split(keep_old: bool):
-        def f(t: pa.Table) -> pa.Table:
-            m = pc.less_equal(t[ROW_ID], pa.scalar(cut, pa.int64()))
-            return t.filter(m if keep_old else pc.invert(m))
-
-        return f
-
     state = tempfile.mkdtemp(prefix="img_lsh_state_", dir="/tmp")
     minhash_bootstrap(
-        ds.map_batches(split(True), batch_format="pyarrow"),
+        ds.map_batches(_img_8020_split(cut, True), batch_format="pyarrow"),
         state,
         text_column="caption",
         cfg=cfg,
         num_partitions=16,
     )
     inc = minhash_increment(
-        ds.map_batches(split(False), batch_format="pyarrow"),
+        ds.map_batches(_img_8020_split(cut, False), batch_format="pyarrow"),
         state,
         text_column="caption",
         cfg=cfg,
     )
+    _TIERED_IMG_STATE["mh"] = (state, inc.state_version)
+    return _TIERED_IMG_STATE["mh"]
+
+
+def _tiered_image_phash_state() -> tuple[str, int]:
+    if "ph" in _TIERED_IMG_STATE:
+        return _TIERED_IMG_STATE["ph"]
+    import tempfile
+
+    from text_dedup_ray.pipelines.images import (
+        image_ids_to_row_ids,
+        phash_bootstrap,
+        phash_increment,
+    )
+    from text_dedup_ray.sources.io import ROW_ID
+
+    ds = image_ids_to_row_ids(_corpus_ds(_ORACLE_CORPUS_SF)).select_columns(
+        [ROW_ID, "phash"]
+    )
+    cut = int(ds.max(ROW_ID) * 0.8)
+    state = tempfile.mkdtemp(prefix="img_phash_state_", dir="/tmp")
+    phash_bootstrap(
+        ds.map_batches(_img_8020_split(cut, True), batch_format="pyarrow"),
+        state,
+        bit_diff=2,
+        num_bucket=4,
+        num_partitions=16,
+    )
+    inc = phash_increment(
+        ds.map_batches(_img_8020_split(cut, False), batch_format="pyarrow"),
+        state,
+        bit_diff=2,
+        num_bucket=4,
+    )
+    _TIERED_IMG_STATE["ph"] = (state, inc.state_version)
+    return _TIERED_IMG_STATE["ph"]
+
+
+def _q_minhash_incremental_images(sf_dir: str):
+    """Tiered dedup over the IMAGE corpus (the graft cell — tier dedup x
+    image payload): bootstrap on the first ~80% of image row ids, increment
+    with the rest. By the incremental-equivalence guarantee the final state
+    equals a full batch run, so ``minhash_images_sql`` applies verbatim.
+    Survivors = min-length-passing images never flagged duplicate, output
+    (image_id, caption, phash) like ``minhash_dedup_images``. The state
+    build is shared with ``multimodal_incremental_images`` via
+    ``_tiered_image_minhash_state``."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from text_dedup_ray.pipelines.images import image_ids_to_row_ids
+    from text_dedup_ray.pipelines.minhash import min_length_filter
+    from text_dedup_ray.sources.io import ROW_ID
+
+    cfg = _MINHASH_IMAGES_GATE_CFG()
+    ds = image_ids_to_row_ids(_corpus_ds(_ORACLE_CORPUS_SF))
+    state, version = _tiered_image_minhash_state()
     members = []
-    for f in _glob.glob(f"{state}/v{inc.state_version:05d}/clusters/*.parquet"):
+    for f in _glob.glob(f"{state}/v{version:05d}/clusters/*.parquet"):
         t = pq.read_table(f, columns=["row_id"])
         if t.num_rows:
             members.append(t["row_id"].to_numpy(zero_copy_only=False))
@@ -2140,44 +2203,12 @@ def _q_phash_incremental_images(sf_dir: str):
     self-row per distinct cluster reproduce the (row_id, cluster_id)
     incl-roots map."""
     import glob as _glob
-    import tempfile
 
-    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    from text_dedup_ray.pipelines.images import (
-        image_ids_to_row_ids,
-        phash_bootstrap,
-        phash_increment,
-    )
-    from text_dedup_ray.sources.io import ROW_ID
-
-    ds = image_ids_to_row_ids(_corpus_ds(_ORACLE_CORPUS_SF)).select_columns([ROW_ID, "phash"])
-    cut = int(ds.max(ROW_ID) * 0.8)
-
-    def split(keep_old: bool):
-        def f(t: pa.Table) -> pa.Table:
-            m = pc.less_equal(t[ROW_ID], pa.scalar(cut, pa.int64()))
-            return t.filter(m if keep_old else pc.invert(m))
-
-        return f
-
-    state = tempfile.mkdtemp(prefix="img_phash_state_", dir="/tmp")
-    phash_bootstrap(
-        ds.map_batches(split(True), batch_format="pyarrow"),
-        state,
-        bit_diff=2,
-        num_bucket=4,
-        num_partitions=16,
-    )
-    inc = phash_increment(
-        ds.map_batches(split(False), batch_format="pyarrow"),
-        state,
-        bit_diff=2,
-        num_bucket=4,
-    )
+    state, version = _tiered_image_phash_state()
     rows, roots = [], []
-    for f in _glob.glob(f"{state}/v{inc.state_version:05d}/clusters/*.parquet"):
+    for f in _glob.glob(f"{state}/v{version:05d}/clusters/*.parquet"):
         t = pq.read_table(f)
         if t.num_rows:
             rows.append(t["row_id"].to_numpy(zero_copy_only=False))
@@ -2199,52 +2230,20 @@ def _q_multimodal_incremental_images(sf_dir: str):
     then a union-CC of the two persisted cluster maps. Each family's
     tiered map equals its batch map (per-family equivalence tests), so
     the fusion equals batch ``multimodal_dedup`` and
-    ``multimodal_images_sql`` applies verbatim."""
-    import tempfile
-
-    import pyarrow.compute as pc
-
+    ``multimodal_images_sql`` applies verbatim. Both family states are the
+    memoized builds shared with the per-family incremental queries
+    (``_tiered_image_minhash_state`` / ``_tiered_image_phash_state``)."""
     from text_dedup_ray.pipelines.images import (
         image_ids_to_row_ids,
         multimodal_merge_cluster_maps,
-        phash_bootstrap,
-        phash_increment,
     )
-    from text_dedup_ray.pipelines.incremental import minhash_bootstrap, minhash_increment
-    from text_dedup_ray.sources.io import ROW_ID
 
-    cfg = _MINHASH_IMAGES_GATE_CFG()
     ds = image_ids_to_row_ids(_corpus_ds(_ORACLE_CORPUS_SF))
-    cut = int(ds.max(ROW_ID) * 0.8)
-
-    def split(keep_old: bool):
-        def f(t: pa.Table) -> pa.Table:
-            m = pc.less_equal(t[ROW_ID], pa.scalar(cut, pa.int64()))
-            return t.filter(m if keep_old else pc.invert(m))
-
-        return f
-
-    old = ds.map_batches(split(True), batch_format="pyarrow")
-    new = ds.map_batches(split(False), batch_format="pyarrow")
-
-    s_mh = tempfile.mkdtemp(prefix="mm_lsh_state_", dir="/tmp")
-    minhash_bootstrap(old, s_mh, text_column="caption", cfg=cfg, num_partitions=16)
-    inc_mh = minhash_increment(new, s_mh, text_column="caption", cfg=cfg)
-
-    s_ph = tempfile.mkdtemp(prefix="mm_phash_state_", dir="/tmp")
-    narrow = ds.select_columns([ROW_ID, "phash"])
-    phash_bootstrap(
-        narrow.map_batches(split(True), batch_format="pyarrow"),
-        s_ph, bit_diff=2, num_bucket=4, num_partitions=16,
-    )
-    inc_ph = phash_increment(
-        narrow.map_batches(split(False), batch_format="pyarrow"),
-        s_ph, bit_diff=2, num_bucket=4,
-    )
-
+    s_mh, v_mh = _tiered_image_minhash_state()
+    s_ph, v_ph = _tiered_image_phash_state()
     maps = [
-        ray.data.read_parquet(f"{s_mh}/v{inc_mh.state_version:05d}/clusters"),
-        ray.data.read_parquet(f"{s_ph}/v{inc_ph.state_version:05d}/clusters"),
+        ray.data.read_parquet(f"{s_mh}/v{v_mh:05d}/clusters"),
+        ray.data.read_parquet(f"{s_ph}/v{v_ph:05d}/clusters"),
     ]
     return multimodal_merge_cluster_maps(ds, maps).select_columns(
         ["image_id", "caption"]

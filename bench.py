@@ -579,6 +579,16 @@ def run_benchmarks() -> None:
         cm = cluster_map_table(audio_near_dedup(ds, threshold=0.5))
         return cm.num_rows if hasattr(cm, "num_rows") else cm.count()
 
+    def redundancy_by_fmt():
+        # corpus-planning stat: cross-doc 3-gram redundancy per image format
+        from text_dedup_ray.pipelines.corpus import shingle_redundancy
+
+        ds = ray.data.read_parquet(docs_path, columns=["caption", "fmt"])
+        return shingle_redundancy(
+            ds, text_column="caption", group_column="fmt", ngram=3,
+            num_partitions=32,
+        ).num_rows
+
     if not headline_only:
         timed("multimodal_images", multimodal_images)
         timed("video_dedup_10pct_n", video_dedup)
@@ -595,6 +605,7 @@ def run_benchmarks() -> None:
         timed("curation_select", curation_select)
         timed("dsir_select_captions", dsir_select_captions)
         timed("shuffle_export_100k", shuffle_export)
+        timed("redundancy_by_fmt", redundancy_by_fmt)
         timed("curate_e2e", curate_e2e)
 
     headline = timings["minhash_images"]
