@@ -1,0 +1,41 @@
+"""Fresh-process CLI smoke for the prune_state mode: a fake versioned state
+dir (the shared meta.json + v%05d convention) is GC'd down to keep_last
+snapshots; no Ray session is started (pure filesystem mode)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+
+def _run(config_path) -> dict:
+    proc = subprocess.run(
+        [sys.executable, "-m", "text_dedup_ray", "--config", str(config_path)],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def test_cli_prune_state(tmp_path):
+    state = tmp_path / "state"
+    for v in (1, 2, 3):
+        os.makedirs(state / f"v{v:05d}" / "clusters")
+    (state / "meta.json").write_text(json.dumps({"version": 3}))
+    config = tmp_path / "run.toml"
+    config.write_text(
+        f"""
+[algorithm]
+name = "prune_state"
+state_dir = "{state}"
+keep_last = 1
+"""
+    )
+    stats = _run(config)
+    assert stats["removed_versions"] == [1, 2]
+    assert sorted(os.listdir(state)) == ["meta.json", "v00003"]

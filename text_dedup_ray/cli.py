@@ -78,6 +78,29 @@ def main(argv: list[str] | None = None) -> None:
     skip_filtering = bool(out.get("skip_filtering", False))
     save_clusters = bool(out.get("save_clusters", True))
 
+    if name == "prune_state":
+        # tiered-state GC: delete superseded self-contained snapshots (all
+        # incremental families share the meta.json + v%05d convention);
+        # pure filesystem work — no dataset, no Ray session
+        from .pipelines.incremental import prune_state_versions
+
+        state_dir = algo.get("state_dir")
+        if not state_dir:
+            raise SystemExit("prune_state needs algorithm.state_dir")
+        keep_last = int(algo.get("keep_last", 1))
+        removed = prune_state_versions(state_dir, keep_last=keep_last)
+        print(
+            json.dumps(
+                {
+                    "algorithm": name,
+                    "state_dir": state_dir,
+                    "keep_last": keep_last,
+                    "removed_versions": removed,
+                }
+            )
+        )
+        return
+
     import ray
 
     if not ray.is_initialized():

@@ -87,6 +87,32 @@ def _meta_path(state_dir: str) -> str:
     return os.path.join(state_dir, META_NAME)
 
 
+def prune_state_versions(state_dir: str, keep_last: int = 1) -> list[int]:
+    """Garbage-collect superseded state versions from any tiered-index state
+    dir (every incremental family — minhash/simhash/phash/exact/bloom/
+    jaccard/embedding/suffix/video/audio — shares the ``meta.json`` +
+    ``v%05d`` snapshot convention). Each version dir is a SELF-CONTAINED
+    snapshot (partitioned rep/posting index + cluster rows) and increments
+    only ever read the version recorded in ``meta.json``, so versions older
+    than the last ``keep_last`` exist purely as history/rollback points;
+    at daily-increment scale they dominate the state footprint. Keeps the
+    newest ``keep_last`` (>= 1) counting back from the CURRENT meta version;
+    dirs NEWER than meta (an in-flight increment's workspace — meta flips
+    last) are never touched. Returns the removed version numbers."""
+    import re
+    import shutil
+
+    current = int(load_meta(state_dir)["version"])
+    cutoff = current - max(1, int(keep_last))
+    removed = []
+    for name in sorted(os.listdir(state_dir)):
+        m = re.fullmatch(r"v(\d{5})", name)
+        if m and int(m.group(1)) <= cutoff:
+            shutil.rmtree(os.path.join(state_dir, name))
+            removed.append(int(m.group(1)))
+    return removed
+
+
 def load_meta(state_dir: str) -> dict:
     with open(_meta_path(state_dir)) as fh:
         return json.load(fh)
