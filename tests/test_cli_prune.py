@@ -39,3 +39,26 @@ keep_last = 1
     stats = _run(config)
     assert stats["removed_versions"] == [1, 2]
     assert sorted(os.listdir(state)) == ["meta.json", "v00003"]
+
+
+def test_cli_rollback_state(tmp_path):
+    state = tmp_path / "state"
+    for v in (1, 2, 3):
+        os.makedirs(state / f"v{v:05d}" / "clusters")
+        (state / f"v{v:05d}" / "meta.json").write_text(
+            json.dumps({"version": v, "max_row_id": 10 * v})
+        )
+    (state / "meta.json").write_text(json.dumps({"version": 3, "max_row_id": 30}))
+    config = tmp_path / "run.toml"
+    config.write_text(
+        f"""
+[algorithm]
+name = "rollback_state"
+state_dir = "{state}"
+to_version = 1
+"""
+    )
+    stats = _run(config)
+    assert stats["removed_versions"] == [2, 3]
+    assert stats["version"] == 1
+    assert json.loads((state / "meta.json").read_text())["max_row_id"] == 10

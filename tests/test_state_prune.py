@@ -116,3 +116,68 @@ def test_prune_keep_last_n_and_inflight_untouched(tmp_path):
 
     # idempotent
     assert prune_state_versions(state, keep_last=1) == []
+
+
+def test_rollback_restores_meta_and_reingests_same_ids(tmp_path):
+    from text_dedup_ray.pipelines.incremental import rollback_state
+
+    state = str(tmp_path / "st")
+    t0 = _texts(8, 15)
+    bad = _texts(9, 5)
+    minhash_bootstrap(
+        _docs(range(15), t0), state, cfg=_cfg(), id_column="doc_id",
+        num_partitions=4,
+    )
+    meta_v1 = load_meta(state)
+    inc_bad = minhash_increment(
+        _docs(range(100, 105), bad), state, cfg=_cfg(), id_column="doc_id"
+    )
+    assert inc_bad.state_version == 2
+    bad_surv = sorted(r["doc_id"] for r in inc_bad.deduped.take_all())
+
+    removed = rollback_state(state, 1)
+    assert removed == [2]
+    assert load_meta(state) == meta_v1  # version AND max_row_id rewound
+    assert _versions(state) == [1]
+
+    # the rolled-back batch's ids are ingestible again, same result
+    redo = minhash_increment(
+        _docs(range(100, 105), bad), state, cfg=_cfg(), id_column="doc_id"
+    )
+    assert redo.state_version == 2
+    assert sorted(r["doc_id"] for r in redo.deduped.take_all()) == bad_surv
+
+
+def test_rollback_errors(tmp_path):
+    import pytest
+
+    from text_dedup_ray.pipelines.incremental import (
+        prune_state_versions,
+        rollback_state,
+    )
+
+    state = str(tmp_path / "st")
+    minhash_bootstrap(
+        _docs(range(10), _texts(10, 10)), state, cfg=_cfg(), id_column="doc_id",
+        num_partitions=2,
+    )
+    minhash_increment(
+        _docs(range(100, 103), _texts(11, 3)), state, cfg=_cfg(), id_column="doc_id"
+    )
+    # nonexistent target -> sidecar error
+    with pytest.raises(ValueError, match="pruned, never written"):
+        rollback_state(state, 9)
+    # a NEWER dir with a sidecar (crash leftover) still refuses to roll forward
+    import json as _json
+
+    os.makedirs(os.path.join(state, "v00009"))
+    with open(os.path.join(state, "v00009", "meta.json"), "w") as fh:
+        _json.dump({"version": 9}, fh)
+    with pytest.raises(ValueError, match="roll FORWARD"):
+        rollback_state(state, 9)
+    import shutil as _shutil
+
+    _shutil.rmtree(os.path.join(state, "v00009"))
+    prune_state_versions(state, keep_last=1)  # v1 gone
+    with pytest.raises(ValueError, match="pruned, never written"):
+        rollback_state(state, 1)

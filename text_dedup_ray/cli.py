@@ -101,6 +101,28 @@ def main(argv: list[str] | None = None) -> None:
         )
         return
 
+    if name == "rollback_state":
+        # undo a bad batch: restore an earlier snapshot's meta (max_row_id
+        # rewinds with it) and drop every newer version dir
+        from .pipelines.incremental import load_meta, rollback_state
+
+        state_dir = algo.get("state_dir")
+        to_version = algo.get("to_version")
+        if not state_dir or to_version is None:
+            raise SystemExit("rollback_state needs algorithm.state_dir and .to_version")
+        removed = rollback_state(state_dir, int(to_version))
+        print(
+            json.dumps(
+                {
+                    "algorithm": name,
+                    "state_dir": state_dir,
+                    "version": int(load_meta(state_dir)["version"]),
+                    "removed_versions": removed,
+                }
+            )
+        )
+        return
+
     import ray
 
     if not ray.is_initialized():

@@ -113,12 +113,58 @@ def prune_state_versions(state_dir: str, keep_last: int = 1) -> list[int]:
     return removed
 
 
+def rollback_state(state_dir: str, to_version: int) -> list[int]:
+    """Roll a tiered index back to an earlier snapshot — the undo for a bad
+    batch (mis-ingested ids, wrong corpus slice). Restores the meta that was
+    current when ``to_version`` was committed (every snapshot carries a meta
+    sidecar, so ``max_row_id`` rewinds too and the dropped batch's row ids
+    become ingestible again) and deletes every newer version dir.
+
+    Crash-safe in the same direction as forward writes: the root meta flips
+    (atomically) FIRST, so an interruption leaves only stale newer dirs —
+    re-running the rollback removes them, and a subsequent increment's
+    ``_clean_version_dir`` clears the one it is about to rewrite. Raises if
+    the target snapshot was pruned or predates sidecar snapshots."""
+    import re
+    import shutil
+
+    to_version = int(to_version)
+    sidecar = os.path.join(_version_dir(state_dir, to_version), META_NAME)
+    if not os.path.isfile(sidecar):
+        raise ValueError(
+            f"no snapshot meta at v{to_version:05d} in {state_dir} — the "
+            "version was pruned, never written, or predates meta sidecars"
+        )
+    current = int(load_meta(state_dir)["version"])
+    if to_version > current:
+        raise ValueError(
+            f"cannot roll FORWARD: target v{to_version} > current v{current}"
+        )
+    with open(sidecar) as fh:
+        meta = json.load(fh)
+    _write_meta(state_dir, meta)  # atomic flip; re-snapshots sidecar (no-op)
+    removed = []
+    for name in sorted(os.listdir(state_dir)):
+        m = re.fullmatch(r"v(\d{5})", name)
+        if m and int(m.group(1)) > to_version:
+            shutil.rmtree(os.path.join(state_dir, name))
+            removed.append(int(m.group(1)))
+    return removed
+
+
 def load_meta(state_dir: str) -> dict:
     with open(_meta_path(state_dir)) as fh:
         return json.load(fh)
 
 
 def _write_meta(state_dir: str, meta: dict) -> None:
+    # snapshot the meta INTO the version dir first: each v%05d snapshot then
+    # carries the exact meta (max_row_id, cfg, ...) that was current when it
+    # was committed, which is what makes rollback_state possible
+    v = meta.get("version")
+    if v is not None and os.path.isdir(_version_dir(state_dir, int(v))):
+        with open(os.path.join(_version_dir(state_dir, int(v)), META_NAME), "w") as fh:
+            json.dump(meta, fh, indent=1)
     tmp = _meta_path(state_dir) + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(meta, fh, indent=1)
