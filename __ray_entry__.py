@@ -449,6 +449,25 @@ def _q_shingle_redundancy(sf_dir: str):
     )
 
 
+def _q_cluster_safe_split(sf_dir: str):
+    """Leakage-free train/val/test split: every member of an exact-dup
+    cluster gets its ROOT's hash-split label (one cluster exchange + one
+    co-partition hash join; no duplicate can straddle a split boundary)."""
+    from text_dedup_ray.pipelines.exact import exact_cluster_table
+    from text_dedup_ray.pipelines.sample import leakage_safe_split
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    cmap = exact_cluster_table(docs, id_column="doc_id", num_partitions=16)
+    out = leakage_safe_split(
+        docs,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        cluster_map=cmap,
+        id_column="doc_id",
+        num_partitions=16,
+    )
+    return out.select_columns(["doc_id", "split"])
+
+
 def _q_events_hourly(sf_dir: str):
     from text_dedup_ray.pipelines.agg import tumbling_window_agg
 
@@ -2534,6 +2553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_debounced": _q_debounce,
         "lang_temperature_weights": _q_temperature_weights,
         "source_shingle_redundancy": _q_shingle_redundancy,
+        "cluster_safe_split": _q_cluster_safe_split,
         # --- dedup (SQL-checked where expressible) ---
         "exact_dedup_docs": _q_exact_dedup,
         "bloom_dedup_docs": _q_bloom_dedup,
@@ -2762,6 +2782,14 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
             "count(DISTINCT g)::BIGINT AS n_distinct_shingles, "
             "1.0 - (count(DISTINCT g)::DOUBLE / count(*)) AS redundancy "
             "FROM w GROUP BY source"
+        ),
+        "cluster_safe_split": (
+            "WITH c AS (SELECT doc_id, "
+            "min(doc_id) OVER (PARTITION BY text) AS root FROM documents) "
+            "SELECT doc_id, CASE "
+            "WHEN ('0x' || substr(md5(root::VARCHAR), 1, 8))::UBIGINT / 4294967296.0 < 0.8 THEN 'train' "
+            "WHEN ('0x' || substr(md5(root::VARCHAR), 1, 8))::UBIGINT / 4294967296.0 < 0.9 THEN 'val' "
+            "ELSE 'test' END AS split FROM c"
         ),
         "events_hourly": (
             "SELECT event_type, date_trunc('hour', ts) AS window_start, "

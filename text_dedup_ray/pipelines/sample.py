@@ -302,3 +302,66 @@ def seeded_shuffle(
         return out
 
     return hash_partition_exchange(tagged, "__rp", len(cuts) + 1, fold)
+
+
+def leakage_safe_split(
+    ds: ray.data.Dataset,
+    fractions: dict[str, float],
+    text_column: str = "text",
+    cluster_map: ray.data.Dataset | None = None,
+    id_column: str | None = None,
+    salt: str = "",
+    split_alias: str = "split",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Train/val/test split that can never put two copies of a document on
+    different sides — the standard guard against eval contamination.
+
+    Without ``cluster_map`` the split key is the row's CONTENT (the md5
+    hash-split applied to ``text_column``), so byte-identical duplicates
+    land in the same split by construction: one stateless ``map_batches``
+    pass, zero shuffle, and fully SQL-re-derivable (the driver oracle).
+
+    With ``cluster_map`` — a ``(row_id, cluster_id)`` Dataset from ANY
+    dedup family (exact, MinHash, SimHash, phash, ...) — every row joins
+    its cluster root through ONE co-partition hash-join exchange and the
+    ROOT id becomes the split key, extending the no-leak guarantee to
+    near-duplicate clusters. Rows absent from the map (the map may carry
+    non-trivial entries only) are their own singleton cluster (root =
+    their row id)."""
+    if cluster_map is None:
+        return hash_split(ds, text_column, fractions, salt, split_alias)
+
+    from ..sources.io import ROW_ID, stamp_row_ids_from_key
+    from .joins import hash_join
+
+    if id_column is not None:
+        ds = stamp_row_ids_from_key(ds, id_column)
+    cols = [c for c in ds.schema().base_schema.names]
+    joined = hash_join(
+        ds,
+        cluster_map.select_columns([ROW_ID, "cluster_id"]),
+        left_on=ROW_ID,
+        right_on=ROW_ID,
+        left_columns=cols,
+        right_columns=["cluster_id"],
+        how="left",
+        num_partitions=num_partitions,
+    )
+
+    def root_key(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        root = pc.coalesce(
+            batch["cluster_id"].cast(pa.int64()), batch[ROW_ID].cast(pa.int64())
+        )
+        out = batch.drop_columns(["cluster_id"])
+        if "__split_root" in out.column_names:
+            out = out.drop_columns(["__split_root"])
+        return out.append_column("__split_root", root)
+
+    keyed = joined.map_batches(root_key, batch_format="pyarrow")
+    labeled = hash_split(keyed, "__split_root", fractions, salt, split_alias)
+    return labeled.map_batches(
+        lambda t: t.drop_columns(["__split_root"]), batch_format="pyarrow"
+    )
