@@ -449,6 +449,20 @@ def _q_shingle_redundancy(sf_dir: str):
     )
 
 
+def _q_source_checksums(sf_dir: str):
+    """Order-independent per-source integrity stamp: row count + wrap-sum
+    (mod 2^64) of md5-prefix-64 per row — any partitioning reproduces it."""
+    from text_dedup_ray.pipelines.corpus import content_checksums
+
+    return ray.data.from_arrow(
+        content_checksums(
+            _docs(sf_dir, ["doc_id", "text", "source"]),
+            text_column="text",
+            group_column="source",
+        )
+    )
+
+
 def _q_cluster_safe_split(sf_dir: str):
     """Leakage-free train/val/test split: every member of an exact-dup
     cluster gets its ROOT's hash-split label (one cluster exchange + one
@@ -2554,6 +2568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_temperature_weights": _q_temperature_weights,
         "source_shingle_redundancy": _q_shingle_redundancy,
         "cluster_safe_split": _q_cluster_safe_split,
+        "source_checksums": _q_source_checksums,
         # --- dedup (SQL-checked where expressible) ---
         "exact_dedup_docs": _q_exact_dedup,
         "bloom_dedup_docs": _q_bloom_dedup,
@@ -2782,6 +2797,12 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
             "count(DISTINCT g)::BIGINT AS n_distinct_shingles, "
             "1.0 - (count(DISTINCT g)::DOUBLE / count(*)) AS redundancy "
             "FROM w GROUP BY source"
+        ),
+        "source_checksums": (
+            "SELECT source, count(*)::BIGINT AS n_docs, "
+            "(sum(('0x' || substr(md5(text), 1, 16))::UBIGINT)::HUGEINT "
+            "% 18446744073709551616::HUGEINT)::UBIGINT AS checksum64 "
+            "FROM documents GROUP BY source"
         ),
         "cluster_safe_split": (
             "WITH c AS (SELECT doc_id, "

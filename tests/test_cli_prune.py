@@ -62,3 +62,24 @@ to_version = 1
     assert stats["removed_versions"] == [2, 3]
     assert stats["version"] == 1
     assert json.loads((state / "meta.json").read_text())["max_row_id"] == 10
+
+
+def test_cli_state_info(tmp_path):
+    state = tmp_path / "state"
+    for v in (1, 2):
+        os.makedirs(state / f"v{v:05d}" / "clusters")
+        (state / f"v{v:05d}" / "clusters" / "part.parquet").write_bytes(b"x" * (100 * v))
+    (state / "meta.json").write_text(json.dumps({"version": 2, "algo": "minhash"}))
+    config = tmp_path / "run.toml"
+    config.write_text(
+        f"""
+[algorithm]
+name = "state_info"
+state_dir = "{state}"
+"""
+    )
+    stats = _run(config)
+    assert stats["meta"]["version"] == 2
+    assert [v["version"] for v in stats["versions"]] == [1, 2]
+    assert stats["versions"][0]["bytes"] == 100
+    assert stats["reclaimable_bytes"] == 100

@@ -131,3 +131,59 @@ def test_shingle_redundancy_cross_doc_distinct():
     assert got["n_shingles"].tolist() == [4]
     assert got["n_distinct_shingles"].tolist() == [2]
     assert got["redundancy"].tolist() == [0.5]
+
+
+def test_content_checksums_match_duckdb_and_partition_invariant():
+    from text_dedup_ray.pipelines.corpus import content_checksums
+
+    t = _docs_table(seed=13)
+    got = content_checksums(ray.data.from_arrow(t)).to_pandas()
+    exp = duckdb.sql(
+        """
+        SELECT source, count(*)::BIGINT AS n_docs,
+               (sum(('0x' || substr(md5(text), 1, 16))::UBIGINT)::HUGEINT
+                % 18446744073709551616::HUGEINT)::UBIGINT AS checksum64
+        FROM t GROUP BY source ORDER BY source
+        """
+    ).fetchdf()
+    assert got["source"].tolist() == exp["source"].tolist()
+    assert got["n_docs"].tolist() == exp["n_docs"].tolist()
+    assert [int(v) for v in got["checksum64"]] == [int(v) for v in exp["checksum64"]]
+
+    rep = content_checksums(ray.data.from_arrow(t).repartition(7)).to_pandas()
+    assert rep.values.tolist() == got.values.tolist()
+
+
+def test_content_checksums_id_binding_detects_reassignment():
+    from text_dedup_ray.pipelines.corpus import content_checksums
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": ["alpha", "beta"],
+            "source": ["s", "s"],
+        }
+    )
+    swapped = pa.table(
+        {
+            "doc_id": pa.array([2, 1], pa.int64()),
+            "text": ["alpha", "beta"],
+            "source": ["s", "s"],
+        }
+    )
+    a = content_checksums(ray.data.from_arrow(t), id_column="doc_id")
+    b = content_checksums(ray.data.from_arrow(swapped), id_column="doc_id")
+    assert a["checksum64"][0].as_py() != b["checksum64"][0].as_py()
+    # without id binding the two corpora are content-identical
+    c = content_checksums(ray.data.from_arrow(t))
+    d = content_checksums(ray.data.from_arrow(swapped))
+    assert c["checksum64"][0].as_py() == d["checksum64"][0].as_py()
+
+
+def test_content_checksums_empty():
+    from text_dedup_ray.pipelines.corpus import content_checksums
+
+    t = _docs_table().slice(0, 0)
+    got = content_checksums(ray.data.from_arrow(t))
+    assert got.num_rows == 0
+    assert got.column_names == ["source", "n_docs", "checksum64"]

@@ -101,6 +101,46 @@ def main(argv: list[str] | None = None) -> None:
         )
         return
 
+    if name == "state_info":
+        # describe a tiered-index state dir: current meta + per-snapshot
+        # file/byte footprint (what prune_state would reclaim)
+        import os as _os
+        import re as _re
+
+        from .pipelines.incremental import load_meta
+
+        state_dir = algo.get("state_dir")
+        if not state_dir:
+            raise SystemExit("state_info needs algorithm.state_dir")
+        meta = load_meta(state_dir)
+        versions = []
+        for d in sorted(_os.listdir(state_dir)):
+            if not _re.fullmatch(r"v\d{5}", d):
+                continue
+            n_files = n_bytes = 0
+            for root, _dirs, files in _os.walk(_os.path.join(state_dir, d)):
+                for f in files:
+                    n_files += 1
+                    n_bytes += _os.path.getsize(_os.path.join(root, f))
+            versions.append(
+                {"version": int(d[1:]), "files": n_files, "bytes": n_bytes}
+            )
+        current = int(meta.get("version", 0))
+        print(
+            json.dumps(
+                {
+                    "algorithm": name,
+                    "state_dir": state_dir,
+                    "meta": meta,
+                    "versions": versions,
+                    "reclaimable_bytes": sum(
+                        v["bytes"] for v in versions if v["version"] < current
+                    ),
+                }
+            )
+        )
+        return
+
     if name == "rollback_state":
         # undo a bad batch: restore an earlier snapshot's meta (max_row_id
         # rewinds with it) and drop every newer version dir

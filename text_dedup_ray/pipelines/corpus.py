@@ -239,3 +239,84 @@ def shingle_redundancy(
             "redundancy": pa.array(1.0 - (dis.astype(np.float64) / tot)),
         }
     )
+
+
+def content_checksums(
+    ds: ray.data.Dataset,
+    text_column: str = "text",
+    group_column: str = "source",
+    id_column: str | None = None,
+) -> pa.Table:
+    """Order-independent per-group content checksums — the integrity stamp
+    a 100 TB pipeline records next to every export so a re-run, a restore,
+    or a migration can be byte-verified without re-reading both copies in
+    the same order. Per group: exact row count and ``checksum64`` = the
+    wrap-around (mod 2^64) sum of each row's md5-prefix-64 — commutative,
+    so any partitioning/order reproduces it, and (unlike XOR) duplicate
+    PAIRS don't cancel. When ``id_column`` is given the hashed string is
+    ``f"{id}\\x00{text}"`` so reassigning ids is detected too.
+
+    Scale shape: one stateless pass emits a (groups)-sized partial per
+    block (two uint64s per group); only O(blocks x groups) rows reach the
+    driver fold — group counts are bounded (sources/languages)."""
+    import pandas as pd
+
+    group_type = ds.schema().base_schema.field(group_column).type
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                group_column: pa.array([], group_type),
+                "__n": pa.array([], pa.int64()),
+                "__ck": pa.array([], pa.uint64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        texts = batch[text_column].to_pylist()
+        if id_column is not None:
+            ids = batch[id_column].to_pylist()
+            keys = (f"{i}\x00{t or ''}".encode() for i, t in zip(ids, texts))
+        else:
+            keys = ((t or "").encode() for t in texts)
+        h = np.fromiter(
+            (int(hashlib.md5(k).hexdigest()[:16], 16) for k in keys),
+            np.uint64,
+            count=batch.num_rows,
+        )
+        enc = batch[group_column].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ng = len(enc.dictionary)
+        n = np.bincount(codes, minlength=ng).astype(np.int64)
+        ck = np.zeros(ng, np.uint64)
+        np.add.at(ck, codes, h)  # uint64 wraps mod 2^64 by construction
+        return pa.table(
+            {
+                group_column: enc.dictionary,
+                "__n": pa.array(n),
+                "__ck": pa.array(ck),
+            }
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).take_all()
+    if not rows:
+        return pa.table(
+            {
+                group_column: pa.array([], group_type),
+                "n_docs": pa.array([], pa.int64()),
+                "checksum64": pa.array([], pa.uint64()),
+            }
+        )
+    df = pd.DataFrame(rows)
+    g = df.groupby(group_column, as_index=False).agg(
+        n_docs=("__n", "sum"),
+        checksum64=("__ck", lambda s: np.sum(s.to_numpy(np.uint64), dtype=np.uint64)),
+    )
+    g = g.sort_values(group_column).reset_index(drop=True)
+    return pa.table(
+        {
+            group_column: pa.array(g[group_column], group_type),
+            "n_docs": pa.array(g["n_docs"].to_numpy(np.int64)),
+            "checksum64": pa.array(g["checksum64"].to_numpy(np.uint64)),
+        }
+    )
