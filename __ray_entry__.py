@@ -449,6 +449,18 @@ def _q_shingle_redundancy(sf_dir: str):
     )
 
 
+def _q_top_bigrams(sf_dir: str):
+    """Corpus-wide phrase heavy hitters: exact top-50 word bigrams
+    (pre-pruned exchange — only P x n candidates reach the driver)."""
+    from text_dedup_ray.pipelines.corpus import top_frequent_ngrams
+
+    return ray.data.from_arrow(
+        top_frequent_ngrams(
+            _docs(sf_dir, ["doc_id", "text"]), ngram=2, n=50, num_partitions=16
+        )
+    )
+
+
 def _q_source_checksums(sf_dir: str):
     """Order-independent per-source integrity stamp: row count + wrap-sum
     (mod 2^64) of md5-prefix-64 per row — any partitioning reproduces it."""
@@ -2569,6 +2581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_shingle_redundancy": _q_shingle_redundancy,
         "cluster_safe_split": _q_cluster_safe_split,
         "source_checksums": _q_source_checksums,
+        "top_bigrams": _q_top_bigrams,
         # --- dedup (SQL-checked where expressible) ---
         "exact_dedup_docs": _q_exact_dedup,
         "bloom_dedup_docs": _q_bloom_dedup,
@@ -2797,6 +2810,14 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
             "count(DISTINCT g)::BIGINT AS n_distinct_shingles, "
             "1.0 - (count(DISTINCT g)::DOUBLE / count(*)) AS redundancy "
             "FROM w GROUP BY source"
+        ),
+        "top_bigrams": (
+            "WITH tk AS (SELECT regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts "
+            "FROM documents), "
+            "w AS (SELECT unnest(list_transform(generate_series(1, len(ts) - 1), "
+            "j -> array_to_string(ts[j:j+1], ' '))) AS g FROM tk WHERE len(ts) >= 2) "
+            "SELECT g AS gram, count(*)::BIGINT AS cnt FROM w GROUP BY g "
+            "ORDER BY cnt DESC, gram ASC LIMIT 50"
         ),
         "source_checksums": (
             "SELECT source, count(*)::BIGINT AS n_docs, "

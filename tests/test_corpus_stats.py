@@ -187,3 +187,38 @@ def test_content_checksums_empty():
     got = content_checksums(ray.data.from_arrow(t))
     assert got.num_rows == 0
     assert got.column_names == ["source", "n_docs", "checksum64"]
+
+
+def test_top_frequent_ngrams_match_duckdb():
+    from text_dedup_ray.pipelines.corpus import top_frequent_ngrams
+
+    t = _docs_table(seed=21)
+    got = top_frequent_ngrams(
+        ray.data.from_arrow(t), ngram=2, n=25, num_partitions=5
+    ).to_pandas()
+    exp = duckdb.sql(
+        """
+        WITH tk AS (SELECT regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts FROM t),
+        w AS (SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+                     j -> array_to_string(ts[j:j+1], ' '))) AS g
+              FROM tk WHERE len(ts) >= 2)
+        SELECT g AS gram, count(*)::BIGINT AS cnt FROM w GROUP BY g
+        ORDER BY cnt DESC, gram ASC LIMIT 25
+        """
+    ).fetchdf()
+    assert got["gram"].tolist() == exp["gram"].tolist()
+    assert got["cnt"].tolist() == exp["cnt"].tolist()
+
+
+def test_top_frequent_ngrams_partition_invariance_and_empty():
+    from text_dedup_ray.pipelines.corpus import top_frequent_ngrams
+
+    t = _docs_table(seed=23)
+    a = top_frequent_ngrams(ray.data.from_arrow(t), ngram=3, n=10, num_partitions=2)
+    b = top_frequent_ngrams(
+        ray.data.from_arrow(t).repartition(9), ngram=3, n=10, num_partitions=7
+    )
+    assert a.to_pydict() == b.to_pydict()
+
+    e = top_frequent_ngrams(ray.data.from_arrow(t.slice(0, 0)), ngram=2, n=5)
+    assert e.num_rows == 0 and e.column_names == ["gram", "cnt"]

@@ -320,3 +320,114 @@ def content_checksums(
             "checksum64": pa.array(g["checksum64"].to_numpy(np.uint64)),
         }
     )
+
+
+def _ngram_counts_partial(
+    batch: pa.Table, text_column: str, ngram: int, num_partitions: int
+) -> pa.Table:
+    """Block-local (gram, cnt, part) partials — one row per DISTINCT
+    ``ngram``-gram per block. Same vectorized kernel shape as
+    ``_shingle_partial`` (Arrow split tokenizer, void-view np.unique over
+    code tuples) but emits the gram STRING: only block-distinct windows
+    are ever joined into strings."""
+    empty = pa.table(
+        {
+            "gram": pa.array([], pa.string()),
+            "cnt": pa.array([], pa.int64()),
+            _PART: pa.array([], pa.int64()),
+        }
+    )
+    if batch.num_rows == 0:
+        return empty
+    import pyarrow.compute as pc
+
+    splits = pc.split_pattern_regex(
+        pc.utf8_lower(batch[text_column].combine_chunks()), "[^a-z0-9_]+"
+    )
+    flat = pc.list_flatten(splits)
+    nonempty_m = pc.greater(pc.utf8_length(flat), 0)
+    if not pc.any(nonempty_m).as_py():
+        return empty
+    parents = pc.list_parent_indices(splits).to_numpy(zero_copy_only=False)
+    par = parents[nonempty_m.to_numpy(zero_copy_only=False)].astype(np.int64)
+    enc = flat.filter(nonempty_m).dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq_toks = np.asarray(enc.dictionary.to_pandas(), dtype=object)
+    n_tok = len(codes)
+    if n_tok < ngram:
+        return empty
+    valid = par[: n_tok - ngram + 1] == par[ngram - 1 :]
+    if not valid.any():
+        return empty
+    starts = np.flatnonzero(valid)
+    win = np.empty((len(starts), ngram), np.int64)
+    for k in range(ngram):
+        win[:, k] = codes[starts + k]
+    wv = np.ascontiguousarray(win).view([("", np.int64)] * ngram).ravel()
+    uwin, cnt = np.unique(wv, return_counts=True)
+    uwin_codes = uwin.view(np.int64).reshape(-1, ngram)
+    grams = np.array(
+        [" ".join(uniq_toks[c] for c in row) for row in uwin_codes], object
+    )
+    import pandas as pd
+
+    part = (pd.util.hash_array(grams) % np.uint64(num_partitions)).astype(np.int64)
+    return pa.table(
+        {
+            "gram": pa.array(grams, pa.string()),
+            "cnt": pa.array(cnt.astype(np.int64)),
+            _PART: pa.array(part),
+        }
+    )
+
+
+def top_frequent_ngrams(
+    ds: ray.data.Dataset,
+    text_column: str = "text",
+    ngram: int = 2,
+    n: int = 100,
+    num_partitions: int = 32,
+) -> pa.Table:
+    """EXACT corpus-wide top-``n`` most frequent word ``ngram``-grams,
+    (gram, cnt) ordered by cnt desc then gram asc — the phrase-level heavy
+    hitters that drive boilerplate detection and stop-phrase lists (the
+    n>1 sibling of ``textops.top_frequent_tokens``).
+
+    Scale shape: blocks emit one (gram, cnt) row per block-DISTINCT gram;
+    the exchange co-locates every copy of a gram so per-partition sums are
+    exact; each partition keeps its local top-n (the global top-n is a
+    subset of the union) and the driver folds P x n candidates."""
+    pre = ds.map_batches(
+        lambda b: _ngram_counts_partial(b, text_column, ngram, num_partitions),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    def reduce(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"gram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+        )
+        if group.num_rows == 0 or "gram" not in group.column_names:
+            return empty
+        summed = (
+            group.select(["gram", "cnt"]).group_by(["gram"]).aggregate([("cnt", "sum")])
+        )
+        s = summed.sort_by([("cnt_sum", "descending"), ("gram", "ascending")])
+        return pa.table(
+            {"gram": s["gram"], "cnt": s["cnt_sum"].cast(pa.int64())}
+        ).slice(0, n)
+
+    cand = hash_partition_exchange(pre, _PART, num_partitions, reduce).to_pandas()
+    if cand.empty:
+        return pa.table(
+            {"gram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+        )
+    cand = cand.sort_values(
+        ["cnt", "gram"], ascending=[False, True], kind="stable"
+    ).head(n)
+    return pa.table(
+        {
+            "gram": pa.array(cand["gram"].tolist(), pa.string()),
+            "cnt": pa.array(cand["cnt"].to_numpy(), pa.int64()),
+        }
+    )
