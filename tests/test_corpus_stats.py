@@ -222,3 +222,26 @@ def test_top_frequent_ngrams_partition_invariance_and_empty():
 
     e = top_frequent_ngrams(ray.data.from_arrow(t.slice(0, 0)), ngram=2, n=5)
     assert e.num_rows == 0 and e.column_names == ["gram", "cnt"]
+
+
+def test_temperature_weights_all_zero_sizes_null_weight():
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "lang": ["en", "fr"],
+            "n_chars": pa.array([0, 0], pa.int64()),
+        }
+    )
+    got = temperature_weights(ray.data.from_arrow(t)).to_pandas()
+    exp = duckdb.sql(
+        """
+        WITH g AS (SELECT lang, count(*)::BIGINT AS n_docs,
+                          sum(n_chars)::BIGINT AS n_units FROM t GROUP BY lang)
+        SELECT lang, n_docs, n_units, power(n_units, 0.3) AS pow_alpha,
+               power(n_units, 0.3) / max(power(n_units, 0.3)) OVER ()
+                   AS sampling_weight
+        FROM g ORDER BY lang
+        """
+    ).fetchdf()
+    assert got["pow_alpha"].tolist() == [0.0, 0.0]
+    assert got["sampling_weight"].isna().all() and exp["sampling_weight"].isna().all()

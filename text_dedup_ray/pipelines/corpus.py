@@ -77,13 +77,21 @@ def temperature_weights(
     tbl = tbl.sort_by([(group_column, "ascending")])
     n_units = tbl[size_column].to_numpy(zero_copy_only=False).astype(np.int64)
     pw = np.power(n_units.astype(np.float64), np.float64(alpha))
+    mx = pw.max()
+    # all-zero sizes: SQL's x / max = 0/0 is NULL, numpy's is NaN — emit
+    # nulls so the degenerate corpus matches the oracle too
+    sw = (
+        pa.array([None] * len(pw), pa.float64())
+        if mx == 0.0
+        else pa.array(pw / mx)
+    )
     return pa.table(
         {
             group_column: tbl[group_column],
             "n_docs": tbl["n_docs"].cast(pa.int64()),
             "n_units": pa.array(n_units),
             "pow_alpha": pa.array(pw),
-            "sampling_weight": pa.array(pw / pw.max()),
+            "sampling_weight": sw,
         }
     )
 
