@@ -449,6 +449,22 @@ def _q_shingle_redundancy(sf_dir: str):
     )
 
 
+def _q_shingle_hll(sf_dir: str):
+    """Per-source HLL registers over the 3-gram shingle stream — the
+    sketch-based scale path for distinct-shingle counting (fixed-size
+    integer registers move instead of per-shingle keys)."""
+    from text_dedup_ray.pipelines.corpus import shingle_hll_registers
+
+    return shingle_hll_registers(
+        _docs(sf_dir, ["doc_id", "text", "source"]),
+        text_column="text",
+        group_column="source",
+        ngram=3,
+        precision=6,
+        num_partitions=8,
+    )
+
+
 def _q_top_bigrams(sf_dir: str):
     """Corpus-wide phrase heavy hitters: exact top-50 word bigrams
     (pre-pruned exchange — only P x n candidates reach the driver)."""
@@ -2582,6 +2598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_safe_split": _q_cluster_safe_split,
         "source_checksums": _q_source_checksums,
         "top_bigrams": _q_top_bigrams,
+        "source_shingle_hll_registers": _q_shingle_hll,
         # --- dedup (SQL-checked where expressible) ---
         "exact_dedup_docs": _q_exact_dedup,
         "bloom_dedup_docs": _q_bloom_dedup,
@@ -2810,6 +2827,23 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
             "count(DISTINCT g)::BIGINT AS n_distinct_shingles, "
             "1.0 - (count(DISTINCT g)::DOUBLE / count(*)) AS redundancy "
             "FROM w GROUP BY source"
+        ),
+        "source_shingle_hll_registers": (
+            "WITH tk AS (SELECT source, regexp_extract_all(lower(text), '[a-z0-9_]+') "
+            "AS ts FROM documents), "
+            "g AS (SELECT source, unnest(list_transform(generate_series(1, len(ts) - 2), "
+            "j -> array_to_string(ts[j:j+2], ' '))) AS gr FROM tk WHERE len(ts) >= 3), "
+            "h AS (SELECT source, ('0x' || substr(md5(gr), 1, 16))::UBIGINT AS hv FROM g), "
+            "b AS (SELECT source, (hv >> 58)::BIGINT AS idx, "
+            "hv & ((1::UBIGINT << 58) - 1) AS low FROM h), "
+            "s1 AS (SELECT source, idx, low | (low >> 1) AS x FROM b), "
+            "s2 AS (SELECT source, idx, x | (x >> 2) AS x FROM s1), "
+            "s3 AS (SELECT source, idx, x | (x >> 4) AS x FROM s2), "
+            "s4 AS (SELECT source, idx, x | (x >> 8) AS x FROM s3), "
+            "s5 AS (SELECT source, idx, x | (x >> 16) AS x FROM s4), "
+            "s6 AS (SELECT source, idx, x | (x >> 32) AS x FROM s5) "
+            "SELECT source, idx, max((58 - bit_count(x))::BIGINT + 1) AS rank "
+            "FROM s6 GROUP BY source, idx"
         ),
         "top_bigrams": (
             "WITH tk AS (SELECT regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts "

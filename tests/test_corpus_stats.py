@@ -245,3 +245,75 @@ def test_temperature_weights_all_zero_sizes_null_weight():
     ).fetchdf()
     assert got["pow_alpha"].tolist() == [0.0, 0.0]
     assert got["sampling_weight"].isna().all() and exp["sampling_weight"].isna().all()
+
+
+def _shingle_hll_oracle_sql(table: str, ngram: int, p: int) -> str:
+    w = 64 - p
+    return f"""
+WITH tk AS (SELECT source, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+            FROM {table}),
+g AS (SELECT source, unnest(list_transform(generate_series(1, len(ts) - {ngram - 1}),
+        j -> array_to_string(ts[j:j+{ngram - 1}], ' '))) AS gr
+      FROM tk WHERE len(ts) >= {ngram}),
+h AS (SELECT source, ('0x' || substr(md5(gr), 1, 16))::UBIGINT AS hv FROM g),
+b AS (SELECT source, (hv >> {w})::BIGINT AS idx,
+             hv & ((1::UBIGINT << {w}) - 1) AS low FROM h),
+s1 AS (SELECT source, idx, low | (low >> 1) AS x FROM b),
+s2 AS (SELECT source, idx, x | (x >> 2) AS x FROM s1),
+s3 AS (SELECT source, idx, x | (x >> 4) AS x FROM s2),
+s4 AS (SELECT source, idx, x | (x >> 8) AS x FROM s3),
+s5 AS (SELECT source, idx, x | (x >> 16) AS x FROM s4),
+s6 AS (SELECT source, idx, x | (x >> 32) AS x FROM s5)
+SELECT source, idx, max(({w} - bit_count(x))::BIGINT + 1) AS rank
+FROM s6 GROUP BY source, idx
+"""
+
+
+def test_shingle_hll_registers_match_duckdb():
+    from text_dedup_ray.pipelines.corpus import shingle_hll_registers
+
+    t = _docs_table(seed=31)
+    got = (
+        shingle_hll_registers(
+            ray.data.from_arrow(t), ngram=2, precision=6, num_partitions=3
+        )
+        .to_pandas()
+        .sort_values(["source", "idx"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        duckdb.sql(_shingle_hll_oracle_sql("t", 2, 6))
+        .fetchdf()
+        .sort_values(["source", "idx"])
+        .reset_index(drop=True)
+    )
+    assert got.values.tolist() == exp.values.tolist()
+
+
+def test_shingle_count_approx_error_bound_and_invariance():
+    from text_dedup_ray.pipelines.corpus import shingle_count_approx
+
+    t = _docs_table(seed=33, n=500)
+    got = (
+        shingle_count_approx(
+            ray.data.from_arrow(t), ngram=2, precision=12, num_partitions=3
+        )
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    exact = _redundancy_oracle(t, 2)
+    assert got["source"].tolist() == exact["source"].tolist()
+    for est, true in zip(got["approx_distinct_shingles"], exact["n_distinct_shingles"]):
+        assert abs(est - true) <= max(5.0, 5 * 1.04 / (2**6) * true)
+
+    rep = (
+        shingle_count_approx(
+            ray.data.from_arrow(t).repartition(9), ngram=2, precision=12,
+            num_partitions=7,
+        )
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    assert rep.values.tolist() == got.values.tolist()

@@ -96,6 +96,57 @@ def temperature_weights(
     )
 
 
+def _block_windows(batch: pa.Table, text_column: str, ngram: int):
+    """Shared vectorized window kernel: tokenize (Arrow lower + split on the
+    token-class complement), build all within-doc sliding ``ngram`` windows,
+    and find the block-DISTINCT windows on CODE tuples (a void-view
+    np.unique) — strings are only materialized later, for distinct windows.
+
+    Returns ``(uniq_toks, uwin_codes, winv, doc_idx)`` — the distinct-token
+    array, the [U x n] token-code matrix of distinct windows, each window
+    occurrence's distinct-window index, and its source-row index — or
+    ``None`` when the block yields no window."""
+    if batch.num_rows == 0:
+        return None
+    import pyarrow.compute as pc
+
+    splits = pc.split_pattern_regex(
+        pc.utf8_lower(batch[text_column].combine_chunks()), "[^a-z0-9_]+"
+    )
+    flat = pc.list_flatten(splits)
+    nonempty_m = pc.greater(pc.utf8_length(flat), 0)
+    if not pc.any(nonempty_m).as_py():
+        return None
+    parents = pc.list_parent_indices(splits).to_numpy(zero_copy_only=False)
+    par = parents[nonempty_m.to_numpy(zero_copy_only=False)].astype(np.int64)
+    enc = flat.filter(nonempty_m).dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq_toks = np.asarray(enc.dictionary.to_pandas(), dtype=object)
+    n_tok = len(codes)
+    if n_tok < ngram:
+        return None
+    # window j is valid iff tokens j..j+n-1 belong to the same doc
+    valid = par[: n_tok - ngram + 1] == par[ngram - 1 :]
+    if not valid.any():
+        return None
+    starts = np.flatnonzero(valid)
+    win = np.empty((len(starts), ngram), np.int64)
+    for k in range(ngram):
+        win[:, k] = codes[starts + k]
+    wv = np.ascontiguousarray(win).view([("", np.int64)] * ngram).ravel()
+    uwin, winv = np.unique(wv, return_inverse=True)
+    uwin_codes = uwin.view(np.int64).reshape(-1, ngram)
+    return uniq_toks, uwin_codes, winv, par[starts]
+
+
+def _join_windows(uniq_toks: np.ndarray, uwin_codes: np.ndarray) -> np.ndarray:
+    """Space-join the distinct windows into gram strings (U-bounded loop —
+    the lines.py contract: Python work per block-DISTINCT item only)."""
+    return np.array(
+        [" ".join(uniq_toks[c] for c in row) for row in uwin_codes], object
+    )
+
+
 def _shingle_partial(
     batch: pa.Table,
     text_column: str,
@@ -105,10 +156,7 @@ def _shingle_partial(
     group_type: pa.DataType,
 ) -> pa.Table:
     """Distinct (group, shingle-md5) pairs with occurrence counts for one
-    block. Tokenize is the shared Arrow split kernel (lower + split on the
-    token-class complement); window uniqueness is found on CODE tuples (a
-    void-view np.unique), so only the block-DISTINCT shingles are ever
-    joined into strings and md5'd."""
+    block — only the block-DISTINCT shingles are ever joined and md5'd."""
     empty = pa.table(
         {
             group_column: pa.array([], group_type),
@@ -117,41 +165,15 @@ def _shingle_partial(
             _PART: pa.array([], pa.int64()),
         }
     )
-    if batch.num_rows == 0:
+    w = _block_windows(batch, text_column, ngram)
+    if w is None:
         return empty
-    import pyarrow.compute as pc
-
-    splits = pc.split_pattern_regex(
-        pc.utf8_lower(batch[text_column].combine_chunks()), "[^a-z0-9_]+"
-    )
-    flat = pc.list_flatten(splits)
-    nonempty_m = pc.greater(pc.utf8_length(flat), 0)
-    if not pc.any(nonempty_m).as_py():
-        return empty
-    parents = pc.list_parent_indices(splits).to_numpy(zero_copy_only=False)
-    par = parents[nonempty_m.to_numpy(zero_copy_only=False)].astype(np.int64)
-    enc = flat.filter(nonempty_m).dictionary_encode()
-    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    uniq_toks = np.asarray(enc.dictionary.to_pandas(), dtype=object)
-    n_tok = len(codes)
-    if n_tok < ngram:
-        return empty
-    # window j is valid iff tokens j..j+n-1 belong to the same doc
-    valid = par[: n_tok - ngram + 1] == par[ngram - 1 :]
-    if not valid.any():
-        return empty
-    starts = np.flatnonzero(valid)
-    win = np.empty((len(starts), ngram), np.int64)
-    for k in range(ngram):
-        win[:, k] = codes[starts + k]
-    wv = np.ascontiguousarray(win).view([("", np.int64)] * ngram).ravel()
-    uwin, winv = np.unique(wv, return_inverse=True)
-    uwin_codes = uwin.view(np.int64).reshape(-1, ngram)
+    uniq_toks, uwin_codes, winv, doc_idx = w
     # group identity per window occurrence = the doc's group value
     genc = batch[group_column].combine_chunks().dictionary_encode()
     gcodes_doc = genc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    gcode = gcodes_doc[par[starts]]
-    n_uwin = len(uwin)
+    gcode = gcodes_doc[doc_idx]
+    n_uwin = len(uwin_codes)
     combo = gcode * n_uwin + winv
     ukey, cnt = np.unique(combo, return_counts=True)
     g_idx = (ukey // n_uwin).astype(np.int64)
@@ -159,9 +181,8 @@ def _shingle_partial(
     # md5 only the block-distinct shingles (the lines.py contract)
     digests = np.empty(n_uwin, object)
     parts = np.empty(n_uwin, np.int64)
-    for i in range(n_uwin):
-        s = " ".join(uniq_toks[c] for c in uwin_codes[i])
-        d = hashlib.md5(s.encode()).digest()
+    for i, row in enumerate(uwin_codes):
+        d = hashlib.md5(" ".join(uniq_toks[c] for c in row).encode()).digest()
         digests[i] = d
         parts[i] = int.from_bytes(d[:8], "little") % num_partitions
     return pa.table(
@@ -334,10 +355,8 @@ def _ngram_counts_partial(
     batch: pa.Table, text_column: str, ngram: int, num_partitions: int
 ) -> pa.Table:
     """Block-local (gram, cnt, part) partials — one row per DISTINCT
-    ``ngram``-gram per block. Same vectorized kernel shape as
-    ``_shingle_partial`` (Arrow split tokenizer, void-view np.unique over
-    code tuples) but emits the gram STRING: only block-distinct windows
-    are ever joined into strings."""
+    ``ngram``-gram per block, via the shared window kernel; only
+    block-distinct windows are ever joined into strings."""
     empty = pa.table(
         {
             "gram": pa.array([], pa.string()),
@@ -345,47 +364,110 @@ def _ngram_counts_partial(
             _PART: pa.array([], pa.int64()),
         }
     )
-    if batch.num_rows == 0:
+    w = _block_windows(batch, text_column, ngram)
+    if w is None:
         return empty
-    import pyarrow.compute as pc
-
-    splits = pc.split_pattern_regex(
-        pc.utf8_lower(batch[text_column].combine_chunks()), "[^a-z0-9_]+"
-    )
-    flat = pc.list_flatten(splits)
-    nonempty_m = pc.greater(pc.utf8_length(flat), 0)
-    if not pc.any(nonempty_m).as_py():
-        return empty
-    parents = pc.list_parent_indices(splits).to_numpy(zero_copy_only=False)
-    par = parents[nonempty_m.to_numpy(zero_copy_only=False)].astype(np.int64)
-    enc = flat.filter(nonempty_m).dictionary_encode()
-    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    uniq_toks = np.asarray(enc.dictionary.to_pandas(), dtype=object)
-    n_tok = len(codes)
-    if n_tok < ngram:
-        return empty
-    valid = par[: n_tok - ngram + 1] == par[ngram - 1 :]
-    if not valid.any():
-        return empty
-    starts = np.flatnonzero(valid)
-    win = np.empty((len(starts), ngram), np.int64)
-    for k in range(ngram):
-        win[:, k] = codes[starts + k]
-    wv = np.ascontiguousarray(win).view([("", np.int64)] * ngram).ravel()
-    uwin, cnt = np.unique(wv, return_counts=True)
-    uwin_codes = uwin.view(np.int64).reshape(-1, ngram)
-    grams = np.array(
-        [" ".join(uniq_toks[c] for c in row) for row in uwin_codes], object
-    )
+    uniq_toks, uwin_codes, winv, _doc_idx = w
+    cnt = np.bincount(winv, minlength=len(uwin_codes)).astype(np.int64)
+    grams = _join_windows(uniq_toks, uwin_codes)
     import pandas as pd
 
     part = (pd.util.hash_array(grams) % np.uint64(num_partitions)).astype(np.int64)
     return pa.table(
         {
             "gram": pa.array(grams, pa.string()),
-            "cnt": pa.array(cnt.astype(np.int64)),
+            "cnt": pa.array(cnt),
             _PART: pa.array(part),
         }
+    )
+
+
+def explode_distinct_shingles(
+    ds: ray.data.Dataset,
+    text_column: str = "text",
+    group_column: str = "source",
+    ngram: int = 3,
+) -> ray.data.Dataset:
+    """Block-distinct ``(group, gram)`` pairs — the streaming input for
+    sketch-based shingle statistics. Emitting only the block-DISTINCT
+    pairs is LOSSLESS for sketches whose merge is a max/presence fold
+    (HLL registers: a duplicate occurrence can never raise a register's
+    max rank), and bounds the exploded volume by block-distinct grams,
+    never occurrences."""
+    group_type = ds.schema().base_schema.field(group_column).type
+
+    def f(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                group_column: pa.array([], group_type),
+                "gram": pa.array([], pa.string()),
+            }
+        )
+        w = _block_windows(batch, text_column, ngram)
+        if w is None:
+            return empty
+        uniq_toks, uwin_codes, winv, doc_idx = w
+        genc = batch[group_column].combine_chunks().dictionary_encode()
+        gcodes_doc = genc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        gcode = gcodes_doc[doc_idx]
+        n_uwin = len(uwin_codes)
+        upair = np.unique(gcode * n_uwin + winv)
+        g_idx = (upair // n_uwin).astype(np.int64)
+        w_idx = (upair % n_uwin).astype(np.int64)
+        grams = _join_windows(uniq_toks, uwin_codes)
+        return pa.table(
+            {
+                group_column: genc.dictionary.take(pa.array(g_idx)),
+                "gram": pa.array(grams[w_idx], pa.string()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+def shingle_hll_registers(
+    ds: ray.data.Dataset,
+    text_column: str = "text",
+    group_column: str = "source",
+    ngram: int = 3,
+    precision: int = 8,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """The 100 TB scale path for :func:`shingle_redundancy`'s distinct
+    count: per-group HyperLogLog registers over the shingle stream.
+    Exact distinct counting moves one 16-byte key per block-distinct
+    shingle; the sketch moves only fixed-size integer registers — at
+    web scale that is the difference between a corpus-sized exchange and
+    a KB-sized one. The register table is all-integer, exactly
+    partition-invariant, and SQL-recomputable (the oracle surface, same
+    contract as ``events_user_hll_registers``)."""
+    from .sketch import hll_registers
+
+    pairs = explode_distinct_shingles(ds, text_column, group_column, ngram)
+    return hll_registers(
+        pairs, "gram", key=group_column, precision=precision,
+        num_partitions=num_partitions,
+    )
+
+
+def shingle_count_approx(
+    ds: ray.data.Dataset,
+    text_column: str = "text",
+    group_column: str = "source",
+    ngram: int = 3,
+    precision: int = 12,
+    num_partitions: int = 8,
+    alias: str = "approx_distinct_shingles",
+) -> ray.data.Dataset:
+    """Approximate per-group distinct-shingle count from the HLL fold —
+    the estimate companion to :func:`shingle_hll_registers` (error bound
+    ~1.04/sqrt(2^precision), pytest-checked against the exact counts)."""
+    from .sketch import approx_count_distinct
+
+    pairs = explode_distinct_shingles(ds, text_column, group_column, ngram)
+    return approx_count_distinct(
+        pairs, "gram", key=group_column, precision=precision,
+        num_partitions=num_partitions, alias=alias,
     )
 
 
