@@ -465,6 +465,50 @@ def _q_shingle_hll(sf_dir: str):
     )
 
 
+def _q_shingle_hll_incremental(sf_dir: str):
+    """Tiered SKETCH state: bootstrap the per-source shingle-HLL registers
+    on ~80% of doc ids, increment with the rest — the saved registers are
+    bit-identical to a full run over all docs (HLL max-merge is the exact
+    union), so the batch register oracle applies verbatim."""
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from text_dedup_ray.pipelines.corpus import explode_distinct_shingles
+    from text_dedup_ray.pipelines.incremental_sketch import (
+        hll_state_bootstrap,
+        hll_state_increment,
+        hll_state_registers,
+    )
+
+    docs = _docs(sf_dir, ["doc_id", "text", "source"])
+    cut = int(docs.max("doc_id") * 0.8)
+
+    def split(keep_old: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = pc.less_equal(t["doc_id"], pa.scalar(cut, pa.int64()))
+            return t.filter(m if keep_old else pc.invert(m))
+
+        return f
+
+    state = tempfile.mkdtemp(prefix="shingle_hll_state_", dir="/tmp")
+    hll_state_bootstrap(
+        explode_distinct_shingles(
+            docs.map_batches(split(True), batch_format="pyarrow"),
+            text_column="text", group_column="source", ngram=3,
+        ),
+        state, "gram", key="source", precision=6, num_partitions=8,
+    )
+    hll_state_increment(
+        explode_distinct_shingles(
+            docs.map_batches(split(False), batch_format="pyarrow"),
+            text_column="text", group_column="source", ngram=3,
+        ),
+        state,
+    )
+    return ray.data.from_arrow(hll_state_registers(state))
+
+
 def _q_top_bigrams(sf_dir: str):
     """Corpus-wide phrase heavy hitters: exact top-50 word bigrams
     (pre-pruned exchange — only P x n candidates reach the driver)."""
@@ -2599,6 +2643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_checksums": _q_source_checksums,
         "top_bigrams": _q_top_bigrams,
         "source_shingle_hll_registers": _q_shingle_hll,
+        "shingle_hll_incremental": _q_shingle_hll_incremental,
         # --- dedup (SQL-checked where expressible) ---
         "exact_dedup_docs": _q_exact_dedup,
         "bloom_dedup_docs": _q_bloom_dedup,
@@ -2829,6 +2874,25 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
             "FROM w GROUP BY source"
         ),
         "source_shingle_hll_registers": (
+            "WITH tk AS (SELECT source, regexp_extract_all(lower(text), '[a-z0-9_]+') "
+            "AS ts FROM documents), "
+            "g AS (SELECT source, unnest(list_transform(generate_series(1, len(ts) - 2), "
+            "j -> array_to_string(ts[j:j+2], ' '))) AS gr FROM tk WHERE len(ts) >= 3), "
+            "h AS (SELECT source, ('0x' || substr(md5(gr), 1, 16))::UBIGINT AS hv FROM g), "
+            "b AS (SELECT source, (hv >> 58)::BIGINT AS idx, "
+            "hv & ((1::UBIGINT << 58) - 1) AS low FROM h), "
+            "s1 AS (SELECT source, idx, low | (low >> 1) AS x FROM b), "
+            "s2 AS (SELECT source, idx, x | (x >> 2) AS x FROM s1), "
+            "s3 AS (SELECT source, idx, x | (x >> 4) AS x FROM s2), "
+            "s4 AS (SELECT source, idx, x | (x >> 8) AS x FROM s3), "
+            "s5 AS (SELECT source, idx, x | (x >> 16) AS x FROM s4), "
+            "s6 AS (SELECT source, idx, x | (x >> 32) AS x FROM s5) "
+            "SELECT source, idx, max((58 - bit_count(x))::BIGINT + 1) AS rank "
+            "FROM s6 GROUP BY source, idx"
+        ),
+        # identical recompute as source_shingle_hll_registers: the tiered
+        # state is proven bit-identical to the batch run (HLL max-merge)
+        "shingle_hll_incremental": (
             "WITH tk AS (SELECT source, regexp_extract_all(lower(text), '[a-z0-9_]+') "
             "AS ts FROM documents), "
             "g AS (SELECT source, unnest(list_transform(generate_series(1, len(ts) - 2), "

@@ -1,0 +1,189 @@
+"""Tiered SKETCH state — the incremental pattern applied to corpus
+statistics instead of dedup indexes.
+
+HyperLogLog registers merge by per-register MAX, so a saved register table
+plus the registers of a new batch fold to EXACTLY the registers of a full
+re-run over old ∪ new — the same state ≡ re-run guarantee the dedup
+families prove, but with a state footprint of fixed-size integers
+(m × groups rows) instead of a corpus-sized index. That makes daily
+"distinct shingles per source" (or any keyed HLL stat) a constant-cost
+increment at 100 TB: fingerprint only the new batch, one small max-merge,
+never re-reading old data.
+
+State layout follows the shared tiered convention (``meta.json`` +
+self-contained ``v%05d`` snapshots, meta sidecar per version), so
+``prune_state_versions`` / ``rollback_state`` / the ``state_info`` CLI work
+on sketch state unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from .incremental import (
+    _clean_version_dir,
+    _version_dir,
+    _write_meta,
+    load_meta,
+)
+from ..state.checkpoint import config_hash
+
+_ALGO = "hll_sketch"
+
+
+def _registers_path(state_dir: str, version: int) -> str:
+    return os.path.join(_version_dir(state_dir, version), "registers.parquet")
+
+
+def _cfg_hash(column: str, key: str | None, precision: int) -> str:
+    return config_hash(
+        {"algo": _ALGO, "column": column, "key": key, "precision": precision}
+    )
+
+
+def _registers_of(
+    ds: ray.data.Dataset, column: str, key: str | None, precision: int,
+    num_partitions: int,
+) -> pa.Table:
+    from .sketch import hll_registers
+
+    tabs = [
+        t
+        for t in ray.get(
+            hll_registers(
+                ds, column, key=key, precision=precision,
+                num_partitions=num_partitions,
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not tabs:
+        key_type = ds.schema().base_schema.field(key).type if key else None
+        cols = {}
+        if key:
+            cols[key] = pa.array([], key_type)
+        cols["idx"] = pa.array([], pa.int64())
+        cols["rank"] = pa.array([], pa.int64())
+        return pa.table(cols)
+    return pa.concat_tables(tabs, promote_options="permissive")
+
+
+def _max_merge(a: pa.Table, b: pa.Table, key: str | None) -> pa.Table:
+    """Per-(key, idx) MAX of ranks — the exact HLL union."""
+    both = pa.concat_tables([a, b], promote_options="permissive")
+    group_cols = ([key] if key else []) + ["idx"]
+    out = both.group_by(group_cols).aggregate([("rank", "max")])
+    names = group_cols + ["rank"]
+    return out.rename_columns(names).sort_by([(c, "ascending") for c in group_cols])
+
+
+def hll_state_bootstrap(
+    ds: ray.data.Dataset,
+    state_dir: str,
+    column: str,
+    key: str | None = None,
+    precision: int = 12,
+    num_partitions: int = 8,
+) -> int:
+    """Compute and persist the initial register table. Returns version 1."""
+    regs = _registers_of(ds, column, key, precision, num_partitions)
+    version = 1
+    _clean_version_dir(state_dir, version)
+    os.makedirs(_version_dir(state_dir, version), exist_ok=True)
+    pq.write_table(regs, _registers_path(state_dir, version))
+    _write_meta(
+        state_dir,
+        {
+            "algo": _ALGO,
+            "version": version,
+            "cfg_hash": _cfg_hash(column, key, precision),
+            "column": column,
+            "key": key,
+            "precision": precision,
+            "num_partitions": num_partitions,
+        },
+    )
+    return version
+
+
+def hll_state_increment(
+    new_ds: ray.data.Dataset,
+    state_dir: str,
+) -> int:
+    """Fold a new batch into the saved registers (parameters come from the
+    saved meta). The persisted result is bit-identical to a full
+    ``hll_registers`` run over old ∪ new. Returns the new version."""
+    meta = load_meta(state_dir)
+    if meta.get("algo") != _ALGO:
+        raise ValueError(f"state at {state_dir} is not a {_ALGO} state")
+    prior_version = int(meta["version"])
+    key = meta.get("key")
+    regs_new = _registers_of(
+        new_ds,
+        str(meta["column"]),
+        key,
+        int(meta["precision"]),
+        int(meta["num_partitions"]),
+    )
+    prior = pq.read_table(_registers_path(state_dir, prior_version))
+    merged = _max_merge(prior, regs_new, key)
+    version = prior_version + 1
+    _clean_version_dir(state_dir, version)
+    os.makedirs(_version_dir(state_dir, version), exist_ok=True)
+    pq.write_table(merged, _registers_path(state_dir, version))
+    meta.update({"version": version})
+    _write_meta(state_dir, meta)
+    return version
+
+
+def hll_state_registers(state_dir: str, version: int | None = None) -> pa.Table:
+    """Read the saved register table (latest version by default)."""
+    v = int(load_meta(state_dir)["version"]) if version is None else int(version)
+    return pq.read_table(_registers_path(state_dir, v))
+
+
+def hll_state_estimate(state_dir: str, alias: str = "approx_n") -> pa.Table:
+    """Per-key cardinality estimates from the saved registers — the same
+    estimator as ``sketch.approx_count_distinct`` applied to state."""
+    import numpy as np
+
+    from .sketch import _alpha
+
+    meta = load_meta(state_dir)
+    key = meta.get("key")
+    m = 1 << int(meta["precision"])
+    regs = hll_state_registers(state_dir)
+    if regs.num_rows == 0:
+        return pa.table(
+            {
+                **({key: pa.array([], pa.string())} if key else {}),
+                alias: pa.array([], pa.int64()),
+            }
+        )
+    import pandas as pd
+
+    df = regs.to_pandas()
+    kvals = df[key].astype(str).to_numpy() if key else np.array(["__all__"] * len(df))
+    codes, uniq = pd.factorize(kvals)
+    nk = len(uniq)
+    s = np.zeros(nk, np.float64)
+    np.add.at(s, codes, np.ldexp(1.0, -df["rank"].to_numpy(np.int64)))
+    present = np.bincount(codes, minlength=nk).astype(np.int64)
+    zeros = (m - present).astype(np.float64)
+    raw = _alpha(m) * m * m / (zeros + s)
+    small = (raw <= 2.5 * m) & (zeros > 0)
+    est = np.where(
+        small, np.round(m * np.log(m / np.maximum(zeros, 1.0))), np.round(raw)
+    ).astype(np.int64)
+    cols = {}
+    if key:
+        first_idx = np.zeros(nk, np.int64)
+        first_idx[codes[::-1]] = np.arange(len(codes) - 1, -1, -1)
+        cols[key] = regs[key].take(pa.array(first_idx))
+    cols[alias] = pa.array(est)
+    return pa.table(cols)
