@@ -465,6 +465,27 @@ def _q_shingle_hll(sf_dir: str):
     )
 
 
+_MIXTURE_WEIGHTS = {"en": 0.4, "fr": 0.2, "es": 0.2, "zh": 0.1, "de": 0.1}
+_MIXTURE_TOTAL = 40_000  # chars
+
+
+def _q_mixture_by_lang(sf_dir: str):
+    """Data-mixture selection: one global char budget split across
+    languages by target proportions, per-language greedy (longest-first)
+    selection under each quota."""
+    from text_dedup_ray.pipelines.select import mixture_select
+
+    return mixture_select(
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"]),
+        _MIXTURE_WEIGHTS,
+        _MIXTURE_TOTAL,
+        group_column="lang",
+        id_column="doc_id",
+        token_column="n_chars",
+        num_partitions=16,
+    )
+
+
 def _q_shingle_hll_incremental(sf_dir: str):
     """Tiered SKETCH state: bootstrap the per-source shingle-HLL registers
     on ~80% of doc ids, increment with the rest — the saved registers are
@@ -2644,6 +2665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": _q_top_bigrams,
         "source_shingle_hll_registers": _q_shingle_hll,
         "shingle_hll_incremental": _q_shingle_hll_incremental,
+        "mixture_by_lang": _q_mixture_by_lang,
         # --- dedup (SQL-checked where expressible) ---
         "exact_dedup_docs": _q_exact_dedup,
         "bloom_dedup_docs": _q_bloom_dedup,
@@ -2889,6 +2911,19 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
             "s6 AS (SELECT source, idx, x | (x >> 32) AS x FROM s5) "
             "SELECT source, idx, max((58 - bit_count(x))::BIGINT + 1) AS rank "
             "FROM s6 GROUP BY source, idx"
+        ),
+        "mixture_by_lang": (
+            "WITH ranked AS (SELECT lang, doc_id, n_chars, "
+            "sum(n_chars) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id "
+            "ROWS UNBOUNDED PRECEDING) AS run FROM documents), "
+            "q AS (SELECT *, CASE lang "
+            + " ".join(
+                f"WHEN '{g}' THEN {int(_MIXTURE_TOTAL * w / sum(_MIXTURE_WEIGHTS.values()))}"
+                for g, w in _MIXTURE_WEIGHTS.items()
+            )
+            + " ELSE 0 END AS quota FROM ranked) "
+            "SELECT lang, doc_id, n_chars, (run - n_chars)::BIGINT AS sel_offset "
+            "FROM q WHERE run <= quota"
         ),
         # identical recompute as source_shingle_hll_registers: the tiered
         # state is proven bit-identical to the batch run (HLL max-merge)

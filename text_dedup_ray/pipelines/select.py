@@ -303,3 +303,40 @@ def select_token_budget_by_group(
         ).filter(pa.array(keep))
 
     return hash_partition_exchange(tagged, "__gp", num_partitions, fold)
+
+
+def mixture_select(
+    ds: ray.data.Dataset,
+    weights: "dict[str, float]",
+    total_budget: int,
+    group_column: str,
+    id_column: str,
+    token_column: str,
+    score_column: str | None = None,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Data-mixture selection (the Pile/Dolma-style recipe): split one
+    global token budget across groups by target proportions —
+    ``quota_g = floor(total_budget * w_g / sum(w))`` — then run the
+    per-group greedy (score DESC, id ASC) selection under each quota.
+    Groups absent from ``weights`` get quota 0 (excluded). One wrapper
+    over :func:`select_token_budget_by_group`; the quota arithmetic is
+    pure integers so the SQL oracle (floor() of the same products) is
+    definitionally identical."""
+    if not weights:
+        raise ValueError("weights must be a non-empty {group: weight} dict")
+    total_w = float(sum(weights.values()))
+    if total_w <= 0:
+        raise ValueError(f"weights must sum to > 0, got {total_w}")
+    budgets = {
+        str(g): int(total_budget * float(w) / total_w) for g, w in weights.items()
+    }
+    return select_token_budget_by_group(
+        ds,
+        group_column,
+        id_column,
+        token_column,
+        score_column or token_column,
+        budgets,
+        num_partitions=num_partitions,
+    )
