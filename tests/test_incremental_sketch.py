@@ -102,3 +102,55 @@ def test_empty_increment_is_identity(tmp_path):
     before = hll_state_registers(state).to_pandas().values.tolist()
     hll_state_increment(_events([], []), state)
     assert hll_state_registers(state).to_pandas().values.tolist() == before
+
+
+def test_cli_hll_incremental(tmp_path):
+    import json as _json
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    def run(config):
+        proc = subprocess.run(
+            [sys.executable, "-m", "text_dedup_ray", "--config", str(config)],
+            capture_output=True, text=True, cwd="/root/repo", timeout=240,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        return _json.loads(proc.stdout.strip().splitlines()[-1])
+
+    state = tmp_path / "st"
+    for i, ids in enumerate([list(range(100)), list(range(80, 160))]):
+        inp = tmp_path / f"in{i}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array(ids, pa.int64()),
+                    "event_type": ["a"] * len(ids),
+                }
+            ),
+            str(inp),
+        )
+        cfg = tmp_path / f"run{i}.toml"
+        cfg.write_text(
+            f"""
+[input]
+path = "{inp}"
+text_column = "user_id"
+
+[output]
+path = "{tmp_path / f'out{i}'}"
+
+[algorithm]
+name = "hll_incremental"
+state_dir = "{state}"
+column = "user_id"
+key = "event_type"
+precision = 10
+"""
+        )
+        stats = run(cfg)
+        assert stats["mode"] == ("bootstrap" if i == 0 else "increment")
+        assert stats["state_version"] == i + 1
+    # 160 true distinct at p=10 (~3% SE): generous band
+    assert 130 <= stats["estimates"]["a"] <= 190

@@ -282,6 +282,45 @@ def main(argv: list[str] | None = None) -> None:
         result_ds = res.assigned if skip_filtering else res.deduped
         stats["state_version"] = res.state_version
         stats.update(res.metrics)
+    elif name == "hll_incremental":
+        # tiered SKETCH state: persist per-key HLL registers across runs —
+        # the first run bootstraps, later runs max-merge the new batch in
+        # (bit-identical to a full re-run); output = the register table,
+        # per-key cardinality estimates land in the stats line
+        import os as _os
+
+        import ray.data as _rd
+
+        from .pipelines.incremental_sketch import (
+            hll_state_bootstrap,
+            hll_state_estimate,
+            hll_state_increment,
+            hll_state_registers,
+        )
+
+        state_dir = algo.get("state_dir")
+        if not state_dir:
+            raise SystemExit("hll_incremental needs [algorithm].state_dir")
+        key = algo.get("key")
+        if _os.path.exists(_os.path.join(state_dir, "meta.json")):
+            v = hll_state_increment(ds, state_dir)
+            stats["mode"] = "increment"
+        else:
+            v = hll_state_bootstrap(
+                ds,
+                state_dir,
+                algo.get("column", text_column),
+                key=key,
+                precision=int(algo.get("precision", 12)),
+                num_partitions=int(algo.get("num_partitions", 8)),
+            )
+            stats["mode"] = "bootstrap"
+        stats["state_version"] = v
+        est = hll_state_estimate(state_dir).to_pylist()
+        stats["estimates"] = {
+            (str(r[key]) if key else "__all__"): int(r["approx_n"]) for r in est
+        }
+        result_ds = _rd.from_arrow(hll_state_registers(state_dir))
     elif name == "simhash_incremental":
         from .functions.simhash import SimHashConfig
         from .pipelines.incremental import simhash_bootstrap, simhash_increment
