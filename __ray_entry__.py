@@ -449,6 +449,17 @@ def _q_shingle_redundancy(sf_dir: str):
     )
 
 
+def _q_doc_novelty(sf_dir: str):
+    """Per-document shingle novelty (dup-ratio curation signal): over each
+    doc's distinct 3-gram shingles, how many appear in >= 2 docs."""
+    from text_dedup_ray.pipelines.corpus import doc_shingle_novelty
+
+    return doc_shingle_novelty(
+        _docs(sf_dir, ["doc_id", "text"]), text_column="text",
+        id_column="doc_id", ngram=3, num_partitions=16,
+    )
+
+
 def _q_shingle_hll(sf_dir: str):
     """Per-source HLL registers over the 3-gram shingle stream — the
     sketch-based scale path for distinct-shingle counting (fixed-size
@@ -2660,6 +2671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_debounced": _q_debounce,
         "lang_temperature_weights": _q_temperature_weights,
         "source_shingle_redundancy": _q_shingle_redundancy,
+        "doc_novelty": _q_doc_novelty,
         "cluster_safe_split": _q_cluster_safe_split,
         "source_checksums": _q_source_checksums,
         "top_bigrams": _q_top_bigrams,
@@ -2894,6 +2906,18 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
             "count(DISTINCT g)::BIGINT AS n_distinct_shingles, "
             "1.0 - (count(DISTINCT g)::DOUBLE / count(*)) AS redundancy "
             "FROM w GROUP BY source"
+        ),
+        "doc_novelty": (
+            "WITH tk AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts FROM documents), "
+            "w AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 2), "
+            "j -> array_to_string(ts[j:j+2], ' '))) AS g FROM tk WHERE len(ts) >= 3), "
+            "d AS (SELECT DISTINCT doc_id, g FROM w), "
+            "df AS (SELECT g, count(*)::BIGINT AS nd FROM d GROUP BY g) "
+            "SELECT d.doc_id, count(*)::BIGINT AS n_distinct, "
+            "sum(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared, "
+            "1.0 - (sum(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*)) "
+            "AS novelty FROM d JOIN df USING (g) GROUP BY d.doc_id"
         ),
         "source_shingle_hll_registers": (
             "WITH tk AS (SELECT source, regexp_extract_all(lower(text), '[a-z0-9_]+') "

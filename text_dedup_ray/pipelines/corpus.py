@@ -471,6 +471,154 @@ def shingle_count_approx(
     )
 
 
+def _novelty_partial(
+    batch: pa.Table,
+    text_column: str,
+    id_column: str,
+    ngram: int,
+    num_partitions: int,
+    id_type: pa.DataType,
+) -> pa.Table:
+    """Distinct ``(doc, shingle-md5)`` pairs for one block. A document is
+    one row, so its shingles never span blocks — a block-distinct (doc,
+    shingle) pair is GLOBALLY distinct, which is what makes the downstream
+    per-key doc counts exact without a dedup pass."""
+    empty = pa.table(
+        {
+            id_column: pa.array([], id_type),
+            "key": pa.array([], pa.binary(16)),
+            _PART: pa.array([], pa.int64()),
+        }
+    )
+    w = _block_windows(batch, text_column, ngram)
+    if w is None:
+        return empty
+    uniq_toks, uwin_codes, winv, doc_idx = w
+    n_uwin = len(uwin_codes)
+    upair = np.unique(doc_idx.astype(np.int64) * n_uwin + winv)
+    d_idx = (upair // n_uwin).astype(np.int64)
+    w_idx = (upair % n_uwin).astype(np.int64)
+    # md5 only the block-distinct shingles (the lines.py contract)
+    digests = np.empty(n_uwin, object)
+    parts = np.empty(n_uwin, np.int64)
+    for i, row in enumerate(uwin_codes):
+        d = hashlib.md5(" ".join(uniq_toks[c] for c in row).encode()).digest()
+        digests[i] = d
+        parts[i] = int.from_bytes(d[:8], "little") % num_partitions
+    ids = batch[id_column].combine_chunks().take(pa.array(d_idx))
+    return pa.table(
+        {
+            id_column: ids,
+            "key": pa.array(list(digests[w_idx]), pa.binary(16)),
+            _PART: pa.array(parts[w_idx]),
+        }
+    )
+
+
+def doc_shingle_novelty(
+    ds: ray.data.Dataset,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    ngram: int = 3,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Per-DOCUMENT shingle novelty — the dup-ratio curation signal
+    (RefinedWeb/Gopher-style): over each doc's DISTINCT word
+    ``ngram``-grams, how many also appear in at least one OTHER document,
+    and ``novelty = 1 - n_shared / n_distinct`` (1.0 = every shingle
+    unique to this doc, 0.0 = every shingle seen elsewhere). Docs with
+    fewer than ``ngram`` tokens emit no shingles and are absent (the SQL
+    GROUP BY over exploded windows).
+
+    Scale shape: blocks emit one (doc_id, md5-16B) row per doc-distinct
+    shingle — text never leaves its block; the first exchange co-locates
+    every copy of a shingle key, where the per-key document count is exact
+    (each (doc, key) row is globally unique because a doc is one row in
+    one block) and folds to per-doc (distinct, shared) partials; the
+    second exchange co-locates each doc's O(partitions) partials by doc-id
+    hash. Returns a Dataset of ``(id, n_distinct, n_shared, novelty)`` —
+    novelty is one divide + subtract on exact int64 counts, bit-identical
+    to the SQL oracle.
+    """
+    from ..stages.exchange import distinct_key_partition
+
+    id_type = ds.schema().base_schema.field(id_column).type
+
+    pre = ds.map_batches(
+        lambda b: _novelty_partial(
+            b, text_column, id_column, ngram, num_partitions, id_type
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    def reduce_shingles(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_column: pa.array([], id_type),
+                "dis": pa.array([], pa.int64()),
+                "shr": pa.array([], pa.int64()),
+                _PART: pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "key" not in group.column_names:
+            return empty
+        kenc = group["key"].combine_chunks().dictionary_encode()
+        kcodes = kenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ndocs = np.bincount(kcodes)  # rows are globally unique (doc, key) pairs
+        shared = (ndocs[kcodes] >= 2).astype(np.int64)
+        denc = group[id_column].combine_chunks().dictionary_encode()
+        dcodes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_doc = len(denc.dictionary)
+        dis = np.bincount(dcodes, minlength=n_doc).astype(np.int64)
+        shr = np.bincount(dcodes, weights=shared, minlength=n_doc).astype(np.int64)
+        part2 = distinct_key_partition(
+            denc.dictionary.to_numpy(zero_copy_only=False), num_partitions
+        )
+        return pa.table(
+            {
+                id_column: denc.dictionary,
+                "dis": pa.array(dis),
+                "shr": pa.array(shr),
+                _PART: pa.array(part2.astype(np.int64)),
+            }
+        )
+
+    def reduce_docs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_column: pa.array([], id_type),
+                "n_distinct": pa.array([], pa.int64()),
+                "n_shared": pa.array([], pa.int64()),
+                "novelty": pa.array([], pa.float64()),
+            }
+        )
+        if group.num_rows == 0 or "dis" not in group.column_names:
+            return empty
+        denc = group[id_column].combine_chunks().dictionary_encode()
+        dcodes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_doc = len(denc.dictionary)
+        dis = np.bincount(
+            dcodes, weights=group["dis"].to_numpy(zero_copy_only=False),
+            minlength=n_doc,
+        ).astype(np.int64)
+        shr = np.bincount(
+            dcodes, weights=group["shr"].to_numpy(zero_copy_only=False),
+            minlength=n_doc,
+        ).astype(np.int64)
+        return pa.table(
+            {
+                id_column: denc.dictionary,
+                "n_distinct": pa.array(dis),
+                "n_shared": pa.array(shr),
+                "novelty": pa.array(1.0 - shr.astype(np.float64) / dis),
+            }
+        )
+
+    partials = hash_partition_exchange(pre, _PART, num_partitions, reduce_shingles)
+    return hash_partition_exchange(partials, _PART, num_partitions, reduce_docs)
+
+
 def top_frequent_ngrams(
     ds: ray.data.Dataset,
     text_column: str = "text",
