@@ -541,6 +541,44 @@ def _q_shingle_hll_incremental(sf_dir: str):
     return ray.data.from_arrow(hll_state_registers(state))
 
 
+def _q_cms_incremental(sf_dir: str):
+    """Tiered SKETCH state #2: bootstrap the per-user count-min cells on
+    ~80% of event ids, increment with the rest — cell merge is integer
+    SUM (the exact CMS union), so the saved cells are bit-identical to a
+    full run and the batch register oracle applies verbatim."""
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from text_dedup_ray.pipelines.incremental_sketch import (
+        cms_state_bootstrap,
+        cms_state_increment,
+        cms_state_registers,
+    )
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    )
+    cut = int(ev.max("event_id") * 0.8)
+
+    def split(keep_old: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = pc.less_equal(t["event_id"], pa.scalar(cut, pa.int64()))
+            return t.filter(m if keep_old else pc.invert(m))
+
+        return f
+
+    state = tempfile.mkdtemp(prefix="cms_state_", dir="/tmp")
+    cms_state_bootstrap(
+        ev.map_batches(split(True), batch_format="pyarrow"),
+        state, "user_id", depth=4, width=256, num_partitions=8,
+    )
+    cms_state_increment(
+        ev.map_batches(split(False), batch_format="pyarrow"), state
+    )
+    return ray.data.from_arrow(cms_state_registers(state))
+
+
 def _q_top_bigrams(sf_dir: str):
     """Corpus-wide phrase heavy hitters: exact top-50 word bigrams
     (pre-pruned exchange — only P x n candidates reach the driver)."""
@@ -2677,6 +2715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": _q_top_bigrams,
         "source_shingle_hll_registers": _q_shingle_hll,
         "shingle_hll_incremental": _q_shingle_hll_incremental,
+        "events_user_cms_incremental": _q_cms_incremental,
         "mixture_by_lang": _q_mixture_by_lang,
         # --- dedup (SQL-checked where expressible) ---
         "exact_dedup_docs": _q_exact_dedup,
@@ -3147,6 +3186,16 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
             '"offset" // 4096 ELSE FALSE END AS straddles FROM o'
         ),
         "events_user_cms_registers": (
+            "WITH rows AS (SELECT user_id AS v FROM events), "
+            "d AS (SELECT unnest(range(4)) AS d), "
+            "h AS (SELECT d.d, (('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':' || "
+            "CAST(v AS VARCHAR)), 1, 16))::UBIGINT % 256)::BIGINT AS idx "
+            "FROM rows CROSS JOIN d) "
+            "SELECT d, idx, count(*)::BIGINT AS cnt FROM h GROUP BY d, idx"
+        ),
+        # identical recompute as events_user_cms_registers: the tiered CMS
+        # state is proven bit-identical to the batch run (integer SUM merge)
+        "events_user_cms_incremental": (
             "WITH rows AS (SELECT user_id AS v FROM events), "
             "d AS (SELECT unnest(range(4)) AS d), "
             "h AS (SELECT d.d, (('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':' || "

@@ -321,6 +321,46 @@ def main(argv: list[str] | None = None) -> None:
             (str(r[key]) if key else "__all__"): int(r["approx_n"]) for r in est
         }
         result_ds = _rd.from_arrow(hll_state_registers(state_dir))
+    elif name == "cms_incremental":
+        # tiered SKETCH state #2: persist count-min frequency cells across
+        # runs — cell merge is integer SUM (bit-identical to a full
+        # re-run); output = the cell table; optional [algorithm].items get
+        # point-frequency estimates in the stats line
+        import os as _os
+
+        import ray.data as _rd
+
+        from .pipelines.incremental_sketch import (
+            cms_state_bootstrap,
+            cms_state_estimate,
+            cms_state_increment,
+            cms_state_registers,
+        )
+
+        state_dir = algo.get("state_dir")
+        if not state_dir:
+            raise SystemExit("cms_incremental needs [algorithm].state_dir")
+        if _os.path.exists(_os.path.join(state_dir, "meta.json")):
+            v = cms_state_increment(ds, state_dir)
+            stats["mode"] = "increment"
+        else:
+            v = cms_state_bootstrap(
+                ds,
+                state_dir,
+                algo.get("column", text_column),
+                depth=int(algo.get("depth", 4)),
+                width=int(algo.get("width", 1024)),
+                num_partitions=int(algo.get("num_partitions", 8)),
+            )
+            stats["mode"] = "bootstrap"
+        stats["state_version"] = v
+        items = algo.get("items")
+        if items:
+            stats["estimates"] = {
+                str(k): int(n)
+                for k, n in cms_state_estimate(state_dir, list(items)).items()
+            }
+        result_ds = _rd.from_arrow(cms_state_registers(state_dir))
     elif name == "simhash_incremental":
         from .functions.simhash import SimHashConfig
         from .pipelines.incremental import simhash_bootstrap, simhash_increment

@@ -1,13 +1,14 @@
 """Tiered SKETCH state — the incremental pattern applied to corpus
 statistics instead of dedup indexes.
 
-HyperLogLog registers merge by per-register MAX, so a saved register table
-plus the registers of a new batch fold to EXACTLY the registers of a full
-re-run over old ∪ new — the same state ≡ re-run guarantee the dedup
-families prove, but with a state footprint of fixed-size integers
-(m × groups rows) instead of a corpus-sized index. That makes daily
-"distinct shingles per source" (or any keyed HLL stat) a constant-cost
-increment at 100 TB: fingerprint only the new batch, one small max-merge,
+HyperLogLog registers merge by per-register MAX and count-min cells by
+per-cell SUM, so a saved register table plus the registers of a new batch
+fold to EXACTLY the registers of a full re-run over old ∪ new — the same
+state ≡ re-run guarantee the dedup families prove, but with a state
+footprint of fixed-size integers (m × groups rows / depth × width cells)
+instead of a corpus-sized index. That makes daily "distinct shingles per
+source" or "per-item frequency" (any keyed sketch stat) a constant-cost
+increment at 100 TB: fingerprint only the new batch, one small merge,
 never re-reading old data.
 
 State layout follows the shared tiered convention (``meta.json`` +
@@ -145,6 +146,133 @@ def hll_state_registers(state_dir: str, version: int | None = None) -> pa.Table:
     """Read the saved register table (latest version by default)."""
     v = int(load_meta(state_dir)["version"]) if version is None else int(version)
     return pq.read_table(_registers_path(state_dir, v))
+
+
+_CMS_ALGO = "cms_sketch"
+
+
+def _cms_cfg_hash(column: str, depth: int, width: int) -> str:
+    return config_hash(
+        {"algo": _CMS_ALGO, "column": column, "depth": depth, "width": width}
+    )
+
+
+def _cms_registers_of(
+    ds: ray.data.Dataset, column: str, depth: int, width: int,
+    num_partitions: int,
+) -> pa.Table:
+    from .sketch import cms_registers
+
+    tabs = [
+        t
+        for t in ray.get(
+            cms_registers(
+                ds, column, depth=depth, width=width,
+                num_partitions=num_partitions,
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not tabs:
+        return pa.table(
+            {
+                "d": pa.array([], pa.int64()),
+                "idx": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+    return pa.concat_tables(tabs, promote_options="permissive")
+
+
+def _sum_merge(a: pa.Table, b: pa.Table) -> pa.Table:
+    """Per-(d, idx) SUM of counts — the exact count-min union."""
+    both = pa.concat_tables([a, b], promote_options="permissive")
+    out = both.group_by(["d", "idx"]).aggregate([("cnt", "sum")])
+    return (
+        out.rename_columns(["d", "idx", "cnt"])
+        .sort_by([("d", "ascending"), ("idx", "ascending")])
+    )
+
+
+def cms_state_bootstrap(
+    ds: ray.data.Dataset,
+    state_dir: str,
+    column: str,
+    depth: int = 4,
+    width: int = 1024,
+    num_partitions: int = 8,
+) -> int:
+    """Compute and persist the initial count-min cell table. Returns 1."""
+    # canonical (d, idx) order: the same order _sum_merge emits, so an
+    # empty increment is a byte-identical no-op
+    regs = _cms_registers_of(ds, column, depth, width, num_partitions).sort_by(
+        [("d", "ascending"), ("idx", "ascending")]
+    )
+    version = 1
+    _clean_version_dir(state_dir, version)
+    os.makedirs(_version_dir(state_dir, version), exist_ok=True)
+    pq.write_table(regs, _registers_path(state_dir, version))
+    _write_meta(
+        state_dir,
+        {
+            "algo": _CMS_ALGO,
+            "version": version,
+            "cfg_hash": _cms_cfg_hash(column, depth, width),
+            "column": column,
+            "depth": depth,
+            "width": width,
+            "num_partitions": num_partitions,
+        },
+    )
+    return version
+
+
+def cms_state_increment(
+    new_ds: ray.data.Dataset,
+    state_dir: str,
+) -> int:
+    """Fold a new batch's count-min cells into the saved table (parameters
+    come from the saved meta). Cell merge is integer SUM, so the persisted
+    result is bit-identical to a full ``cms_registers`` run over old ∪
+    new. Returns the new version."""
+    meta = load_meta(state_dir)
+    if meta.get("algo") != _CMS_ALGO:
+        raise ValueError(f"state at {state_dir} is not a {_CMS_ALGO} state")
+    prior_version = int(meta["version"])
+    regs_new = _cms_registers_of(
+        new_ds,
+        str(meta["column"]),
+        int(meta["depth"]),
+        int(meta["width"]),
+        int(meta["num_partitions"]),
+    )
+    prior = pq.read_table(_registers_path(state_dir, prior_version))
+    merged = _sum_merge(prior, regs_new)
+    version = prior_version + 1
+    _clean_version_dir(state_dir, version)
+    os.makedirs(_version_dir(state_dir, version), exist_ok=True)
+    pq.write_table(merged, _registers_path(state_dir, version))
+    meta.update({"version": version})
+    _write_meta(state_dir, meta)
+    return version
+
+
+def cms_state_registers(state_dir: str, version: int | None = None) -> pa.Table:
+    """Read the saved count-min cell table (latest version by default)."""
+    v = int(load_meta(state_dir)["version"]) if version is None else int(version)
+    return pq.read_table(_registers_path(state_dir, v))
+
+
+def cms_state_estimate(state_dir: str, items: list) -> dict:
+    """Point-frequency estimates (min over depth rows) for a small item
+    list from the saved cells — ``sketch.cms_point_estimates`` on state."""
+    from .sketch import cms_point_estimates
+
+    meta = load_meta(state_dir)
+    return cms_point_estimates(
+        cms_state_registers(state_dir), items,
+        depth=int(meta["depth"]), width=int(meta["width"]),
+    )
 
 
 def hll_state_estimate(state_dir: str, alias: str = "approx_n") -> pa.Table:
