@@ -2327,6 +2327,72 @@ def _tiered_image_phash_state() -> tuple[str, int]:
     return _TIERED_IMG_STATE["ph"]
 
 
+def _q_minhash_union(sf_dir: str):
+    """Federated tiered dedup: bootstrap TWO independent LSH states on
+    disjoint halves of the corpus, then merge them with
+    ``minhash_state_union`` (zero-shuffle partition-aligned rep merge +
+    cross-collision composition). By the union-equivalence guarantee
+    (tests/test_state_union.py) the merged state equals a full batch run —
+    the oracle is ``minhash_dedup_sql`` verbatim. Returns the union
+    corpus's survivors (doc_id, cluster_id)."""
+    import glob as _glob
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from text_dedup_ray.pipelines.incremental import (
+        minhash_bootstrap,
+        minhash_state_union,
+    )
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    cut = int(docs.max("doc_id") * 0.5)
+
+    def split(keep_low: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = pc.less_equal(t["doc_id"], pa.scalar(cut, pa.int64()))
+            return t.filter(m if keep_low else pc.invert(m))
+
+        return f
+
+    cfg = _MINHASH_HALF_CFG()
+    sa = tempfile.mkdtemp(prefix="lsh_union_a_", dir="/tmp")
+    sb = tempfile.mkdtemp(prefix="lsh_union_b_", dir="/tmp")
+    su = tempfile.mkdtemp(prefix="lsh_union_out_", dir="/tmp")
+    minhash_bootstrap(
+        docs.map_batches(split(True), batch_format="pyarrow"),
+        sa, cfg=cfg, id_column="doc_id", num_partitions=16,
+    )
+    minhash_bootstrap(
+        docs.map_batches(split(False), batch_format="pyarrow"),
+        sb, cfg=cfg, id_column="doc_id", num_partitions=16,
+    )
+    version, _merges = minhash_state_union(sa, sb, su)
+
+    members = []
+    for f in _glob.glob(f"{su}/v{version:05d}/clusters/*.parquet"):
+        t = pq.read_table(f, columns=["row_id"])
+        if t.num_rows:
+            members.append(t["row_id"].to_numpy(zero_copy_only=False))
+    dup_ids = np.sort(np.concatenate(members)) if members else np.empty(0, np.int64)
+    dup_ref = ray.put(dup_ids.astype(np.int64))
+
+    def survivors(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dups = ray.get(dup_ref)
+        pos = np.searchsorted(dups, ids)
+        in_range = pos < len(dups)
+        dup_mask = np.zeros(len(ids), dtype=bool)
+        dup_mask[in_range] = dups[pos[in_range]] == ids[in_range]
+        keep = t.filter(pa.array(~dup_mask))
+        return pa.table({"doc_id": keep["doc_id"], "cluster_id": keep["doc_id"]})
+
+    return docs.map_batches(survivors, batch_format="pyarrow")
+
+
 def _q_minhash_incremental_images(sf_dir: str):
     """Tiered dedup over the IMAGE corpus (the graft cell — tier dedup x
     image payload): bootstrap on the first ~80% of image row ids, increment
@@ -2796,6 +2862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_ari": _q_clustering_ari,
         "minhash_verified_docs": _q_minhash_verified,
         "minhash_incremental_docs": _q_minhash_incremental,
+        "minhash_union_docs": _q_minhash_union,
         "simhash_dedup_docs": _q_simhash_docs,
         "simhash_incremental_docs": _q_simhash_incremental,
         # --- suffix-array pipelines (SQL-checked via corpus-gram recomputation) ---
@@ -3438,6 +3505,8 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
         "clustering_ari": _oracles.clustering_ari_sql(_MINHASH_HALF_CFG()),
         "minhash_verified_docs": _oracles.minhash_verified_sql(_MINHASH_HALF_CFG()),
         "minhash_incremental_docs": _oracles.minhash_dedup_sql(_MINHASH_HALF_CFG()),
+        # union-equivalence: two half-corpus states merged == one full run
+        "minhash_union_docs": _oracles.minhash_dedup_sql(_MINHASH_HALF_CFG()),
         "simhash_dedup_docs": _oracles.simhash_dedup_sql(_SIMHASH_ORACLE_CFG()),
         "simhash_keep_best_docs": _oracles.simhash_keep_best_sql(_SIMHASH_ORACLE_CFG()),
         "source_overlap_matrix": _oracles.source_overlap_sql(3, 1),

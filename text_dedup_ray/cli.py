@@ -170,6 +170,38 @@ def main(argv: list[str] | None = None) -> None:
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
+
+    if name == "union_state":
+        # federated tiered dedup: merge two independently-built minhash
+        # states (disjoint id ranges, same config) into one state that is
+        # equivalent to a bootstrap over the union corpus — needs Ray (the
+        # per-partition rep merges are tasks) but no [input] dataset
+        from .pipelines.incremental import load_meta, minhash_state_union
+
+        sa = algo.get("state_a")
+        sb = algo.get("state_b")
+        out_state = algo.get("out_state")
+        if not (sa and sb and out_state):
+            raise SystemExit(
+                "union_state needs algorithm.state_a, .state_b and .out_state"
+            )
+        version, merges = minhash_state_union(
+            sa, sb, out_state,
+            validate_ids=bool(algo.get("validate_ids", True)),
+        )
+        print(
+            json.dumps(
+                {
+                    "algorithm": name,
+                    "out_state": out_state,
+                    "state_version": version,
+                    "merged_roots": len(merges),
+                    "max_row_id": int(load_meta(out_state)["max_row_id"]),
+                }
+            )
+        )
+        return
+
     # Read-block granularity: Ray's default (>=200 blocks/read op) is kept —
     # the measured optimum is ~one actor batch (2048 rows) per block, and
     # CLI inputs can be arbitrarily large, where lowering the target causes

@@ -592,6 +592,240 @@ def minhash_increment(
     )
 
 
+# ------------------------------------------------------------- state union
+
+
+@ray.remote
+def _rep_union_write(out_path: str, path_a: str, path_b: str) -> pa.Table:
+    """Merge one partition of two rep indexes: group-min by bucket key,
+    write the merged file, emit one (loser rep -> min rep) edge per bucket
+    key present in both states. Both states partition by the same key hash
+    with the same P, so the merge is file-local — ZERO shuffle."""
+    tabs = []
+    for p in (path_a, path_b):
+        if p is not None and os.path.isfile(p):
+            t = pq.read_table(p)
+            if t.num_rows:
+                tabs.append(t)
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    if not tabs:
+        # partition files always exist post-bootstrap; copy A's empty schema
+        pq.write_table(pq.read_table(path_a), out_path)
+        return _EMPTY_EDGES
+    group = pa.concat_tables(tabs)
+    n = group.num_rows
+    width = group.schema.field("key").type.byte_width
+    keys = _void_view(_binary_to_u8(group["key"], width, n))
+    row_ids = group["rep"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order, starts, mins, inv_sorted = _group_min(keys, row_ids)
+    rid_sorted = row_ids[order]
+    dst = mins[inv_sorted]
+    mask = rid_sorted != dst
+    merged_keys = keys[order][starts]
+    pq.write_table(
+        pa.table({"key": _fixed_binary(merged_keys), "rep": mins}), out_path
+    )
+    return pa.table(
+        {
+            "src": pa.array(rid_sorted[mask].astype(np.int64)),
+            "dst": pa.array(dst[mask].astype(np.int64)),
+        }
+    )
+
+
+@ray.remote
+def _rep_id_range(path: str) -> tuple[int, int] | None:
+    """(min, max) of one rep partition file's rep ids, None when empty."""
+    t = pq.read_table(path, columns=["rep"])
+    if not t.num_rows:
+        return None
+    r = t["rep"].to_numpy(zero_copy_only=False)
+    return int(r.min()), int(r.max())
+
+
+def _state_id_interval(state_dir: str, version: int, num_partitions: int, max_row_id: int):
+    """[min fingerprinted row id, max row id] of a state — the min over rep
+    files is exact (the globally smallest fingerprinted row is the min of
+    every bucket it occupies, hence a rep), the max comes from meta."""
+    ranges = [
+        r
+        for r in ray.get(
+            [
+                _rep_id_range.remote(_rep_file(state_dir, version, p))
+                for p in range(num_partitions)
+            ]
+        )
+        if r is not None
+    ]
+    if not ranges:
+        return None
+    return min(lo for lo, _ in ranges), max_row_id
+
+
+def minhash_state_union(
+    state_a: str,
+    state_b: str,
+    out_dir: str,
+    driver_threshold: int = 2_000_000,
+    validate_ids: bool = True,
+) -> tuple[int, dict[int, int]]:
+    """Merge two INDEPENDENTLY-built MinHashLSH states into one state that
+    is equivalent to a bootstrap over the union of their corpora — the
+    multi-pipeline scenario (two ingestion sites, two crawls deduped
+    separately, a backfill built offline) the per-batch increment can't
+    express.
+
+    Correctness: a full rerun's edge set is edges(A) ∪ edges(B) ∪ cross
+    edges between rows sharing a band bucket across states. Within one
+    state every row of a bucket is already connected to that state's
+    bucket rep (its cluster map encodes the transitive closure), so ONE
+    edge per bucket key present in both states — A's rep to B's rep —
+    yields identical connectivity; the composition union-find then chains
+    collision components through both prior cluster maps exactly like the
+    increment path, and min-id roots keep assignments equal to the full
+    rerun (proven in tests/test_state_union.py).
+
+    Scale shape: both rep indexes are stored pre-partitioned by the same
+    bucket-key hash, so the merge is P file-local group-min tasks — the
+    only data movement is the collision edges (narrow int64 pairs) and
+    each state's cluster rows streaming once through the remap into the
+    new state. Nothing corpus-sized is read, shuffled, or re-fingerprinted.
+
+    Requirements: identical MinHash config (cfg_hash) and partition count;
+    DISJOINT row-id ranges (old-vs-new min-tie-breaks need a total order —
+    same discipline as increments). ``validate_ids`` checks the
+    [min fingerprinted id, max id] intervals don't overlap (exact for
+    every row that participates in state; rows below min_length never do).
+
+    Returns ``(version, merges)`` — the new state's version (1) and the
+    losing-root map (old root -> union root) for observability.
+    """
+    ma, mb = load_meta(state_a), load_meta(state_b)
+    for m, d in ((ma, state_a), (mb, state_b)):
+        if m.get("algo") != "minhash":
+            raise ValueError(f"state at {d} is not a minhash state")
+    if ma["cfg_hash"] != mb["cfg_hash"]:
+        raise ValueError(
+            "states were built with different MinHash configs/text columns; "
+            "union requires identical shingle/signature settings"
+        )
+    if int(ma["num_partitions"]) != int(mb["num_partitions"]):
+        raise ValueError(
+            "states use different partition counts "
+            f"({ma['num_partitions']} vs {mb['num_partitions']}); rebuild "
+            "one side or bootstrap with matching num_partitions"
+        )
+    num_partitions = int(ma["num_partitions"])
+    va, vb = int(ma["version"]), int(mb["version"])
+
+    if validate_ids:
+        ia = _state_id_interval(state_a, va, num_partitions, int(ma["max_row_id"]))
+        ib = _state_id_interval(state_b, vb, num_partitions, int(mb["max_row_id"]))
+        if ia is not None and ib is not None and ia[0] <= ib[1] and ib[0] <= ia[1]:
+            raise ValueError(
+                f"row-id intervals overlap: {state_a}={ia} vs {state_b}={ib}; "
+                "union requires disjoint id ranges"
+            )
+
+    version = 1
+    _clean_version_dir(out_dir, version)
+    edge_refs = [
+        _rep_union_write.remote(
+            _rep_file(out_dir, version, p),
+            _rep_file(state_a, va, p),
+            _rep_file(state_b, vb, p),
+        )
+        for p in range(num_partitions)
+    ]
+    edges = ray.data.from_arrow_refs(edge_refs)
+    cc = connected_components_auto(
+        edges, driver_threshold=driver_threshold, num_partitions=num_partitions
+    )
+
+    # compose through BOTH prior cluster maps (ids are disjoint, so the two
+    # semi-joins fill disjoint parts of one prior-root map)
+    if isinstance(cc, dict):
+        node_arr = np.fromiter(cc.keys(), dtype=np.int64, count=len(cc))
+        root_arr = np.fromiter(cc.values(), dtype=np.int64, count=len(cc))
+    else:
+        parts = [
+            b
+            for b in cc.iter_batches(batch_size=None, batch_format="pyarrow")
+            if b.num_rows and b.num_columns
+        ]
+        collected = (
+            pa.concat_tables(parts)
+            if parts
+            else pa.table(
+                {"row_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
+            )
+        )
+        node_arr = collected["row_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        root_arr = collected["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    merges: dict[int, int] = {}
+    if len(node_arr):
+        prior_map = _prior_roots_for(_clusters_dir(state_a, va), node_arr)
+        prior_map.update(_prior_roots_for(_clusters_dir(state_b, vb), node_arr))
+        pk, pv = _sorted_remap_arrays(prior_map)
+        prior_roots = _remap_sorted(node_arr, pk, pv)
+        from ..functions.unionfind import UnionFind
+
+        uf = UnionFind()
+        union = uf.union
+        for r, p in zip(root_arr.tolist(), prior_roots.tolist()):
+            union(int(r), int(p))
+        # losing PRIOR roots only: every losing cc root is either self-rooted
+        # (then it IS a prior root, covered here) or a member row in its
+        # state (then its row remaps through its prior root's entry) — adding
+        # cc roots would duplicate member rows
+        for p in np.unique(prior_roots).tolist():
+            w = uf.find(int(p))
+            if w != p:
+                merges[int(p)] = w
+
+    out_clusters = _clusters_dir(out_dir, version)
+    os.makedirs(out_clusters, exist_ok=True)
+    rk, rv = _sorted_remap_arrays(merges)
+
+    def remap_batch(t: pa.Table) -> pa.Table:
+        if not len(rk) or t.num_rows == 0:
+            return t
+        c = t["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"row_id": t["row_id"], "cluster_id": pa.array(_remap_sorted(c, rk, rv))}
+        )
+
+    for d in (_clusters_dir(state_a, va), _clusters_dir(state_b, vb)):
+        if os.path.isdir(d):
+            ray.data.read_parquet(d).map_batches(
+                remap_batch, batch_format="pyarrow"
+            ).write_parquet(out_clusters)
+    if merges:
+        # losing roots become non-trivial members of the union winner
+        pq.write_table(
+            pa.table(
+                {
+                    "row_id": pa.array(list(merges.keys()), pa.int64()),
+                    "cluster_id": pa.array(list(merges.values()), pa.int64()),
+                }
+            ),
+            os.path.join(out_clusters, "merged-roots.parquet"),
+        )
+
+    _write_meta(
+        out_dir,
+        {
+            "algo": "minhash",
+            "version": version,
+            "cfg_hash": ma["cfg_hash"],
+            "max_row_id": max(int(ma["max_row_id"]), int(mb["max_row_id"])),
+            "num_partitions": num_partitions,
+        },
+    )
+    return version, merges
+
+
 # ------------------------------------------------------- SimHash variants
 
 
