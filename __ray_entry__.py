@@ -2327,6 +2327,68 @@ def _tiered_image_phash_state() -> tuple[str, int]:
     return _TIERED_IMG_STATE["ph"]
 
 
+def _q_exact_union(sf_dir: str):
+    """Federated exact dedup: two disjoint-half content-hash states merged
+    with ``exact_state_union`` (file-local sorted merge, 1:1 collision
+    remap). Union state == full bootstrap (tests/test_exact_state_union.py),
+    so the oracle is the batch min-per-text SQL. Returns survivors'
+    (doc_id, text)."""
+    import glob as _glob
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from text_dedup_ray.pipelines.incremental_exact import (
+        exact_bootstrap,
+        exact_state_union,
+    )
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    cut = int(docs.max("doc_id") * 0.5)
+
+    def split(keep_low: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = pc.less_equal(t["doc_id"], pa.scalar(cut, pa.int64()))
+            return t.filter(m if keep_low else pc.invert(m))
+
+        return f
+
+    sa = tempfile.mkdtemp(prefix="exact_union_a_", dir="/tmp")
+    sb = tempfile.mkdtemp(prefix="exact_union_b_", dir="/tmp")
+    su = tempfile.mkdtemp(prefix="exact_union_out_", dir="/tmp")
+    exact_bootstrap(
+        docs.map_batches(split(True), batch_format="pyarrow"),
+        sa, id_column="doc_id", num_partitions=16,
+    )
+    exact_bootstrap(
+        docs.map_batches(split(False), batch_format="pyarrow"),
+        sb, id_column="doc_id", num_partitions=16,
+    )
+    exact_state_union(sa, sb, su)
+
+    members = []
+    for f in _glob.glob(f"{su}/v*/clusters/*.parquet"):
+        t = pq.read_table(f, columns=["row_id"])
+        if t.num_rows:
+            members.append(t["row_id"].to_numpy(zero_copy_only=False))
+    dup_ids = np.sort(np.concatenate(members)) if members else np.empty(0, np.int64)
+    dup_ref = ray.put(dup_ids.astype(np.int64))
+
+    def survivors(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dups = ray.get(dup_ref)
+        pos = np.searchsorted(dups, ids)
+        in_range = pos < len(dups)
+        dup_mask = np.zeros(len(ids), dtype=bool)
+        dup_mask[in_range] = dups[pos[in_range]] == ids[in_range]
+        return t.filter(pa.array(~dup_mask)).select(["doc_id", "text"])
+
+    return docs.map_batches(survivors, batch_format="pyarrow")
+
+
 def _q_minhash_union(sf_dir: str):
     """Federated tiered dedup: bootstrap TWO independent LSH states on
     disjoint halves of the corpus, then merge them with
@@ -2788,6 +2850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_dedup_docs": _q_bloom_dedup,
         "exact_clusters": _q_exact_clusters,
         "exact_incremental_docs": _q_exact_incremental,
+        "exact_union_docs": _q_exact_union,
         "bloom_incremental_docs": _q_bloom_incremental,
         "cluster_size_histogram": _q_cluster_histogram,
         # --- aggregates / windows (SQL-checked) ---
@@ -2984,6 +3047,11 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
             "doc_id = min(doc_id) OVER (PARTITION BY text)"
         ),
         "bloom_incremental_docs": (
+            "SELECT doc_id, text FROM documents QUALIFY "
+            "doc_id = min(doc_id) OVER (PARTITION BY text)"
+        ),
+        # union-equivalence: two half-corpus exact states merged == one run
+        "exact_union_docs": (
             "SELECT doc_id, text FROM documents QUALIFY "
             "doc_id = min(doc_id) OVER (PARTITION BY text)"
         ),

@@ -177,6 +177,7 @@ def main(argv: list[str] | None = None) -> None:
         # equivalent to a bootstrap over the union corpus — needs Ray (the
         # per-partition rep merges are tasks) but no [input] dataset
         from .pipelines.incremental import load_meta, minhash_state_union
+        from .pipelines.incremental_exact import exact_state_union
 
         sa = algo.get("state_a")
         sb = algo.get("state_b")
@@ -185,7 +186,13 @@ def main(argv: list[str] | None = None) -> None:
             raise SystemExit(
                 "union_state needs algorithm.state_a, .state_b and .out_state"
             )
-        version, merges = minhash_state_union(
+        family = load_meta(sa).get("algo")
+        union_fn = {"minhash": minhash_state_union, "exact": exact_state_union}.get(
+            family
+        )
+        if union_fn is None:
+            raise SystemExit(f"union_state does not support '{family}' states")
+        version, merges = union_fn(
             sa, sb, out_state,
             validate_ids=bool(algo.get("validate_ids", True)),
         )
@@ -193,6 +200,7 @@ def main(argv: list[str] | None = None) -> None:
             json.dumps(
                 {
                     "algorithm": name,
+                    "family": family,
                     "out_state": out_state,
                     "state_version": version,
                     "merged_roots": len(merges),

@@ -95,8 +95,13 @@ def prune_state_versions(state_dir: str, keep_last: int = 1) -> list[int]:
     snapshot (partitioned rep/posting index + cluster rows) and increments
     only ever read the version recorded in ``meta.json``, so versions older
     than the last ``keep_last`` exist purely as history/rollback points;
-    at daily-increment scale they dominate the state footprint. Keeps the
-    newest ``keep_last`` (>= 1) counting back from the CURRENT meta version;
+    at daily-increment scale they dominate the state footprint. Caveat for
+    the ADDITIVE-cluster families (exact/posting: each version's cluster dir
+    holds only that batch's rows): increments stay exactly correct after
+    pruning (they read only the prior INDEX files, which are
+    self-contained), but pruned batches' assignment history leaves the
+    state — export it first (``save_clusters``) or union before pruning.
+    Keeps the newest ``keep_last`` (>= 1) counting back from the CURRENT meta version;
     dirs NEWER than meta (an in-flight increment's workspace — meta flips
     last) are never touched. Returns the removed version numbers."""
     import re

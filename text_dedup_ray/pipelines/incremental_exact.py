@@ -257,6 +257,178 @@ def exact_bootstrap(
     return result
 
 
+@ray.remote
+def _exact_union_write(out_path: str, path_a: str, path_b: str) -> pa.Table:
+    """Merge one hash partition of two exact indexes: keep the min winner
+    per hash, write the merged sorted file, and return (losing winner ->
+    min winner) rows for hashes present in BOTH states. File-local — both
+    indexes partition by the same leading digest bytes."""
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    hs, ws = [], []
+    for p in (path_a, path_b):
+        t = pq.read_table(p)
+        hs.append(_hash_view(t["hash"], t.num_rows))
+        ws.append(t["winner"].to_numpy(zero_copy_only=False).astype(np.int64))
+    h = np.concatenate(hs)
+    w = np.concatenate(ws)
+    if not len(h):
+        pq.write_table(pa.table({"hash": _void_to_fixed(h), "winner": w}), out_path)
+        return _EMPTY_MAP
+    order = np.argsort(h, kind="stable")
+    hs_s, ws_s = h[order], w[order]
+    diff = np.r_[True, hs_s[1:] != hs_s[:-1]]
+    starts = np.flatnonzero(diff)
+    winner = np.minimum.reduceat(ws_s, starts)
+    pq.write_table(
+        pa.table({"hash": _void_to_fixed(hs_s[starts]), "winner": winner}),
+        out_path,
+    )
+    # duplicate hashes: exactly two rows (one winner per state); the loser
+    # becomes a non-trivial member of the min winner
+    group_idx = np.cumsum(diff) - 1
+    lose_mask = ws_s != winner[group_idx]
+    return pa.table(
+        {
+            "row_id": pa.array(ws_s[lose_mask]),
+            "cluster_id": pa.array(winner[group_idx][lose_mask]),
+        }
+    )
+
+
+def exact_state_union(
+    state_a: str,
+    state_b: str,
+    out_dir: str,
+    validate_ids: bool = True,
+) -> tuple[int, dict[int, int]]:
+    """Merge two INDEPENDENTLY-built exact-dedup states into one state
+    equivalent to a bootstrap over the union corpus — the exact-family twin
+    of :func:`incremental.minhash_state_union`.
+
+    Exact clusters are one-per-content-hash, so cross-state merges are
+    1:1 (A's winner vs B's winner for a shared hash — no transitive
+    chaining, no union-find): the larger winner becomes a member of the
+    smaller, and the losing state's member rows for that hash remap through
+    one broadcast searchsorted pass. The index merge is P file-local
+    sorted-merge tasks (both states partition by the same leading digest
+    bytes — ZERO shuffle); cluster rows stream once through the remap.
+
+    Requirements: same text column (cfg_hash), same partition count,
+    DISJOINT row-id ranges (``validate_ids`` checks [min winner, meta max]
+    intervals — the global min row id is always a winner). NOTE: exact
+    cluster history is additive across versions, so union reads EVERY
+    version dir of each input state — union states whose history you need
+    before pruning them.
+
+    Returns ``(version, merges)`` — the new state's version (1) and the
+    losing-winner map for observability.
+    """
+    import glob as _glob
+
+    ma, mb = load_meta(state_a), load_meta(state_b)
+    for m, d in ((ma, state_a), (mb, state_b)):
+        if m.get("algo") != "exact":
+            raise ValueError(f"state at {d} is not an exact-dedup state")
+    if ma["cfg_hash"] != mb["cfg_hash"]:
+        raise ValueError(
+            "states were built over different text columns/configs; "
+            "union requires identical content hashing"
+        )
+    if int(ma["num_partitions"]) != int(mb["num_partitions"]):
+        raise ValueError(
+            "states use different partition counts "
+            f"({ma['num_partitions']} vs {mb['num_partitions']})"
+        )
+    num_partitions = int(ma["num_partitions"])
+    va, vb = int(ma["version"]), int(mb["version"])
+
+    if validate_ids:
+        ints = []
+        for sd, v, m in ((state_a, va, ma), (state_b, vb, mb)):
+            lo = None
+            for p in range(num_partitions):
+                t = pq.read_table(_index_file(sd, v, p), columns=["winner"])
+                if t.num_rows:
+                    mn = int(
+                        t["winner"].to_numpy(zero_copy_only=False).min()
+                    )
+                    lo = mn if lo is None else min(lo, mn)
+            ints.append(None if lo is None else (lo, int(m["max_row_id"])))
+        ia, ib = ints
+        if ia is not None and ib is not None and ia[0] <= ib[1] and ib[0] <= ia[1]:
+            raise ValueError(
+                f"row-id intervals overlap: {state_a}={ia} vs {state_b}={ib}; "
+                "union requires disjoint id ranges"
+            )
+
+    version = 1
+    _clean_version_dir(out_dir, version)
+    merge_refs = [
+        _exact_union_write.remote(
+            _index_file(out_dir, version, p),
+            _index_file(state_a, va, p),
+            _index_file(state_b, vb, p),
+        )
+        for p in range(num_partitions)
+    ]
+    merges: dict[int, int] = {}
+    for t in ray.get(merge_refs):
+        for r, c in zip(
+            t["row_id"].to_numpy(zero_copy_only=False).tolist(),
+            t["cluster_id"].to_numpy(zero_copy_only=False).tolist(),
+        ):
+            merges[int(r)] = int(c)
+
+    from .incremental import _remap_sorted, _sorted_remap_arrays
+
+    out_clusters = _clusters_dir(out_dir, version)
+    os.makedirs(out_clusters, exist_ok=True)
+    rk, rv = _sorted_remap_arrays(merges)
+
+    def remap_batch(t: pa.Table) -> pa.Table:
+        if not len(rk) or t.num_rows == 0:
+            return t
+        c = t["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"row_id": t["row_id"], "cluster_id": pa.array(_remap_sorted(c, rk, rv))}
+        )
+
+    # exact cluster rows are ADDITIVE across versions: read every version's
+    # cluster dir of each input state
+    dirs = [
+        d
+        for sd in (state_a, state_b)
+        for d in sorted(_glob.glob(os.path.join(sd, "v*", "clusters")))
+        if _glob.glob(os.path.join(d, "*.parquet"))
+    ]
+    for d in dirs:
+        ray.data.read_parquet(d).map_batches(
+            remap_batch, batch_format="pyarrow"
+        ).write_parquet(out_clusters)
+    if merges:
+        pq.write_table(
+            pa.table(
+                {
+                    "row_id": pa.array(list(merges.keys()), pa.int64()),
+                    "cluster_id": pa.array(list(merges.values()), pa.int64()),
+                }
+            ),
+            os.path.join(out_clusters, "merged-roots.parquet"),
+        )
+
+    _write_meta(
+        out_dir,
+        {
+            "algo": "exact",
+            "version": version,
+            "cfg_hash": ma["cfg_hash"],
+            "max_row_id": max(int(ma["max_row_id"]), int(mb["max_row_id"])),
+            "num_partitions": num_partitions,
+        },
+    )
+    return version, merges
+
+
 def exact_increment(
     new_ds: ray.data.Dataset,
     state_dir: str,
