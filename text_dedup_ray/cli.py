@@ -190,6 +190,11 @@ def main(argv: list[str] | None = None) -> None:
         union_fn = {"minhash": minhash_state_union, "exact": exact_state_union}.get(
             family
         )
+        if union_fn is None and str(family).endswith("_posting"):
+            # family-agnostic posting-index union: jaccard / video / audio
+            from .pipelines.incremental_jaccard import posting_state_union
+
+            union_fn = posting_state_union
         if union_fn is None:
             raise SystemExit(f"union_state does not support '{family}' states")
         version, merges = union_fn(

@@ -667,6 +667,91 @@ def _state_id_interval(state_dir: str, version: int, num_partitions: int, max_ro
     return min(lo for lo, _ in ranges), max_row_id
 
 
+def _compose_two_priors(
+    cc: "dict[int, int] | ray.data.Dataset",
+    clusters_a: str,
+    clusters_b: str,
+) -> dict[int, int]:
+    """Union composition shared by every family's state union: chain the
+    collision components through BOTH prior cluster maps (ids are disjoint,
+    so the two semi-joins fill disjoint parts of one prior-root map) and
+    return the losing-PRIOR-root map (old root -> union winner). Every
+    losing cc root is either self-rooted (then it IS a prior root, covered
+    here) or a member row in its state (then its row remaps through its
+    prior root's entry) — adding cc roots would duplicate member rows."""
+    if isinstance(cc, dict):
+        node_arr = np.fromiter(cc.keys(), dtype=np.int64, count=len(cc))
+        root_arr = np.fromiter(cc.values(), dtype=np.int64, count=len(cc))
+    else:
+        parts = [
+            b
+            for b in cc.iter_batches(batch_size=None, batch_format="pyarrow")
+            if b.num_rows and b.num_columns
+        ]
+        collected = (
+            pa.concat_tables(parts)
+            if parts
+            else pa.table(
+                {"row_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
+            )
+        )
+        node_arr = collected["row_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        root_arr = collected["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    merges: dict[int, int] = {}
+    if len(node_arr):
+        prior_map = _prior_roots_for(clusters_a, node_arr)
+        prior_map.update(_prior_roots_for(clusters_b, node_arr))
+        pk, pv = _sorted_remap_arrays(prior_map)
+        prior_roots = _remap_sorted(node_arr, pk, pv)
+        from ..functions.unionfind import UnionFind
+
+        uf = UnionFind()
+        union = uf.union
+        for r, p in zip(root_arr.tolist(), prior_roots.tolist()):
+            union(int(r), int(p))
+        for p in np.unique(prior_roots).tolist():
+            w = uf.find(int(p))
+            if w != p:
+                merges[int(p)] = w
+    return merges
+
+
+def _write_union_clusters(
+    out_clusters: str, cluster_dirs: list[str], merges: dict[int, int]
+) -> None:
+    """Stream every input cluster dir through the merges remap into the
+    union state's cluster dir; losing roots become non-trivial members."""
+    import glob as _glob
+
+    os.makedirs(out_clusters, exist_ok=True)
+    rk, rv = _sorted_remap_arrays(merges)
+
+    def remap_batch(t: pa.Table) -> pa.Table:
+        if not len(rk) or t.num_rows == 0:
+            return t
+        c = t["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"row_id": t["row_id"], "cluster_id": pa.array(_remap_sorted(c, rk, rv))}
+        )
+
+    for d in cluster_dirs:
+        if os.path.isdir(d) and _glob.glob(os.path.join(d, "*.parquet")):
+            ray.data.read_parquet(d).map_batches(
+                remap_batch, batch_format="pyarrow"
+            ).write_parquet(out_clusters)
+    if merges:
+        pq.write_table(
+            pa.table(
+                {
+                    "row_id": pa.array(list(merges.keys()), pa.int64()),
+                    "cluster_id": pa.array(list(merges.values()), pa.int64()),
+                }
+            ),
+            os.path.join(out_clusters, "merged-roots.parquet"),
+        )
+
+
 def minhash_state_union(
     state_a: str,
     state_b: str,
@@ -747,76 +832,14 @@ def minhash_state_union(
         edges, driver_threshold=driver_threshold, num_partitions=num_partitions
     )
 
-    # compose through BOTH prior cluster maps (ids are disjoint, so the two
-    # semi-joins fill disjoint parts of one prior-root map)
-    if isinstance(cc, dict):
-        node_arr = np.fromiter(cc.keys(), dtype=np.int64, count=len(cc))
-        root_arr = np.fromiter(cc.values(), dtype=np.int64, count=len(cc))
-    else:
-        parts = [
-            b
-            for b in cc.iter_batches(batch_size=None, batch_format="pyarrow")
-            if b.num_rows and b.num_columns
-        ]
-        collected = (
-            pa.concat_tables(parts)
-            if parts
-            else pa.table(
-                {"row_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
-            )
-        )
-        node_arr = collected["row_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        root_arr = collected["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-
-    merges: dict[int, int] = {}
-    if len(node_arr):
-        prior_map = _prior_roots_for(_clusters_dir(state_a, va), node_arr)
-        prior_map.update(_prior_roots_for(_clusters_dir(state_b, vb), node_arr))
-        pk, pv = _sorted_remap_arrays(prior_map)
-        prior_roots = _remap_sorted(node_arr, pk, pv)
-        from ..functions.unionfind import UnionFind
-
-        uf = UnionFind()
-        union = uf.union
-        for r, p in zip(root_arr.tolist(), prior_roots.tolist()):
-            union(int(r), int(p))
-        # losing PRIOR roots only: every losing cc root is either self-rooted
-        # (then it IS a prior root, covered here) or a member row in its
-        # state (then its row remaps through its prior root's entry) — adding
-        # cc roots would duplicate member rows
-        for p in np.unique(prior_roots).tolist():
-            w = uf.find(int(p))
-            if w != p:
-                merges[int(p)] = w
-
-    out_clusters = _clusters_dir(out_dir, version)
-    os.makedirs(out_clusters, exist_ok=True)
-    rk, rv = _sorted_remap_arrays(merges)
-
-    def remap_batch(t: pa.Table) -> pa.Table:
-        if not len(rk) or t.num_rows == 0:
-            return t
-        c = t["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {"row_id": t["row_id"], "cluster_id": pa.array(_remap_sorted(c, rk, rv))}
-        )
-
-    for d in (_clusters_dir(state_a, va), _clusters_dir(state_b, vb)):
-        if os.path.isdir(d):
-            ray.data.read_parquet(d).map_batches(
-                remap_batch, batch_format="pyarrow"
-            ).write_parquet(out_clusters)
-    if merges:
-        # losing roots become non-trivial members of the union winner
-        pq.write_table(
-            pa.table(
-                {
-                    "row_id": pa.array(list(merges.keys()), pa.int64()),
-                    "cluster_id": pa.array(list(merges.values()), pa.int64()),
-                }
-            ),
-            os.path.join(out_clusters, "merged-roots.parquet"),
-        )
+    merges = _compose_two_priors(
+        cc, _clusters_dir(state_a, va), _clusters_dir(state_b, vb)
+    )
+    _write_union_clusters(
+        _clusters_dir(out_dir, version),
+        [_clusters_dir(state_a, va), _clusters_dir(state_b, vb)],
+        merges,
+    )
 
     _write_meta(
         out_dir,

@@ -396,6 +396,184 @@ def jaccard_increment(
     )
 
 
+@ray.remote
+def _posting_union_write(
+    out_path: str, path_a: str, path_b: str, df_cap: int, num_partitions: int
+) -> pa.Table:
+    """Merge one posting partition of two states: write the re-sorted
+    concatenation (postings are per-row facts — the merged file IS the
+    union corpus's posting file), and emit pair partials for CROSS
+    (A-row x B-row) co-occurrences only — within-state connectivity is
+    already folded into each state's cluster map. File-local: both states
+    partition by the same ``hash % P``."""
+    a = pq.read_table(path_a) if os.path.exists(path_a) else _sorted_postings()
+    b = pq.read_table(path_b) if os.path.exists(path_b) else _sorted_postings()
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    pq.write_table(_sorted_postings(a, b), out_path)
+    if a.num_rows == 0 or b.num_rows == 0:
+        return _EMPTY_PAIRS
+    ah = a["sh"].to_numpy(zero_copy_only=False).astype(np.int64)
+    aid = a["row_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    asz = a["size"].to_numpy(zero_copy_only=False).astype(np.int64)
+    bh = b["sh"].to_numpy(zero_copy_only=False).astype(np.int64)
+    bid = b["row_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    bsz = b["size"].to_numpy(zero_copy_only=False).astype(np.int64)
+    a_out, b_out, sa_out, sb_out = [], [], [], []
+    dropped = 0
+    b_starts = np.flatnonzero(np.r_[True, np.diff(bh) != 0])
+    b_ends = np.r_[b_starts[1:], len(bh)]
+    for s, e in zip(b_starts, b_ends):
+        h = bh[s]
+        lo = np.searchsorted(ah, h, side="left")
+        hi = np.searchsorted(ah, h, side="right")
+        n_a = hi - lo
+        if n_a == 0:
+            continue
+        m = n_a + (e - s)
+        if m > df_cap:  # combined df — same cap a full re-run would apply
+            dropped += 1
+            continue
+        # cross pairs only: every (A row, B row) of this shingle
+        ra, rb = aid[lo:hi], bid[s:e]
+        za, zb = asz[lo:hi], bsz[s:e]
+        ii, jj = np.meshgrid(np.arange(n_a), np.arange(e - s), indexing="ij")
+        ii, jj = ii.ravel(), jj.ravel()
+        x, y = ra[ii], rb[jj]
+        zx, zy = za[ii], zb[jj]
+        a_out.append(np.maximum(x, y))
+        b_out.append(np.minimum(x, y))
+        sa_out.append(np.where(x > y, zx, zy))
+        sb_out.append(np.where(x > y, zy, zx))
+    if dropped:
+        logger.warning(
+            "posting_state_union: %d shingles above df_cap=%d dropped",
+            dropped, df_cap,
+        )
+    if not a_out:
+        return _EMPTY_PAIRS
+    aa = np.concatenate(a_out).astype(np.int64)
+    bb = np.concatenate(b_out).astype(np.int64)
+    sa = np.concatenate(sa_out).astype(np.int64)
+    sb = np.concatenate(sb_out).astype(np.int64)
+    order2 = np.lexsort((bb, aa))
+    aa, bb, sa, sb = aa[order2], bb[order2], sa[order2], sb[order2]
+    bounds = np.flatnonzero(np.r_[True, (np.diff(aa) != 0) | (np.diff(bb) != 0)])
+    co = np.diff(np.r_[bounds, len(aa)]).astype(np.int64)
+    aa, bb, sa, sb = aa[bounds], bb[bounds], sa[bounds], sb[bounds]
+    with np.errstate(over="ignore"):
+        part = (np.abs(aa * np.int64(31) + bb) % np.int64(num_partitions)).astype(np.int64)
+    return pa.table({"a": aa, "b": bb, "sa": sa, "sb": sb, "co": co, "part": part})
+
+
+def posting_state_union(
+    state_a: str,
+    state_b: str,
+    out_dir: str,
+    driver_threshold: int = 2_000_000,
+    validate_ids: bool = True,
+) -> tuple[int, dict[int, int]]:
+    """Merge two INDEPENDENTLY-built posting-index states into one state
+    equivalent to a bootstrap over the union corpus — FAMILY-AGNOSTIC
+    (n-gram Jaccard, video frame-phash, audio fingerprint: any state whose
+    index is (element, row_id, set_size) postings), because the union
+    operates purely on the stored postings and never re-explodes a corpus.
+
+    Correctness: a full rerun's verified pairs are (A x A) ∪ (B x B) ∪
+    (A x B); each state's cluster map IS the CC of its within-state pairs,
+    so emitting only CROSS pairs — with co-occurrence counts summed across
+    partitions before the exact-Jaccard threshold, identical to the batch
+    path — and composing through both prior maps (shared
+    :func:`incremental._compose_two_priors` union-find) reproduces the full
+    rerun exactly (tests/test_posting_state_union.py, jaccard + video).
+    ``df_cap`` applies to the COMBINED posting list, matching a full rerun.
+
+    Scale shape: P file-local merge tasks (both states partition by the
+    same element hash — ZERO index shuffle); only cross-pair partials
+    (six int64 columns) move through the pair exchange; cluster rows
+    stream once through the remap.
+
+    Requirements: identical family config (cfg hashes, threshold, df_cap,
+    partition count) and DISJOINT row-id ranges. Returns ``(version,
+    merges)``.
+    """
+    from ..stages.exchange import hash_partition_exchange
+    from .incremental import _compose_two_priors, _write_union_clusters
+
+    ma, mb = load_meta(state_a), load_meta(state_b)
+    for m, d in ((ma, state_a), (mb, state_b)):
+        if not str(m.get("algo", "")).endswith("_posting"):
+            raise ValueError(f"state at {d} is not a posting-index state")
+    drop = {"version", "max_row_id"}
+    if {k: v for k, v in ma.items() if k not in drop} != {
+        k: v for k, v in mb.items() if k not in drop
+    }:
+        raise ValueError(
+            "states were built with different configs (algo/cfg_hash/"
+            "threshold/df_cap/num_partitions must all match for union)"
+        )
+    num_partitions = int(ma["num_partitions"])
+    va, vb = int(ma["version"]), int(mb["version"])
+    threshold = float(ma["threshold"])
+    df_cap = int(ma["df_cap"])
+
+    if validate_ids:
+        ints = []
+        for sd, v, m in ((state_a, va, ma), (state_b, vb, mb)):
+            lo = None
+            for p in range(num_partitions):
+                f = _index_file(sd, v, p)
+                if not os.path.exists(f):
+                    continue
+                t = pq.read_table(f, columns=["row_id"])
+                if t.num_rows:
+                    mn = int(t["row_id"].to_numpy(zero_copy_only=False).min())
+                    lo = mn if lo is None else min(lo, mn)
+            ints.append(None if lo is None else (lo, int(m["max_row_id"])))
+        ia, ib = ints
+        if ia is not None and ib is not None and ia[0] <= ib[1] and ib[0] <= ia[1]:
+            raise ValueError(
+                f"row-id intervals overlap: {state_a}={ia} vs {state_b}={ib}; "
+                "union requires disjoint id ranges"
+            )
+
+    version = 1
+    _clean_version_dir(out_dir, version)
+    pair_refs = [
+        _posting_union_write.remote(
+            _index_file(out_dir, version, p),
+            _index_file(state_a, va, p),
+            _index_file(state_b, vb, p),
+            df_cap,
+            num_partitions,
+        )
+        for p in range(num_partitions)
+    ]
+    edges = hash_partition_exchange(
+        ray.data.from_arrow_refs(pair_refs), "part", num_partitions,
+        _make_pair_reduce(threshold),
+    )
+    cc = connected_components_auto(
+        edges, driver_threshold=driver_threshold, num_partitions=num_partitions
+    )
+    merges = _compose_two_priors(
+        cc, _clusters_dir(state_a, va), _clusters_dir(state_b, vb)
+    )
+    _write_union_clusters(
+        _clusters_dir(out_dir, version),
+        [_clusters_dir(state_a, va), _clusters_dir(state_b, vb)],
+        merges,
+    )
+    out_meta = {k: v for k, v in ma.items() if k not in drop}
+    out_meta.update(
+        {
+            "version": version,
+            "max_row_id": max(int(ma["max_row_id"]), int(mb["max_row_id"])),
+        }
+    )
+    _write_meta(out_dir, out_meta)
+    return version, merges
+
+
 def posting_state_increment(
     new_ds: ray.data.Dataset,
     state_dir: str,
