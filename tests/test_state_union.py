@@ -167,6 +167,152 @@ out_state = "{su}"
     assert _clusters_map(su, 1)[16] == 0
 
 
+def _simhash_cfg():
+    from text_dedup_ray.functions.simhash import SimHashConfig
+
+    return SimHashConfig(
+        f=64, bit_diff=3, num_bucket=4, ngram_size=3, hash_func="sha1", seed=42
+    )
+
+
+def _simhash_corpus():
+    """Cross-split EXACT dup (0 ~ 10) plus a cross-split HAMMING near-dup
+    (1 ~ 11: one word of 120 changed — signature distance 1 at seed 58,
+    found offline; exercises the cross-signature compare, not just the
+    exact-key collision path)."""
+    import random
+
+    rng = random.Random(58)
+    vocab = [f"w{c}" for c in range(500)]
+    words = [rng.choice(vocab) for _ in range(120)]
+    base = " ".join(words)
+    pw = list(words)
+    pw[60] = "zzzz"
+    pert = " ".join(pw)
+    exact = " ".join(rng.choice(vocab) for _ in range(40))
+    a = [
+        (0, exact),
+        (1, base),
+        (2, " ".join(rng.choice(vocab) for _ in range(40))),
+    ]
+    b = [
+        (10, exact),
+        (11, pert),
+        (12, " ".join(rng.choice(vocab) for _ in range(40))),
+    ]
+    return a, b
+
+
+def test_simhash_union_equals_full_bootstrap(tmp_path):
+    from text_dedup_ray.pipelines.incremental import (
+        simhash_bootstrap,
+        simhash_state_union,
+    )
+
+    a, b = _simhash_corpus()
+    cfg = _simhash_cfg()
+    sa, sb, su, sf = (str(tmp_path / n) for n in ("a", "b", "u", "f"))
+    simhash_bootstrap(_ds(a), sa, cfg=cfg, id_column="doc_id", num_partitions=P)
+    simhash_bootstrap(_ds(b), sb, cfg=cfg, id_column="doc_id", num_partitions=P)
+    version, merges = simhash_state_union(sa, sb, su, cfg=cfg)
+    assert version == 1
+    simhash_bootstrap(_ds(a + b), sf, cfg=cfg, id_column="doc_id",
+                      num_partitions=P)
+
+    assert _reps_map(su, 1) == _reps_map(sf, 1)
+    got, want = _clusters_map(su, 1), _clusters_map(sf, 1)
+    assert got == want
+    # the exact cross dup AND the Hamming cross near-dup both merged
+    assert want[10] == 0 and want[11] == 1
+    assert merges == {10: 0, 11: 1}
+
+
+def test_simhash_union_chains_increments(tmp_path):
+    from text_dedup_ray.pipelines.incremental import (
+        simhash_bootstrap,
+        simhash_increment,
+        simhash_state_union,
+    )
+
+    a, b = _simhash_corpus()
+    cfg = _simhash_cfg()
+    sa, sb, su, sf = (str(tmp_path / n) for n in ("a", "b", "u", "f"))
+    simhash_bootstrap(_ds(a), sa, cfg=cfg, id_column="doc_id", num_partitions=P)
+    simhash_bootstrap(_ds(b), sb, cfg=cfg, id_column="doc_id", num_partitions=P)
+    simhash_state_union(sa, sb, su, cfg=cfg)
+    simhash_bootstrap(_ds(a + b), sf, cfg=cfg, id_column="doc_id",
+                      num_partitions=P)
+
+    c = [(20, a[0][1]), (21, "wholly new words that match nothing else here")]
+    simhash_increment(_ds(c), su, cfg=cfg, id_column="doc_id")
+    simhash_increment(_ds(c), sf, cfg=cfg, id_column="doc_id")
+    assert _clusters_map(su, 2) == _clusters_map(sf, 2)
+    assert _clusters_map(su, 2)[20] == 0
+
+
+def test_simhash_union_guards(tmp_path):
+    from text_dedup_ray.functions.simhash import SimHashConfig
+    from text_dedup_ray.pipelines.incremental import (
+        simhash_bootstrap,
+        simhash_state_union,
+    )
+
+    a, b = _simhash_corpus()
+    cfg = _simhash_cfg()
+    sa, sb = str(tmp_path / "a"), str(tmp_path / "b")
+    simhash_bootstrap(_ds(a), sa, cfg=cfg, id_column="doc_id", num_partitions=P)
+    simhash_bootstrap(_ds(b), sb, cfg=cfg, id_column="doc_id", num_partitions=P)
+    other = SimHashConfig(f=64, bit_diff=2, num_bucket=3, ngram_size=3,
+                          hash_func="sha1", seed=42)
+    with pytest.raises(ValueError, match="different SimHash config"):
+        simhash_state_union(sa, sb, str(tmp_path / "u"), cfg=other)
+    # minhash state refused by the simhash union (algo tag guard)
+    sm = str(tmp_path / "m")
+    minhash_bootstrap(_ds(a), sm, cfg=CFG, id_column="doc_id", num_partitions=P)
+    with pytest.raises(ValueError, match="not a simhash state"):
+        simhash_state_union(sm, sb, str(tmp_path / "u2"), cfg=cfg)
+
+
+def test_cli_union_state_simhash(tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    from text_dedup_ray.pipelines.incremental import simhash_bootstrap
+
+    a, b = _simhash_corpus()
+    cfg = _simhash_cfg()
+    sa, sb, su = (str(tmp_path / n) for n in ("a", "b", "u"))
+    simhash_bootstrap(_ds(a), sa, cfg=cfg, id_column="doc_id", num_partitions=P)
+    simhash_bootstrap(_ds(b), sb, cfg=cfg, id_column="doc_id", num_partitions=P)
+
+    cfgf = tmp_path / "union.toml"
+    cfgf.write_text(
+        f"""
+[algorithm]
+name = "union_state"
+state_a = "{sa}"
+state_b = "{sb}"
+out_state = "{su}"
+f = 64
+bit_diff = 3
+num_bucket = 4
+ngram_size = 3
+hash_func = "sha1"
+seed = 42
+"""
+    )
+    proc = subprocess.run(
+        [sys.executable, "-m", "text_dedup_ray", "--config", str(cfgf)],
+        capture_output=True, text=True, cwd="/root/repo", timeout=240,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert stats["family"] == "simhash"
+    assert stats["merged_roots"] == 2  # exact + hamming cross pairs
+    assert _clusters_map(su, 1)[11] == 1
+
+
 def test_union_guards(tmp_path):
     a, b = _corpus()
     sa, sb = str(tmp_path / "a"), str(tmp_path / "b")

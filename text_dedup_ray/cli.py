@@ -190,6 +190,19 @@ def main(argv: list[str] | None = None) -> None:
         union_fn = {"minhash": minhash_state_union, "exact": exact_state_union}.get(
             family
         )
+        kwargs = {"validate_ids": bool(algo.get("validate_ids", True))}
+        if union_fn is None and family == "simhash":
+            # SimHash union needs the build config (bit_diff lives there,
+            # not in the index) — same [algorithm] fields as simhash modes
+            from .functions.simhash import SimHashConfig
+            from .pipelines.incremental import simhash_state_union
+
+            fields = {f for f in SimHashConfig.__dataclass_fields__}
+            kwargs["cfg"] = SimHashConfig(**_algo_kwargs(dict(algo), fields))
+            kwargs["text_column"] = algo.get("text_column", "text")
+            if algo.get("signature_column"):
+                kwargs["signature_column"] = algo["signature_column"]
+            union_fn = simhash_state_union
         if union_fn is None and str(family).endswith("_posting"):
             # family-agnostic posting-index union: jaccard / video / audio
             from .pipelines.incremental_jaccard import posting_state_union
@@ -197,10 +210,7 @@ def main(argv: list[str] | None = None) -> None:
             union_fn = posting_state_union
         if union_fn is None:
             raise SystemExit(f"union_state does not support '{family}' states")
-        version, merges = union_fn(
-            sa, sb, out_state,
-            validate_ids=bool(algo.get("validate_ids", True)),
-        )
+        version, merges = union_fn(sa, sb, out_state, **kwargs)
         print(
             json.dumps(
                 {

@@ -601,21 +601,29 @@ def minhash_increment(
 
 
 @ray.remote
-def _rep_union_write(out_path: str, path_a: str, path_b: str) -> pa.Table:
+def _rep_union_write(
+    out_path: str,
+    path_a: str,
+    path_b: str,
+    cross_spec: tuple[int, int] | None = None,
+) -> pa.Table:
     """Merge one partition of two rep indexes: group-min by bucket key,
     write the merged file, emit one (loser rep -> min rep) edge per bucket
     key present in both states. Both states partition by the same key hash
-    with the same P, so the merge is file-local — ZERO shuffle."""
-    tabs = []
-    for p in (path_a, path_b):
-        if p is not None and os.path.isfile(p):
-            t = pq.read_table(p)
-            if t.num_rows:
-                tabs.append(t)
+    with the same P, so the merge is file-local — ZERO shuffle.
+
+    ``cross_spec`` = (bit_diff, max_distinct_sigs) switches on the SimHash
+    cross-signature Hamming compare, restricted to merged reps containing a
+    B-side row vs ALL reps — A x A Hamming pairs are already folded into
+    A's cluster map (the increment-path convention, _rep_reduce_write)."""
+    a = pq.read_table(path_a)
+    b = pq.read_table(path_b)
+    n_a = a.num_rows
+    tabs = [t for t in (a, b) if t.num_rows]
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     if not tabs:
         # partition files always exist post-bootstrap; copy A's empty schema
-        pq.write_table(pq.read_table(path_a), out_path)
+        pq.write_table(a, out_path)
         return _EMPTY_EDGES
     group = pa.concat_tables(tabs)
     n = group.num_rows
@@ -630,10 +638,29 @@ def _rep_union_write(out_path: str, path_a: str, path_b: str) -> pa.Table:
     pq.write_table(
         pa.table({"key": _fixed_binary(merged_keys), "rep": mins}), out_path
     )
+    src_out = [rid_sorted[mask]]
+    dst_out = [dst[mask]]
+    if cross_spec is not None:
+        from ..stages.edges import simhash_distinct_sig_edges
+
+        bit_diff, max_distinct = cross_spec
+        rep_mat = (
+            np.ascontiguousarray(merged_keys).view(np.uint8).reshape(-1, width)
+        )
+        # a merged rep is B-side iff any of its rows came from B (rows
+        # [n_a:] of the concat); per-group any via max.reduceat
+        from_b = np.zeros(n, dtype=np.uint8)
+        from_b[n_a:] = 1
+        b_any = np.maximum.reduceat(from_b[order], starts).astype(bool)
+        cs, cd = simhash_distinct_sig_edges(
+            rep_mat, mins, bit_diff, max_distinct, new_mask=b_any
+        )
+        src_out.extend(cs)
+        dst_out.extend(cd)
     return pa.table(
         {
-            "src": pa.array(rid_sorted[mask].astype(np.int64)),
-            "dst": pa.array(dst[mask].astype(np.int64)),
+            "src": np.concatenate(src_out).astype(np.int64),
+            "dst": np.concatenate(dst_out).astype(np.int64),
         }
     )
 
@@ -845,6 +872,100 @@ def minhash_state_union(
         out_dir,
         {
             "algo": "minhash",
+            "version": version,
+            "cfg_hash": ma["cfg_hash"],
+            "max_row_id": max(int(ma["max_row_id"]), int(mb["max_row_id"])),
+            "num_partitions": num_partitions,
+        },
+    )
+    return version, merges
+
+
+def simhash_state_union(
+    state_a: str,
+    state_b: str,
+    out_dir: str,
+    text_column: str = "text",
+    cfg=None,
+    signature_column: str | None = None,
+    max_distinct_sigs: int = 8192,
+    driver_threshold: int = 2_000_000,
+    validate_ids: bool = True,
+) -> tuple[int, dict[int, int]]:
+    """SimHash twin of :func:`minhash_state_union`: merge two independently
+    -built SimHash (or tiered-phash, via ``signature_column``) states into
+    one equivalent to a bootstrap over the union corpus.
+
+    Same zero-shuffle partition-aligned rep merge; the extra work is the
+    cross-signature Hamming compare inside each merged bucket-prefix
+    partition, restricted to B-containing reps vs all (A x A and B x B
+    Hamming connectivity is already folded into each state's cluster map,
+    so re-asserting B x B is a CC no-op and A x A never recomputes). The
+    caller passes the SAME ``cfg``/``text_column``/``signature_column`` the
+    states were built with (validated against both cfg hashes) because the
+    Hamming radius ``bit_diff`` lives in the config, not the index.
+
+    Returns ``(version, merges)`` — equivalence and chainability proven in
+    tests/test_state_union.py::test_simhash_union*.
+    """
+    from ..functions.simhash import SimHashConfig
+
+    cfg = cfg or SimHashConfig()
+    ma, mb = load_meta(state_a), load_meta(state_b)
+    for m, d in ((ma, state_a), (mb, state_b)):
+        if m.get("algo") != "simhash":
+            raise ValueError(f"state at {d} is not a simhash state")
+    want = _simhash_cfg_hash(cfg, text_column, signature_column)
+    if not (ma["cfg_hash"] == mb["cfg_hash"] == want):
+        raise ValueError(
+            "states were built with a different SimHash config/text column "
+            "than the one passed; union requires identical settings"
+        )
+    if int(ma["num_partitions"]) != int(mb["num_partitions"]):
+        raise ValueError(
+            "states use different partition counts "
+            f"({ma['num_partitions']} vs {mb['num_partitions']})"
+        )
+    num_partitions = int(ma["num_partitions"])
+    va, vb = int(ma["version"]), int(mb["version"])
+
+    if validate_ids:
+        ia = _state_id_interval(state_a, va, num_partitions, int(ma["max_row_id"]))
+        ib = _state_id_interval(state_b, vb, num_partitions, int(mb["max_row_id"]))
+        if ia is not None and ib is not None and ia[0] <= ib[1] and ib[0] <= ia[1]:
+            raise ValueError(
+                f"row-id intervals overlap: {state_a}={ia} vs {state_b}={ib}; "
+                "union requires disjoint id ranges"
+            )
+
+    version = 1
+    _clean_version_dir(out_dir, version)
+    edge_refs = [
+        _rep_union_write.remote(
+            _rep_file(out_dir, version, p),
+            _rep_file(state_a, va, p),
+            _rep_file(state_b, vb, p),
+            (cfg.bit_diff, max_distinct_sigs),
+        )
+        for p in range(num_partitions)
+    ]
+    edges = ray.data.from_arrow_refs(edge_refs)
+    cc = connected_components_auto(
+        edges, driver_threshold=driver_threshold,
+        num_partitions=num_partitions, include_roots=False,
+    )
+    merges = _compose_two_priors(
+        cc, _clusters_dir(state_a, va), _clusters_dir(state_b, vb)
+    )
+    _write_union_clusters(
+        _clusters_dir(out_dir, version),
+        [_clusters_dir(state_a, va), _clusters_dir(state_b, vb)],
+        merges,
+    )
+    _write_meta(
+        out_dir,
+        {
+            "algo": "simhash",
             "version": version,
             "cfg_hash": ma["cfg_hash"],
             "max_row_id": max(int(ma["max_row_id"]), int(mb["max_row_id"])),
