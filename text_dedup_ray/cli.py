@@ -190,6 +190,10 @@ def main(argv: list[str] | None = None) -> None:
         union_fn = {"minhash": minhash_state_union, "exact": exact_state_union}.get(
             family
         )
+        if union_fn is None and family == "embedding_lsh":
+            from .pipelines.incremental_embedding import embedding_state_union
+
+            union_fn = embedding_state_union
         kwargs = {"validate_ids": bool(algo.get("validate_ids", True))}
         if union_fn is None and family == "simhash":
             # SimHash union needs the build config (bit_diff lives there,

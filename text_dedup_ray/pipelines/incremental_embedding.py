@@ -303,3 +303,131 @@ def embedding_increment(
         state_version=version,
         metrics={"stage_seconds": timer.report()},
     )
+
+
+@ray.remote
+def _emb_union_write(
+    out_path: str, path_a: str, path_b: str, threshold: float
+) -> pa.Table:
+    """Merge one LSH partition of two embedding states: concat the sig rows
+    (disjoint row ids — each row's single non-null vector is preserved) and
+    emit (B x all) cosine-verified edges; B x B pairs are CC no-ops (already
+    in B's map) and A x A pairs never recompute. File-local: both states
+    partition by the same hash(table, bucket)."""
+    a = pq.read_table(path_a) if os.path.exists(path_a) else None
+    b = pq.read_table(path_b) if os.path.exists(path_b) else None
+    parts = [t for t in (a, b) if t is not None and t.num_rows]
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    if not parts:
+        empty = pa.table(
+            {
+                "row_id": pa.array([], pa.int64()),
+                "table_idx": pa.array([], pa.int32()),
+                "bucket": pa.array([], pa.uint64()),
+                "vec": pa.array([], pa.list_(pa.float32())),
+            }
+        )
+        pq.write_table(a if a is not None else empty, out_path)
+        return _EMPTY_EDGES
+    group = pa.concat_tables(parts, promote_options="default")
+    pq.write_table(group, out_path)
+    n_a = a.num_rows if a is not None else 0
+    if n_a == 0 or group.num_rows == n_a:
+        return _EMPTY_EDGES  # one side empty here: no cross pairs
+    return embedding_partition_edges(group, threshold, n_old=n_a)
+
+
+def embedding_state_union(
+    state_a: str,
+    state_b: str,
+    out_dir: str,
+    driver_threshold: int = 2_000_000,
+    validate_ids: bool = True,
+) -> tuple[int, dict[int, int]]:
+    """Merge two INDEPENDENTLY-built embedding-LSH states into one state
+    equivalent to a bootstrap over the union corpus — the embedding twin of
+    :func:`incremental.minhash_state_union`. Both states were signed with
+    the same hyperplanes (cfg hash covers seed/tables/bits), so their index
+    partitions align: the merge is P file-local tasks (ZERO shuffle) whose
+    only compute is the cross-state same-bucket cosine verification; the
+    composition chains collision components through both prior cluster maps
+    (shared union-find). All LSH parameters come from the saved metas.
+
+    Requirements: identical config (cfg_hash) + partition count, DISJOINT
+    row-id ranges ([min indexed row, meta max] interval check — the
+    globally smallest indexed row is always present in some partition).
+    Returns ``(version, merges)``; equivalence + chainability proven in
+    tests/test_embedding_state_union.py.
+    """
+    from .incremental import _compose_two_priors, _write_union_clusters
+
+    ma, mb = load_meta(state_a), load_meta(state_b)
+    for m, d in ((ma, state_a), (mb, state_b)):
+        if m.get("algo") != "embedding_lsh":
+            raise ValueError(f"state at {d} is not an embedding_lsh state")
+    if ma["cfg_hash"] != mb["cfg_hash"]:
+        raise ValueError(
+            "states were built with different LSH configs (planes/threshold/"
+            "column); union requires identical settings"
+        )
+    if int(ma["num_partitions"]) != int(mb["num_partitions"]):
+        raise ValueError(
+            "states use different partition counts "
+            f"({ma['num_partitions']} vs {mb['num_partitions']})"
+        )
+    num_partitions = int(ma["num_partitions"])
+    va, vb = int(ma["version"]), int(mb["version"])
+    threshold = float(ma["threshold"])
+
+    if validate_ids:
+        ints = []
+        for sd, v, m in ((state_a, va, ma), (state_b, vb, mb)):
+            lo = None
+            for p in range(num_partitions):
+                f = _index_file(sd, v, p)
+                if not os.path.exists(f):
+                    continue
+                t = pq.read_table(f, columns=["row_id"])
+                if t.num_rows:
+                    mn = int(t["row_id"].to_numpy(zero_copy_only=False).min())
+                    lo = mn if lo is None else min(lo, mn)
+            ints.append(None if lo is None else (lo, int(m["max_row_id"])))
+        ia, ib = ints
+        if ia is not None and ib is not None and ia[0] <= ib[1] and ib[0] <= ia[1]:
+            raise ValueError(
+                f"row-id intervals overlap: {state_a}={ia} vs {state_b}={ib}; "
+                "union requires disjoint id ranges"
+            )
+
+    version = 1
+    _clean_version_dir(out_dir, version)
+    edge_refs = [
+        _emb_union_write.remote(
+            _index_file(out_dir, version, p),
+            _index_file(state_a, va, p),
+            _index_file(state_b, vb, p),
+            threshold,
+        )
+        for p in range(num_partitions)
+    ]
+    edges = ray.data.from_arrow_refs(edge_refs)
+    cc = connected_components_auto(
+        edges, driver_threshold=driver_threshold, num_partitions=num_partitions
+    )
+    merges = _compose_two_priors(
+        cc, _clusters_dir(state_a, va), _clusters_dir(state_b, vb)
+    )
+    _write_union_clusters(
+        _clusters_dir(out_dir, version),
+        [_clusters_dir(state_a, va), _clusters_dir(state_b, vb)],
+        merges,
+    )
+    out_meta = {k: v for k, v in ma.items() if k not in ("version", "max_row_id")}
+    out_meta.update(
+        {
+            "version": version,
+            "max_row_id": max(int(ma["max_row_id"]), int(mb["max_row_id"])),
+        }
+    )
+    _write_meta(out_dir, out_meta)
+    return version, merges
