@@ -167,6 +167,36 @@ out_state = "{su}"
     assert _clusters_map(su, 1)[16] == 0
 
 
+def test_three_way_union_equals_full_bootstrap(tmp_path):
+    """k-way one-pass merge: a third crawl whose dup chains THROUGH the
+    second (20x dups dup_b from B; B's dup_x dups A's) — the composition
+    union-find must chain across all three prior maps."""
+    a, b = _corpus()
+    c = [
+        (20, "within b duplicate pair of documents living here quietly"),
+        (21, "an entirely new third crawl document with fresh words"),
+        (22, "the quick brown fox jumps over the lazy dog tonight"),
+    ]
+    sa, sb, sc, su, sf = (str(tmp_path / n) for n in ("a", "b", "c", "u", "f"))
+    for rows, s in ((a, sa), (b, sb), (c, sc)):
+        minhash_bootstrap(
+            _ds(rows), s, cfg=CFG, id_column="doc_id", num_partitions=P
+        )
+    version, merges = minhash_state_union(sa, [sb, sc], su)
+    assert version == 1
+    minhash_bootstrap(
+        _ds(a + b + c), sf, cfg=CFG, id_column="doc_id", num_partitions=P
+    )
+    assert _reps_map(su, 1) == _reps_map(sf, 1)
+    got, want = _clusters_map(su, 1), _clusters_map(sf, 1)
+    assert got == want
+    # chains: 20 (crawl C) -> B's dup_b cluster root 11; 22 -> A's root 0
+    assert want[20] == 11 and want[22] == 0
+    from text_dedup_ray.pipelines.incremental import load_meta as _lm
+
+    assert _lm(su)["max_row_id"] == 22
+
+
 def _simhash_cfg():
     from text_dedup_ray.functions.simhash import SimHashConfig
 

@@ -214,6 +214,11 @@ def main(argv: list[str] | None = None) -> None:
             union_fn = posting_state_union
         if union_fn is None:
             raise SystemExit(f"union_state does not support '{family}' states")
+        if isinstance(sb, list) and union_fn is not minhash_state_union:
+            raise SystemExit(
+                "k-way union (state_b as a list) is minhash-only; chain "
+                "pairwise unions for other families"
+            )
         version, merges = union_fn(sa, sb, out_state, **kwargs)
         print(
             json.dumps(

@@ -604,22 +604,29 @@ def minhash_increment(
 def _rep_union_write(
     out_path: str,
     path_a: str,
-    path_b: str,
+    path_b: "str | list[str]",
     cross_spec: tuple[int, int] | None = None,
 ) -> pa.Table:
-    """Merge one partition of two rep indexes: group-min by bucket key,
-    write the merged file, emit one (loser rep -> min rep) edge per bucket
-    key present in both states. Both states partition by the same key hash
-    with the same P, so the merge is file-local — ZERO shuffle.
+    """Merge one partition of two (or k, with ``path_b`` a list) rep
+    indexes: group-min by bucket key, write the merged file, emit one
+    (loser rep -> min rep) edge per bucket key present in more than one
+    state. All states partition by the same key hash with the same P, so
+    the merge is file-local — ZERO shuffle.
 
     ``cross_spec`` = (bit_diff, max_distinct_sigs) switches on the SimHash
     cross-signature Hamming compare, restricted to merged reps containing a
-    B-side row vs ALL reps — A x A Hamming pairs are already folded into
-    A's cluster map (the increment-path convention, _rep_reduce_write)."""
+    non-first-state row vs ALL reps — first-state-internal Hamming pairs
+    are already folded into that state's cluster map (the increment-path
+    convention, _rep_reduce_write); for k > 2 every later state is "new"
+    relative to the states before it, so masking on "contains any row from
+    states 2..k" covers exactly the missing cross pairs."""
     a = pq.read_table(path_a)
-    b = pq.read_table(path_b)
+    others = [
+        pq.read_table(p)
+        for p in ([path_b] if isinstance(path_b, str) else list(path_b))
+    ]
     n_a = a.num_rows
-    tabs = [t for t in (a, b) if t.num_rows]
+    tabs = [t for t in (a, *others) if t.num_rows]
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     if not tabs:
         # partition files always exist post-bootstrap; copy A's empty schema
@@ -696,12 +703,11 @@ def _state_id_interval(state_dir: str, version: int, num_partitions: int, max_ro
 
 def _compose_two_priors(
     cc: "dict[int, int] | ray.data.Dataset",
-    clusters_a: str,
-    clusters_b: str,
+    *cluster_dirs: str,
 ) -> dict[int, int]:
     """Union composition shared by every family's state union: chain the
-    collision components through BOTH prior cluster maps (ids are disjoint,
-    so the two semi-joins fill disjoint parts of one prior-root map) and
+    collision components through ALL prior cluster maps (ids are disjoint,
+    so the semi-joins fill disjoint parts of one prior-root map) and
     return the losing-PRIOR-root map (old root -> union winner). Every
     losing cc root is either self-rooted (then it IS a prior root, covered
     here) or a member row in its state (then its row remaps through its
@@ -727,8 +733,9 @@ def _compose_two_priors(
 
     merges: dict[int, int] = {}
     if len(node_arr):
-        prior_map = _prior_roots_for(clusters_a, node_arr)
-        prior_map.update(_prior_roots_for(clusters_b, node_arr))
+        prior_map: dict[int, int] = {}
+        for d in cluster_dirs:
+            prior_map.update(_prior_roots_for(d, node_arr))
         pk, pv = _sorted_remap_arrays(prior_map)
         prior_roots = _remap_sorted(node_arr, pk, pv)
         from ..functions.unionfind import UnionFind
@@ -781,35 +788,37 @@ def _write_union_clusters(
 
 def minhash_state_union(
     state_a: str,
-    state_b: str,
+    state_b: "str | list[str]",
     out_dir: str,
     driver_threshold: int = 2_000_000,
     validate_ids: bool = True,
 ) -> tuple[int, dict[int, int]]:
-    """Merge two INDEPENDENTLY-built MinHashLSH states into one state that
-    is equivalent to a bootstrap over the union of their corpora — the
-    multi-pipeline scenario (two ingestion sites, two crawls deduped
-    separately, a backfill built offline) the per-batch increment can't
-    express.
+    """Merge two — or, with ``state_b`` a list, k — INDEPENDENTLY-built
+    MinHashLSH states into one state that is equivalent to a bootstrap over
+    the union of their corpora — the multi-pipeline scenario (two ingestion
+    sites, a fleet of per-crawl states, a backfill built offline) the
+    per-batch increment can't express. The k-way merge is ONE pass: each
+    partition task reads its k aligned files once, never k-1 chained
+    pairwise rewrites.
 
-    Correctness: a full rerun's edge set is edges(A) ∪ edges(B) ∪ cross
-    edges between rows sharing a band bucket across states. Within one
-    state every row of a bucket is already connected to that state's
-    bucket rep (its cluster map encodes the transitive closure), so ONE
-    edge per bucket key present in both states — A's rep to B's rep —
-    yields identical connectivity; the composition union-find then chains
-    collision components through both prior cluster maps exactly like the
+    Correctness: a full rerun's edge set is the union of each state's
+    edges plus cross edges between rows sharing a band bucket across
+    states. Within one state every row of a bucket is already connected to
+    that state's bucket rep (its cluster map encodes the transitive
+    closure), so star edges among the states' reps per shared bucket key
+    yield identical connectivity; the composition union-find then chains
+    collision components through all prior cluster maps exactly like the
     increment path, and min-id roots keep assignments equal to the full
-    rerun (proven in tests/test_state_union.py).
+    rerun (proven in tests/test_state_union.py, incl. 3-way).
 
-    Scale shape: both rep indexes are stored pre-partitioned by the same
+    Scale shape: all rep indexes are stored pre-partitioned by the same
     bucket-key hash, so the merge is P file-local group-min tasks — the
     only data movement is the collision edges (narrow int64 pairs) and
     each state's cluster rows streaming once through the remap into the
     new state. Nothing corpus-sized is read, shuffled, or re-fingerprinted.
 
     Requirements: identical MinHash config (cfg_hash) and partition count;
-    DISJOINT row-id ranges (old-vs-new min-tie-breaks need a total order —
+    pairwise-DISJOINT row-id ranges (min-tie-breaks need a total order —
     same discipline as increments). ``validate_ids`` checks the
     [min fingerprinted id, max id] intervals don't overlap (exact for
     every row that participates in state; rows below min_length never do).
@@ -817,40 +826,46 @@ def minhash_state_union(
     Returns ``(version, merges)`` — the new state's version (1) and the
     losing-root map (old root -> union root) for observability.
     """
-    ma, mb = load_meta(state_a), load_meta(state_b)
-    for m, d in ((ma, state_a), (mb, state_b)):
+    states = [state_a] + ([state_b] if isinstance(state_b, str) else list(state_b))
+    metas = [load_meta(s) for s in states]
+    for m, d in zip(metas, states):
         if m.get("algo") != "minhash":
             raise ValueError(f"state at {d} is not a minhash state")
-    if ma["cfg_hash"] != mb["cfg_hash"]:
+    ma = metas[0]
+    if any(m["cfg_hash"] != ma["cfg_hash"] for m in metas[1:]):
         raise ValueError(
             "states were built with different MinHash configs/text columns; "
             "union requires identical shingle/signature settings"
         )
-    if int(ma["num_partitions"]) != int(mb["num_partitions"]):
+    if any(int(m["num_partitions"]) != int(ma["num_partitions"]) for m in metas[1:]):
         raise ValueError(
-            "states use different partition counts "
-            f"({ma['num_partitions']} vs {mb['num_partitions']}); rebuild "
-            "one side or bootstrap with matching num_partitions"
+            "states use different partition counts; rebuild "
+            "or bootstrap with matching num_partitions"
         )
     num_partitions = int(ma["num_partitions"])
-    va, vb = int(ma["version"]), int(mb["version"])
+    versions = [int(m["version"]) for m in metas]
 
     if validate_ids:
-        ia = _state_id_interval(state_a, va, num_partitions, int(ma["max_row_id"]))
-        ib = _state_id_interval(state_b, vb, num_partitions, int(mb["max_row_id"]))
-        if ia is not None and ib is not None and ia[0] <= ib[1] and ib[0] <= ia[1]:
-            raise ValueError(
-                f"row-id intervals overlap: {state_a}={ia} vs {state_b}={ib}; "
-                "union requires disjoint id ranges"
-            )
+        ivs = [
+            (s, _state_id_interval(s, v, num_partitions, int(m["max_row_id"])))
+            for s, v, m in zip(states, versions, metas)
+        ]
+        ivs = [(s, iv) for s, iv in ivs if iv is not None]
+        ivs.sort(key=lambda x: x[1][0])
+        for (s1, i1), (s2, i2) in zip(ivs, ivs[1:]):
+            if i2[0] <= i1[1]:
+                raise ValueError(
+                    f"row-id intervals overlap: {s1}={i1} vs {s2}={i2}; "
+                    "union requires disjoint id ranges"
+                )
 
     version = 1
     _clean_version_dir(out_dir, version)
     edge_refs = [
         _rep_union_write.remote(
             _rep_file(out_dir, version, p),
-            _rep_file(state_a, va, p),
-            _rep_file(state_b, vb, p),
+            _rep_file(states[0], versions[0], p),
+            [_rep_file(s, v, p) for s, v in zip(states[1:], versions[1:])],
         )
         for p in range(num_partitions)
     ]
@@ -859,14 +874,9 @@ def minhash_state_union(
         edges, driver_threshold=driver_threshold, num_partitions=num_partitions
     )
 
-    merges = _compose_two_priors(
-        cc, _clusters_dir(state_a, va), _clusters_dir(state_b, vb)
-    )
-    _write_union_clusters(
-        _clusters_dir(out_dir, version),
-        [_clusters_dir(state_a, va), _clusters_dir(state_b, vb)],
-        merges,
-    )
+    cluster_dirs = [_clusters_dir(s, v) for s, v in zip(states, versions)]
+    merges = _compose_two_priors(cc, *cluster_dirs)
+    _write_union_clusters(_clusters_dir(out_dir, version), cluster_dirs, merges)
 
     _write_meta(
         out_dir,
@@ -874,7 +884,7 @@ def minhash_state_union(
             "algo": "minhash",
             "version": version,
             "cfg_hash": ma["cfg_hash"],
-            "max_row_id": max(int(ma["max_row_id"]), int(mb["max_row_id"])),
+            "max_row_id": max(int(m["max_row_id"]) for m in metas),
             "num_partitions": num_partitions,
         },
     )
