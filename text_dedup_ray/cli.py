@@ -141,6 +141,22 @@ def main(argv: list[str] | None = None) -> None:
         )
         return
 
+    if name == "check_state":
+        # state fsck: structural + invariant checks for any tiered state
+        # dir (index files present/readable, min-root cluster invariant,
+        # no conflicting cluster rows, rollback sidecars); exit code 1 on
+        # errors so cron/CI can gate on it
+        from .state.fsck import check_state
+
+        state_dir = algo.get("state_dir")
+        if not state_dir:
+            raise SystemExit("check_state needs algorithm.state_dir")
+        report = check_state(state_dir)
+        print(json.dumps({"algorithm": name, "state_dir": state_dir, **report}))
+        if not report["ok"]:
+            raise SystemExit(1)
+        return
+
     if name == "rollback_state":
         # undo a bad batch: restore an earlier snapshot's meta (max_row_id
         # rewinds with it) and drop every newer version dir
