@@ -30,6 +30,8 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
+from dataclasses import replace as _dc_replace
+
 from text_dedup_ray import oracles as _oracles
 
 SMOKE_CORPUS_N = 1000
@@ -2327,6 +2329,23 @@ def _tiered_image_phash_state() -> tuple[str, int]:
     return _TIERED_IMG_STATE["ph"]
 
 
+def _q_minhash_sweep(sf_dir: str):
+    """Threshold-calibration sweep: ONE fingerprint pass re-banded at two
+    (bands, rows) operating points; per-config survivor counts equal full
+    dedup runs (tests/test_threshold_sweep.py), so the oracle is a UNION
+    ALL of per-config ``minhash_dedup_sql`` survivor counts."""
+    from text_dedup_ray.pipelines.minhash import minhash_threshold_sweep
+
+    tbl = minhash_threshold_sweep(
+        _docs(sf_dir, ["doc_id", "text"]),
+        cfg=_MINHASH_HALF_CFG(),
+        band_configs=[(16, 4), (8, 8)],
+        id_column="doc_id",
+        merge_partitions=16,
+    )
+    return tbl.select(["bands", "rows_per_band", "survivors"])
+
+
 def _q_exact_union(sf_dir: str):
     """Federated exact dedup: two disjoint-half content-hash states merged
     with ``exact_state_union`` (file-local sorted merge, 1:1 collision
@@ -2926,6 +2945,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_verified_docs": _q_minhash_verified,
         "minhash_incremental_docs": _q_minhash_incremental,
         "minhash_union_docs": _q_minhash_union,
+        "minhash_sweep_docs": _q_minhash_sweep,
         "simhash_dedup_docs": _q_simhash_docs,
         "simhash_incremental_docs": _q_simhash_incremental,
         # --- suffix-array pipelines (SQL-checked via corpus-gram recomputation) ---
@@ -3575,6 +3595,13 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
         "minhash_incremental_docs": _oracles.minhash_dedup_sql(_MINHASH_HALF_CFG()),
         # union-equivalence: two half-corpus states merged == one full run
         "minhash_union_docs": _oracles.minhash_dedup_sql(_MINHASH_HALF_CFG()),
+        # sweep == per-config full runs: UNION ALL of survivor counts
+        "minhash_sweep_docs": " UNION ALL ".join(
+            f"SELECT {b}::BIGINT AS bands, {r}::BIGINT AS rows_per_band, "
+            f"(SELECT count(*) FROM ({_oracles.minhash_dedup_sql(_dc_replace(_MINHASH_HALF_CFG(), bands=b, rows=r))}) s)::BIGINT "
+            "AS survivors"
+            for b, r in [(16, 4), (8, 8)]
+        ),
         "simhash_dedup_docs": _oracles.simhash_dedup_sql(_SIMHASH_ORACLE_CFG()),
         "simhash_keep_best_docs": _oracles.simhash_keep_best_sql(_SIMHASH_ORACLE_CFG()),
         "source_overlap_matrix": _oracles.source_overlap_sql(3, 1),

@@ -354,8 +354,13 @@ def _minhash_bands_core(cfg: MinHashConfig, table: str) -> str:
     assert cfg.hash_func == "md5", "SQL oracle needs the md5 base hash"
     assert cfg.hash_bits == 64
     a, b = cfg.permutations()
+    # the engine bands the FIRST bands*rows signature values
+    # (stages/fingerprint.py: swapped[:, :bands*rows]); when bands*rows <
+    # num_perm the remaining permutations must not become extra bands
+    n_used = cfg.bands * cfg.rows
     perm_rows = ", ".join(
-        f"({p}, {int(av)}, {int(bv)})" for p, (av, bv) in enumerate(zip(a, b))
+        f"({p}, {int(av)}, {int(bv)})"
+        for p, (av, bv) in enumerate(zip(a[:n_used], b[:n_used]))
     )
     prime = (1 << 61) - 1
     max_hash = (1 << 32) - 1

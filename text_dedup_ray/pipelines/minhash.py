@@ -264,6 +264,153 @@ def minhash_dedup(
     )
 
 
+def minhash_threshold_sweep(
+    ds: ray.data.Dataset,
+    text_column: str = "text",
+    cfg: MinHashConfig | None = None,
+    band_configs: "list[tuple[int, int]] | None" = None,
+    id_column: str | None = None,
+    fingerprint_concurrency: int | tuple[int, int] = (1, 8),
+    fingerprint_batch_size: int = 2048,
+    merge_partitions: int = 16,
+    driver_threshold: int = 2_000_000,
+) -> pa.Table:
+    """Threshold CALIBRATION sweep: how many duplicates would MinHashLSH
+    find at several (bands, rows) operating points — the question a
+    curation team answers before committing a threshold to a 100 TB run.
+
+    The expensive stage (tokenize + shingle + permute: ~70% of dedup wall)
+    runs ONCE: a ``SigMatrixFingerprinter`` actor pool emits one compact
+    byteswapped signature row per doc, the narrow (row_id, num_perm x item
+    bytes) table materializes in the object store, and each config re-bands
+    by SLICING those bytes (band b = bytes [b*rows*item, (b+1)*rows*item) —
+    bit-identical to a fresh ``MinHashFingerprinter`` run at that config,
+    proven by tests/test_threshold_sweep.py counting against full
+    ``minhash_dedup`` runs). Each config then pays only its own bucket/
+    exchange/CC pass over 8+width-byte rows.
+
+    Returns one row per config: ``(bands, rows_per_band, threshold_est,
+    n_docs, duplicate_rows, survivors)`` where ``threshold_est =
+    (1/bands)**(1/rows)`` is the LSH S-curve midpoint. Every config must
+    satisfy ``bands * rows <= cfg.num_perm``; all configs share
+    ``cfg.min_length`` (the filter runs once, upstream of the sigs).
+    """
+    from ..stages.edges import _binary_to_u8
+    from ..stages.fingerprint import SigMatrixFingerprinter
+
+    cfg = cfg or MinHashConfig()
+    band_configs = band_configs or [(cfg.bands, cfg.rows)]
+    for b, r in band_configs:
+        if b * r > cfg.num_perm:
+            raise ValueError(
+                f"config (bands={b}, rows={r}) needs {b * r} permutations "
+                f"but cfg.num_perm={cfg.num_perm}"
+            )
+    if id_column is not None:
+        ds = stamp_row_ids_from_key(ds, id_column)
+    elif ROW_ID not in ds.schema().names:
+        raise ValueError("dataset must have a row_id column or pass id_column")
+
+    filtered = min_length_filter(ds, text_column, cfg.min_length)
+    narrow = filtered.select_columns([ROW_ID, text_column])
+    sig_ds = narrow.map_batches(
+        SigMatrixFingerprinter,
+        fn_constructor_args=(cfg, text_column),
+        batch_format="pyarrow",
+        batch_size=fingerprint_batch_size,
+        concurrency=fingerprint_concurrency,
+    ).materialize()
+    n_docs = sig_ds.count()
+    from ..functions.minhash import HASH_CONFIG
+
+    max_hash = HASH_CONFIG[cfg.hash_bits][1]
+    item = 4 if max_hash <= 0xFFFFFFFF else np.dtype(HASH_CONFIG[cfg.hash_bits][0]).itemsize
+    sig_width = cfg.num_perm * item
+
+    def make_reband(bands: int, rows: int):
+        width = rows * item
+
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            empty = pa.table(
+                {
+                    "row_id": pa.array([], pa.int64()),
+                    "band_idx": pa.array([], pa.int32()),
+                    "band_val": pa.array([], pa.binary(width)),
+                }
+            )
+            if n == 0:
+                return minhash_local_buckets(empty)
+            u8 = _binary_to_u8(t["sig"], sig_width, n).view(np.uint8).reshape(
+                n, sig_width
+            )
+            mat = np.ascontiguousarray(u8[:, : bands * width])
+            band_vals = pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(width), n * bands, [None, pa.py_buffer(mat.tobytes())]
+            )
+            row_ids = t["row_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            out = pa.table(
+                {
+                    "row_id": np.repeat(row_ids, bands),
+                    "band_idx": np.tile(np.arange(bands, dtype=np.int32), n),
+                    "band_val": band_vals,
+                }
+            )
+            return minhash_local_buckets(out)
+
+        return f
+
+    out_rows = []
+    for bands, rows in band_configs:
+        local = sig_ds.map_batches(make_reband(bands, rows), batch_format="pyarrow")
+        local_edges, cross_edges, _sig_rows, reduced_refs = tagged_split_exchange(
+            local, "is_edge", minhash_rep_part, merge_partitions, minhash_rep_reduce
+        )
+        if reduced_refs:
+            ray.wait(list(reduced_refs), num_returns=len(reduced_refs))
+        edges = local_edges.union(cross_edges)
+        parents = connected_components_auto(
+            edges, driver_threshold=driver_threshold, num_partitions=merge_partitions
+        )
+        if isinstance(parents, dict):
+            duplicates = sum(1 for m, r_ in parents.items() if m != r_)
+        else:
+            import pyarrow.compute as pc
+
+            duplicates = parents.map_batches(
+                lambda t: t.filter(
+                    pc.invert(pc.equal(t["row_id"], t["cluster_id"]))
+                ),
+                batch_format="pyarrow",
+            ).count()
+        out_rows.append(
+            {
+                "bands": bands,
+                "rows_per_band": rows,
+                "threshold_est": (1.0 / bands) ** (1.0 / rows),
+                "n_docs": n_docs,
+                "duplicate_rows": int(duplicates),
+                "survivors": int(n_docs - duplicates),
+            }
+        )
+    return pa.table(
+        {
+            "bands": pa.array([r["bands"] for r in out_rows], pa.int64()),
+            "rows_per_band": pa.array(
+                [r["rows_per_band"] for r in out_rows], pa.int64()
+            ),
+            "threshold_est": pa.array(
+                [r["threshold_est"] for r in out_rows], pa.float64()
+            ),
+            "n_docs": pa.array([r["n_docs"] for r in out_rows], pa.int64()),
+            "duplicate_rows": pa.array(
+                [r["duplicate_rows"] for r in out_rows], pa.int64()
+            ),
+            "survivors": pa.array([r["survivors"] for r in out_rows], pa.int64()),
+        }
+    )
+
+
 def minhash_dedup_checkpointed(
     ds: ray.data.Dataset,
     checkpoint_root: str,

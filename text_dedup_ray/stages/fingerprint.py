@@ -86,6 +86,47 @@ class MinHashFingerprinter:
         return out
 
 
+class SigMatrixFingerprinter:
+    """Actor: batch of (row_id, text) -> ONE row per doc carrying the whole
+    compact byteswapped signature matrix as ``sig: binary(num_perm * item)``.
+
+    The threshold-sweep pipeline fingerprints once and re-bands per
+    (bands, rows) config by SLICING these bytes — band ``b`` of a config
+    with ``rows`` values per band is ``sig[b*rows*item : (b+1)*rows*item]``
+    verbatim, bit-identical to what ``MinHashFingerprinter`` would emit for
+    that config (same compact dtype, same byteswap)."""
+
+    def __init__(self, cfg: MinHashConfig, text_column: str = "text") -> None:
+        from ..functions.minhash import HASH_CONFIG
+
+        self.mh = MinHasher(cfg)
+        self.text_column = text_column
+        max_hash = HASH_CONFIG[cfg.hash_bits][1]
+        self.compact_dtype = np.uint32 if max_hash <= 0xFFFFFFFF else self.mh.dtype
+        self.item = np.dtype(self.compact_dtype).itemsize
+        self.sig_width = cfg.num_perm * self.item
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_column].to_pylist()
+        row_ids = batch["row_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(texts)
+        if n == 0:
+            return pa.table(
+                {
+                    "row_id": pa.array([], pa.int64()),
+                    "sig": pa.array([], pa.binary(self.sig_width)),
+                }
+            )
+        sigs = self.mh.signatures(texts)
+        swapped = np.ascontiguousarray(
+            sigs.astype(self.compact_dtype, copy=False).byteswap()
+        )
+        sig_bytes = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(self.sig_width), n, [None, pa.py_buffer(swapped.tobytes())]
+        )
+        return pa.table({"row_id": row_ids, "sig": sig_bytes})
+
+
 class SimHashFingerprinter:
     """Actor: batch of (row_id, text) -> one row per (doc, permutation).
 
