@@ -33,6 +33,7 @@ if _REPO not in sys.path:
 from dataclasses import replace as _dc_replace
 
 from text_dedup_ray import oracles as _oracles
+from text_dedup_ray.pipelines import sample as _sample_mod
 
 SMOKE_CORPUS_N = 1000
 _CORPUS_N = {"0.001": 1000, "0.01": 3000, "0.1": 20000}
@@ -2474,6 +2475,171 @@ def _q_minhash_union(sf_dir: str):
     return docs.map_batches(survivors, batch_format="pyarrow")
 
 
+def _split_docs_half(docs):
+    """(low-half filter, high-half filter) by doc_id — shared by the
+    federated-union gate queries."""
+    import pyarrow.compute as pc
+
+    cut = int(docs.max("doc_id") * 0.5)
+
+    def split(keep_low: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = pc.less_equal(t["doc_id"], pa.scalar(cut, pa.int64()))
+            return t.filter(m if keep_low else pc.invert(m))
+
+        return f
+
+    return split(True), split(False)
+
+
+def _state_dup_ids(clusters_glob: str) -> np.ndarray:
+    """Sorted member row_ids (= duplicate docs) from a state's clusters dir."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    members = []
+    for f in _glob.glob(clusters_glob):
+        t = pq.read_table(f, columns=["row_id"])
+        if t.num_rows:
+            members.append(t["row_id"].to_numpy(zero_copy_only=False))
+    return (
+        np.sort(np.concatenate(members)).astype(np.int64)
+        if members
+        else np.empty(0, np.int64)
+    )
+
+
+def _survivors_not_in(docs, dup_ids: np.ndarray, columns: list[str]):
+    """Filter docs whose doc_id is NOT in the sorted dup_ids array."""
+    dup_ref = ray.put(dup_ids)
+
+    def survivors(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dups = ray.get(dup_ref)
+        pos = np.searchsorted(dups, ids)
+        in_range = pos < len(dups)
+        dup_mask = np.zeros(len(ids), dtype=bool)
+        dup_mask[in_range] = dups[pos[in_range]] == ids[in_range]
+        return t.filter(pa.array(~dup_mask)).select(columns)
+
+    return docs.map_batches(survivors, batch_format="pyarrow")
+
+
+def _q_simhash_union(sf_dir: str):
+    """Federated SimHash dedup: two disjoint-half states merged with
+    ``simhash_state_union`` (zero-shuffle partition-aligned rep merge +
+    B-side-masked cross-Hamming compare). Union state == full bootstrap
+    (tests/test_state_union.py::test_simhash_union*), so the batch SimHash
+    SQL oracle applies verbatim. Returns survivors' doc_id, mirroring
+    _q_simhash_docs."""
+    import tempfile
+
+    from text_dedup_ray.pipelines.incremental import (
+        simhash_bootstrap,
+        simhash_state_union,
+    )
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    low, high = _split_docs_half(docs)
+    cfg = _SIMHASH_ORACLE_CFG()
+    sa = tempfile.mkdtemp(prefix="sim_union_a_", dir="/tmp")
+    sb = tempfile.mkdtemp(prefix="sim_union_b_", dir="/tmp")
+    su = tempfile.mkdtemp(prefix="sim_union_out_", dir="/tmp")
+    simhash_bootstrap(
+        docs.map_batches(low, batch_format="pyarrow"),
+        sa, cfg=cfg, id_column="doc_id", num_partitions=4,
+    )
+    simhash_bootstrap(
+        docs.map_batches(high, batch_format="pyarrow"),
+        sb, cfg=cfg, id_column="doc_id", num_partitions=4,
+    )
+    version, _merges = simhash_state_union(sa, sb, su, cfg=cfg)
+    dup_ids = _state_dup_ids(f"{su}/v{version:05d}/clusters/*.parquet")
+    return _survivors_not_in(docs, dup_ids, ["doc_id"])
+
+
+def _q_jaccard_union(sf_dir: str):
+    """Federated exact n-gram Jaccard dedup: two disjoint-half posting-index
+    states merged with the FAMILY-AGNOSTIC ``posting_state_union`` (file-
+    local posting merge, cross-only pairs, combined-df threshold). Union
+    state == full batch run (tests/test_posting_state_union.py), so the
+    batch jaccard SQL oracle applies. Returns the (row_id, cluster_id) map
+    incl roots, mirroring _q_jaccard_incremental."""
+    import glob as _glob
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from text_dedup_ray.pipelines.incremental_jaccard import (
+        jaccard_bootstrap,
+        posting_state_union,
+    )
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    low, high = _split_docs_half(docs)
+    sa = tempfile.mkdtemp(prefix="jac_union_a_", dir="/tmp")
+    sb = tempfile.mkdtemp(prefix="jac_union_b_", dir="/tmp")
+    su = tempfile.mkdtemp(prefix="jac_union_out_", dir="/tmp")
+    for state, half in ((sa, low), (sb, high)):
+        jaccard_bootstrap(
+            docs.map_batches(half, batch_format="pyarrow"),
+            state,
+            id_column="doc_id",
+            ngram_size=2,
+            min_length=0,
+            threshold=0.6,
+            num_partitions=4,
+            df_cap=1_000_000_000,
+        )
+    version, _merges = posting_state_union(sa, sb, su)
+    rows, roots = [], []
+    for f in _glob.glob(f"{su}/v{version:05d}/clusters/*.parquet"):
+        t = pq.read_table(f)
+        if t.num_rows:
+            rows.append(t["row_id"].to_numpy(zero_copy_only=False))
+            roots.append(t["cluster_id"].to_numpy(zero_copy_only=False))
+    mids = np.concatenate(rows).astype(np.int64) if rows else np.empty(0, np.int64)
+    mroots = np.concatenate(roots).astype(np.int64) if roots else np.empty(0, np.int64)
+    distinct_roots = np.unique(mroots)
+    all_ids = np.concatenate([mids, distinct_roots])
+    all_roots = np.concatenate([mroots, distinct_roots])
+    order = np.argsort(all_ids, kind="stable")
+    return pa.table({"row_id": all_ids[order], "cluster_id": all_roots[order]})
+
+
+def _q_weighted_sample(sf_dir: str):
+    """Weighted sample WITHOUT replacement (Efraimidis-Spirakis A-Res):
+    the 100 docs drawn proportionally to n_chars under the hash-seeded ES
+    key — the "sample by quality/length weight" curation primitive. The
+    engine's libm ES keys match the SQL oracle's bitwise
+    (tests/test_weighted_topk.py)."""
+    from text_dedup_ray.pipelines.sample import weighted_reservoir_topk
+
+    return weighted_reservoir_topk(
+        _docs(sf_dir, ["doc_id", "n_chars"]),
+        id_key="doc_id",
+        weight_column="n_chars",
+        k=100,
+        salt="es:",
+    )
+
+
+def _q_dup_mass(sf_dir: str):
+    """Duplicate-mass report per source: exact-dup loser counts — the
+    "which sources would dedup shrink" planning table
+    (pipelines/corpus.dup_mass_by_group; raw text never leaves its block)."""
+    from text_dedup_ray.pipelines.corpus import dup_mass_by_group
+
+    return dup_mass_by_group(
+        _docs(sf_dir, ["doc_id", "text", "source"]),
+        text_column="text",
+        group_column="source",
+        id_column="doc_id",
+        num_partitions=8,
+    )
+
+
 def _q_minhash_incremental_images(sf_dir: str):
     """Tiered dedup over the IMAGE corpus (the graft cell — tier dedup x
     image payload): bootstrap on the first ~80% of image row ids, increment
@@ -2948,6 +3114,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_sweep_docs": _q_minhash_sweep,
         "simhash_dedup_docs": _q_simhash_docs,
         "simhash_incremental_docs": _q_simhash_incremental,
+        "simhash_union_docs": _q_simhash_union,
+        "jaccard_union_docs": _q_jaccard_union,
+        "weighted_sample_docs": _q_weighted_sample,
+        "dup_mass_by_source": _q_dup_mass,
         # --- suffix-array pipelines (SQL-checked via corpus-gram recomputation) ---
         "suffix_array_dedup_docs": _q_suffix_docs,
         "suffix_array_global_docs": _q_suffix_global_docs,
@@ -3595,6 +3765,25 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
         "minhash_incremental_docs": _oracles.minhash_dedup_sql(_MINHASH_HALF_CFG()),
         # union-equivalence: two half-corpus states merged == one full run
         "minhash_union_docs": _oracles.minhash_dedup_sql(_MINHASH_HALF_CFG()),
+        "simhash_union_docs": _oracles.simhash_dedup_sql(_SIMHASH_ORACLE_CFG()),
+        "jaccard_union_docs": _oracles.jaccard_dedup_sql(ngram_size=2, threshold=0.6),
+        # ES A-Res weighted sample: identical double expression both sides
+        "weighted_sample_docs": (
+            "SELECT doc_id, n_chars FROM ("
+            "  SELECT doc_id, n_chars,"
+            "         ln(((" + _sample_mod.HASH_U63_SQL.format(
+                expr="'es:' || doc_id::VARCHAR"
+            ) + ")::DOUBLE + 0.5) / 9223372036854775808.0) / n_chars AS es_key"
+            "  FROM documents"
+            ") ORDER BY es_key DESC, doc_id LIMIT 100"
+        ),
+        "dup_mass_by_source": (
+            "SELECT source, count(*)::BIGINT AS n_docs, "
+            "sum(CASE WHEN doc_id <> m THEN 1 ELSE 0 END)::BIGINT AS n_dups "
+            "FROM (SELECT doc_id, source, "
+            "min(doc_id) OVER (PARTITION BY text) AS m FROM documents) "
+            "GROUP BY source"
+        ),
         # sweep == per-config full runs: UNION ALL of survivor counts
         "minhash_sweep_docs": " UNION ALL ".join(
             f"SELECT {b}::BIGINT AS bands, {r}::BIGINT AS rows_per_band, "

@@ -669,3 +669,123 @@ def top_frequent_ngrams(
             "cnt": pa.array(cand["cnt"].to_numpy(), pa.int64()),
         }
     )
+
+
+def dup_mass_by_group(
+    ds: ray.data.Dataset,
+    text_column: str = "text",
+    group_column: str = "source",
+    id_column: str | None = None,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Duplicate-mass report: per group (source/domain/shard), how many docs
+    there are and how many are exact-duplicate LOSERS (their text's
+    min-row-id winner lives elsewhere — possibly in another group). This is
+    the standard "which sources would exact dedup shrink, and by how much"
+    planning table; SQL oracle::
+
+        SELECT source, count(*) AS n_docs,
+               sum(CASE WHEN doc_id <> m THEN 1 ELSE 0 END) AS n_dups
+        FROM (SELECT doc_id, source,
+                     min(doc_id) OVER (PARTITION BY text) AS m FROM documents)
+        GROUP BY source
+
+    Scale shape: blocks pre-reduce to one ``(md5-16B, group, count,
+    min_row_id)`` partial per distinct (text, group) per block — raw text
+    never leaves its block; partials co-locate by content-hash so each
+    partition resolves winners exactly; only ``(group, n_docs, n_dups)``
+    partials (O(partitions × groups) rows) feed the final fold.
+    """
+    from ..sources.io import ROW_ID, stamp_row_ids_from_key
+    from .agg import grouped_sum_count
+    from .exact import _hash_view, add_content_hash
+
+    if id_column is not None:
+        ds = stamp_row_ids_from_key(ds, id_column)
+    elif ROW_ID not in ds.schema().names:
+        raise ValueError("dataset must have a row_id column or pass id_column")
+    hash_col = "__dm_hash"
+    hashed = add_content_hash(
+        ds.select_columns([text_column, group_column, ROW_ID]),
+        text_column,
+        hash_col,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "h1": pa.array([], pa.uint64()),
+                "h2": pa.array([], pa.uint64()),
+                group_column: pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+                "mrid": pa.array([], pa.int64()),
+                "part": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        n = batch.num_rows
+        hv = _hash_view(batch[hash_col], n)
+        hu = np.frombuffer(hv.tobytes(), dtype=np.uint64).reshape(n, 2)
+        rid = batch[ROW_ID].to_numpy(zero_copy_only=False).astype(np.int64)
+        gvals = np.array(
+            [str(v) for v in batch[group_column].to_pylist()], dtype=object
+        )
+        guniq, g = np.unique(gvals, return_inverse=True)
+        order = np.lexsort((rid, g, hu[:, 1], hu[:, 0]))
+        h1, h2, gs, rs = hu[order, 0], hu[order, 1], g[order], rid[order]
+        brk = np.r_[True, (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1]) | (gs[1:] != gs[:-1])]
+        starts = np.flatnonzero(brk)
+        cnt = np.diff(np.r_[starts, n])
+        mrid = rs[starts]  # rid ascending within each (hash, group) run
+        part = (h1[starts] % np.uint64(num_partitions)).astype(np.int64)
+        return pa.table(
+            {
+                "h1": pa.array(h1[starts]),
+                "h2": pa.array(h2[starts]),
+                group_column: pa.array(guniq[gs[starts]].tolist(), pa.string()),
+                "cnt": pa.array(cnt.astype(np.int64)),
+                "mrid": pa.array(mrid),
+                "part": pa.array(part),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                group_column: pa.array([], pa.string()),
+                "n_docs": pa.array([], pa.int64()),
+                "n_dups": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "h1" not in group.column_names:
+            return empty
+        h1 = group["h1"].to_numpy(zero_copy_only=False)
+        h2 = group["h2"].to_numpy(zero_copy_only=False)
+        cnt = group["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mrid = group["mrid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gvals = np.array(group[group_column].to_pylist(), dtype=object)
+        guniq, g = np.unique(gvals, return_inverse=True)
+        # winner per hash = the row with the global min row_id
+        order = np.lexsort((mrid, h2, h1))
+        h1s, h2s = h1[order], h2[order]
+        first = np.r_[True, (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])]
+        winner_rows = order[first]
+        docs = np.bincount(g, weights=cnt, minlength=len(guniq)).astype(np.int64)
+        wins = np.bincount(g[winner_rows], minlength=len(guniq)).astype(np.int64)
+        return pa.table(
+            {
+                group_column: pa.array(guniq.tolist(), pa.string()),
+                "n_docs": pa.array(docs),
+                "n_dups": pa.array(docs - wins),
+            }
+        )
+
+    partials = hashed.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    per_part = hash_partition_exchange(partials, "part", num_partitions, fold)
+    out = grouped_sum_count(
+        per_part, [group_column], ["n_docs", "n_dups"], count_alias="__np"
+    )
+    return out.map_batches(
+        lambda t: t.drop_columns(["__np"]), batch_format="pyarrow"
+    )

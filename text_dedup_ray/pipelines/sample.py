@@ -24,6 +24,7 @@ hashed string is ``f"{salt}{id}"``.
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pyarrow as pa
@@ -365,3 +366,85 @@ def leakage_safe_split(
     return labeled.map_batches(
         lambda t: t.drop_columns(["__split_root"]), batch_format="pyarrow"
     )
+
+
+def weighted_reservoir_topk(
+    ds: ray.data.Dataset,
+    id_key: str,
+    weight_column: str,
+    k: int,
+    salt: str = "",
+    key_alias: str | None = None,
+    num_partitions: int = 4,
+) -> ray.data.Dataset:
+    """Deterministic weighted sample WITHOUT replacement: Efraimidis–
+    Spirakis A-Res (Inf. Proc. Letters 97(5), 2006 — public). Row *i* gets
+    sort key ``ln(u_i) / w_i`` with ``u_i = (md5_63(salt + id) + 0.5) /
+    2^63``; the ``k`` LARGEST keys are exactly a weighted sample without
+    replacement (equivalent to the paper's ``u**(1/w)`` keys in log space).
+    Hash-seeded, so the draw is stable across runs, partitionings and
+    cluster sizes, and a SQL oracle re-derives it verbatim::
+
+        ln(((h)::DOUBLE + 0.5) / 9223372036854775808.0) / w
+
+    with ``h = HASH_U63_SQL`` — both sides evaluate the identical double
+    expression (cast → +0.5 → divide → log → divide, in that order), so
+    the keys match bitwise (asserted in tests/test_weighted_topk.py).
+
+    Scale shape: the key stamp is a stateless ``map_batches`` pass; the
+    global top-k reuses :func:`agg.grouped_top_k` on a constant group, so
+    each block pre-prunes to its local ``k`` and only O(blocks × k)
+    candidate rows ever move. Weights must be > 0 (a zero weight has no
+    ES semantics); violations raise inside the stamping pass.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        out = batch
+        for c in ("__es_key", "__es_g"):
+            if c in out.column_names:
+                out = out.drop_columns([c])
+        if batch.num_rows == 0:
+            out = out.append_column("__es_key", pa.array([], pa.float64()))
+            return out.append_column("__es_g", pa.array([], pa.int64()))
+        w = batch[weight_column].to_numpy(zero_copy_only=False).astype(np.float64)
+        if np.any(~(w > 0)):
+            bad = batch[weight_column].to_pylist()
+            bad = next(x for x in bad if not (x is not None and x > 0))
+            raise ValueError(
+                f"weighted_reservoir_topk: weight column {weight_column!r} "
+                f"must be > 0 everywhere (found {bad!r})"
+            )
+        h = _hash_u63(batch[id_key].to_pylist(), salt).astype(np.float64)
+        u = (h + 0.5) / _U63
+        # libm log (math.log == DuckDB ln, bit-identical), not np.log —
+        # numpy's SIMD log drifts 1 ulp from libm, and the oracle contract
+        # here is exact key equality. The md5 per row above dominates cost.
+        key = (
+            np.fromiter((math.log(x) for x in u), np.float64, count=len(u)) / w
+        )
+        out = out.append_column("__es_key", pa.array(key))
+        return out.append_column(
+            "__es_g", pa.array(np.zeros(batch.num_rows, np.int64))
+        )
+
+    stamped = ds.map_batches(stamp, batch_format="pyarrow")
+    picked = grouped_top_k(
+        stamped,
+        "__es_g",
+        [("__es_key", "descending"), (id_key, "ascending")],
+        k,
+        rank_alias=None,
+        num_partitions=num_partitions,
+    )
+
+    def clean(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__es_g"])
+        if key_alias is None:
+            return t.drop_columns(["__es_key"])
+        return t.rename_columns(
+            [key_alias if c == "__es_key" else c for c in t.column_names]
+        )
+
+    return picked.map_batches(clean, batch_format="pyarrow")
