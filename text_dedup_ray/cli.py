@@ -228,6 +228,31 @@ def main(argv: list[str] | None = None) -> None:
             from .pipelines.incremental_jaccard import posting_state_union
 
             union_fn = posting_state_union
+        if union_fn is None and family in ("hll_sketch", "cms_sketch", "bloom"):
+            # register-state families: the merge IS the exact set union
+            # (HLL max / CMS sum / Bloom bitwise-OR), natively k-way
+            from .pipelines.bloom import bloom_state_union
+            from .pipelines.incremental_sketch import (
+                cms_state_union,
+                hll_state_union,
+            )
+
+            reg_fn = {
+                "hll_sketch": hll_state_union,
+                "cms_sketch": cms_state_union,
+                "bloom": bloom_state_union,
+            }[family]
+            version = reg_fn(sa, sb, out_state)
+            out = {
+                "algorithm": name,
+                "family": family,
+                "out_state": out_state,
+                "state_version": version,
+            }
+            if "max_row_id" in load_meta(out_state):
+                out["max_row_id"] = int(load_meta(out_state)["max_row_id"])
+            print(json.dumps(out))
+            return
         if union_fn is None:
             raise SystemExit(f"union_state does not support '{family}' states")
         if isinstance(sb, list) and union_fn is not minhash_state_union:

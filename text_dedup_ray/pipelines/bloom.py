@@ -516,3 +516,68 @@ def bloom_increment(
     meta.update({"version": version, "max_row_id": max(prior_max, new_max)})
     _write_meta(state_dir, meta)
     return result
+
+
+def bloom_state_union(
+    state_a: str,
+    state_b: str | list[str],
+    out_dir: str,
+) -> int:
+    """Merge independently-built Bloom register states into one state whose
+    bits are BIT-identical to a :func:`bloom_bootstrap` over the union
+    corpus: with identical hash functions and geometry, OR-ing two filters
+    IS the filter of the set union (bit-setting is idempotent, so content
+    shared by both sides folds exactly). ``state_b`` may be a list for a
+    one-pass k-way union.
+
+    Each shard merges file-locally — shard ``p`` of every input ORs into
+    shard ``p`` of the output, O(m_shard) bytes per shard, ZERO shuffle —
+    the same aligned-partition property the LSH unions exploit. Unlike the
+    exact/LSH families there is no retroactive cross-state flagging: rows
+    already admitted by each side stay admitted (Bloom state holds bits,
+    not row ids); the union state serves FUTURE increments, which see
+    old-A ∪ old-B exactly. Requires identical configs (cfg_hash) so the
+    bit positions line up. Returns the new state's version (1).
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .incremental import _clean_version_dir, _write_meta, load_meta
+
+    states = [state_a] + (state_b if isinstance(state_b, list) else [state_b])
+    metas = [load_meta(s) for s in states]
+    for m, d in zip(metas, states):
+        if m.get("algo") != "bloom":
+            raise ValueError(f"state at {d} is not a bloom state")
+        if m["cfg_hash"] != metas[0]["cfg_hash"]:
+            raise ValueError(
+                f"state at {d} was built with a different bloom config; "
+                "union requires identical geometry (cfg_hash mismatch)"
+            )
+    m_shard = int(metas[0]["m_shard"])
+    num_shards = int(metas[0]["num_shards"])
+    n_bytes = len(np.packbits(np.zeros(m_shard, dtype=bool)).tobytes())
+    version = 1
+    _clean_version_dir(out_dir, version)
+    for p in range(num_shards):
+        acc = np.zeros(n_bytes, dtype=np.uint8)
+        for s, m in zip(states, metas):
+            f = _bloom_state_file(s, int(m["version"]), p)
+            if os.path.exists(f):
+                packed = pq.read_table(f)["bits"][0].as_py()
+                acc |= np.frombuffer(packed, dtype=np.uint8)
+        out_f = _bloom_state_file(out_dir, version, p)
+        os.makedirs(os.path.dirname(out_f), exist_ok=True)
+        pq.write_table(
+            pa.table({"bits": pa.array([acc.tobytes()], pa.binary())}), out_f
+        )
+    out_meta = dict(metas[0])
+    out_meta.update(
+        {
+            "version": version,
+            "max_row_id": max(int(m["max_row_id"]) for m in metas),
+        }
+    )
+    _write_meta(out_dir, out_meta)
+    return version

@@ -148,6 +148,71 @@ def hll_state_registers(state_dir: str, version: int | None = None) -> pa.Table:
     return pq.read_table(_registers_path(state_dir, v))
 
 
+def _union_states(
+    state_a: str,
+    state_b: str | list[str],
+    out_dir: str,
+    algo: str,
+    merge,
+) -> int:
+    """Shared k-way sketch-state union: fold every input's current register
+    table through ``merge`` (associative, exact) and commit the result as
+    ``out_dir`` version 1 with state A's meta. Sketch merges are the exact
+    set-union operators (HLL per-register MAX / CMS per-cell SUM), so the
+    union state is BIT-identical to a bootstrap over the union corpus —
+    unlike the dedup families there is no id-disjointness requirement: a
+    row sketched into both states folds idempotently (MAX) or counts twice
+    (SUM), exactly as a re-run over the concatenated inputs would."""
+    states = [state_a] + (state_b if isinstance(state_b, list) else [state_b])
+    metas = [load_meta(s) for s in states]
+    for m, d in zip(metas, states):
+        if m.get("algo") != algo:
+            raise ValueError(f"state at {d} is not a {algo} state")
+        if m["cfg_hash"] != metas[0]["cfg_hash"]:
+            raise ValueError(
+                f"state at {d} was built with a different sketch config; "
+                "union requires identical hashing (cfg_hash mismatch)"
+            )
+    merged = None
+    for s, m in zip(states, metas):
+        regs = pq.read_table(_registers_path(s, int(m["version"])))
+        merged = regs if merged is None else merge(merged, regs)
+    version = 1
+    _clean_version_dir(out_dir, version)
+    os.makedirs(_version_dir(out_dir, version), exist_ok=True)
+    pq.write_table(merged, _registers_path(out_dir, version))
+    out_meta = dict(metas[0])
+    out_meta["version"] = version
+    _write_meta(out_dir, out_meta)
+    return version
+
+
+def hll_state_union(
+    state_a: str, state_b: str | list[str], out_dir: str
+) -> int:
+    """Merge independently-built HLL sketch states (two ingestion sites,
+    a backfill next to a live feed) into one state whose registers are
+    BIT-identical to a :func:`hll_state_bootstrap` over the union corpus —
+    per-(key, idx) MAX is exactly the HLL set union. ``state_b`` may be a
+    list for a one-pass k-way union. The result is a normal tiered state:
+    increment / estimate / prune / rollback apply unchanged. Returns the
+    new state's version (1)."""
+    key = load_meta(state_a).get("key")
+    return _union_states(
+        state_a, state_b, out_dir, _ALGO, lambda a, b: _max_merge(a, b, key)
+    )
+
+
+def cms_state_union(
+    state_a: str, state_b: str | list[str], out_dir: str
+) -> int:
+    """Merge independently-built count-min states: per-(d, idx) SUM is the
+    exact CMS union (counts are additive), so the union state is
+    BIT-identical to a :func:`cms_state_bootstrap` over the concatenated
+    corpora. ``state_b`` may be a list for k-way. Returns version 1."""
+    return _union_states(state_a, state_b, out_dir, _CMS_ALGO, _sum_merge)
+
+
 _CMS_ALGO = "cms_sketch"
 
 
