@@ -244,8 +244,54 @@ def run_benchmarks() -> None:
         )
         return res.deduped.count()
 
+    # ---- federated state union: merge an independently-built 10% site
+    # state into the 90% bootstrap state. Setup (fingerprinting the B site)
+    # is untimed — that cost is already measured by incremental_10pct; the
+    # leg times the MERGE itself (P file-local rep merges + collision CC +
+    # cluster-map composition), the part that must stay corpus-size-
+    # independent at 100 TB.
+    def state_union_merge():
+        import shutil
+
+        from text_dedup_ray.pipelines.incremental import minhash_state_union
+
+        shutil.rmtree("/tmp/bench_lsh_union", ignore_errors=True)
+        version, merges = minhash_state_union(
+            inc_state["state"], inc_state["state_b"], "/tmp/bench_lsh_union"
+        )
+        return len(merges)
+
+    def _state_union_setup():
+        import shutil
+
+        import pyarrow.compute as pc
+
+        from text_dedup_ray.pipelines.images import image_ids_to_row_ids
+        from text_dedup_ray.pipelines.incremental import minhash_bootstrap
+
+        state_b = "/tmp/bench_lsh_state_b"
+        shutil.rmtree(state_b, ignore_errors=True)
+        inc_state["state_b"] = state_b
+        cut = inc_state["cut"]
+        narrow = image_ids_to_row_ids(
+            ray.data.read_parquet(docs_path, columns=["image_id", "caption"])
+        )
+        site_b = narrow.map_batches(
+            lambda t, c=cut: t.filter(pc.greater_equal(t["row_id"], c)),
+            batch_format="pyarrow",
+        )
+        minhash_bootstrap(
+            site_b,
+            state_b,
+            text_column="caption",
+            cfg=MinHashConfig(num_perm=128, bands=32, rows=4, ngram_size=2, hash_func="sha1"),
+            fingerprint_concurrency=(1, max(1, min(NUM_CPUS - 1, NUM_CPUS // 2))),
+        )
+
     if not headline_only:
         timed("incremental_bootstrap", incremental_bootstrap)
+        _state_union_setup()
+        timed("state_union_merge", state_union_merge)
         timed("incremental_10pct", incremental_10pct)
 
     def events_window():
