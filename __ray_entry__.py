@@ -2640,6 +2640,39 @@ def _q_dup_mass(sf_dir: str):
     )
 
 
+def _q_bottomk_incremental(sf_dir: str):
+    """Tiered bottom-k sample state: bootstrap the deterministic
+    bottom-k-by-hash row sample (the approx-quantiles substrate) on the
+    low half of doc ids, increment the rest — bottom-k is exactly
+    mergeable, so the saved sample equals a full run and stays
+    SQL-recomputable (ORDER BY the same md5 expression LIMIT k)."""
+    import tempfile
+
+    from text_dedup_ray.pipelines.incremental_sketch import (
+        bottomk_state_bootstrap,
+        bottomk_state_increment,
+        bottomk_state_sample,
+    )
+
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+    low, high = _split_docs_half(docs)
+    state = tempfile.mkdtemp(prefix="bottomk_state_", dir="/tmp")
+    bottomk_state_bootstrap(
+        docs.map_batches(low, batch_format="pyarrow"), state,
+        "n_chars", "doc_id", k=64, salt="bk:",
+    )
+    bottomk_state_increment(
+        docs.map_batches(high, batch_format="pyarrow"), state
+    )
+    sample = bottomk_state_sample(state)
+    return pa.table(
+        {
+            "doc_id": sample["i"],
+            "n_chars": sample["v"].cast(pa.int64()),
+        }
+    )
+
+
 def _q_minhash_incremental_images(sf_dir: str):
     """Tiered dedup over the IMAGE corpus (the graft cell — tier dedup x
     image payload): bootstrap on the first ~80% of image row ids, increment
@@ -3118,6 +3151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_union_docs": _q_jaccard_union,
         "weighted_sample_docs": _q_weighted_sample,
         "dup_mass_by_source": _q_dup_mass,
+        "bottomk_sample_incremental": _q_bottomk_incremental,
         # --- suffix-array pipelines (SQL-checked via corpus-gram recomputation) ---
         "suffix_array_dedup_docs": _q_suffix_docs,
         "suffix_array_global_docs": _q_suffix_global_docs,
@@ -3776,6 +3810,14 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
             ) + ")::DOUBLE + 0.5) / 9223372036854775808.0) / n_chars AS es_key"
             "  FROM documents"
             ") ORDER BY es_key DESC, doc_id LIMIT 100"
+        ),
+        # tiered bottom-k sample == full run (exact mergeability), and the
+        # sample itself is the SQL bottom-k by the same md5 hash
+        "bottomk_sample_incremental": (
+            "SELECT doc_id, n_chars FROM documents "
+            "ORDER BY (" + _sample_mod.HASH_U32_SQL.format(
+                expr="'bk:' || doc_id::VARCHAR"
+            ) + "), doc_id LIMIT 64"
         ),
         "dup_mass_by_source": (
             "SELECT source, count(*)::BIGINT AS n_docs, "

@@ -228,11 +228,15 @@ def main(argv: list[str] | None = None) -> None:
             from .pipelines.incremental_jaccard import posting_state_union
 
             union_fn = posting_state_union
-        if union_fn is None and family in ("hll_sketch", "cms_sketch", "bloom"):
+        if union_fn is None and family in (
+            "hll_sketch", "cms_sketch", "bottomk_sketch", "bloom"
+        ):
             # register-state families: the merge IS the exact set union
-            # (HLL max / CMS sum / Bloom bitwise-OR), natively k-way
+            # (HLL max / CMS sum / bottom-k refold / Bloom bitwise-OR),
+            # natively k-way
             from .pipelines.bloom import bloom_state_union
             from .pipelines.incremental_sketch import (
+                bottomk_state_union,
                 cms_state_union,
                 hll_state_union,
             )
@@ -240,6 +244,7 @@ def main(argv: list[str] | None = None) -> None:
             reg_fn = {
                 "hll_sketch": hll_state_union,
                 "cms_sketch": cms_state_union,
+                "bottomk_sketch": bottomk_state_union,
                 "bloom": bloom_state_union,
             }[family]
             version = reg_fn(sa, sb, out_state)

@@ -380,3 +380,183 @@ def hll_state_estimate(state_dir: str, alias: str = "approx_n") -> pa.Table:
         cols[key] = regs[key].take(pa.array(first_idx))
     cols[alias] = pa.array(est)
     return pa.table(cols)
+
+
+# ---------------------------------------------------------------------------
+# Tiered bottom-k sample state — the third register family: HLL answers
+# "how many distinct", CMS "how often", bottom-k "what does the
+# distribution look like" (quantiles / a uniform row sample). The
+# deterministic bottom-k-by-hash sample (the approx_quantiles substrate,
+# sketch/agg.py) is exactly mergeable: the bottom-k of a union is the
+# bottom-k of the merged bottom-ks, so increment and union are BIT-identical
+# to a full re-run at k-rows state cost — and the persisted sample stays
+# SQL-recomputable (ORDER BY the same md5 expression LIMIT k).
+# ---------------------------------------------------------------------------
+
+_BOTTOMK_ALGO = "bottomk_sketch"
+
+
+def _bottomk_cfg_hash(column: str, id_column: str, k: int, salt: str) -> str:
+    return config_hash(
+        {
+            "algo": _BOTTOMK_ALGO,
+            "column": column,
+            "id": id_column,
+            "k": k,
+            "salt": salt,
+        }
+    )
+
+
+def _bottomk_of(
+    ds: ray.data.Dataset, column: str, id_column: str, k: int, salt: str
+) -> pa.Table:
+    """Global bottom-k (v, h, i) rows by hash_u32(salt + id), ties by id —
+    each block pre-prunes to its local k, one fold keeps the global k."""
+    import numpy as np
+
+    from .sample import _hash_u32
+
+    def local(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "v": pa.array([], pa.float64()),
+                    "h": pa.array([], pa.int64()),
+                    "i": pa.array([], pa.int64()),
+                }
+            )
+        ids = batch[id_column].to_numpy(zero_copy_only=False)
+        h = _hash_u32(ids.tolist(), salt).astype(np.int64)
+        v = batch[column].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((ids, h))[:k]
+        return pa.table(
+            {
+                "v": pa.array(v[order]),
+                "h": pa.array(h[order]),
+                "i": pa.array(ids[order].astype(np.int64)),
+            }
+        )
+
+    pre = [
+        t
+        for t in ray.get(
+            ds.map_batches(local, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not pre:
+        return pa.table(
+            {
+                "v": pa.array([], pa.float64()),
+                "h": pa.array([], pa.int64()),
+                "i": pa.array([], pa.int64()),
+            }
+        )
+    return _bottomk_fold(pa.concat_tables(pre), k)
+
+
+def _bottomk_fold(t: pa.Table, k: int) -> pa.Table:
+    import numpy as np
+
+    h = t["h"].to_numpy(zero_copy_only=False)
+    i = t["i"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((i, h))[:k]
+    return t.take(pa.array(order))
+
+
+def bottomk_state_bootstrap(
+    ds: ray.data.Dataset,
+    state_dir: str,
+    column: str,
+    id_column: str,
+    k: int = 4096,
+    salt: str = "",
+) -> int:
+    """Compute and persist the initial bottom-k sample. Returns version 1."""
+    regs = _bottomk_of(ds, column, id_column, k, salt)
+    version = 1
+    _clean_version_dir(state_dir, version)
+    os.makedirs(_version_dir(state_dir, version), exist_ok=True)
+    pq.write_table(regs, _registers_path(state_dir, version))
+    _write_meta(
+        state_dir,
+        {
+            "algo": _BOTTOMK_ALGO,
+            "version": version,
+            "cfg_hash": _bottomk_cfg_hash(column, id_column, k, salt),
+            "column": column,
+            "id_column": id_column,
+            "k": k,
+            "salt": salt,
+        },
+    )
+    return version
+
+
+def bottomk_state_increment(new_ds: ray.data.Dataset, state_dir: str) -> int:
+    """Fold a new batch's bottom-k into the saved sample — bit-identical to
+    a full re-run over old ∪ new (bottom-k is exactly mergeable). Returns
+    the new version."""
+    meta = load_meta(state_dir)
+    if meta.get("algo") != _BOTTOMK_ALGO:
+        raise ValueError(f"state at {state_dir} is not a {_BOTTOMK_ALGO} state")
+    prior_version = int(meta["version"])
+    k = int(meta["k"])
+    regs_new = _bottomk_of(
+        new_ds, str(meta["column"]), str(meta["id_column"]), k,
+        str(meta["salt"]),
+    )
+    prior = pq.read_table(_registers_path(state_dir, prior_version))
+    merged = _bottomk_fold(
+        pa.concat_tables([prior, regs_new], promote_options="permissive"), k
+    )
+    version = prior_version + 1
+    _clean_version_dir(state_dir, version)
+    os.makedirs(_version_dir(state_dir, version), exist_ok=True)
+    pq.write_table(merged, _registers_path(state_dir, version))
+    meta.update({"version": version})
+    _write_meta(state_dir, meta)
+    return version
+
+
+def bottomk_state_union(
+    state_a: str, state_b: str | list[str], out_dir: str
+) -> int:
+    """Merge independently-built bottom-k sample states: keeping the k
+    smallest hashes of the merged samples IS the bottom-k of the union
+    corpus (every union-bottom-k row is in its own state's bottom-k), so
+    the union state is BIT-identical to a bootstrap over A ∪ B. k-way via
+    a ``state_b`` list. Returns version 1."""
+    k = int(load_meta(state_a)["k"])
+    return _union_states(
+        state_a, state_b, out_dir, _BOTTOMK_ALGO,
+        lambda a, b: _bottomk_fold(
+            pa.concat_tables([a, b], promote_options="permissive"), k
+        ),
+    )
+
+
+def bottomk_state_sample(state_dir: str, version: int | None = None) -> pa.Table:
+    """Read the saved (v, h, i) sample (latest version by default)."""
+    v = int(load_meta(state_dir)["version"]) if version is None else int(version)
+    return pq.read_table(_registers_path(state_dir, v))
+
+
+def bottomk_state_quantiles(state_dir: str, quantiles: dict) -> pa.Table:
+    """``quantile_disc``-rule estimates over the saved sample — the same
+    estimator as ``agg.approx_quantiles`` applied to state."""
+    import numpy as np
+
+    sample = bottomk_state_sample(state_dir)
+    if sample.num_rows == 0:
+        return pa.table(
+            {name: pa.array([None], pa.float64()) for name in quantiles}
+        )
+    vals = np.sort(sample["v"].to_numpy(zero_copy_only=False))
+    n = len(vals)
+    out = {}
+    for name, q in quantiles.items():
+        rank = min(max(int(np.ceil(q * n)), 1), n)
+        out[name] = pa.array([float(vals[rank - 1])], pa.float64())
+    return pa.table(out)

@@ -126,17 +126,25 @@ def check_state(state_dir: str) -> dict:
                         f"[0, max_row_id={max_row_id}]"
                     )
         report["index_rows"] = n_index
-    elif algo in ("hll_sketch", "cms_sketch"):
+    elif algo in ("hll_sketch", "cms_sketch", "bottomk_sketch"):
         f = os.path.join(cur, "registers.parquet")
         if not os.path.isfile(f):
             errors.append("registers.parquet missing in current version")
         else:
             try:
                 t = pq.read_table(f)
-                want = {"idx", "rank"} if algo == "hll_sketch" else {"d", "idx", "cnt"}
+                want = {
+                    "hll_sketch": {"idx", "rank"},
+                    "cms_sketch": {"d", "idx", "cnt"},
+                    "bottomk_sketch": {"v", "h", "i"},
+                }[algo]
                 missing = want - set(t.column_names)
                 if missing:
                     errors.append(f"registers.parquet lacks columns {sorted(missing)}")
+                if algo == "bottomk_sketch" and t.num_rows > int(meta.get("k", t.num_rows)):
+                    errors.append(
+                        f"bottom-k sample has {t.num_rows} rows > k={meta.get('k')}"
+                    )
                 report["index_rows"] = t.num_rows
             except Exception as e:
                 errors.append(f"registers.parquet unreadable: {e}")
