@@ -2608,6 +2608,47 @@ def _q_jaccard_union(sf_dir: str):
     return pa.table({"row_id": all_ids[order], "cluster_id": all_roots[order]})
 
 
+def _q_jaccard_novelty_state(sf_dir: str):
+    """READ-ONLY novelty probe against a saved jaccard posting index:
+    bootstrap the index over doc_id <= 80% cut, then score the remaining
+    docs — per doc (n_distinct shingles, n_seen already in the index,
+    novelty = 1 - n_seen/n_distinct). Exact int64 counts, full SQL oracle
+    (tests/test_novelty_vs_state.py); the probe writes no new version."""
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from text_dedup_ray.pipelines.incremental_jaccard import (
+        jaccard_bootstrap,
+        jaccard_novelty_vs_state,
+    )
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    cut = int(docs.max("doc_id") * 0.8)
+
+    def split(keep_old: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = pc.less_equal(t["doc_id"], pa.scalar(cut, pa.int64()))
+            return t.filter(m if keep_old else pc.invert(m))
+
+        return f
+
+    state = tempfile.mkdtemp(prefix="jac_novelty_", dir="/tmp")
+    jaccard_bootstrap(
+        docs.map_batches(split(True), batch_format="pyarrow"),
+        state,
+        id_column="doc_id",
+        ngram_size=2,
+        min_length=0,
+        threshold=0.6,
+        num_partitions=4,
+        df_cap=1_000_000_000,
+    )
+    return jaccard_novelty_vs_state(
+        docs.map_batches(split(False), batch_format="pyarrow"), state
+    )
+
+
 def _q_weighted_sample(sf_dir: str):
     """Weighted sample WITHOUT replacement (Efraimidis-Spirakis A-Res):
     the 100 docs drawn proportionally to n_chars under the hash-seeded ES
@@ -3149,6 +3190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_incremental_docs": _q_simhash_incremental,
         "simhash_union_docs": _q_simhash_union,
         "jaccard_union_docs": _q_jaccard_union,
+        "jaccard_novelty_vs_state": _q_jaccard_novelty_state,
         "weighted_sample_docs": _q_weighted_sample,
         "dup_mass_by_source": _q_dup_mass,
         "bottomk_sample_incremental": _q_bottomk_incremental,
@@ -3801,6 +3843,9 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
         "minhash_union_docs": _oracles.minhash_dedup_sql(_MINHASH_HALF_CFG()),
         "simhash_union_docs": _oracles.simhash_dedup_sql(_SIMHASH_ORACLE_CFG()),
         "jaccard_union_docs": _oracles.jaccard_dedup_sql(ngram_size=2, threshold=0.6),
+        "jaccard_novelty_vs_state": _oracles.novelty_vs_state_sql(
+            ngram_size=2, cut_frac=0.8
+        ),
         # ES A-Res weighted sample: identical double expression both sides
         "weighted_sample_docs": (
             "SELECT doc_id, n_chars FROM ("

@@ -284,6 +284,40 @@ LEFT JOIN h USING (doc_id)
 """
 
 
+def novelty_vs_state_sql(ngram_size: int = 2, cut_frac: float = 0.8) -> str:
+    """Novelty-vs-state probe (pipelines/incremental_jaccard.
+    jaccard_novelty_vs_state): state = posting index over doc_id <= cut,
+    probe batch = the rest; per new doc, distinct shingles, how many appear
+    anywhere in the state, and ``novelty = 1 - n_seen / n_distinct``.
+    min_length=1 in the grams CTE mirrors the probe's drop-zero-token-docs
+    contract exactly (the engine state is built at min_length=0 and the
+    probe filters the lone empty-gram posting)."""
+    cut = (
+        f"(SELECT CAST(floor(max(doc_id) * {cut_frac}) AS BIGINT) "
+        "FROM documents)"
+    )
+    old = _grams_cte(
+        ngram_size, 1, tk_name="otk", grams_name="ograms",
+        where=f"doc_id <= {cut}",
+    )
+    new = _grams_cte(
+        ngram_size, 1, tk_name="ntk", grams_name="ngrams_",
+        where=f"doc_id > {cut}",
+    )
+    return f"""
+WITH {old},
+{new},
+oset AS (SELECT DISTINCT g FROM ograms)
+SELECT n.doc_id AS row_id,
+       count(*)::BIGINT AS n_distinct,
+       sum(CASE WHEN oset.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_seen,
+       1.0 - (sum(CASE WHEN oset.g IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+              / count(*)) AS novelty
+FROM ngrams_ n LEFT JOIN oset USING (g)
+GROUP BY n.doc_id
+"""
+
+
 def jaccard_cross_join_sql(
     ngram_size: int, min_length: int, threshold: float, mod: int = 97
 ) -> str:

@@ -65,6 +65,10 @@ _EMPTY_PAIRS = pa.table(
      "co": pa.array([], pa.int64()), "part": pa.array([], pa.int64())}
 )
 _EMPTY_EDGES = pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+_EMPTY_NOVELTY_PARTIAL = pa.table(
+    {"row_id": pa.array([], pa.int64()), "dis": pa.array([], pa.int64()),
+     "seen": pa.array([], pa.int64()), "part": pa.array([], pa.int64())}
+)
 
 
 def _index_file(state_dir: str, version: int, p: int) -> str:
@@ -359,10 +363,140 @@ def jaccard_bootstrap(
             "min_length": min_length,
             "threshold": threshold,
             "df_cap": df_cap,
+            "id_column": id_column,
         },
         num_partitions=num_partitions,
         driver_threshold=driver_threshold,
     )
+
+
+@ray.remote
+def _novelty_probe_partition(prior_path: str, num_partitions: int, *tables: pa.Table) -> pa.Table:
+    """Probe one shingle partition READ-ONLY: for each new posting, test
+    membership of its shingle hash in the prior posting file (read locally,
+    ``sh`` column only — the file is sorted by ``sh`` so one searchsorted
+    answers every probe), then fold to per-row (n_distinct, n_seen)
+    partials routed by row-id hash."""
+    new = _sorted_postings(*tables)
+    if new.num_rows == 0:
+        return _EMPTY_NOVELTY_PARTIAL
+    nh = new["sh"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nid = new["row_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    seen = np.zeros(len(nh), dtype=bool)
+    if prior_path is not None and os.path.exists(prior_path):
+        ph = pq.read_table(prior_path, columns=["sh"])["sh"].to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        if len(ph):
+            idx = np.searchsorted(ph, nh)
+            in_range = idx < len(ph)
+            seen[in_range] = ph[idx[in_range]] == nh[in_range]
+    uniq, inv = np.unique(nid, return_inverse=True)
+    dis = np.bincount(inv).astype(np.int64)
+    sn = np.bincount(inv, weights=seen).astype(np.int64)
+    part = (np.abs(uniq) % np.int64(num_partitions)).astype(np.int64)
+    return pa.table(
+        {"row_id": pa.array(uniq), "dis": pa.array(dis),
+         "seen": pa.array(sn), "part": pa.array(part)}
+    )
+
+
+def _novelty_fold(group: pa.Table) -> pa.Table:
+    empty = pa.table(
+        {"row_id": pa.array([], pa.int64()), "n_distinct": pa.array([], pa.int64()),
+         "n_seen": pa.array([], pa.int64()), "novelty": pa.array([], pa.float64())}
+    )
+    if group.num_rows == 0 or "dis" not in group.column_names:
+        return empty
+    rid = group["row_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq, inv = np.unique(rid, return_inverse=True)
+    dis = np.bincount(
+        inv, weights=group["dis"].to_numpy(zero_copy_only=False)
+    ).astype(np.int64)
+    sn = np.bincount(
+        inv, weights=group["seen"].to_numpy(zero_copy_only=False)
+    ).astype(np.int64)
+    novelty = 1.0 - sn / dis  # dis >= 1: rows only exist with >=1 posting
+    return pa.table(
+        {"row_id": pa.array(uniq), "n_distinct": pa.array(dis),
+         "n_seen": pa.array(sn), "novelty": pa.array(novelty)}
+    )
+
+
+def jaccard_novelty_vs_state(
+    new_ds: ray.data.Dataset,
+    state_dir: str,
+    id_column: str | None = None,
+) -> ray.data.Dataset:
+    """READ-ONLY novelty probe of a new batch against a saved jaccard
+    posting index: per new row, over its DISTINCT shingles (the state's own
+    ngram/min_length config), how many already appear anywhere in the index
+    — ``novelty = 1 - n_seen / n_distinct`` (1.0 = nothing seen before,
+    0.0 = fully covered). The curation twin of :func:`jaccard_increment`
+    for score-then-decide flows (admit only sufficiently novel docs): no
+    version is written, no meta bumped — the probe can run concurrently
+    with reads and is safe to repeat.
+
+    Zero-shingle rows (shorter than the ngram config) emit nothing and are
+    absent from the result, mirroring the exploded-window SQL GROUP BY.
+    ``id_column`` defaults to the column the state was bootstrapped with
+    (recorded in meta) when the batch lacks ``row_id``.
+
+    Scale shape: explode(new) + one postings exchange; each probe task
+    reads ONLY its partition's ``sh`` column (never old row ids/sizes) and
+    answers membership with one searchsorted over the file's existing
+    sort order; only (row_id, 2 int64 counters) partials — O(new rows x
+    partitions) worst case — move through the second exchange. The old
+    index is never re-shuffled or rewritten.
+
+    Returns a Dataset of ``(row_id, n_distinct, n_seen, novelty)``; counts
+    are exact int64, so novelty is bit-identical to the DuckDB oracle
+    (tests/test_novelty_vs_state.py).
+    """
+    from ..stages.exchange import hash_partition_exchange
+
+    meta = load_meta(state_dir)
+    if meta.get("algo") != "jaccard_posting":
+        raise ValueError(f"state at {state_dir} is not a jaccard_posting index")
+    if id_column is None and ROW_ID not in new_ds.schema().names:
+        id_column = meta.get("id_column")
+    if id_column is not None:
+        new_ds = stamp_row_ids_from_key(new_ds, id_column)
+    elif ROW_ID not in new_ds.schema().names:
+        raise ValueError("dataset must have a row_id column or pass id_column")
+    version = int(meta["version"])
+    num_partitions = int(meta["num_partitions"])
+    explode = _make_explode(
+        meta["text_column"], int(meta["ngram_size"]),
+        int(meta["min_length"]), num_partitions,
+    )
+    # zero-token docs shingle to the lone b'' gram (reference ngrams()
+    # semantics, kept for dedup parity) — the novelty contract drops them
+    # instead, matching the SQL exploded-window GROUP BY; b'' only ever
+    # occurs as a singleton set, so (sh == H(b''), size == 1) is exact.
+    from .jaccard_dedup import _shingle_hash64
+
+    h_empty = _shingle_hash64(b"")
+
+    def explode_nonempty(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = explode(batch)
+        if t.num_rows == 0:
+            return t
+        drop = pc.and_(
+            pc.equal(t["sh"], pa.scalar(h_empty, pa.int64())),
+            pc.equal(t["size"], pa.scalar(1, pa.int64())),
+        )
+        return t.filter(pc.invert(drop))
+
+    partials = _exchange_postings(
+        new_ds.map_batches(explode_nonempty, batch_format="pyarrow"),
+        _novelty_probe_partition,
+        lambda p: (_index_file(state_dir, version, p), num_partitions),
+        num_partitions,
+    )
+    return hash_partition_exchange(partials, "part", num_partitions, _novelty_fold)
 
 
 def jaccard_increment(
