@@ -2649,6 +2649,82 @@ def _q_jaccard_novelty_state(sf_dir: str):
     )
 
 
+def _q_minhash_probe_state(sf_dir: str):
+    """READ-ONLY LSH candidate probe against a saved MinHash state:
+    bootstrap over doc_id <= 80% cut, probe the rest — per new doc, band
+    collisions with the index, candidacy, and the smallest colliding rep.
+    Full md5-recompute SQL oracle (tests/test_minhash_probe.py); the probe
+    writes no new version."""
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from text_dedup_ray.pipelines.incremental import (
+        minhash_bootstrap,
+        minhash_probe_vs_state,
+    )
+
+    cfg = _MINHASH_HALF_CFG()
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    cut = int(docs.max("doc_id") * 0.8)
+
+    def split(keep_old: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = pc.less_equal(t["doc_id"], pa.scalar(cut, pa.int64()))
+            return t.filter(m if keep_old else pc.invert(m))
+
+        return f
+
+    state = tempfile.mkdtemp(prefix="mh_probe_", dir="/tmp")
+    minhash_bootstrap(
+        docs.map_batches(split(True), batch_format="pyarrow"),
+        state,
+        cfg=cfg,
+        id_column="doc_id",
+        num_partitions=8,
+    )
+    return minhash_probe_vs_state(
+        docs.map_batches(split(False), batch_format="pyarrow"), state, cfg=cfg
+    )
+
+
+def _q_exact_probe_state(sf_dir: str):
+    """READ-ONLY content-membership probe against a saved exact index:
+    bootstrap over doc_id <= 80% cut, probe the rest — per new doc, was its
+    exact text already ingested and under which first-occurrence winner
+    (-1 when unseen). Full SQL oracle (text-equality LEFT JOIN); the probe
+    writes no new version (tests/test_exact_probe.py)."""
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from text_dedup_ray.pipelines.incremental_exact import (
+        exact_bootstrap,
+        exact_probe_vs_state,
+    )
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    cut = int(docs.max("doc_id") * 0.8)
+
+    def split(keep_old: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = pc.less_equal(t["doc_id"], pa.scalar(cut, pa.int64()))
+            return t.filter(m if keep_old else pc.invert(m))
+
+        return f
+
+    state = tempfile.mkdtemp(prefix="exact_probe_", dir="/tmp")
+    exact_bootstrap(
+        docs.map_batches(split(True), batch_format="pyarrow"),
+        state,
+        id_column="doc_id",
+        num_partitions=8,
+    )
+    return exact_probe_vs_state(
+        docs.map_batches(split(False), batch_format="pyarrow"), state
+    )
+
+
 def _q_weighted_sample(sf_dir: str):
     """Weighted sample WITHOUT replacement (Efraimidis-Spirakis A-Res):
     the 100 docs drawn proportionally to n_chars under the hash-seeded ES
@@ -3191,6 +3267,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_union_docs": _q_simhash_union,
         "jaccard_union_docs": _q_jaccard_union,
         "jaccard_novelty_vs_state": _q_jaccard_novelty_state,
+        "exact_probe_vs_state": _q_exact_probe_state,
+        "minhash_probe_vs_state": _q_minhash_probe_state,
         "weighted_sample_docs": _q_weighted_sample,
         "dup_mass_by_source": _q_dup_mass,
         "bottomk_sample_incremental": _q_bottomk_incremental,
@@ -3845,6 +3923,20 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
         "jaccard_union_docs": _oracles.jaccard_dedup_sql(ngram_size=2, threshold=0.6),
         "jaccard_novelty_vs_state": _oracles.novelty_vs_state_sql(
             ngram_size=2, cut_frac=0.8
+        ),
+        # exact-state membership probe: text-equality join, winner = min old id
+        "exact_probe_vs_state": (
+            "WITH cut AS (SELECT CAST(floor(max(doc_id) * 0.8) AS BIGINT) AS c"
+            " FROM documents),"
+            " old AS (SELECT text, min(doc_id) AS w FROM documents"
+            " WHERE doc_id <= (SELECT c FROM cut) GROUP BY text)"
+            " SELECT d.doc_id AS row_id, (o.w IS NOT NULL) AS seen,"
+            " coalesce(o.w, -1)::BIGINT AS winner"
+            " FROM documents d LEFT JOIN old o USING (text)"
+            " WHERE d.doc_id > (SELECT c FROM cut)"
+        ),
+        "minhash_probe_vs_state": _oracles.minhash_probe_sql(
+            _MINHASH_HALF_CFG(), cut_frac=0.8
         ),
         # ES A-Res weighted sample: identical double expression both sides
         "weighted_sample_docs": (

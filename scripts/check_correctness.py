@@ -57,6 +57,7 @@ def main(sf_dir: str) -> None:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        print(f"[gate] {name} ...", file=sys.stderr, flush=True)
         t0 = time.monotonic()
         try:
             ours = canon(to_pandas(fn(sf_dir)))
@@ -96,6 +97,11 @@ def main(sf_dir: str) -> None:
                 }
         except Exception as e:  # noqa: BLE001
             report[name] = {"status": "ERROR", "detail": f"{type(e).__name__}: {e}"[:300]}
+        print(
+            f"[gate] {name} -> {report[name].get('status')} "
+            f"q={report[name].get('sec_query', '?')}s",
+            file=sys.stderr, flush=True,
+        )
     print(json.dumps(report, indent=1, default=str))
     bad = [k for k, v in report.items() if v["status"] not in ("OK", "ROWS_ONLY")]
     print("FAILURES:", bad if bad else "none")

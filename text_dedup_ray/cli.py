@@ -286,6 +286,58 @@ def main(argv: list[str] | None = None) -> None:
     # multi-batch bundles that stall actor pools (bench.py sizes its floor
     # from the known corpus row count instead).
     ds, text_column = _load_input(cfg)
+
+    if name == "probe_state":
+        # READ-ONLY admission probe: score the input batch against a saved
+        # tiered state WITHOUT writing a new version — dispatches on the
+        # state's algo tag (exact membership / minhash LSH candidacy /
+        # jaccard shingle novelty)
+        import ray.data
+
+        from .pipelines.incremental import load_meta
+        from .sources.io import write_output
+
+        state_dir = algo.get("state_dir")
+        if not state_dir:
+            raise SystemExit("probe_state needs algorithm.state_dir")
+        family = load_meta(state_dir).get("algo")
+        id_column = algo.get("id_column")
+        if family == "exact":
+            from .pipelines.incremental_exact import exact_probe_vs_state
+
+            probe = exact_probe_vs_state(ds, state_dir, id_column=id_column)
+        elif family == "minhash":
+            from .functions.minhash import MinHashConfig
+            from .pipelines.incremental import minhash_probe_vs_state
+
+            fields = {f for f in MinHashConfig.__dataclass_fields__}
+            probe = minhash_probe_vs_state(
+                ds, state_dir,
+                text_column=algo.get("text_column", text_column),
+                cfg=MinHashConfig(**_algo_kwargs(dict(algo), fields)),
+                id_column=id_column,
+            )
+        elif family == "jaccard_posting":
+            from .pipelines.incremental_jaccard import jaccard_novelty_vs_state
+
+            probe = jaccard_novelty_vs_state(ds, state_dir, id_column=id_column)
+        else:
+            raise SystemExit(f"probe_state does not support '{family}' states")
+        # row_id IS the probe payload — keep it in the output
+        write_output(probe, out_path, drop_internal=False)
+        n = ray.data.read_parquet(out_path).count()
+        print(
+            json.dumps(
+                {
+                    "algorithm": name,
+                    "family": family,
+                    "state_dir": state_dir,
+                    "output": out_path,
+                    "rows": n,
+                }
+            )
+        )
+        return
     t0 = time.perf_counter()
     stats: dict = {"algorithm": name}
     parents = None

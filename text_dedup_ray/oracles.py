@@ -416,6 +416,31 @@ bands AS (
 )"""
 
 
+def minhash_probe_sql(cfg: MinHashConfig, cut_frac: float = 0.8) -> str:
+    """LSH candidate probe vs a saved MinHash state
+    (pipelines/incremental.minhash_probe_vs_state): state = rep index over
+    doc_id <= cut, probe = the rest; per new doc, how many of its band keys
+    collide with an indexed bucket, whether any collide, and the smallest
+    colliding bucket rep (-1 when none). The bands CTE is side-independent,
+    so it runs over the whole table and the sides split at the join."""
+    cut = (
+        f"(SELECT CAST(floor(max(doc_id) * {cut_frac}) AS BIGINT) "
+        "FROM documents)"
+    )
+    return f"""
+WITH {_minhash_bands_core(cfg, "documents")},
+oldb AS (SELECT band_idx, band_val, min(doc_id) AS rep FROM bands
+         WHERE doc_id <= {cut} GROUP BY 1, 2),
+newb AS (SELECT doc_id, band_idx, band_val FROM bands WHERE doc_id > {cut})
+SELECT n.doc_id AS row_id,
+       count(o.rep)::BIGINT AS n_hits,
+       (count(o.rep) > 0) AS is_candidate,
+       coalesce(min(o.rep), -1)::BIGINT AS candidate_rep
+FROM newb n LEFT JOIN oldb o USING (band_idx, band_val)
+GROUP BY n.doc_id
+"""
+
+
 def minhash_cross_join_sql(cfg: MinHashConfig, mod: int = 97) -> str:
     """LSH candidate join (pipelines/minhash.minhash_cross_join): distinct
     (left, right) doc pairs whose MinHash signatures collide in >= 1 band,

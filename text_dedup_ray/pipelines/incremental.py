@@ -489,6 +489,7 @@ def minhash_bootstrap(
             "cfg_hash": _cfg_hash(cfg, text_column),
             "max_row_id": max_row_id,
             "num_partitions": num_partitions,
+            "id_column": id_column,
         },
     )
     return IncrementResult(
@@ -595,6 +596,176 @@ def minhash_increment(
         state_version=version,
         metrics={"signature_rows": sig_rows, "stage_seconds": timer.report()},
     )
+
+
+# ------------------------------------------------------------ state probe
+
+
+_EMPTY_PROBE_PARTIAL = pa.table(
+    {"row_id": pa.array([], pa.int64()), "hits": pa.array([], pa.int64()),
+     "rep_min": pa.array([], pa.int64()), "part": pa.array([], pa.int64())}
+)
+_REP_SENTINEL = np.iinfo(np.int64).max
+
+
+@ray.remote
+def _minhash_probe_partition(
+    reps_path: str, num_partitions: int, *tables: pa.Table
+) -> pa.Table:
+    """Probe one rep partition READ-ONLY: membership of each new band key
+    in the prior (key, rep) file — the file is written group-min SORTED by
+    key, so one searchsorted answers every probe. Folds to per-row
+    (band-hit count, min colliding rep) partials routed by row-id hash."""
+    parts = [t for t in tables if t.num_rows > 0]
+    if not parts:
+        return _EMPTY_PROBE_PARTIAL
+    new = pa.concat_tables(parts)
+    width = new.schema.field("key").type.byte_width
+    nk = _void_view(_binary_to_u8(new["key"], width, new.num_rows))
+    nid = new["row_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    hit = np.zeros(len(nk), dtype=bool)
+    rep_of = np.full(len(nk), _REP_SENTINEL, dtype=np.int64)
+    if os.path.exists(reps_path):
+        prior = pq.read_table(reps_path)
+        if prior.num_rows:
+            pk = _void_view(_binary_to_u8(prior["key"], width, prior.num_rows))
+            pr = prior["rep"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.clip(np.searchsorted(pk, nk), 0, len(pk) - 1)
+            hit = pk[pos] == nk
+            rep_of[hit] = pr[pos[hit]]
+    uniq, inv = np.unique(nid, return_inverse=True)
+    hits = np.bincount(inv, weights=hit).astype(np.int64)
+    order = np.argsort(inv, kind="stable")
+    starts = np.flatnonzero(np.r_[True, np.diff(inv[order]) != 0])
+    rep_min = np.minimum.reduceat(rep_of[order], starts)
+    part = (np.abs(uniq) % np.int64(num_partitions)).astype(np.int64)
+    return pa.table(
+        {"row_id": pa.array(uniq), "hits": pa.array(hits),
+         "rep_min": pa.array(rep_min), "part": pa.array(part)}
+    )
+
+
+def _probe_fold(group: pa.Table) -> pa.Table:
+    empty = pa.table(
+        {"row_id": pa.array([], pa.int64()), "n_hits": pa.array([], pa.int64()),
+         "is_candidate": pa.array([], pa.bool_()),
+         "candidate_rep": pa.array([], pa.int64())}
+    )
+    if group.num_rows == 0 or "hits" not in group.column_names:
+        return empty
+    rid = group["row_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq, inv = np.unique(rid, return_inverse=True)
+    hits = np.bincount(
+        inv, weights=group["hits"].to_numpy(zero_copy_only=False)
+    ).astype(np.int64)
+    order = np.argsort(inv, kind="stable")
+    starts = np.flatnonzero(np.r_[True, np.diff(inv[order]) != 0])
+    rep = np.minimum.reduceat(
+        group["rep_min"].to_numpy(zero_copy_only=False).astype(np.int64)[order],
+        starts,
+    )
+    rep = np.where(hits > 0, rep, np.int64(-1))
+    return pa.table(
+        {"row_id": pa.array(uniq), "n_hits": pa.array(hits),
+         "is_candidate": pa.array(hits > 0), "candidate_rep": pa.array(rep)}
+    )
+
+
+def minhash_probe_vs_state(
+    new_ds: ray.data.Dataset,
+    state_dir: str,
+    text_column: str = "text",
+    cfg: MinHashConfig | None = None,
+    id_column: str | None = None,
+    fingerprint_concurrency: int | tuple[int, int] = (1, 8),
+    fingerprint_batch_size: int = 2048,
+) -> ray.data.Dataset:
+    """READ-ONLY LSH candidate probe against a saved MinHash state: per new
+    row, how many of its ``cfg.bands`` band keys already collide with an
+    indexed bucket (``n_hits``), whether it is a duplicate CANDIDATE at the
+    state's LSH threshold (``is_candidate`` = any collision — exactly the
+    recall set a :func:`minhash_increment` would verify), and the smallest
+    colliding bucket representative (``candidate_rep``, -1 when none) as the
+    would-be cluster anchor. No version is written, no meta bumped — the
+    admission twin of :func:`minhash_increment` for score-then-decide flows.
+
+    ``cfg``/``text_column`` must match the state (validated via the saved
+    ``cfg_hash``, same contract as :func:`minhash_increment`); rows below
+    ``cfg.min_length`` tokens are absent, mirroring the batch filter.
+
+    Scale shape: fingerprint(new) explodes to bands x new rows band keys
+    that exchange to the state's existing partitioning; each probe task
+    reads only its partition's rep file and answers membership with one
+    searchsorted over the file's group-min sort order; per-row partials
+    (four int64 columns) fold in a second exchange. The old index never
+    re-shuffles or rewrites. Returns a Dataset of ``(row_id, n_hits,
+    is_candidate, candidate_rep)``; tests/test_minhash_probe.py proves
+    DuckDB parity and read-only-ness."""
+    from ..stages.edges import _hash_part, minhash_bucket_key_u8
+    from ..stages.exchange import _split_block, hash_partition_exchange
+
+    cfg = cfg or MinHashConfig()
+    meta = load_meta(state_dir)
+    if meta.get("algo") != "minhash":
+        raise ValueError(f"state at {state_dir} is not a minhash LSH state")
+    if meta["cfg_hash"] != _cfg_hash(cfg, text_column):
+        raise ValueError(
+            "state was built with a different MinHash config/text column; "
+            "probing requires identical shingle/signature settings"
+        )
+    if id_column is None and ROW_ID not in new_ds.schema().names:
+        id_column = meta.get("id_column")
+    if id_column is not None:
+        new_ds = stamp_row_ids_from_key(new_ds, id_column)
+    elif ROW_ID not in new_ds.schema().names:
+        raise ValueError("dataset must have a row_id column or pass id_column")
+    version = int(meta["version"])
+    num_partitions = int(meta["num_partitions"])
+    key_width = _key_width(cfg)
+
+    filtered = min_length_filter(new_ds, text_column, cfg.min_length)
+    narrow = filtered.select_columns([ROW_ID, text_column])
+    sig = narrow.map_batches(
+        MinHashFingerprinter,
+        fn_constructor_args=(cfg, text_column, "sig"),
+        batch_format="pyarrow",
+        batch_size=fingerprint_batch_size,
+        concurrency=fingerprint_concurrency,
+    )
+
+    def keyify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"row_id": pa.array([], pa.int64()),
+                 "key": pa.array([], pa.binary(key_width)),
+                 "part": pa.array([], pa.int64())}
+            )
+        km = minhash_bucket_key_u8(batch)
+        part = _hash_part(km, num_partitions).astype(np.int64)
+        return pa.table(
+            {"row_id": batch["row_id"], "key": _fixed_binary(_void_view(km)),
+             "part": pa.array(part)}
+        )
+
+    posted = sig.map_batches(keyify, batch_format="pyarrow")
+    split = ray.remote(num_returns=num_partitions)(_split_block)
+    columns: list[list[ray.ObjectRef]] = [[] for _ in range(num_partitions)]
+    for bundle in posted.iter_internal_ref_bundles():
+        for block_ref in bundle.block_refs:
+            outs = split.remote(block_ref, "part", num_partitions)
+            if num_partitions == 1:
+                outs = [outs]
+            for p in range(num_partitions):
+                columns[p].append(outs[p])
+    partials = ray.data.from_arrow_refs(
+        [
+            _minhash_probe_partition.remote(
+                _rep_file(state_dir, version, p), num_partitions, *columns[p]
+            )
+            for p in range(num_partitions)
+        ]
+    )
+    return hash_partition_exchange(partials, "part", num_partitions, _probe_fold)
 
 
 # ------------------------------------------------------------- state union
@@ -886,6 +1057,7 @@ def minhash_state_union(
             "cfg_hash": ma["cfg_hash"],
             "max_row_id": max(int(m["max_row_id"]) for m in metas),
             "num_partitions": num_partitions,
+            "id_column": ma.get("id_column"),
         },
     )
     return version, merges

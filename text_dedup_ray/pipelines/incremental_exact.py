@@ -75,6 +75,10 @@ def _exact_cfg_hash(text_column: str) -> str:
 _EMPTY_MAP = pa.table(
     {"row_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
 )
+_EMPTY_PROBE = pa.table(
+    {"row_id": pa.array([], pa.int64()), "seen": pa.array([], pa.bool_()),
+     "winner": pa.array([], pa.int64())}
+)
 
 
 @ray.remote
@@ -135,6 +139,93 @@ def _exact_reduce_write(
     out_cluster = np.empty(len(r), dtype=np.int64)
     out_cluster[order] = cluster_sorted
     return pa.table({"row_id": r, "cluster_id": out_cluster})
+
+
+@ray.remote
+def _exact_probe_partition(index_path: str, *tables: pa.Table) -> pa.Table:
+    """Probe one hash partition READ-ONLY: membership of each new row's
+    content digest in the prior index file (read locally; the file is
+    sorted by hash, so one searchsorted answers every probe). Returns
+    (row_id, seen, winner) — winner is the index's first-occurrence row id
+    when seen, else -1."""
+    parts = [t.select([_HASH_COL, ROW_ID]) for t in tables if t.num_rows > 0]
+    if not parts:
+        return _EMPTY_PROBE
+    new = pa.concat_tables(parts)
+    h = _hash_view(new[_HASH_COL], new.num_rows)
+    r = new[ROW_ID].to_numpy(zero_copy_only=False).astype(np.int64)
+    if os.path.exists(index_path):
+        prior = pq.read_table(index_path)
+        ph = _hash_view(prior["hash"], prior.num_rows)
+        pw = prior["winner"].to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        ph = np.empty(0, dtype=f"V{HASH_WIDTH}")
+        pw = np.empty(0, dtype=np.int64)
+    if len(ph):
+        pos = np.clip(np.searchsorted(ph, h), 0, len(ph) - 1)
+        hit = ph[pos] == h
+        winner = np.where(hit, pw[pos], np.int64(-1))
+    else:
+        hit = np.zeros(len(h), dtype=bool)
+        winner = np.full(len(h), -1, dtype=np.int64)
+    return pa.table(
+        {"row_id": pa.array(r), "seen": pa.array(hit), "winner": pa.array(winner)}
+    )
+
+
+def exact_probe_vs_state(
+    new_ds: ray.data.Dataset,
+    state_dir: str,
+    id_column: str | None = None,
+) -> ray.data.Dataset:
+    """READ-ONLY content-membership probe against a saved exact index: per
+    new row, whether its content digest already exists in the state and the
+    index's first-occurrence winner row id (-1 when unseen). The admission
+    twin of :func:`exact_increment` — no version is written, no meta bumped,
+    safe to repeat and to run concurrently with reads.
+
+    ``id_column`` defaults to the column the state was bootstrapped with
+    (recorded in meta) when the batch lacks ``row_id``. Text/hash config
+    comes from the saved meta, so probe digests always match the index.
+
+    Scale shape: one exchange of the new batch's 24-byte (digest-prefix,
+    row) rows to the state's partitioning; each probe task reads only its
+    partition's index file and answers membership with one searchsorted.
+    The old index never re-shuffles or rewrites. Returns a Dataset of
+    ``(row_id, seen, winner)``."""
+    from ..stages.exchange import _split_block
+
+    meta = load_meta(state_dir)
+    if meta.get("algo") != "exact":
+        raise ValueError(f"state at {state_dir} is not an exact content-hash index")
+    text_column = meta.get("text_column", "text")
+    if id_column is None and ROW_ID not in new_ds.schema().names:
+        id_column = meta.get("id_column")
+    if id_column is not None:
+        new_ds = stamp_row_ids_from_key(new_ds, id_column)
+    elif ROW_ID not in new_ds.schema().names:
+        raise ValueError("dataset must have a row_id column or pass id_column")
+    version = int(meta["version"])
+    num_partitions = int(meta["num_partitions"])
+
+    hashed = add_content_hash(new_ds, text_column, _HASH_COL)
+    narrow = hashed.select_columns([_HASH_COL, ROW_ID]).map_batches(
+        _add_hash_part(_HASH_COL, num_partitions), batch_format="pyarrow"
+    )
+    split = ray.remote(num_returns=num_partitions)(_split_block)
+    columns: list[list[ray.ObjectRef]] = [[] for _ in range(num_partitions)]
+    for bundle in narrow.iter_internal_ref_bundles():
+        for block_ref in bundle.block_refs:
+            outs = split.remote(block_ref, "part", num_partitions)
+            if num_partitions == 1:
+                outs = [outs]
+            for p in range(num_partitions):
+                columns[p].append(outs[p])
+    probed = [
+        _exact_probe_partition.remote(_index_file(state_dir, version, p), *columns[p])
+        for p in range(num_partitions)
+    ]
+    return ray.data.from_arrow_refs(probed)
 
 
 def _exchange_and_reduce(
@@ -251,6 +342,8 @@ def exact_bootstrap(
             "cfg_hash": _exact_cfg_hash(text_column),
             "max_row_id": max_row_id,
             "num_partitions": num_partitions,
+            "text_column": text_column,
+            "id_column": id_column,
         },
     )
     result.state_version = version
@@ -424,6 +517,8 @@ def exact_state_union(
             "cfg_hash": ma["cfg_hash"],
             "max_row_id": max(int(ma["max_row_id"]), int(mb["max_row_id"])),
             "num_partitions": num_partitions,
+            "text_column": ma.get("text_column", "text"),
+            "id_column": ma.get("id_column"),
         },
     )
     return version, merges
