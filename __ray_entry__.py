@@ -63,6 +63,148 @@ def _docs(sf_dir: str, columns=None) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
+# max(doc_id) per sf_dir from the parquet FOOTER statistics — ~12 gate
+# queries split documents at a doc_id cut, and each `docs.max()` is a full
+# Ray execution (read + aggregate); the footer answers it in O(row groups)
+# with zero tasks. Falls back to the Ray aggregate when stats are absent.
+_DOC_MAX: dict[str, int] = {}
+
+
+def _doc_max(sf_dir: str) -> int:
+    if sf_dir not in _DOC_MAX:
+        import pyarrow.parquet as _pq
+
+        path = f"{sf_dir}/documents.parquet"
+        best = None
+        try:
+            md = _pq.read_metadata(path)
+            idx = md.schema.names.index("doc_id")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    best = None
+                    break
+                best = st.max if best is None else max(best, st.max)
+        except Exception:
+            best = None
+        if best is None:
+            best = _docs(sf_dir, ["doc_id"]).max("doc_id")
+        _DOC_MAX[sf_dir] = int(best)
+    return _DOC_MAX[sf_dir]
+
+
+# Shared 80%-cut bootstrap states: the tiered-increment query and the
+# read-only probe query of a family exercise the SAME bootstrap — build it
+# once per (family, sf_dir) and let the probe read it in place (probes
+# never version a state) while the increment clones it first (copy-on-
+# increment), so gate order can never couple the two.
+_BOOT_MEMO: dict[tuple[str, str], tuple[str, object]] = {}
+
+
+def _memo_state(family: str, sf_dir: str, build) -> tuple[str, object]:
+    """Returns (state_dir, bootstrap_result); ``build(state)`` may return
+    the family's IncrementResult for queries that need the bootstrap's
+    survivor Datasets (lazy, safe to re-execute later)."""
+    key = (family, sf_dir)
+    if key not in _BOOT_MEMO:
+        import tempfile
+
+        state = tempfile.mkdtemp(prefix=f"{family}_boot_", dir="/tmp")
+        _BOOT_MEMO[key] = (state, build(state))
+    return _BOOT_MEMO[key]
+
+
+def _clone_state(src: str) -> str:
+    import shutil
+    import tempfile
+
+    dst = tempfile.mkdtemp(prefix="state_clone_", dir="/tmp")
+    shutil.copytree(src, dst, dirs_exist_ok=True)
+    return dst
+
+
+def _split_docs_cut(sf_dir: str, frac: float = 0.8):
+    """(cut, split-closure factory) for the doc_id-cut gate queries."""
+    import pyarrow.compute as pc
+
+    cut = int(_doc_max(sf_dir) * frac)
+
+    def split(keep_old: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = pc.less_equal(t["doc_id"], pa.scalar(cut, pa.int64()))
+            return t.filter(m if keep_old else pc.invert(m))
+
+        return f
+
+    return cut, split
+
+
+def _jac80_state(sf_dir: str) -> tuple[str, object]:
+    """Memoized jaccard posting-index bootstrap over doc_id <= 80% cut
+    (ngram 2, min_length 0, threshold 0.6, uncapped df, P=8) — shared by
+    jaccard_incremental_docs (clones it) and jaccard_novelty_vs_state
+    (reads it)."""
+    from text_dedup_ray.pipelines.incremental_jaccard import jaccard_bootstrap
+
+    def build(state: str):
+        _cut, split = _split_docs_cut(sf_dir)
+        return jaccard_bootstrap(
+            _docs(sf_dir, ["doc_id", "text"]).map_batches(
+                split(True), batch_format="pyarrow"
+            ),
+            state,
+            id_column="doc_id",
+            ngram_size=2,
+            min_length=0,
+            threshold=0.6,
+            num_partitions=8,
+            df_cap=1_000_000_000,
+        )
+
+    return _memo_state("jac80", sf_dir, build)
+
+
+def _mh80_state(sf_dir: str) -> tuple[str, object]:
+    """Memoized MinHash LSH bootstrap over doc_id <= 80% cut
+    (_MINHASH_HALF_CFG, P=8) — shared by minhash_incremental_docs (clones)
+    and minhash_probe_vs_state (reads)."""
+    from text_dedup_ray.pipelines.incremental import minhash_bootstrap
+
+    def build(state: str):
+        _cut, split = _split_docs_cut(sf_dir)
+        return minhash_bootstrap(
+            _docs(sf_dir, ["doc_id", "text"]).map_batches(
+                split(True), batch_format="pyarrow"
+            ),
+            state,
+            cfg=_MINHASH_HALF_CFG(),
+            id_column="doc_id",
+            num_partitions=8,
+        )
+
+    return _memo_state("mh80", sf_dir, build)
+
+
+def _ex80_state(sf_dir: str) -> tuple[str, object]:
+    """Memoized exact content-hash bootstrap over doc_id <= 80% cut (P=8)
+    — shared by exact_incremental_docs (clones) and exact_probe_vs_state
+    (reads)."""
+    from text_dedup_ray.pipelines.incremental_exact import exact_bootstrap
+
+    def build(state: str):
+        _cut, split = _split_docs_cut(sf_dir)
+        return exact_bootstrap(
+            _docs(sf_dir, ["doc_id", "text"]).map_batches(
+                split(True), batch_format="pyarrow"
+            ),
+            state,
+            id_column="doc_id",
+            num_partitions=8,
+        )
+
+    return _memo_state("ex80", sf_dir, build)
+
+
 def _round_col(ds: ray.data.Dataset, col: str, digits: int = 3) -> ray.data.Dataset:
     import pyarrow.compute as pc
 
@@ -517,7 +659,7 @@ def _q_shingle_hll_incremental(sf_dir: str):
     )
 
     docs = _docs(sf_dir, ["doc_id", "text", "source"])
-    cut = int(docs.max("doc_id") * 0.8)
+    cut = int(_doc_max(sf_dir) * 0.8)
 
     def split(keep_old: bool):
         def f(t: pa.Table) -> pa.Table:
@@ -1709,41 +1851,21 @@ def _q_jaccard_incremental(sf_dir: str):
     increment the rest); final state == full batch run
     (tests/test_incremental_jaccard.py), so the batch jaccard SQL oracle
     applies verbatim. Returns the (row_id, cluster_id) map incl roots like
-    ``ngram_jaccard_dedup``."""
+    ``ngram_jaccard_dedup``. Clones the memoized shared bootstrap
+    (_jac80_state) before incrementing, so the read-only novelty probe can
+    keep reading the original regardless of gate order."""
     import glob as _glob
-    import tempfile
 
-    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    from text_dedup_ray.pipelines.incremental_jaccard import (
-        jaccard_bootstrap,
-        jaccard_increment,
-    )
+    from text_dedup_ray.pipelines.incremental_jaccard import jaccard_increment
 
-    docs = _docs(sf_dir, ["doc_id", "text"])
-    cut = int(docs.max("doc_id") * 0.8)
-
-    def split(keep_old: bool):
-        def f(t: pa.Table) -> pa.Table:
-            m = pc.less_equal(t["doc_id"], pa.scalar(cut, pa.int64()))
-            return t.filter(m if keep_old else pc.invert(m))
-
-        return f
-
-    state = tempfile.mkdtemp(prefix="jac_state_", dir="/tmp")
-    jaccard_bootstrap(
-        docs.map_batches(split(True), batch_format="pyarrow"),
-        state,
-        id_column="doc_id",
-        ngram_size=2,
-        min_length=0,
-        threshold=0.6,
-        num_partitions=16,
-        df_cap=1_000_000_000,
-    )
+    _cut, split = _split_docs_cut(sf_dir)
+    state = _clone_state(_jac80_state(sf_dir)[0])
     inc = jaccard_increment(
-        docs.map_batches(split(False), batch_format="pyarrow"),
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            split(False), batch_format="pyarrow"
+        ),
         state,
         id_column="doc_id",
     )
@@ -1785,35 +1907,19 @@ def _q_exact_incremental(sf_dir: str):
     with the rest. Old winners can never be displaced (ids increase), so
     survivors = bootstrap survivors ∪ increment survivors equals the
     full-batch run — the oracle is the same min-per-text SQL as
-    ``exact_dedup_docs``. Returns survivors' (doc_id, text)."""
-    import tempfile
+    ``exact_dedup_docs``. Returns survivors' (doc_id, text). Clones the
+    memoized shared bootstrap (_ex80_state) before incrementing, so the
+    read-only membership probe keeps reading the original regardless of
+    gate order."""
+    from text_dedup_ray.pipelines.incremental_exact import exact_increment
 
-    import pyarrow.compute as pc
-
-    from text_dedup_ray.pipelines.incremental_exact import (
-        exact_bootstrap,
-        exact_increment,
-    )
-
-    docs = _docs(sf_dir, ["doc_id", "text"])
-    cut = int(docs.max("doc_id") * 0.8)
-
-    def split(keep_old: bool):
-        def f(t: pa.Table) -> pa.Table:
-            m = pc.less_equal(t["doc_id"], pa.scalar(cut, pa.int64()))
-            return t.filter(m if keep_old else pc.invert(m))
-
-        return f
-
-    state = tempfile.mkdtemp(prefix="exact_state_", dir="/tmp")
-    boot = exact_bootstrap(
-        docs.map_batches(split(True), batch_format="pyarrow"),
-        state,
-        id_column="doc_id",
-        num_partitions=16,
-    )
+    _cut, split = _split_docs_cut(sf_dir)
+    boot_state, boot = _ex80_state(sf_dir)
+    state = _clone_state(boot_state)
     inc = exact_increment(
-        docs.map_batches(split(False), batch_format="pyarrow"),
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            split(False), batch_format="pyarrow"
+        ),
         state,
         id_column="doc_id",
     )
@@ -1835,7 +1941,7 @@ def _q_bloom_incremental(sf_dir: str):
     from text_dedup_ray.pipelines.bloom import bloom_bootstrap, bloom_increment
 
     docs = _docs(sf_dir, ["doc_id", "text"])
-    cut = int(docs.max("doc_id") * 0.8)
+    cut = int(_doc_max(sf_dir) * 0.8)
 
     def split(keep_old: bool):
         def f(t: pa.Table) -> pa.Table:
@@ -1923,37 +2029,16 @@ def _q_minhash_incremental(sf_dir: str):
     equals a full batch run — so the oracle is ``minhash_dedup_sql``
     verbatim. Returns the combined corpus's survivors (doc_id, cluster_id)."""
     import glob as _glob
-    import tempfile
 
     import numpy as np
-    import pyarrow as pa
-    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    from text_dedup_ray.pipelines.incremental import (
-        minhash_bootstrap,
-        minhash_increment,
-    )
+    from text_dedup_ray.pipelines.incremental import minhash_increment
 
     docs = _docs(sf_dir, ["doc_id", "text"])
-    cut = int(docs.max("doc_id") * 0.8)
-
-    def split(keep_old: bool):
-        def f(t: pa.Table) -> pa.Table:
-            m = pc.less_equal(t["doc_id"], pa.scalar(cut, pa.int64()))
-            return t.filter(m if keep_old else pc.invert(m))
-
-        return f
-
-    state = tempfile.mkdtemp(prefix="lsh_state_", dir="/tmp")
+    _cut, split = _split_docs_cut(sf_dir)
     cfg = _MINHASH_HALF_CFG()
-    minhash_bootstrap(
-        docs.map_batches(split(True), batch_format="pyarrow"),
-        state,
-        cfg=cfg,
-        id_column="doc_id",
-        num_partitions=16,
-    )
+    state = _clone_state(_mh80_state(sf_dir)[0])
     inc = minhash_increment(
         docs.map_batches(split(False), batch_format="pyarrow"),
         state,
@@ -2046,7 +2131,7 @@ def _q_simhash_incremental(sf_dir: str):
     )
 
     docs = _docs(sf_dir, ["doc_id", "text"])
-    cut = int(docs.max("doc_id") * 0.8)
+    cut = int(_doc_max(sf_dir) * 0.8)
 
     def split(keep_old: bool):
         def f(t: pa.Table) -> pa.Table:
@@ -2155,7 +2240,7 @@ def _q_suffix_incremental_docs(sf_dir: str):
     )
 
     docs = _suffix_gate_docs(sf_dir)
-    cut = int(docs.max("doc_id") * 0.8)
+    cut = int(_doc_max(sf_dir) * 0.8)
 
     def split(keep_old: bool):
         def f(t: pa.Table) -> pa.Table:
@@ -2367,7 +2452,7 @@ def _q_exact_union(sf_dir: str):
     )
 
     docs = _docs(sf_dir, ["doc_id", "text"])
-    cut = int(docs.max("doc_id") * 0.5)
+    cut = int(_doc_max(sf_dir) * 0.5)
 
     def split(keep_low: bool):
         def f(t: pa.Table) -> pa.Table:
@@ -2431,7 +2516,7 @@ def _q_minhash_union(sf_dir: str):
     )
 
     docs = _docs(sf_dir, ["doc_id", "text"])
-    cut = int(docs.max("doc_id") * 0.5)
+    cut = int(_doc_max(sf_dir) * 0.5)
 
     def split(keep_low: bool):
         def f(t: pa.Table) -> pa.Table:
@@ -2475,12 +2560,13 @@ def _q_minhash_union(sf_dir: str):
     return docs.map_batches(survivors, batch_format="pyarrow")
 
 
-def _split_docs_half(docs):
+def _split_docs_half(sf_dir: str):
     """(low-half filter, high-half filter) by doc_id — shared by the
-    federated-union gate queries."""
+    federated-union gate queries. Takes sf_dir (not a Dataset) so the cut
+    comes from the parquet footer via _doc_max, never a Ray aggregate."""
     import pyarrow.compute as pc
 
-    cut = int(docs.max("doc_id") * 0.5)
+    cut = int(_doc_max(sf_dir) * 0.5)
 
     def split(keep_low: bool):
         def f(t: pa.Table) -> pa.Table:
@@ -2541,7 +2627,7 @@ def _q_simhash_union(sf_dir: str):
     )
 
     docs = _docs(sf_dir, ["doc_id", "text"])
-    low, high = _split_docs_half(docs)
+    low, high = _split_docs_half(sf_dir)
     cfg = _SIMHASH_ORACLE_CFG()
     sa = tempfile.mkdtemp(prefix="sim_union_a_", dir="/tmp")
     sb = tempfile.mkdtemp(prefix="sim_union_b_", dir="/tmp")
@@ -2577,7 +2663,7 @@ def _q_jaccard_union(sf_dir: str):
     )
 
     docs = _docs(sf_dir, ["doc_id", "text"])
-    low, high = _split_docs_half(docs)
+    low, high = _split_docs_half(sf_dir)
     sa = tempfile.mkdtemp(prefix="jac_union_a_", dir="/tmp")
     sb = tempfile.mkdtemp(prefix="jac_union_b_", dir="/tmp")
     su = tempfile.mkdtemp(prefix="jac_union_out_", dir="/tmp")
@@ -2613,39 +2699,17 @@ def _q_jaccard_novelty_state(sf_dir: str):
     bootstrap the index over doc_id <= 80% cut, then score the remaining
     docs — per doc (n_distinct shingles, n_seen already in the index,
     novelty = 1 - n_seen/n_distinct). Exact int64 counts, full SQL oracle
-    (tests/test_novelty_vs_state.py); the probe writes no new version."""
-    import tempfile
+    (tests/test_novelty_vs_state.py); the probe writes no new version.
+    Reads the memoized shared bootstrap (_jac80_state) in place — probes
+    never version a state, so sharing is order-safe."""
+    from text_dedup_ray.pipelines.incremental_jaccard import jaccard_novelty_vs_state
 
-    import pyarrow.compute as pc
-
-    from text_dedup_ray.pipelines.incremental_jaccard import (
-        jaccard_bootstrap,
-        jaccard_novelty_vs_state,
-    )
-
-    docs = _docs(sf_dir, ["doc_id", "text"])
-    cut = int(docs.max("doc_id") * 0.8)
-
-    def split(keep_old: bool):
-        def f(t: pa.Table) -> pa.Table:
-            m = pc.less_equal(t["doc_id"], pa.scalar(cut, pa.int64()))
-            return t.filter(m if keep_old else pc.invert(m))
-
-        return f
-
-    state = tempfile.mkdtemp(prefix="jac_novelty_", dir="/tmp")
-    jaccard_bootstrap(
-        docs.map_batches(split(True), batch_format="pyarrow"),
-        state,
-        id_column="doc_id",
-        ngram_size=2,
-        min_length=0,
-        threshold=0.6,
-        num_partitions=4,
-        df_cap=1_000_000_000,
-    )
+    _cut, split = _split_docs_cut(sf_dir)
     return jaccard_novelty_vs_state(
-        docs.map_batches(split(False), batch_format="pyarrow"), state
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            split(False), batch_format="pyarrow"
+        ),
+        _jac80_state(sf_dir)[0],
     )
 
 
@@ -2654,37 +2718,18 @@ def _q_minhash_probe_state(sf_dir: str):
     bootstrap over doc_id <= 80% cut, probe the rest — per new doc, band
     collisions with the index, candidacy, and the smallest colliding rep.
     Full md5-recompute SQL oracle (tests/test_minhash_probe.py); the probe
-    writes no new version."""
-    import tempfile
+    writes no new version. Reads the memoized shared bootstrap
+    (_mh80_state) in place — probes never version a state, so sharing is
+    order-safe."""
+    from text_dedup_ray.pipelines.incremental import minhash_probe_vs_state
 
-    import pyarrow.compute as pc
-
-    from text_dedup_ray.pipelines.incremental import (
-        minhash_bootstrap,
-        minhash_probe_vs_state,
-    )
-
-    cfg = _MINHASH_HALF_CFG()
-    docs = _docs(sf_dir, ["doc_id", "text"])
-    cut = int(docs.max("doc_id") * 0.8)
-
-    def split(keep_old: bool):
-        def f(t: pa.Table) -> pa.Table:
-            m = pc.less_equal(t["doc_id"], pa.scalar(cut, pa.int64()))
-            return t.filter(m if keep_old else pc.invert(m))
-
-        return f
-
-    state = tempfile.mkdtemp(prefix="mh_probe_", dir="/tmp")
-    minhash_bootstrap(
-        docs.map_batches(split(True), batch_format="pyarrow"),
-        state,
-        cfg=cfg,
-        id_column="doc_id",
-        num_partitions=8,
-    )
+    _cut, split = _split_docs_cut(sf_dir)
     return minhash_probe_vs_state(
-        docs.map_batches(split(False), batch_format="pyarrow"), state, cfg=cfg
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            split(False), batch_format="pyarrow"
+        ),
+        _mh80_state(sf_dir)[0],
+        cfg=_MINHASH_HALF_CFG(),
     )
 
 
@@ -2693,35 +2738,17 @@ def _q_exact_probe_state(sf_dir: str):
     bootstrap over doc_id <= 80% cut, probe the rest — per new doc, was its
     exact text already ingested and under which first-occurrence winner
     (-1 when unseen). Full SQL oracle (text-equality LEFT JOIN); the probe
-    writes no new version (tests/test_exact_probe.py)."""
-    import tempfile
+    writes no new version (tests/test_exact_probe.py). Reads the memoized
+    shared bootstrap (_ex80_state) in place — probes never version a
+    state, so sharing is order-safe."""
+    from text_dedup_ray.pipelines.incremental_exact import exact_probe_vs_state
 
-    import pyarrow.compute as pc
-
-    from text_dedup_ray.pipelines.incremental_exact import (
-        exact_bootstrap,
-        exact_probe_vs_state,
-    )
-
-    docs = _docs(sf_dir, ["doc_id", "text"])
-    cut = int(docs.max("doc_id") * 0.8)
-
-    def split(keep_old: bool):
-        def f(t: pa.Table) -> pa.Table:
-            m = pc.less_equal(t["doc_id"], pa.scalar(cut, pa.int64()))
-            return t.filter(m if keep_old else pc.invert(m))
-
-        return f
-
-    state = tempfile.mkdtemp(prefix="exact_probe_", dir="/tmp")
-    exact_bootstrap(
-        docs.map_batches(split(True), batch_format="pyarrow"),
-        state,
-        id_column="doc_id",
-        num_partitions=8,
-    )
+    _cut, split = _split_docs_cut(sf_dir)
     return exact_probe_vs_state(
-        docs.map_batches(split(False), batch_format="pyarrow"), state
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            split(False), batch_format="pyarrow"
+        ),
+        _ex80_state(sf_dir)[0],
     )
 
 
@@ -2772,7 +2799,7 @@ def _q_bottomk_incremental(sf_dir: str):
     )
 
     docs = _docs(sf_dir, ["doc_id", "n_chars"])
-    low, high = _split_docs_half(docs)
+    low, high = _split_docs_half(sf_dir)
     state = tempfile.mkdtemp(prefix="bottomk_state_", dir="/tmp")
     bottomk_state_bootstrap(
         docs.map_batches(low, batch_format="pyarrow"), state,
