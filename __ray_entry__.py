@@ -1928,6 +1928,34 @@ def _q_exact_incremental(sf_dir: str):
     )
 
 
+def _q_exact_compact(sf_dir: str):
+    """State compaction equivalence: clone the memoized 80%-cut exact
+    bootstrap, increment with the remaining docs, then ``compact_state`` —
+    which folds the bootstrap version's cluster history into the current
+    snapshot and prunes it (the additive-family hazard prune alone would
+    trip). Survivors are derived purely FROM THE COMPACTED STATE's cluster
+    rows (duplicate row_ids of the single remaining version), so the query
+    is green iff no assignment history was lost — the oracle is the same
+    min-per-text SQL as ``exact_dedup_docs``. Returns survivors'
+    (doc_id, text)."""
+    import os as _os
+
+    from text_dedup_ray.pipelines.incremental import compact_state
+    from text_dedup_ray.pipelines.incremental_exact import exact_increment
+
+    _cut, split = _split_docs_cut(sf_dir)
+    state = _clone_state(_ex80_state(sf_dir)[0])
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    exact_increment(
+        docs.map_batches(split(False), batch_format="pyarrow"),
+        state,
+        id_column="doc_id",
+    )
+    compact_state(state)
+    dup_ids = _state_dup_ids(_os.path.join(state, "v*", "clusters", "*.parquet"))
+    return _survivors_not_in(docs, dup_ids, ["doc_id", "text"])
+
+
 def _q_bloom_incremental(sf_dir: str):
     """Tiered Bloom dedup: bootstrap on the first ~80% of doc ids, resume the
     register walk with the rest. Persisted per-shard bits make the resumed
@@ -3212,6 +3240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_dedup_docs": _q_bloom_dedup,
         "exact_clusters": _q_exact_clusters,
         "exact_incremental_docs": _q_exact_incremental,
+        "exact_compact_docs": _q_exact_compact,
         "exact_union_docs": _q_exact_union,
         "bloom_incremental_docs": _q_bloom_incremental,
         "cluster_size_histogram": _q_cluster_histogram,
@@ -3414,6 +3443,13 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
             "FROM documents"
         ),
         "exact_incremental_docs": (
+            "SELECT doc_id, text FROM documents QUALIFY "
+            "doc_id = min(doc_id) OVER (PARTITION BY text)"
+        ),
+        # compaction folds additive-family cluster history into one
+        # snapshot; survivors read from the compacted state must still
+        # equal the full-batch exact dedup
+        "exact_compact_docs": (
             "SELECT doc_id, text FROM documents QUALIFY "
             "doc_id = min(doc_id) OVER (PARTITION BY text)"
         ),

@@ -83,3 +83,36 @@ state_dir = "{state}"
     assert [v["version"] for v in stats["versions"]] == [1, 2]
     assert stats["versions"][0]["bytes"] == 100
     assert stats["reclaimable_bytes"] == 100
+
+
+def test_cli_compact_state(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    state = tmp_path / "state"
+    for v in (1, 2):
+        d = state / f"v{v:05d}" / "clusters"
+        os.makedirs(d)
+        pq.write_table(
+            pa.table(
+                {
+                    "row_id": pa.array([10 * v], pa.int64()),
+                    "cluster_id": pa.array([0], pa.int64()),
+                }
+            ),
+            str(d / "new-00000.parquet"),
+        )
+    (state / "meta.json").write_text(json.dumps({"version": 2, "algo": "exact"}))
+    config = tmp_path / "run.toml"
+    config.write_text(
+        f"""
+[algorithm]
+name = "compact_state"
+state_dir = "{state}"
+"""
+    )
+    stats = _run(config)
+    assert stats["folded"] == [1]
+    assert sorted(os.listdir(state)) == ["meta.json", "v00002"]
+    merged = pq.read_table(str(state / "v00002" / "clusters")).to_pydict()
+    assert sorted(merged["row_id"]) == [10, 20]

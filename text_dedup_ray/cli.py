@@ -101,6 +101,20 @@ def main(argv: list[str] | None = None) -> None:
         )
         return
 
+    if name == "compact_state":
+        # consolidate a tiered state into ONE self-contained snapshot:
+        # fold additive-family (exact/*_posting) cluster history into the
+        # current version, then prune everything older; pure filesystem
+        # work — no dataset, no Ray session
+        from .pipelines.incremental import compact_state
+
+        state_dir = algo.get("state_dir")
+        if not state_dir:
+            raise SystemExit("compact_state needs algorithm.state_dir")
+        report = compact_state(state_dir)
+        print(json.dumps({"algorithm": name, "state_dir": state_dir, **report}))
+        return
+
     if name == "state_info":
         # describe a tiered-index state dir: current meta + per-snapshot
         # file/byte footprint (what prune_state would reclaim)

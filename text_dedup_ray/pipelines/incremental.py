@@ -45,6 +45,7 @@ narrow aggregate pass unless ``validate_ids=False``.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 from dataclasses import asdict, dataclass, field
@@ -155,6 +156,64 @@ def rollback_state(state_dir: str, to_version: int) -> list[int]:
             shutil.rmtree(os.path.join(state_dir, name))
             removed.append(int(m.group(1)))
     return removed
+
+
+def compact_state(state_dir: str) -> dict:
+    """Consolidate a tiered state into one self-contained snapshot — the
+    lifecycle op between ``prune_state_versions`` (which WARNS that pruning
+    the additive-cluster families drops assignment history) and
+    ``rollback_state`` (which compaction intentionally gives up).
+
+    For the ADDITIVE-cluster families (``exact`` + every ``*_posting``
+    algo), each version's ``clusters/`` dir holds only that batch's
+    assignments, so readers union ``v*/clusters`` across versions and a
+    bare prune loses history. Compaction folds every OLDER version's
+    cluster rows into the CURRENT version's clusters dir — one
+    ``compact-vNNNNN.parquet`` per folded version, written tmp+rename and
+    only then the source dir deleted, so an interrupted run re-converges
+    (the fold file is rewritten from scratch before its source dir goes) —
+    then prunes whatever older dirs remain. Snapshot families (minhash/
+    simhash/embedding_lsh, the sketch registers) already carry the full
+    state at the current version, so compaction reduces to the prune.
+
+    Driver memory is O(one version's non-trivial cluster rows) — the same
+    ops-tool bound ``check_state`` accepts. After compaction the state
+    behaves identically for increments, probes, unions and cluster-map
+    readers; only rollback targets older than current are gone.
+    Returns ``{"algo", "version", "folded", "pruned"}``."""
+    import re
+    import shutil
+
+    meta = load_meta(state_dir)
+    algo = str(meta.get("algo"))
+    current = int(meta["version"])
+    additive = algo == "exact" or algo.endswith("_posting")
+    folded: list[int] = []
+    if additive:
+        cur_clusters = _clusters_dir(state_dir, current)
+        for name in sorted(os.listdir(state_dir)):
+            m = re.fullmatch(r"v(\d{5})", name)
+            if not m or int(m.group(1)) >= current:
+                continue
+            v = int(m.group(1))
+            src = _clusters_dir(state_dir, v)
+            parts = (
+                sorted(glob.glob(os.path.join(src, "*.parquet")))
+                if os.path.isdir(src)
+                else []
+            )
+            if parts:
+                os.makedirs(cur_clusters, exist_ok=True)
+                tbl = pa.concat_tables(
+                    [pq.read_table(p, columns=["row_id", "cluster_id"]) for p in parts]
+                )
+                out = os.path.join(cur_clusters, f"compact-v{v:05d}.parquet")
+                pq.write_table(tbl, out + ".tmp")
+                os.replace(out + ".tmp", out)
+            shutil.rmtree(os.path.join(state_dir, name))
+            folded.append(v)
+    pruned = prune_state_versions(state_dir, keep_last=1)
+    return {"algo": algo, "version": current, "folded": folded, "pruned": pruned}
 
 
 def load_meta(state_dir: str) -> dict:
