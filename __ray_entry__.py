@@ -779,6 +779,74 @@ def _q_events_hourly(sf_dir: str):
     return _round_col(out, "value")
 
 
+def _q_events_pivot(sf_dir: str):
+    """Long->wide pivot: per event DAY, one count column per event_type —
+    pivot values DISCOVERED from the data (per-block unique fold), widening
+    done inside each block (dense keys x V count matrix), one
+    groupby(day) over the wide partials. Oracle: DuckDB's dynamic PIVOT."""
+    import pyarrow.compute as pc
+
+    from text_dedup_ray.pipelines.reshape import pivot_table
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def add_day(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"day": pc.floor_temporal(t["ts"], unit="day"), "event_type": t["event_type"]}
+        )
+
+    return pivot_table(
+        ev.map_batches(add_day, batch_format="pyarrow"), "day", "event_type"
+    )
+
+
+def _q_events_pivot_sum(sf_dir: str):
+    """Pivot with a SUM measure and an EXPLICIT pivot-value list (incl. the
+    zero-fill path for a value absent from the data): per day, summed
+    ``value`` per event_type. Oracle: FILTER aggregates with coalesce 0."""
+    import pyarrow.compute as pc
+
+    from text_dedup_ray.pipelines.reshape import pivot_table
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def add_day(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": pc.floor_temporal(t["ts"], unit="day"),
+                "event_type": t["event_type"],
+                "value": t["value"],
+            }
+        )
+
+    out = pivot_table(
+        ev.map_batches(add_day, batch_format="pyarrow"),
+        "day",
+        "event_type",
+        value_column="value",
+        pivot_values=["click", "error", "purchase", "signup", "view"],
+    )
+    for c in ("click", "error", "purchase", "signup", "view"):
+        out = _round_col(out, c)
+    return out
+
+
+def _q_events_unpivot(sf_dir: str):
+    """Wide->long melt (the pivot inverse): the per-user (n_events, value)
+    stats table unpivoted into (user_id, variable, value) rows — a
+    stateless per-block transform, no shuffle. Oracle: UNION ALL."""
+    from text_dedup_ray.pipelines.agg import grouped_sum_count
+    from text_dedup_ray.pipelines.reshape import unpivot
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    stats = grouped_sum_count(ev, ["user_id"], ["value"], "n_events")
+    return _round_col(
+        unpivot(stats, ["user_id"], ["value", "n_events"]), "value"
+    )
+
+
 def _q_events_user(sf_dir: str):
     from text_dedup_ray.pipelines.agg import grouped_sum_count
 
@@ -3248,6 +3316,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_sources": _q_top_sources,
         "lang_counts": _q_lang_counts,
         "events_hourly": _q_events_hourly,
+        "events_type_pivot": _q_events_pivot,
+        "events_value_pivot": _q_events_pivot_sum,
+        "events_stats_unpivot": _q_events_unpivot,
         "events_user_stats": _q_events_user,
         "events_sessions": _q_events_sessions,
         "lineitem_pricing": _q_lineitem_q1,
@@ -3575,6 +3646,26 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
             "SELECT event_type, date_trunc('hour', ts) AS window_start, "
             "round(sum(value), 3) AS value, count(*)::BIGINT AS n FROM events "
             "GROUP BY event_type, window_start"
+        ),
+        # long->wide: dynamic PIVOT (columns = discovered event types)
+        "events_type_pivot": (
+            "PIVOT (SELECT date_trunc('day', ts) AS day, event_type FROM events) "
+            "ON event_type USING count(*) GROUP BY day"
+        ),
+        "events_value_pivot": (
+            "SELECT date_trunc('day', ts) AS day, "
+            "round(coalesce(sum(value) FILTER (event_type='click'), 0), 3) AS click, "
+            "round(coalesce(sum(value) FILTER (event_type='error'), 0), 3) AS error, "
+            "round(coalesce(sum(value) FILTER (event_type='purchase'), 0), 3) AS purchase, "
+            "round(coalesce(sum(value) FILTER (event_type='signup'), 0), 3) AS signup, "
+            "round(coalesce(sum(value) FILTER (event_type='view'), 0), 3) AS view "
+            "FROM events GROUP BY day"
+        ),
+        # wide->long melt of the per-user stats table
+        "events_stats_unpivot": (
+            "SELECT user_id, 'value' AS variable, round(sum(value), 3) AS value "
+            "FROM events GROUP BY user_id UNION ALL "
+            "SELECT user_id, 'n_events', count(*)::DOUBLE FROM events GROUP BY user_id"
         ),
         "events_user_stats": (
             "SELECT user_id, round(sum(value), 3) AS value, count(*)::BIGINT AS n_events "
