@@ -847,6 +847,42 @@ def _q_events_unpivot(sf_dir: str):
     )
 
 
+def _q_snapshot_diff(sf_dir: str):
+    """Keyed snapshot diff (pipelines/diff.py): OLD = docs with
+    doc_id % 10 != 0, NEW = docs with doc_id % 7 != 0 and text suffixed
+    ' v2' when doc_id % 5 == 0 — added/removed/changed per doc_id, the
+    unchanged bulk never emitted. Value columns collapse to an md5-64
+    digest per block; one co-partition exchange classifies. Oracle: FULL
+    OUTER JOIN with IS DISTINCT FROM."""
+    import pyarrow.compute as pc
+
+    from text_dedup_ray.pipelines.diff import snapshot_diff
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def _ids(t: pa.Table) -> np.ndarray:
+        return t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def old_side(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(_ids(t) % 10 != 0))
+
+    def new_side(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.array(_ids(t) % 7 != 0))
+        changed = pa.array(_ids(t) % 5 == 0)
+        text = pc.if_else(
+            changed, pc.binary_join_element_wise(t["text"], " v2", ""), t["text"]
+        )
+        return pa.table({"doc_id": t["doc_id"], "text": text, "lang": t["lang"]})
+
+    return snapshot_diff(
+        docs.map_batches(old_side, batch_format="pyarrow"),
+        docs.map_batches(new_side, batch_format="pyarrow"),
+        "doc_id",
+        ["text", "lang"],
+        num_partitions=8,
+    )
+
+
 def _q_events_user(sf_dir: str):
     from text_dedup_ray.pipelines.agg import grouped_sum_count
 
@@ -3319,6 +3355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_pivot": _q_events_pivot,
         "events_value_pivot": _q_events_pivot_sum,
         "events_stats_unpivot": _q_events_unpivot,
+        "snapshot_diff_docs": _q_snapshot_diff,
         "events_user_stats": _q_events_user,
         "events_sessions": _q_events_sessions,
         "lineitem_pricing": _q_lineitem_q1,
@@ -3660,6 +3697,19 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
             "round(coalesce(sum(value) FILTER (event_type='signup'), 0), 3) AS signup, "
             "round(coalesce(sum(value) FILTER (event_type='view'), 0), 3) AS view "
             "FROM events GROUP BY day"
+        ),
+        # keyed snapshot diff: added/removed/changed only
+        "snapshot_diff_docs": (
+            "WITH old AS (SELECT doc_id, text, lang FROM documents "
+            "WHERE doc_id % 10 != 0), "
+            "new AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' v2' "
+            "ELSE text END AS text, lang FROM documents WHERE doc_id % 7 != 0) "
+            "SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, "
+            "CASE WHEN o.doc_id IS NULL THEN 'added' "
+            "WHEN n.doc_id IS NULL THEN 'removed' ELSE 'changed' END AS status "
+            "FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id "
+            "WHERE o.doc_id IS NULL OR n.doc_id IS NULL "
+            "OR o.text IS DISTINCT FROM n.text OR o.lang IS DISTINCT FROM n.lang"
         ),
         # wide->long melt of the per-user stats table
         "events_stats_unpivot": (
