@@ -2458,6 +2458,61 @@ def _q_phash_images(sf_dir: str):
     return cluster_map_table(parents)
 
 
+_TILE_N_BASES = 40  # 3 rows per base: [base, watermark-variant, unrelated]
+
+
+def _q_tile_dedup_images(sf_dir: str):
+    """Tile-level perceptual dedup (pipelines/images.py
+    tile_phash_near_dedup_parents) over a PLANTED corpus the oracle knows in
+    closed form: for each base b, row 3b is a random 32x32 png, row 3b+1 is
+    the same pixels with one 8x8 tile region overwritten (a watermark), and
+    row 3b+2 is an unrelated image. At tiles=4 / min_agree=12 the engine
+    must merge exactly the (3b, 3b+1) pairs — 15 of 16 tiles byte-identical
+    — and nothing else, exercising decode -> per-tile hashing -> bucket
+    pairing -> agreement count -> CC end to end. Oracle: the closed-form
+    map over range(3*N)."""
+    import numpy as np_
+
+    from text_dedup_ray.functions.codecs import encode_png
+    from text_dedup_ray.pipelines.images import tile_phash_near_dedup_parents
+
+    rows_id, rows_bytes = [], []
+    for b in range(_TILE_N_BASES):
+        base = np_.random.RandomState(1000 + b).randint(0, 256, (32, 32, 3), np_.uint8)
+        wm = base.copy()
+        wm[8:16, 16:24] = 17  # one 4x4-grid tile region
+        other = np_.random.RandomState(9000 + b).randint(
+            0, 256, (32, 32, 3), np_.uint8
+        )
+        for j, pix in enumerate((base, wm, other)):
+            rows_id.append(3 * b + j)
+            rows_bytes.append(encode_png(pix))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "row_id": pa.array(rows_id, pa.int64()),
+                "bytes": pa.array(rows_bytes, pa.binary()),
+                "fmt": pa.array(["png"] * len(rows_id)),
+            }
+        )
+    ).repartition(4)
+    parents = tile_phash_near_dedup_parents(
+        ds, tiles=4, min_agree=12, num_partitions=8
+    )
+    if not isinstance(parents, dict):
+        t = parents.to_pandas()
+        parents = dict(zip(t["row_id"], t["cluster_id"]))
+    n = 3 * _TILE_N_BASES
+    return pa.table(
+        {
+            "row_id": pa.array(range(n), pa.int64()),
+            "cluster_id": pa.array(
+                [int(parents.get(i, i)) for i in range(n)], pa.int64()
+            ),
+        }
+    )
+
+
 _TIERED_IMG_STATE: dict[str, tuple[str, int]] = {}
 """Per-process memo of the tiered image-index state dirs.
 
@@ -3448,6 +3503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_incremental_images": _q_minhash_incremental_images,
         "simhash_dedup_images": _q_simhash_images,
         "phash_near_dedup_images": _q_phash_images,
+        "tile_dedup_images": _q_tile_dedup_images,
         "multimodal_dedup_images": _q_multimodal_images,
         "multimodal_incremental_images": _q_multimodal_incremental_images,
         "phash_incremental_images": _q_phash_incremental_images,
@@ -4239,6 +4295,13 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
         # union-CC is map-composition-invariant), so the same SQL applies
         "multimodal_incremental_images": _oracles.multimodal_images_sql(
             _MINHASH_IMAGES_GATE_CFG(), 2, 4, _corpus_path(_ORACLE_CORPUS_SF)
+        ),
+        # planted tile-dedup structure in closed form: (3b, 3b+1) merge
+        # (min root), unrelated rows stay singleton
+        "tile_dedup_images": (
+            f"SELECT i::BIGINT AS row_id, "
+            f"(CASE WHEN i % 3 = 1 THEN i - 1 ELSE i END)::BIGINT AS cluster_id "
+            f"FROM range({3 * _TILE_N_BASES}) t(i)"
         ),
         "phash_near_dedup_images": _oracles.phash_dedup_sql(
             2, 4, _corpus_path(_ORACLE_CORPUS_SF)

@@ -230,6 +230,229 @@ def phash_near_dedup_parents(
     )
 
 
+class TileHashStage:
+    """Actor pool: decode each image and hash a ``tiles x tiles`` grid of
+    sub-images — one 64-bit ``average_phash`` per tile. Region-level
+    signatures catch duplicates a single GLOBAL phash misses: watermark /
+    overlay / caption-strip variants, letterboxing, a small patched region —
+    most tiles still collide exactly while the whole-image hash drifts.
+
+    Emits narrow (row_id, tile_idx:int32, tile_hash:int64) rows — 16 bytes
+    x tiles^2 per image; pixels never leave the decode task. Decode failures
+    contribute no rows (strict=True raises instead)."""
+
+    def __init__(self, tiles: int = 4, strict: bool = False) -> None:
+        if tiles < 1:
+            raise ValueError("tiles must be >= 1")
+        self.tiles = tiles
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        k = self.tiles
+        blobs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        ids = batch[ROW_ID].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_id: list[np.ndarray] = []
+        out_tile: list[np.ndarray] = []
+        out_hash: list[np.ndarray] = []
+        for i, (blob, fmt) in enumerate(zip(blobs, fmts)):
+            try:
+                pix = decode_image(blob, fmt)
+            except Exception:
+                if self.strict:
+                    raise
+                continue
+            h, w = pix.shape[0], pix.shape[1]
+            ys = (np.arange(k + 1) * h // k).astype(int)
+            xs = (np.arange(k + 1) * w // k).astype(int)
+            hashes = np.empty(k * k, np.int64)
+            for ti in range(k):
+                for tj in range(k):
+                    tile = pix[
+                        ys[ti] : max(ys[ti + 1], ys[ti] + 1),
+                        xs[tj] : max(xs[tj + 1], xs[tj] + 1),
+                    ]
+                    hashes[ti * k + tj] = average_phash(tile)
+            out_id.append(np.full(k * k, ids[i], np.int64))
+            out_tile.append(np.arange(k * k, dtype=np.int32))
+            out_hash.append(hashes)
+        if not out_id:
+            return pa.table(
+                {
+                    "row_id": pa.array([], pa.int64()),
+                    "tile_idx": pa.array([], pa.int32()),
+                    "tile_hash": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "row_id": pa.array(np.concatenate(out_id)),
+                "tile_idx": pa.array(np.concatenate(out_tile)),
+                "tile_hash": pa.array(np.concatenate(out_hash)),
+            }
+        )
+
+
+def tile_phash_near_dedup_parents(
+    ds: ray.data.Dataset,
+    tiles: int = 4,
+    min_agree: int | None = None,
+    df_cap: int = 1024,
+    num_partitions: int = 32,
+    decode_concurrency: int | tuple[int, int] = (1, 8),
+    decode_batch_size: int = 256,
+    driver_threshold: int = 2_000_000,
+):
+    """Tile-level perceptual near-dup: cluster images sharing at least
+    ``min_agree`` (default: 3/4 of tiles^2) EXACT tile hashes out of a
+    ``tiles x tiles`` grid. The region-level complement of
+    :func:`phash_near_dedup_parents` — a watermark or patched corner flips
+    the global phash beyond any small Hamming radius but leaves most tiles
+    byte-identical.
+
+    Scale shape (no all-pairs anywhere):
+    1. actor-pool decode -> narrow (row_id, tile_idx, tile_hash) rows;
+    2. exchange by hash(tile_idx, tile_hash): per bucket of co-hashing
+       images emit (a<b) candidate pairs — buckets larger than ``df_cap``
+       are skipped as boilerplate (uniform backgrounds), the posting-list
+       df-cap precedent (jaccard_dedup); singleton buckets emit nothing;
+    3. exchange pairs by pair hash: sum per-partition partial agreement
+       counts, keep pairs with count >= min_agree as edges;
+    4. shared connected-components (auto distributed fallback).
+
+    NOT crop-resistant in general (a crop realigns the tile grid); it
+    targets same-geometry region edits. Returns parents like the sibling
+    dedup entry points."""
+    import hashlib
+
+    from ..stages.cc import connected_components_auto
+    from ..stages.exchange import hash_partition_exchange
+
+    k2 = tiles * tiles
+    if min_agree is None:
+        min_agree = max(1, (3 * k2) // 4)
+    if not (1 <= min_agree <= k2):
+        raise ValueError(f"min_agree must be in [1, {k2}]")
+
+    tile_rows = ds.select_columns([ROW_ID, "bytes", "fmt"]).map_batches(
+        TileHashStage,
+        fn_constructor_kwargs={"tiles": tiles},
+        batch_format="pyarrow",
+        batch_size=decode_batch_size,
+        concurrency=decode_concurrency,
+    )
+
+    def add_bucket_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("part", pa.array([], pa.int64()))
+        ti = t["tile_idx"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        th = t["tile_hash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        # splitmix-style bucket key mix (cheap, vectorized)
+        key = (ti * np.uint64(0x9E3779B97F4A7C15)) ^ th
+        key ^= key >> np.uint64(33)
+        key *= np.uint64(0xFF51AFD7ED558CCD)
+        key ^= key >> np.uint64(33)
+        return t.append_column(
+            "part", pa.array((key % np.uint64(num_partitions)).astype(np.int64))
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "src": pa.array([], pa.int64()),
+                "dst": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "tile_idx" not in group.column_names:
+            return empty
+        ti = group["tile_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        th = group["tile_hash"].to_numpy(zero_copy_only=False)
+        ids = group["row_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, th, ti))
+        ti, th, ids = ti[order], th[order], ids[order]
+        new = np.empty(len(ti), bool)
+        new[0] = True
+        new[1:] = (ti[1:] != ti[:-1]) | (th[1:] != th[:-1])
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.r_[starts, len(ti)])
+        srcs: list[np.ndarray] = []
+        dsts: list[np.ndarray] = []
+        for s, b in zip(starts[(sizes > 1) & (sizes <= df_cap)],
+                        sizes[(sizes > 1) & (sizes <= df_cap)]):
+            members = ids[s : s + b]
+            iu, ju = np.triu_indices(int(b), k=1)
+            srcs.append(members[iu])
+            dsts.append(members[ju])
+        if not srcs:
+            return empty
+        a = np.concatenate(srcs)
+        c = np.concatenate(dsts)
+        lo, hi = np.minimum(a, c), np.maximum(a, c)
+        # partial agreement count within this partition
+        pairs = np.stack([lo, hi], axis=1)
+        uniq, cnt = np.unique(pairs, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "src": pa.array(uniq[:, 0]),
+                "dst": pa.array(uniq[:, 1]),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    partial_pairs = hash_partition_exchange(
+        tile_rows.map_batches(add_bucket_part, batch_format="pyarrow"),
+        "part",
+        num_partitions,
+        bucket_pairs,
+    )
+
+    def add_pair_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("part", pa.array([], pa.int64()))
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = s * np.uint64(0x9E3779B97F4A7C15) + d
+        key ^= key >> np.uint64(31)
+        return t.append_column(
+            "part", pa.array((key % np.uint64(num_partitions)).astype(np.int64))
+        )
+
+    def fold_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+        )
+        if group.num_rows == 0 or "src" not in group.column_names:
+            return empty
+        s = group["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = group["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = group["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((d, s))
+        s, d, c = s[order], d[order], c[order]
+        new = np.empty(len(s), bool)
+        new[0] = True
+        new[1:] = (s[1:] != s[:-1]) | (d[1:] != d[:-1])
+        idx = np.cumsum(new) - 1
+        tot = np.zeros(int(idx[-1]) + 1, np.int64)
+        np.add.at(tot, idx, c)
+        keep = tot >= min_agree
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {
+                "src": pa.array(s[starts][keep]),
+                "dst": pa.array(d[starts][keep]),
+            }
+        )
+
+    edges = hash_partition_exchange(
+        partial_pairs.map_batches(add_pair_part, batch_format="pyarrow"),
+        "part",
+        num_partitions,
+        fold_pairs,
+    )
+    return connected_components_auto(edges, driver_threshold=driver_threshold)
+
+
 def phash_bootstrap(
     ds: ray.data.Dataset,
     state_dir: str,
