@@ -167,6 +167,23 @@ def run_benchmarks() -> None:
     if not headline_only:
         timed("phash_images", phash_images)
 
+    def tile_dedup_images():
+        from text_dedup_ray.pipelines.images import (
+            image_ids_to_row_ids,
+            tile_phash_near_dedup_parents,
+        )
+
+        ds = image_ids_to_row_ids(
+            ray.data.read_parquet(docs_path, columns=["image_id", "bytes", "fmt"])
+        )
+        parents = tile_phash_near_dedup_parents(
+            ds, tiles=4, min_agree=12, num_partitions=32
+        )
+        return len(parents) if isinstance(parents, dict) else parents.count()
+
+    if not headline_only:
+        timed("tile_dedup_images", tile_dedup_images)
+
     # ---- sf-table pipelines ----
     def docs_textops():
         from text_dedup_ray.pipelines.textops import with_fingerprints, with_quality
