@@ -2458,6 +2458,38 @@ def _q_phash_images(sf_dir: str):
     return cluster_map_table(parents)
 
 
+def _q_multimodal_and_images(sf_dir: str):
+    """AND-fusion (partition MEET, stages/cc.cluster_map_meet): rows are
+    duplicates only when BOTH the caption MinHashLSH map and the phash
+    Hamming map agree — the high-precision dual of the OR-fusion query.
+    Same branch configs as multimodal_dedup_images; per row the (caption
+    root, pixel root) tuple keys the meet, classes of size >= 2 survive
+    with min-row cluster ids. Oracle: both edge CTEs + two renamed CC
+    chains + the tuple window (oracles.multimodal_meet_sql)."""
+    from text_dedup_ray.pipelines.images import (
+        image_ids_to_row_ids,
+        phash_near_dedup_parents,
+    )
+    from text_dedup_ray.pipelines.minhash import minhash_dedup
+    from text_dedup_ray.stages.cc import cluster_map_meet
+
+    path = _corpus_path(_ORACLE_CORPUS_SF)
+    narrow = image_ids_to_row_ids(
+        ray.data.read_parquet(path, columns=["image_id", "caption"])
+    )
+    ph_in = image_ids_to_row_ids(
+        ray.data.read_parquet(path, columns=["image_id", "phash"])
+    )
+    mh = minhash_dedup(
+        narrow,
+        text_column="caption",
+        cfg=_MINHASH_IMAGES_GATE_CFG(),
+        skip_filtering=True,
+    ).parents
+    ph = phash_near_dedup_parents(ph_in, bit_diff=2, num_bucket=4)
+    return cluster_map_meet([mh, ph], num_partitions=8)
+
+
 _TILE_N_BASES = 40  # 3 rows per base: [base, watermark-variant, unrelated]
 
 
@@ -3505,6 +3537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phash_near_dedup_images": _q_phash_images,
         "tile_dedup_images": _q_tile_dedup_images,
         "multimodal_dedup_images": _q_multimodal_images,
+        "multimodal_and_images": _q_multimodal_and_images,
         "multimodal_incremental_images": _q_multimodal_incremental_images,
         "phash_incremental_images": _q_phash_incremental_images,
         "image_decode_stats": _q_image_decode,
@@ -4289,6 +4322,9 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
             _SIMHASH_ORACLE_CFG(), _corpus_path(_ORACLE_CORPUS_SF)
         ),
         "multimodal_dedup_images": _oracles.multimodal_images_sql(
+            _MINHASH_IMAGES_GATE_CFG(), 2, 4, _corpus_path(_ORACLE_CORPUS_SF)
+        ),
+        "multimodal_and_images": _oracles.multimodal_meet_sql(
             _MINHASH_IMAGES_GATE_CFG(), 2, 4, _corpus_path(_ORACLE_CORPUS_SF)
         ),
         # tiered fused state == batch fused run (per-family equivalences +

@@ -866,6 +866,80 @@ WHERE CAST(substr(c.image_id, 5) AS BIGINT) NOT IN
 """
 
 
+def _cc_fragment_named(edges: str, prefix: str) -> str:
+    """CC_FRAGMENT with renamed CTEs so one statement can run CC over two
+    independent edge sets (the partition-meet oracle needs both)."""
+    return f"""
+{prefix}nodes AS (SELECT hi AS node FROM {edges} UNION SELECT lo AS node FROM {edges}),
+{prefix}sym AS (SELECT hi AS a, lo AS b FROM {edges} UNION ALL SELECT lo AS a, hi AS b FROM {edges}),
+{prefix}walk(node, label) AS (
+    SELECT node, node FROM {prefix}nodes
+  UNION
+    SELECT s.a, w.label FROM {prefix}walk w JOIN {prefix}sym s ON s.b = w.node WHERE w.label < s.a
+),
+{prefix}cc AS (SELECT node, min(label) AS cluster_id FROM {prefix}walk GROUP BY node)
+"""
+
+
+def multimodal_meet_sql(
+    cfg: MinHashConfig, bit_diff: int, num_bucket: int, corpus_path: str
+) -> str:
+    """AND-fusion image dedup (stages/cc.cluster_map_meet over the caption
+    MinHashLSH map and the phash Hamming map): rows share an output cluster
+    iff they share a cluster in BOTH modalities — the partition MEET. Same
+    edge CTEs as :func:`multimodal_images_sql`, but each edge set gets its
+    OWN CC; per doc the (caption root, pixel root) tuple keys the meet and
+    classes of size >= 2 survive with min-doc_id cluster ids."""
+    perms = create_permutations(64, bit_diff, num_bucket)
+    sig_i = _sig_ubigint_to_bigint("s1.sig")
+    sig_j = _sig_ubigint_to_bigint("s2.sig")
+    return f"""
+WITH RECURSIVE {_corpus_docs_cte(corpus_path)},
+{_minhash_bands_core(cfg, "corpus_docs")},
+mbuckets AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY band_idx, band_val) AS m FROM bands
+),
+medges AS (SELECT DISTINCT doc_id AS hi, m AS lo FROM mbuckets WHERE doc_id <> m),
+all_sigs AS (
+  SELECT CAST(substr(image_id, 5) AS BIGINT) AS doc_id,
+         CASE WHEN phash < 0 THEN (phash::HUGEINT + {U64})::UBIGINT
+              ELSE phash::UBIGINT END AS sig
+  FROM read_parquet('{corpus_path}')
+),
+keys AS ({_simhash_keys_cte(perms)}),
+pcand AS (
+  SELECT a.doc_id AS i, b.doc_id AS j
+  FROM keys a JOIN keys b ON a.perm = b.perm AND a.key = b.key AND a.doc_id > b.doc_id
+  GROUP BY 1, 2
+),
+pedges AS (
+  SELECT c.i AS hi, c.j AS lo
+  FROM pcand c JOIN all_sigs s1 ON s1.doc_id = c.i JOIN all_sigs s2 ON s2.doc_id = c.j
+  WHERE bit_count(xor({sig_i}, {sig_j})) <= {bit_diff}
+),
+{_cc_fragment_named("medges", "m")},
+{_cc_fragment_named("pedges", "p")},
+ids AS (
+  SELECT CAST(substr(image_id, 5) AS BIGINT) AS row_id
+  FROM read_parquet('{corpus_path}')
+),
+roots AS (
+  SELECT i.row_id,
+         coalesce(m.cluster_id, i.row_id) AS c1,
+         coalesce(p.cluster_id, i.row_id) AS c2
+  FROM ids i
+  LEFT JOIN mcc m ON m.node = i.row_id
+  LEFT JOIN pcc p ON p.node = i.row_id
+),
+meet AS (
+  SELECT row_id, min(row_id) OVER (PARTITION BY c1, c2) AS cluster_id,
+         count(*) OVER (PARTITION BY c1, c2) AS sz
+  FROM roots
+)
+SELECT row_id, cluster_id FROM meet WHERE sz > 1
+"""
+
+
 def phash_dedup_sql(bit_diff: int, num_bucket: int, corpus_path: str) -> str:
     """Perceptual-hash near-dup clusters (pipelines/images.
     phash_near_dedup_parents — the SimHash block-permutation machinery

@@ -324,3 +324,150 @@ def cluster_map_to_table(parents: dict[int, int]) -> pa.Table:
     roots = np.fromiter(parents.values(), dtype=np.int64, count=len(parents))
     order = np.argsort(members, kind="stable")
     return pa.table({"row_id": members[order], "cluster_id": roots[order]})
+
+
+def cluster_map_meet(
+    cluster_maps: list,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """MEET (intersection) of k cluster partitions: two rows share an output
+    cluster iff they share a cluster in EVERY input map — the AND-fusion
+    dual of the union-CC in ``multimodal_merge_cluster_maps`` (high
+    precision where the union is high recall), and the generic "where do
+    two dedup configs agree" audit. Rows absent from a map are singletons
+    there, so only rows non-trivially clustered in ALL maps can survive.
+
+    Inputs are driver dicts or Datasets of (row_id, cluster_id). Scale
+    shape: each map flattens to (row_id, root, map_idx) rows — roots
+    re-emitted as self-rows so a cluster's representative participates —
+    then exchange 1 co-locates by row_id hash and assembles each row's
+    root TUPLE (missing maps default to self), exchange 2 co-locates by
+    tuple hash and keeps meet-classes with >= 2 members, emitting
+    (row_id, cluster_id=min row id of the class). Output is
+    O(non-trivial meet rows); nothing corpus-sized reaches the driver."""
+    import hashlib
+
+    from .exchange import hash_partition_exchange
+
+    k = len(cluster_maps)
+    if k == 0:
+        raise ValueError("cluster_map_meet needs at least one cluster map")
+
+    flats = []
+    for mi, m in enumerate(cluster_maps):
+        if isinstance(m, dict):
+            rows = np.fromiter(m.keys(), np.int64, count=len(m))
+            roots = np.fromiter(m.values(), np.int64, count=len(m))
+            tbl = pa.table(
+                {
+                    "row_id": pa.array(np.r_[rows, roots]),
+                    "root": pa.array(np.r_[roots, roots]),
+                    "map_idx": pa.array(np.full(2 * len(rows), mi, np.int64)),
+                }
+            )
+            flats.append(ray.data.from_arrow(tbl))
+        else:
+
+            def widen(t: pa.Table, _mi=mi) -> pa.Table:
+                r = t["row_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                c = t["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                return pa.table(
+                    {
+                        "row_id": pa.array(np.r_[r, c]),
+                        "root": pa.array(np.r_[c, c]),
+                        "map_idx": pa.array(np.full(2 * len(r), _mi, np.int64)),
+                    }
+                )
+
+            flats.append(m.map_batches(widen, batch_format="pyarrow"))
+    allmaps = flats[0]
+    for f in flats[1:]:
+        allmaps = allmaps.union(f)
+
+    def add_row_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("part", pa.array([], pa.int64()))
+        r = t["row_id"].to_numpy(zero_copy_only=False).view(np.uint64)
+        key = r * np.uint64(0x9E3779B97F4A7C15)
+        key ^= key >> np.uint64(33)
+        return t.append_column(
+            "part", pa.array((key % np.uint64(num_partitions)).astype(np.int64))
+        )
+
+    def assemble(group: pa.Table) -> pa.Table:
+        names = [f"c{j}" for j in range(k)]
+        empty = pa.table(
+            {
+                "row_id": pa.array([], pa.int64()),
+                **{n: pa.array([], pa.int64()) for n in names},
+            }
+        )
+        if group.num_rows == 0 or "row_id" not in group.column_names:
+            return empty
+        r = group["row_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = group["root"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = group["map_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = np.unique(r)
+        mat = np.tile(uniq[:, None], (1, k))  # default root = self
+        pos = np.searchsorted(uniq, r)
+        mat[pos, m] = c
+        return pa.table(
+            {
+                "row_id": pa.array(uniq),
+                **{n: pa.array(mat[:, j]) for j, n in enumerate(names)},
+            }
+        )
+
+    tuples = hash_partition_exchange(
+        allmaps.map_batches(add_row_part, batch_format="pyarrow"),
+        "part",
+        num_partitions,
+        assemble,
+    )
+
+    def add_tuple_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("part", pa.array([], pa.int64()))
+        key = np.zeros(t.num_rows, np.uint64)
+        for j in range(k):
+            key = key * np.uint64(0xFF51AFD7ED558CCD) + t[f"c{j}"].to_numpy(
+                zero_copy_only=False
+            ).view(np.uint64)
+            key ^= key >> np.uint64(29)
+        return t.append_column(
+            "part", pa.array((key % np.uint64(num_partitions)).astype(np.int64))
+        )
+
+    def finalize(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"row_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
+        )
+        if group.num_rows == 0 or "row_id" not in group.column_names:
+            return empty
+        r = group["row_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cs = [group[f"c{j}"].to_numpy(zero_copy_only=False).astype(np.int64) for j in range(k)]
+        order = np.lexsort((r, *reversed(cs)))
+        r = r[order]
+        cs = [c[order] for c in cs]
+        n = len(r)
+        new = np.zeros(n, bool)
+        new[0] = True
+        for c in cs:
+            new[1:] |= c[1:] != c[:-1]
+        idx = np.cumsum(new) - 1
+        sizes = np.bincount(idx)
+        mins = r[np.flatnonzero(new)]  # sorted by (tuple, row_id) -> first is min
+        keep = sizes[idx] > 1
+        return pa.table(
+            {
+                "row_id": pa.array(r[keep]),
+                "cluster_id": pa.array(mins[idx][keep]),
+            }
+        )
+
+    return hash_partition_exchange(
+        tuples.map_batches(add_tuple_part, batch_format="pyarrow"),
+        "part",
+        num_partitions,
+        finalize,
+    )
