@@ -847,6 +847,21 @@ def _q_events_unpivot(sf_dir: str):
     )
 
 
+def _q_redact_docs(sf_dir: str):
+    """PII-style redaction pass (textops.with_scrubbed): mask every token
+    containing a digit run of 2+ with '[NUM]' and count replacements per
+    doc — the pre-training scrub. Arrow RE2 kernels; DuckDB regexp_replace
+    with 'g' is the same RE2 semantics, so the oracle is exact."""
+    from text_dedup_ray.pipelines.textops import with_scrubbed
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    out = with_scrubbed(
+        docs, "text", r"[0-9]{2,}", "[NUM]", out_column="scrubbed",
+        hits_column="n_scrubbed",
+    )
+    return out.select_columns(["doc_id", "scrubbed", "n_scrubbed"])
+
+
 def _q_snapshot_diff(sf_dir: str):
     """Keyed snapshot diff (pipelines/diff.py): OLD = docs with
     doc_id % 10 != 0, NEW = docs with doc_id % 7 != 0 and text suffixed
@@ -3443,6 +3458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_pivot": _q_events_pivot_sum,
         "events_stats_unpivot": _q_events_unpivot,
         "snapshot_diff_docs": _q_snapshot_diff,
+        "redact_docs": _q_redact_docs,
         "events_user_stats": _q_events_user,
         "events_sessions": _q_events_sessions,
         "lineitem_pricing": _q_lineitem_q1,
@@ -3786,6 +3802,11 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
             "round(coalesce(sum(value) FILTER (event_type='signup'), 0), 3) AS signup, "
             "round(coalesce(sum(value) FILTER (event_type='view'), 0), 3) AS view "
             "FROM events GROUP BY day"
+        ),
+        "redact_docs": (
+            "SELECT doc_id, regexp_replace(text, '[0-9]{2,}', '[NUM]', 'g') "
+            "AS scrubbed, length(regexp_extract_all(text, '[0-9]{2,}'))::BIGINT "
+            "AS n_scrubbed FROM documents"
         ),
         # keyed snapshot diff: added/removed/changed only
         "snapshot_diff_docs": (
