@@ -2021,6 +2021,36 @@ def _q_minhash_docs(sf_dir: str):
     )
 
 
+def _MINHASH_BBIT_CFG():
+    """Strict (8 bands x 4 rows) config for the b-bit query: 32 permutations
+    keep the md5-recompute oracle cheap, and 4x8-bit bands leave a ~2^-32
+    random band-collision rate so the truncation exercises the compressed
+    band path without blowing up the recursive-CTE CC."""
+    from text_dedup_ray.functions.minhash import MinHashConfig
+
+    return MinHashConfig(num_perm=32, bands=8, rows=4, ngram_size=2, hash_func="md5")
+
+
+def _q_minhash_bbit(sf_dir: str):
+    """b-bit minwise hashing dedup (Li & König WWW'10): minhash_dedup with
+    every permutation value truncated to its lowest 8 bits AFTER the
+    per-shingle min, banding uint8 values — the 4x signature-compression
+    scale path for 10^12-row corpora. Survivors (doc_id, cluster_id ==
+    doc_id), full SQL oracle via the masked bands core."""
+    from text_dedup_ray.pipelines.minhash import minhash_dedup
+
+    res = minhash_dedup(
+        _docs(sf_dir, ["doc_id", "text"]),
+        text_column="text",
+        id_column="doc_id",
+        cfg=_MINHASH_BBIT_CFG(),
+        b_bits=8,
+    )
+    return res.deduped.select_columns(["doc_id", "__CLUSTER__"]).rename_columns(
+        {"__CLUSTER__": "cluster_id"}
+    )
+
+
 def _q_exact_incremental(sf_dir: str):
     """Tiered exact dedup: bootstrap on the first ~80% of doc ids, increment
     with the rest. Old winners can never be displaced (ids increase), so
@@ -3524,6 +3554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_incremental_docs": _q_embedding_incremental,
         # --- near-dup pipelines (SQL-checked via md5 base hash + recursive-CTE CC) ---
         "minhash_dedup_docs": _q_minhash_docs,
+        "minhash_bbit_docs": _q_minhash_bbit,
         "clustering_ari": _q_clustering_ari,
         "minhash_verified_docs": _q_minhash_verified,
         "minhash_incremental_docs": _q_minhash_incremental,
@@ -4226,6 +4257,9 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
         # tiered state == full batch run (tests/test_incremental_jaccard.py)
         "jaccard_incremental_docs": _oracles.jaccard_dedup_sql(ngram_size=2, threshold=0.6),
         "minhash_dedup_docs": _oracles.minhash_dedup_sql(_MINHASH_ORACLE_CFG()),
+        "minhash_bbit_docs": _oracles.minhash_bbit_dedup_sql(
+            _MINHASH_BBIT_CFG(), b_bits=8
+        ),
         # incremental state == full batch run (tests/test_incremental.py),
         # so the same SQL is the oracle for the tiered path
         "clustering_ari": _oracles.clustering_ari_sql(_MINHASH_HALF_CFG()),

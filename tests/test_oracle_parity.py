@@ -23,6 +23,7 @@ CONVERTED = [
     "lang_id",
     "ngram_jaccard_dedup",
     "minhash_dedup_docs",
+    "minhash_bbit_docs",
     "clustering_ari",
     "simhash_dedup_docs",
     "embedding_cosine_dedup",

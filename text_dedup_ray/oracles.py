@@ -380,11 +380,15 @@ FROM base b LEFT JOIN nga USING (doc_id)
 """
 
 
-def _minhash_bands_core(cfg: MinHashConfig, table: str) -> str:
+def _minhash_bands_core(
+    cfg: MinHashConfig, table: str, value_mask: int | None = None
+) -> str:
     """WITH-body prefix (no final SELECT) computing CTEs through ``bands``
     (doc_id, band_idx, band_val) — the LSH bucket identity — plus ``docs``
     (min-length survivors). Shared by the dedup oracles and the cross-join
-    oracle."""
+    oracle. ``value_mask`` truncates every permutation value to its low bits
+    (b-bit minwise hashing) — applied OUTSIDE the per-permutation min, like
+    the engine (min over full-width values, then truncate)."""
     assert cfg.hash_func == "md5", "SQL oracle needs the md5 base hash"
     assert cfg.hash_bits == 64
     a, b = cfg.permutations()
@@ -398,6 +402,14 @@ def _minhash_bands_core(cfg: MinHashConfig, table: str) -> str:
     )
     prime = (1 << 61) - 1
     max_hash = (1 << 32) - 1
+    # the engine masks AFTER the per-permutation min (min of full-width
+    # values, then truncate) — min(x) & m != min(x & m), so the mask must
+    # wrap the aggregate, not the operand
+    if value_mask is not None:
+        assert 0 < value_mask <= max_hash
+        outer_mask = f" & {value_mask}"
+    else:
+        outer_mask = ""
     return f"""{_grams_cte(cfg.ngram_size, cfg.min_length, table)},
 docs AS (SELECT doc_id FROM tk WHERE len(ts) >= {cfg.min_length}),
 hashes AS (
@@ -406,7 +418,7 @@ hashes AS (
 perms(p, a, b) AS (VALUES {perm_rows}),
 sigs AS (
   SELECT doc_id, p,
-         min((((h::HUGEINT * a) % {U64} + b) % {U64} % {prime})::BIGINT & {max_hash}) AS sig
+         min((((h::HUGEINT * a) % {U64} + b) % {U64} % {prime})::BIGINT & {max_hash}){outer_mask} AS sig
   FROM hashes CROSS JOIN perms GROUP BY doc_id, p
 ),
 bands AS (
@@ -487,10 +499,12 @@ WHERE co.co::DOUBLE / (la.sz + rb.sz - co.co) >= {threshold}
 """
 
 
-def _minhash_core(cfg: MinHashConfig, table: str) -> str:
+def _minhash_core(
+    cfg: MinHashConfig, table: str, value_mask: int | None = None
+) -> str:
     """WITH-body (no final SELECT) computing CTEs ``docs`` (min-length
     survivors) and ``cc`` for MinHashLSH over ``table(doc_id, text)``."""
-    return f"""{_minhash_bands_core(cfg, table)},
+    return f"""{_minhash_bands_core(cfg, table, value_mask)},
 buckets AS (
   SELECT doc_id, min(doc_id) OVER (PARTITION BY band_idx, band_val) AS m FROM bands
 ),
@@ -505,6 +519,20 @@ def minhash_dedup_sql(cfg: MinHashConfig) -> str:
     survivors (cluster root == own id). Requires cfg.hash_func == 'md5'."""
     return f"""
 WITH RECURSIVE {_minhash_core(cfg, "documents")}
+SELECT d.doc_id, d.doc_id AS cluster_id
+FROM docs d LEFT JOIN cc ON cc.node = d.doc_id
+WHERE cc.node IS NULL OR cc.cluster_id = d.doc_id
+"""
+
+
+def minhash_bbit_dedup_sql(cfg: MinHashConfig, b_bits: int) -> str:
+    """b-bit minwise-hashing dedup (pipelines/minhash.minhash_dedup with
+    ``b_bits``, per Li & König WWW'10): identical to :func:`minhash_dedup_sql`
+    except every permutation value is truncated to its lowest ``b_bits``
+    AFTER the per-shingle min, so bands compare 8/16-bit values."""
+    mask = (1 << b_bits) - 1
+    return f"""
+WITH RECURSIVE {_minhash_core(cfg, "documents", value_mask=mask)}
 SELECT d.doc_id, d.doc_id AS cluster_id
 FROM docs d LEFT JOIN cc ON cc.node = d.doc_id
 WHERE cc.node IS NULL OR cc.cluster_id = d.doc_id

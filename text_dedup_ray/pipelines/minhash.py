@@ -110,8 +110,18 @@ def minhash_dedup(
     driver_threshold: int = 2_000_000,
     collect_metrics: bool = True,
     prefetch_payload: bool = False,
+    b_bits: int | None = None,
 ) -> MinHashDedupResult:
     """Run the full MinHashLSH dedup over a Dataset.
+
+    ``b_bits``: b-bit minwise hashing (Li & König, WWW'10) — band over only
+    the lowest 8 or 16 bits of each permutation value instead of the full
+    32. A strict coarsening of the full-width clustering (every full-width
+    duplicate pair stays clustered) that cuts the exploded band table — the
+    dominant shuffle volume at 10^12 rows — by 4x (b=8) or 2x (b=16) at the
+    cost of a slightly higher LSH false-positive rate, which the optional
+    Jaccard verify pass (``cfg.check_false_positive``) absorbs. None = full
+    width.
 
     ``id_column``: an existing unique int column to use as row_id (e.g.
     ``doc_id``); if None the Dataset must already carry ``row_id``.
@@ -134,6 +144,10 @@ def minhash_dedup(
     pass instead.
     """
     cfg = cfg or MinHashConfig()
+    if b_bits is not None and b_bits not in (8, 16):
+        # validate on the driver: inside the actor pool the same check would
+        # surface as an opaque RayActorError at first execution
+        raise ValueError("b_bits must be 8 or 16 (byte-aligned)")
     timer = Timer()
     if id_column is not None:
         ds = stamp_row_ids_from_key(ds, id_column)
@@ -179,7 +193,7 @@ def minhash_dedup(
     # the exploded band table (bands x the input row count)
     local = narrow.map_batches(
         MinHashFingerprinter,
-        fn_constructor_args=(cfg, text_column, "buckets"),
+        fn_constructor_args=(cfg, text_column, "buckets", b_bits),
         batch_format="pyarrow",
         batch_size=fingerprint_batch_size,
         concurrency=fingerprint_concurrency,

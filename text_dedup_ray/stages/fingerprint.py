@@ -40,7 +40,11 @@ class MinHashFingerprinter:
     semantics-free: the rep-merge exchange unifies buckets across scopes."""
 
     def __init__(
-        self, cfg: MinHashConfig, text_column: str = "text", emit: str = "sig"
+        self,
+        cfg: MinHashConfig,
+        text_column: str = "text",
+        emit: str = "sig",
+        b_bits: int | None = None,
     ) -> None:
         from ..functions.minhash import HASH_CONFIG
 
@@ -55,6 +59,19 @@ class MinHashFingerprinter:
         # uint64 band bytes are a serialization detail, not semantics.)
         max_hash = HASH_CONFIG[cfg.hash_bits][1]
         self.compact_dtype = np.uint32 if max_hash <= 0xFFFFFFFF else self.mh.dtype
+        # b-bit minwise hashing (Li & König, WWW'10): keep only the lowest
+        # ``b_bits`` of every permutation value. LSH banding over the
+        # truncated values is a strict COARSENING of the full-width banding
+        # (equal full values => equal truncated values), so recall can only
+        # go up while the signature table shrinks 4x (b=8) or 2x (b=16) —
+        # the storage/shuffle lever for 10^12-row corpora where the exploded
+        # band table dominates object-store traffic.
+        self.b_mask = None
+        if b_bits is not None:
+            if b_bits not in (8, 16):
+                raise ValueError("b_bits must be 8 or 16 (byte-aligned)")
+            self.b_mask = self.mh.dtype((1 << b_bits) - 1)
+            self.compact_dtype = np.uint8 if b_bits == 8 else np.uint16
         self.band_width = cfg.rows * np.dtype(self.compact_dtype).itemsize
         self.schema_band_type = pa.binary(self.band_width)
 
@@ -65,6 +82,8 @@ class MinHashFingerprinter:
         cfg = self.mh.cfg
         bands = cfg.bands
         sigs = self.mh.signatures(texts)  # (n, num_perm)
+        if self.b_mask is not None:
+            sigs = sigs & self.b_mask
         # band matrix: (n, bands, rows) byteswapped -> contiguous bytes
         swapped = sigs.astype(self.compact_dtype, copy=False).byteswap()
         rows = cfg.rows
