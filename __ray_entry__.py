@@ -2051,6 +2051,31 @@ def _q_minhash_bbit(sf_dir: str):
     )
 
 
+def _q_cluster_cohesion(sf_dir: str):
+    """Per-cluster cohesion audit over the MinHashLSH clusters: exact
+    integer (n_members, n_pairs, sum_inter, sum_union) per non-singleton
+    cluster plus the micro-averaged pairwise Jaccard — the did-the-threshold
+    overchain? curation check. Full SQL oracle (exact integers + one
+    IEEE-identical division)."""
+    from text_dedup_ray.pipelines.eval_cluster import cluster_cohesion
+    from text_dedup_ray.pipelines.minhash import minhash_dedup
+
+    res = minhash_dedup(
+        _docs(sf_dir, ["doc_id", "text"]),
+        text_column="text",
+        id_column="doc_id",
+        cfg=_MINHASH_BBIT_CFG(),  # strict full-width 32-perm gate config
+        skip_filtering=True,
+    )
+    return cluster_cohesion(
+        res.assigned,
+        text_column="text",
+        id_column="doc_id",
+        ngram_size=2,
+        num_partitions=8,
+    )
+
+
 def _q_exact_incremental(sf_dir: str):
     """Tiered exact dedup: bootstrap on the first ~80% of doc ids, increment
     with the rest. Old winners can never be displaced (ids increase), so
@@ -3555,6 +3580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- near-dup pipelines (SQL-checked via md5 base hash + recursive-CTE CC) ---
         "minhash_dedup_docs": _q_minhash_docs,
         "minhash_bbit_docs": _q_minhash_bbit,
+        "cluster_cohesion": _q_cluster_cohesion,
         "clustering_ari": _q_clustering_ari,
         "minhash_verified_docs": _q_minhash_verified,
         "minhash_incremental_docs": _q_minhash_incremental,
@@ -4260,6 +4286,7 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
         "minhash_bbit_docs": _oracles.minhash_bbit_dedup_sql(
             _MINHASH_BBIT_CFG(), b_bits=8
         ),
+        "cluster_cohesion": _oracles.cluster_cohesion_sql(_MINHASH_BBIT_CFG()),
         # incremental state == full batch run (tests/test_incremental.py),
         # so the same SQL is the oracle for the tiered path
         "clustering_ari": _oracles.clustering_ari_sql(_MINHASH_HALF_CFG()),

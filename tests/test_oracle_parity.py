@@ -24,6 +24,7 @@ CONVERTED = [
     "ngram_jaccard_dedup",
     "minhash_dedup_docs",
     "minhash_bbit_docs",
+    "cluster_cohesion",
     "clustering_ari",
     "simhash_dedup_docs",
     "embedding_cosine_dedup",

@@ -539,6 +539,40 @@ WHERE cc.node IS NULL OR cc.cluster_id = d.doc_id
 """
 
 
+def cluster_cohesion_sql(cfg: MinHashConfig) -> str:
+    """Per-cluster cohesion audit (pipelines/eval_cluster.cluster_cohesion
+    over the MinHashLSH assignment): for every non-singleton cluster, the
+    micro-averaged pairwise shingle Jaccard from exact integer identities —
+    each gram shared by k members adds C(k,2) to sum_inter, and
+    sum_union = (k-1)*sum(sz) - sum_inter. The one BIGINT/BIGINT division
+    is IEEE-identical to the engine's numpy division."""
+    return f"""
+WITH RECURSIVE {_minhash_core(cfg, "documents")},
+gsz AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+mem AS (SELECT cc.node AS doc_id, cc.cluster_id, gsz.sz
+        FROM cc JOIN gsz ON gsz.doc_id = cc.node),
+kstats AS (SELECT cluster_id, count(*) AS k, sum(sz) AS sumsz
+           FROM mem GROUP BY 1),
+inter AS (
+  SELECT a.cluster_id, count(*) AS sum_inter
+  FROM grams ga JOIN mem a ON a.doc_id = ga.doc_id
+  JOIN grams gb ON gb.g = ga.g
+  JOIN mem b ON b.doc_id = gb.doc_id
+  WHERE b.cluster_id = a.cluster_id AND a.doc_id < b.doc_id
+  GROUP BY 1
+)
+SELECT k.cluster_id,
+       k.k::BIGINT AS n_members,
+       (k.k * (k.k - 1) // 2)::BIGINT AS n_pairs,
+       coalesce(i.sum_inter, 0)::BIGINT AS sum_inter,
+       ((k.k - 1) * k.sumsz - coalesce(i.sum_inter, 0))::BIGINT AS sum_union,
+       (coalesce(i.sum_inter, 0)::DOUBLE
+        / ((k.k - 1) * k.sumsz - coalesce(i.sum_inter, 0))) AS cohesion
+FROM kstats k LEFT JOIN inter i USING (cluster_id)
+WHERE k.k >= 2
+"""
+
+
 def clustering_ari_sql(cfg: MinHashConfig) -> str:
     """ARI between the MinHashLSH clustering and the exact (identical-text)
     clustering over the min-length survivors — the reference's NEWS-COPY

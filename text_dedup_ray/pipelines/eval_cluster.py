@@ -114,3 +114,214 @@ def clustering_ari(
         num_partitions=num_partitions,
     )
     return ari_components(joined, label_a, label_b)
+
+
+_COH_PART = "__coh_part"
+
+
+def cluster_cohesion(
+    assigned: ray.data.Dataset,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    cluster_column: str = "__CLUSTER__",
+    ngram_size: int = 2,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Per-cluster cohesion audit over a near-dup cluster assignment: the
+    micro-averaged pairwise shingle Jaccard of each non-singleton cluster,
+    ``cohesion = sum_inter / sum_union`` over all member pairs. The curation
+    question it answers: did the LSH threshold produce tight clusters
+    (cohesion near 1 — safe to keep one representative) or did transitive
+    chaining glue unrelated docs (cohesion near 0 — losing real data)?
+
+    Exact integer identities (no pair enumeration anywhere):
+      * a shingle shared by ``k`` members contributes ``C(k, 2)`` to
+        ``sum_inter`` in O(1);
+      * ``sum_union = (k_c - 1) * sum_sz - sum_inter`` because
+        ``union(i,j) = sz_i + sz_j - inter(i,j)`` and each member appears
+        in exactly ``k_c - 1`` pairs.
+    The one division of two exact int64 sums is bit-identical across
+    engines — the SQL oracle (oracles.cluster_cohesion_sql) hash-matches.
+
+    Scale shape: pass 1 folds tiny per-block ``(cluster, count)`` partials
+    through the hash exchange and broadcasts the NON-SINGLETON cluster ids
+    (bounded by duplicate clusters, not corpus rows — the same driver-state
+    contract as the dedup winner broadcasts); pass 2 ships one md5-16B key
+    per member-distinct shingle co-partitioned by cluster (shingles of
+    singleton docs — the vast majority at typical dup rates — never leave
+    their block), and the per-partition fold is np.unique + np.add.at.
+
+    Precondition: ``assigned`` comes from a dedup whose ``min_length >=
+    ngram_size`` (true for every config in this repo), so the reference
+    shingle contract's ``len(tokens) < n -> one whole-doc gram`` edge case
+    cannot arise for a cluster member.
+    """
+    import hashlib
+
+    import pyarrow.compute as pc  # noqa: F401  (kept for parity w/ siblings)
+
+    from ..stages.edges import _binary_to_u8
+    from ..stages.exchange import hash_partition_exchange
+    from .corpus import _block_windows
+    from .lines import _mix64
+
+    def _part_of(cl: np.ndarray) -> pa.Array:
+        return pa.array(
+            (_mix64(cl) % np.uint64(num_partitions)).astype(np.int64), pa.int64()
+        )
+
+    labels = assigned.select_columns([cluster_column])
+
+    def size_partial(t: pa.Table) -> pa.Table:
+        c = t[cluster_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, n = np.unique(c, return_counts=True)
+        return pa.table(
+            {
+                "cluster_id": pa.array(u, pa.int64()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+                _COH_PART: _part_of(u),
+            }
+        )
+
+    def size_reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # empty partitions arrive schemaless
+            return pa.table({"cluster_id": pa.array([], pa.int64())})
+        c = t["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(c, return_inverse=True)
+        tot = np.zeros(len(u), np.int64)
+        np.add.at(tot, inv, n)
+        return pa.table({"cluster_id": pa.array(u[tot >= 2], pa.int64())})
+
+    qual = hash_partition_exchange(
+        labels.map_batches(size_partial, batch_format="pyarrow"),
+        _COH_PART,
+        num_partitions,
+        size_reduce,
+    )
+    qdf = qual.to_pandas()
+    # an all-singleton input can leave zero blocks -> a columnless frame
+    qual_ids = (
+        np.sort(qdf["cluster_id"].to_numpy().astype(np.int64))
+        if len(qdf)
+        else np.empty(0, np.int64)
+    )
+    qual_ref = ray.put(qual_ids)
+
+    narrow = assigned.select_columns([id_column, cluster_column, text_column])
+    empty_pairs = pa.table(
+        {
+            "cluster_id": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "key": pa.array([], pa.binary(16)),
+            _COH_PART: pa.array([], pa.int64()),
+        }
+    )
+
+    def gram_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_pairs
+        qarr = ray.get(qual_ref)
+        if not len(qarr):
+            return empty_pairs
+        cl = t[cluster_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(qarr, cl)
+        inr = pos < len(qarr)
+        m = np.zeros(len(cl), bool)
+        m[inr] = qarr[pos[inr]] == cl[inr]
+        if not m.any():
+            return empty_pairs
+        sub = t.filter(pa.array(m))
+        w = _block_windows(sub, text_column, ngram_size)
+        if w is None:
+            return empty_pairs
+        uniq_toks, uwin_codes, winv, doc_idx = w
+        n_uwin = len(uwin_codes)
+        upair = np.unique(doc_idx.astype(np.int64) * n_uwin + winv)
+        d_idx = (upair // n_uwin).astype(np.int64)
+        w_idx = (upair % n_uwin).astype(np.int64)
+        # md5 only the block-distinct shingles (the lines.py contract)
+        digests = np.empty(n_uwin, object)
+        for i, row in enumerate(uwin_codes):
+            digests[i] = hashlib.md5(
+                " ".join(uniq_toks[c] for c in row).encode()
+            ).digest()
+        subcl = sub[cluster_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        subid = sub[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_cl = subcl[d_idx]
+        return pa.table(
+            {
+                "cluster_id": pa.array(out_cl, pa.int64()),
+                "doc_id": pa.array(subid[d_idx], pa.int64()),
+                "key": pa.array(list(digests[w_idx]), pa.binary(16)),
+                _COH_PART: _part_of(out_cl),
+            }
+        )
+
+    empty_out = pa.table(
+        {
+            "cluster_id": pa.array([], pa.int64()),
+            "n_members": pa.array([], pa.int64()),
+            "n_pairs": pa.array([], pa.int64()),
+            "sum_inter": pa.array([], pa.int64()),
+            "sum_union": pa.array([], pa.int64()),
+            "cohesion": pa.array([], pa.float64()),
+        }
+    )
+
+    def cohesion_reduce(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return empty_out
+        cl = np.ascontiguousarray(
+            t["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        doc = np.ascontiguousarray(
+            t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        u8 = _binary_to_u8(t["key"], 16, n).view(np.uint8).reshape(n, 16)
+        # (cluster, shingle) multiplicity k -> C(k,2) intersection mass
+        ck = np.empty((n, 24), np.uint8)
+        ck[:, :8] = cl.view(np.uint8).reshape(n, 8)
+        ck[:, 8:] = u8
+        vv = np.ascontiguousarray(ck).view(np.dtype((np.void, 24))).ravel()
+        _, gidx, gcnt = np.unique(vv, return_index=True, return_counts=True)
+        gram_cl = cl[gidx]
+        # (cluster, doc) -> member size
+        cd = np.empty((n, 16), np.uint8)
+        cd[:, :8] = cl.view(np.uint8).reshape(n, 8)
+        cd[:, 8:] = doc.view(np.uint8).reshape(n, 8)
+        dv = np.ascontiguousarray(cd).view(np.dtype((np.void, 16))).ravel()
+        _, midx, sz = np.unique(dv, return_index=True, return_counts=True)
+        mem_cl = cl[midx]
+        uc, minv = np.unique(mem_cl, return_inverse=True)
+        k = np.zeros(len(uc), np.int64)
+        np.add.at(k, minv, 1)
+        sum_sz = np.zeros(len(uc), np.int64)
+        np.add.at(sum_sz, minv, sz.astype(np.int64))
+        # align the gram fold onto the member fold's cluster order
+        gpos = np.searchsorted(uc, gram_cl)
+        sum_inter = np.zeros(len(uc), np.int64)
+        np.add.at(sum_inter, gpos, (gcnt * (gcnt - 1) // 2).astype(np.int64))
+        keep = k >= 2
+        kk, ssz, si = k[keep], sum_sz[keep], sum_inter[keep]
+        su = (kk - 1) * ssz - si
+        return pa.table(
+            {
+                "cluster_id": pa.array(uc[keep], pa.int64()),
+                "n_members": pa.array(kk, pa.int64()),
+                "n_pairs": pa.array(kk * (kk - 1) // 2, pa.int64()),
+                "sum_inter": pa.array(si, pa.int64()),
+                "sum_union": pa.array(su, pa.int64()),
+                "cohesion": pa.array(
+                    si.astype(np.float64) / su.astype(np.float64), pa.float64()
+                ),
+            }
+        )
+
+    return hash_partition_exchange(
+        narrow.map_batches(gram_partial, batch_format="pyarrow"),
+        _COH_PART,
+        num_partitions,
+        cohesion_reduce,
+    )
