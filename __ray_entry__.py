@@ -2721,6 +2721,25 @@ def _q_minhash_sweep(sf_dir: str):
     return tbl.select(["bands", "rows_per_band", "survivors"])
 
 
+def _q_simhash_sweep(sf_dir: str):
+    """Hamming-radius calibration sweep: ONE SimHash signature pass re-keyed
+    at bit_diff 2 and 3; per-radius survivor counts equal full dedup runs
+    (tests/test_simhash_sweep.py), so the oracle is a UNION ALL of per-radius
+    ``simhash_dedup_sql`` survivor counts. Radius 1 is excluded from the
+    GATE config only because P(4,3)=24 permutations make the SQL oracle the
+    most expensive key CTE in the gate — the engine path is radius-generic."""
+    from text_dedup_ray.pipelines.simhash import simhash_threshold_sweep
+
+    tbl = simhash_threshold_sweep(
+        _docs(sf_dir, ["doc_id", "text"]),
+        cfg=_SIMHASH_ORACLE_CFG(),
+        bit_diffs=[2, 3],
+        id_column="doc_id",
+        merge_partitions=16,
+    )
+    return tbl.select(["bit_diff", "survivors"])
+
+
 def _q_exact_union(sf_dir: str):
     """Federated exact dedup: two disjoint-half content-hash states merged
     with ``exact_state_union`` (file-local sorted merge, 1:1 collision
@@ -3587,6 +3606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_union_docs": _q_minhash_union,
         "minhash_sweep_docs": _q_minhash_sweep,
         "simhash_dedup_docs": _q_simhash_docs,
+        "simhash_sweep_docs": _q_simhash_sweep,
         "simhash_incremental_docs": _q_simhash_incremental,
         "simhash_union_docs": _q_simhash_union,
         "jaccard_union_docs": _q_jaccard_union,
@@ -4346,6 +4366,12 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
             for b, r in [(16, 4), (8, 8)]
         ),
         "simhash_dedup_docs": _oracles.simhash_dedup_sql(_SIMHASH_ORACLE_CFG()),
+        "simhash_sweep_docs": " UNION ALL ".join(
+            f"SELECT {k}::BIGINT AS bit_diff, "
+            f"(SELECT count(*) FROM ({_oracles.simhash_dedup_sql(_dc_replace(_SIMHASH_ORACLE_CFG(), bit_diff=k))}) s)::BIGINT "
+            "AS survivors"
+            for k in [2, 3]
+        ),
         "simhash_keep_best_docs": _oracles.simhash_keep_best_sql(_SIMHASH_ORACLE_CFG()),
         "source_overlap_matrix": _oracles.source_overlap_sql(3, 1),
         "nbayes_lang_pred": _oracles.naive_bayes_sql(),

@@ -179,3 +179,119 @@ def simhash_dedup(
         parents=parents,
         verified_parents=verified_parents,
     )
+
+
+def simhash_threshold_sweep(
+    ds: ray.data.Dataset,
+    text_column: str = "text",
+    cfg: SimHashConfig | None = None,
+    bit_diffs: "list[int] | None" = None,
+    id_column: str | None = None,
+    fingerprint_concurrency: int | tuple[int, int] = (1, 8),
+    fingerprint_batch_size: int = 2048,
+    merge_partitions: int = 16,
+    driver_threshold: int = 2_000_000,
+):
+    """Hamming-radius CALIBRATION sweep: how many duplicates would SimHash
+    flag at several ``bit_diff`` operating points — the companion of
+    ``minhash_threshold_sweep`` for the bitwise family, answered before
+    committing a radius to a 100 TB run.
+
+    The expensive stage (tokenize + md5 + bit-majority, >80% of dedup wall)
+    runs ONCE: a ``SimHashSignaturer`` actor pool emits one raw 64-bit
+    signature per doc and the narrow (row_id, sig) table materializes in
+    the object store. Each radius then pays only its own key/permutation
+    pass (``SigPassthroughFingerprinter`` — identical keys to a fresh
+    ``SimHashFingerprinter`` run at that radius, since the signature is
+    radius-independent) plus bucket/exchange/CC over 16-byte rows. Note the
+    per-radius key volume differs: ``create_permutations(f, k, b)`` yields
+    P(b, b-k) permutations, so SMALLER radii mean more keys.
+
+    Returns one row per radius: ``(bit_diff, n_perms, n_docs,
+    duplicate_rows, survivors)`` with ``duplicate_rows`` = non-root members
+    (the pre-verification ``__duplicate__`` filter semantics — survivors
+    match ``simhash_dedup`` at the same radius, proven by
+    tests/test_simhash_sweep.py). Radii must satisfy ``0 <= k <
+    cfg.num_bucket`` (the config's own constraint)."""
+    from dataclasses import replace
+    from functools import partial
+
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.simhash import create_permutations
+    from ..stages.fingerprint import SigPassthroughFingerprinter, SimHashSignaturer
+
+    cfg = cfg or SimHashConfig()
+    bit_diffs = bit_diffs or [cfg.bit_diff]
+    for k in bit_diffs:
+        if not (0 <= k < cfg.num_bucket):
+            raise ValueError(
+                f"bit_diff={k} must satisfy 0 <= bit_diff < num_bucket={cfg.num_bucket}"
+            )
+    if id_column is not None:
+        ds = stamp_row_ids_from_key(ds, id_column)
+    elif ROW_ID not in ds.schema().names:
+        raise ValueError("dataset must have a row_id column or pass id_column")
+
+    narrow = ds.select_columns([ROW_ID, text_column])
+    sig_ds = narrow.map_batches(
+        SimHashSignaturer,
+        fn_constructor_args=(cfg, text_column),
+        batch_format="pyarrow",
+        batch_size=fingerprint_batch_size,
+        concurrency=fingerprint_concurrency,
+    ).materialize()
+    n_docs = sig_ds.count()
+
+    out_rows = []
+    for k in bit_diffs:
+        cfg_k = replace(cfg, bit_diff=k)
+        local = sig_ds.map_batches(
+            SigPassthroughFingerprinter,
+            fn_constructor_args=(cfg_k, "sig"),
+            batch_format="pyarrow",
+            concurrency=fingerprint_concurrency,
+        )
+        local_edges, cross_edges, _rows, reduced_refs = tagged_split_exchange(
+            local,
+            "is_edge",
+            simhash_rep_part,
+            merge_partitions,
+            partial(simhash_rep_reduce, bit_diff=k),
+        )
+        if reduced_refs:
+            import ray
+
+            ray.wait(list(reduced_refs), num_returns=len(reduced_refs))
+        edges = local_edges.union(cross_edges)
+        parents = connected_components_auto(
+            edges,
+            driver_threshold=driver_threshold,
+            num_partitions=merge_partitions,
+            include_roots=False,
+        )
+        if isinstance(parents, dict):
+            duplicates = sum(1 for m, r in parents.items() if m != r)
+        else:
+            import pyarrow.compute as pc
+
+            duplicates = parents.map_batches(
+                lambda t: t.filter(pc.invert(pc.equal(t["row_id"], t["cluster_id"]))),
+                batch_format="pyarrow",
+            ).count()
+        out_rows.append(
+            {
+                "bit_diff": k,
+                "n_perms": len(create_permutations(cfg.f, k, cfg.num_bucket)),
+                "n_docs": n_docs,
+                "duplicate_rows": int(duplicates),
+                "survivors": int(n_docs - duplicates),
+            }
+        )
+    return pa.table(
+        {
+            c: pa.array([r[c] for r in out_rows], pa.int64())
+            for c in ["bit_diff", "n_perms", "n_docs", "duplicate_rows", "survivors"]
+        }
+    )

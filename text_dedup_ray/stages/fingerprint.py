@@ -181,6 +181,30 @@ class SimHashFingerprinter:
         return out
 
 
+class SimHashSignaturer:
+    """Actor: batch of (row_id, text) -> ONE row per doc carrying the raw
+    64-bit SimHash signature (as its int64 bit view — Arrow-friendly).
+
+    The Hamming-radius sweep fingerprints ONCE (tokenize + md5 + bit
+    majority: the dominant cost) and re-keys the stored signatures per
+    ``bit_diff`` via :class:`SigPassthroughFingerprinter` — the signature
+    depends only on (f, ngram, hash_func), never on the radius."""
+
+    def __init__(self, cfg: SimHashConfig, text_column: str = "text") -> None:
+        self.sh = SimHasher(cfg)
+        self.text_column = text_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["row_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(ids):
+            return pa.table(
+                {"row_id": pa.array([], pa.int64()), "sig": pa.array([], pa.int64())}
+            )
+        texts = batch[self.text_column].to_pylist()
+        sigs = self.sh.signatures_batch(texts)
+        return pa.table({"row_id": ids, "sig": sigs.view(np.int64)})
+
+
 class SigPassthroughFingerprinter:
     """Stage-1 rows from a PRECOMPUTED 64-bit fingerprint column (e.g. an
     image perceptual hash) instead of text shingles — the SimHash
