@@ -1376,6 +1376,87 @@ def _q_events_row_number(sf_dir: str):
     return with_row_number(ev, "user_id", "event_id", descending=True, ntile=4)
 
 
+def _q_events_transitions(sf_dir: str):
+    """First-order Markov transition counts over each user's event stream
+    (SQL lead() + GROUP BY): keyed exchange + factorize/bincount partials,
+    final fold over P x |states|^2 integers."""
+    from text_dedup_ray.pipelines.sequence import transition_counts
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return transition_counts(ev, "user_id", ("ts", "event_id"), "event_type")
+
+
+def _q_events_funnel(sf_dir: str):
+    """Ordered funnel view->click->purchase with earliest-chaining (each
+    step strictly after the user's earliest valid previous step): one
+    keyed exchange, vectorized np.minimum.at chaining per step."""
+    from text_dedup_ray.pipelines.sequence import funnel_counts
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return funnel_counts(
+        ev, "user_id", "ts", "event_type",
+        ("view", "click", "purchase"), tiebreak_column="event_id",
+    )
+
+
+# fixed decay cutoff just past every sf's event horizon (2024-01-31)
+_DECAY_CUTOFF_US = 1_706_745_600_000_000  # 2024-02-01T00:00:00Z
+
+
+def _q_events_decayed_sum(sf_dir: str):
+    """Per-user exponentially time-decayed value sum (half-life 7 days at
+    a fixed cutoff): stateless vectorized weight stamp + per-block key
+    partials — the recency-weighted engagement score."""
+    from text_dedup_ray.pipelines.sequence import decayed_sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return decayed_sum(
+        ev, "user_id", "ts", "value", _DECAY_CUTOFF_US, 7 * 86400.0
+    )
+
+
+def _q_events_moving_avg(sf_dir: str):
+    """Per-user 4-row moving average (SQL ROWS BETWEEN 3 PRECEDING):
+    keyed exchange + lexsort + cumsum-difference window — O(n), no
+    per-window loop."""
+    from text_dedup_ray.pipelines.sequence import moving_avg
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "value"]
+    )
+    return moving_avg(ev, "user_id", "event_id", "value", window_rows=4)
+
+
+def _q_events_rollup(sf_dir: str):
+    """ROLLUP(event_type, hour-of-day) count + value-sum cube with 'ALL'
+    sentinel rows: finest-level block partials, one tiny fold derives the
+    coarser levels by exact summation."""
+    from text_dedup_ray.pipelines.sequence import rollup_counts
+
+    def d_type(b: pa.Table):
+        return np.asarray([str(x) for x in b["event_type"].to_pylist()], object)
+
+    def d_hour(b: pa.Table):
+        tsi = (
+            b["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        return ((tsi // 3_600_000_000) % 24).astype(str).astype(object)
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    return rollup_counts(ev, {"event_type": d_type, "hour": d_hour}, "value")
+
+
 def _q_embedding_cov(sf_dir: str):
     """Exact population covariance of the embedding table: every block
     reduces to ONE (sum d, outer-sum d x d, n) partial — movement is
@@ -3561,6 +3642,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag_lead": _q_events_lag,
         "events_running_sum": _q_events_running_sum,
         "events_row_number": _q_events_row_number,
+        "events_transitions": _q_events_transitions,
+        "events_funnel": _q_events_funnel,
+        "events_decayed_sum": _q_events_decayed_sum,
+        "events_moving_avg": _q_events_moving_avg,
+        "events_rollup": _q_events_rollup,
         "embedding_covariance": _q_embedding_cov,
         "lang_length_psi": _q_lang_psi,
         "embedding_pca2": _q_embedding_pca,
@@ -4007,6 +4093,44 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
             "SELECT user_id, event_id, value, "
             "lag(value, 1) OVER w AS lag_1, lead(value, 1) OVER w AS lead_1 "
             "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)"
+        ),
+        "events_transitions": (
+            "WITH nx AS (SELECT event_type AS src, lead(event_type) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM events) "
+            "SELECT src, dst, count(*)::BIGINT AS n FROM nx "
+            "WHERE dst IS NOT NULL GROUP BY src, dst"
+        ),
+        "events_funnel": (
+            "WITH s1 AS (SELECT user_id, min(ts) AS t FROM events "
+            "WHERE event_type = 'view' GROUP BY user_id), "
+            "s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            "JOIN s1 USING (user_id) WHERE e.event_type = 'click' "
+            "AND e.ts > s1.t GROUP BY e.user_id), "
+            "s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            "JOIN s2 USING (user_id) WHERE e.event_type = 'purchase' "
+            "AND e.ts > s2.t GROUP BY e.user_id) "
+            "SELECT 1::BIGINT AS step, 'view' AS event_type, "
+            "count(*)::BIGINT AS n_keys FROM s1 "
+            "UNION ALL SELECT 2, 'click', count(*) FROM s2 "
+            "UNION ALL SELECT 3, 'purchase', count(*) FROM s3"
+        ),
+        "events_decayed_sum": (
+            f"SELECT user_id, round(sum(value * power(2.0, "
+            f"-(({_DECAY_CUTOFF_US} - epoch_us(ts)) / (7.0 * 86400.0 * 1000000)))), 4) "
+            f"AS decayed_value FROM events GROUP BY user_id"
+        ),
+        "events_moving_avg": (
+            "SELECT user_id, event_id, value, "
+            "round(avg(value) OVER (PARTITION BY user_id ORDER BY event_id "
+            "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS moving_avg "
+            "FROM events"
+        ),
+        "events_rollup": (
+            "SELECT coalesce(event_type, 'ALL') AS event_type, "
+            "coalesce(CAST(hour AS VARCHAR), 'ALL') AS hour, "
+            "count(*)::BIGINT AS n, round(sum(value), 3) AS sum_value "
+            "FROM (SELECT event_type, extract(hour FROM ts)::BIGINT AS hour, "
+            "value FROM events) GROUP BY ROLLUP(event_type, hour)"
         ),
         "lineitem_semi_urgent": (
             "SELECT l_orderkey, round(l_quantity, 2) AS l_quantity "

@@ -1,0 +1,177 @@
+"""Event-sequence analytics: transitions, funnel, decayed sum, moving
+average, rollup — DuckDB window/ROLLUP parity plus edge cases."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from text_dedup_ray.pipelines.sequence import (
+    decayed_sum,
+    funnel_counts,
+    moving_avg,
+    rollup_counts,
+    transition_counts,
+)
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    out = df[cols].copy()
+    for c in cols:
+        if out[c].dtype == object:
+            out[c] = out[c].astype(str)
+    return out.sort_values(cols, kind="stable").reset_index(drop=True)
+
+
+def _events(n=3000, seed=7):
+    rng = np.random.default_rng(seed)
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    return pa.table(
+        {
+            "uid": rng.integers(0, 80, n).tolist(),
+            "eid": rng.permutation(n).tolist(),
+            "ts": (base + rng.integers(0, 10**9, n).astype("timedelta64[us]")),
+            "etype": rng.choice(["a", "b", "c", "d"], n).tolist(),
+            "v": np.round(rng.normal(10, 40, n), 3).tolist(),  # negatives too
+        }
+    )
+
+
+class TestTransitions:
+    def test_matches_duckdb(self):
+        tbl = _events()
+        got = transition_counts(
+            ray.data.from_arrow(tbl).repartition(5),
+            "uid", ("ts", "eid"), "etype", num_partitions=4,
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("t", tbl)
+        exp = con.execute(
+            "WITH nx AS (SELECT etype AS src, lead(etype) OVER "
+            "(PARTITION BY uid ORDER BY ts, eid) AS dst FROM t) "
+            "SELECT src, dst, count(*)::BIGINT AS n FROM nx "
+            "WHERE dst IS NOT NULL GROUP BY src, dst"
+        ).fetchdf()
+        pd.testing.assert_frame_equal(_canon(got), _canon(exp), check_dtype=False)
+
+    def test_single_event_keys_emit_nothing(self):
+        tbl = pa.table(
+            {
+                "uid": [1, 2, 3],
+                "eid": [1, 2, 3],
+                "ts": pa.array([1, 2, 3], pa.timestamp("us")),
+                "etype": ["a", "b", "a"],
+            }
+        )
+        got = transition_counts(
+            ray.data.from_arrow(tbl), "uid", ("ts", "eid"), "etype"
+        ).to_pandas()
+        assert len(got) == 0
+
+
+class TestFunnel:
+    def test_matches_duckdb_chained(self):
+        tbl = _events()
+        got = funnel_counts(
+            ray.data.from_arrow(tbl).repartition(4),
+            "uid", "ts", "etype", ("a", "b", "c"),
+            tiebreak_column="eid", num_partitions=4,
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("t", tbl)
+        exp = con.execute(
+            "WITH s1 AS (SELECT uid, min(ts) AS t FROM t WHERE etype='a' GROUP BY uid), "
+            "s2 AS (SELECT e.uid, min(e.ts) AS t FROM t e JOIN s1 USING (uid) "
+            "WHERE e.etype='b' AND e.ts > s1.t GROUP BY e.uid), "
+            "s3 AS (SELECT e.uid, min(e.ts) AS t FROM t e JOIN s2 USING (uid) "
+            "WHERE e.etype='c' AND e.ts > s2.t GROUP BY e.uid) "
+            "SELECT 1::BIGINT AS step, 'a' AS etype, count(*)::BIGINT AS n_keys FROM s1 "
+            "UNION ALL SELECT 2, 'b', count(*) FROM s2 "
+            "UNION ALL SELECT 3, 'c', count(*) FROM s3"
+        ).fetchdf()
+        pd.testing.assert_frame_equal(_canon(got), _canon(exp), check_dtype=False)
+        assert got.sort_values("step").n_keys.is_monotonic_decreasing
+
+    def test_strict_order_required(self):
+        # user did b BEFORE a only -> completes step 1 (a) but not step 2
+        ts = pa.array([1, 2], pa.timestamp("us"))
+        tbl = pa.table({"uid": [1, 1], "eid": [1, 2], "ts": ts, "etype": ["b", "a"]})
+        got = (
+            funnel_counts(ray.data.from_arrow(tbl), "uid", "ts", "etype", ("a", "b"))
+            .to_pandas()
+            .sort_values("step")
+        )
+        assert got.n_keys.tolist() == [1, 0]
+
+
+class TestDecayedSum:
+    def test_matches_duckdb(self):
+        tbl = _events()
+        cutoff = int(pd.Timestamp("2024-03-20").value // 1000)
+        hl = 5 * 86400.0
+        got = decayed_sum(
+            ray.data.from_arrow(tbl).repartition(5), "uid", "ts", "v",
+            cutoff, hl, num_partitions=4,
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("t", tbl)
+        exp = con.execute(
+            f"SELECT uid, round(sum(v * power(2.0, "
+            f"-(({cutoff} - epoch_us(ts)) / ({hl} * 1000000)))), 4) "
+            f"AS decayed_value FROM t GROUP BY uid"
+        ).fetchdf()
+        pd.testing.assert_frame_equal(_canon(got), _canon(exp), check_dtype=False)
+
+
+class TestMovingAvg:
+    def test_matches_duckdb(self):
+        tbl = _events()
+        got = moving_avg(
+            ray.data.from_arrow(tbl).repartition(5), "uid", "eid", "v",
+            window_rows=4, num_partitions=4,
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("t", tbl)
+        exp = con.execute(
+            "SELECT uid, eid, v, round(avg(v) OVER (PARTITION BY uid "
+            "ORDER BY eid ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) "
+            "AS moving_avg FROM t"
+        ).fetchdf()
+        pd.testing.assert_frame_equal(_canon(got), _canon(exp), check_dtype=False)
+
+    def test_window_one_is_identity(self):
+        tbl = pa.table({"uid": [1, 1, 2], "eid": [1, 2, 3], "v": [3.0, 5.0, 7.0]})
+        got = moving_avg(ray.data.from_arrow(tbl), "uid", "eid", "v", 1).to_pandas()
+        assert got.sort_values("eid").moving_avg.tolist() == [3.0, 5.0, 7.0]
+
+
+class TestRollup:
+    def test_matches_duckdb_rollup(self):
+        tbl = _events()
+
+        def d_type(b):
+            return np.asarray([str(x) for x in b["etype"].to_pylist()], object)
+
+        def d_hour(b):
+            tsi = (
+                b["ts"].to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]").astype(np.int64)
+            )
+            return ((tsi // 3_600_000_000) % 24).astype(str).astype(object)
+
+        got = rollup_counts(
+            ray.data.from_arrow(tbl).repartition(5),
+            {"etype": d_type, "hour": d_hour}, "v",
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("t", tbl)
+        exp = con.execute(
+            "SELECT coalesce(etype, 'ALL') AS etype, "
+            "coalesce(CAST(hour AS VARCHAR), 'ALL') AS hour, "
+            "count(*)::BIGINT AS n, round(sum(v), 3) AS sum_value "
+            "FROM (SELECT etype, extract(hour FROM ts)::BIGINT AS hour, v FROM t) "
+            "GROUP BY ROLLUP(etype, hour)"
+        ).fetchdf()
+        pd.testing.assert_frame_equal(_canon(got), _canon(exp), check_dtype=False)

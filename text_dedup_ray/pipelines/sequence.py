@@ -1,0 +1,421 @@
+"""Event-sequence analytics: transition matrices, ordered funnels,
+time-decayed aggregates, row-window moving averages, and rollup cubes.
+
+These are the session/behavior-level query shapes a training-data or
+telemetry pipeline runs next to dedup (the reference has no equivalent;
+the SQL window/ROLLUP semantics are the contract, implemented on the
+same key-hash exchange + per-partition lexsort kernel as
+``agg.with_lag_lead`` / ``agg.with_running_sum``).
+
+Scale shape shared by the per-key kernels: one hash exchange co-locates
+each key's rows (narrow projected columns only), one vectorized lexsort
+per partition orders them, and every output is either a stamped column
+(window ops) or a fixed-cardinality partial (counts) — no driver-side
+row loops, no all-to-all beyond the single keyed exchange.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..stages.exchange import distinct_key_partition, hash_partition_exchange
+
+_PART = "__seq_part"
+
+
+def _tag_by_key(ds: ray.data.Dataset, cols: list[str], key: str, num_partitions: int):
+    def tag(batch: pa.Table) -> pa.Table:
+        t = batch.select(cols)
+        if batch.num_rows == 0:
+            return t.append_column(_PART, pa.array([], pa.int64()))
+        k = t[key].to_numpy(zero_copy_only=False)
+        part = distinct_key_partition(k, num_partitions)
+        return t.append_column(_PART, pa.array(part))
+
+    return ds.map_batches(tag, batch_format="pyarrow", batch_size=None)
+
+
+def _order_arrays(group: pa.Table, key: str, order_columns: tuple[str, ...]):
+    """lexsort a co-located partition by (key, *order_columns)."""
+    k = group[key].to_numpy(zero_copy_only=False)
+    orders = [group[c].to_numpy(zero_copy_only=False) for c in order_columns]
+    perm = np.lexsort(tuple(reversed(orders)) + (k,))
+    return k[perm], perm
+
+
+def transition_counts(
+    ds: ray.data.Dataset,
+    key: str,
+    order_columns: tuple[str, ...],
+    state_column: str,
+    src_alias: str = "src",
+    dst_alias: str = "dst",
+    count_alias: str = "n",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """First-order Markov transition counts: for every key's event stream
+    ordered by ``order_columns``, count consecutive ``(state -> next
+    state)`` pairs corpus-wide (SQL: ``lead(state) OVER (PARTITION BY key
+    ORDER BY ...)`` then ``GROUP BY src, dst``).
+
+    Scale shape: a key's rows co-locate once; each partition counts its
+    transitions with factorize + bincount (one row per DISTINCT (src,
+    dst) per partition — at most |states|^2); the final fold sums P tiny
+    partials. Only (key, order, state) columns ever move."""
+
+    def fold(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                src_alias: pa.array([], pa.string()),
+                dst_alias: pa.array([], pa.string()),
+                count_alias: pa.array([], pa.int64()),
+                _PART: pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows < 2 or key not in group.column_names:
+            return empty
+        ks, perm = _order_arrays(group, key, order_columns)
+        enc = group[state_column].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)[perm]
+        states = np.asarray(enc.dictionary.to_pandas(), dtype=object)
+        same = ks[1:] == ks[:-1]
+        if not same.any():
+            return empty
+        n_s = len(states)
+        combo = codes[:-1][same] * n_s + codes[1:][same]
+        ucombo, cnt = np.unique(combo, return_counts=True)
+        return pa.table(
+            {
+                src_alias: pa.array(states[ucombo // n_s], pa.string()),
+                dst_alias: pa.array(states[ucombo % n_s], pa.string()),
+                count_alias: pa.array(cnt.astype(np.int64)),
+                _PART: pa.array(np.zeros(len(ucombo), np.int64)),
+            }
+        )
+
+    def total(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                src_alias: pa.array([], pa.string()),
+                dst_alias: pa.array([], pa.string()),
+                count_alias: pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or src_alias not in group.column_names:
+            return empty
+        summed = (
+            group.select([src_alias, dst_alias, count_alias])
+            .group_by([src_alias, dst_alias])
+            .aggregate([(count_alias, "sum")])
+        )
+        return pa.table(
+            {
+                src_alias: summed[src_alias],
+                dst_alias: summed[dst_alias],
+                count_alias: summed[f"{count_alias}_sum"].cast(pa.int64()),
+            }
+        )
+
+    cols = [key, *order_columns, state_column]
+    tagged = _tag_by_key(ds, cols, key, num_partitions)
+    partials = hash_partition_exchange(tagged, _PART, num_partitions, fold)
+    return hash_partition_exchange(partials, _PART, 1, total)
+
+
+def funnel_counts(
+    ds: ray.data.Dataset,
+    key: str,
+    ts_column: str,
+    state_column: str,
+    steps: tuple[str, ...],
+    tiebreak_column: str | None = None,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Ordered-funnel completion counts: for each prefix of ``steps``,
+    how many keys performed those states in order (earliest-chaining:
+    step i+1 must occur STRICTLY after the key's earliest valid step-i
+    time — the standard ``min(ts) ... JOIN ... ts > prev`` SQL funnel).
+
+    Scale shape: one keyed exchange; each partition chains its keys
+    vectorized (``np.minimum.at`` per step over the factorized key
+    index — |steps| passes, no per-key loop) and emits |steps| partial
+    counts; the final fold sums P x |steps| integers."""
+    order_cols = (ts_column,) + ((tiebreak_column,) if tiebreak_column else ())
+
+    def fold(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "step": pa.array([], pa.int64()),
+                state_column: pa.array([], pa.string()),
+                "n_keys": pa.array([], pa.int64()),
+                _PART: pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or key not in group.column_names:
+            return empty
+        ks, perm = _order_arrays(group, key, order_cols)
+        tsv = group[ts_column].to_numpy(zero_copy_only=False)[perm]
+        tsi = tsv.astype("datetime64[us]").astype(np.int64)
+        sv = np.asarray(group[state_column].to_pandas(), dtype=object)[perm]
+        _, kidx = np.unique(ks, return_inverse=True)
+        n_keys = kidx.max() + 1
+        prev = np.full(n_keys, np.iinfo(np.int64).min, np.int64)
+        reached = np.ones(n_keys, bool)
+        counts = []
+        for s in steps:
+            m = (sv == s) & reached[kidx] & (tsi > prev[kidx])
+            cand = np.full(n_keys, np.iinfo(np.int64).max, np.int64)
+            np.minimum.at(cand, kidx[m], tsi[m])
+            reached &= cand < np.iinfo(np.int64).max
+            prev = np.where(reached, cand, prev)
+            counts.append(int(reached.sum()))
+        return pa.table(
+            {
+                "step": pa.array(np.arange(1, len(steps) + 1, dtype=np.int64)),
+                state_column: pa.array(list(steps), pa.string()),
+                "n_keys": pa.array(np.asarray(counts, np.int64)),
+                _PART: pa.array(np.zeros(len(steps), np.int64)),
+            }
+        )
+
+    def total(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "step": pa.array([], pa.int64()),
+                state_column: pa.array([], pa.string()),
+                "n_keys": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "step" not in group.column_names:
+            return empty
+        summed = (
+            group.select(["step", state_column, "n_keys"])
+            .group_by(["step", state_column])
+            .aggregate([("n_keys", "sum")])
+        )
+        s = summed.sort_by([("step", "ascending")])
+        return pa.table(
+            {
+                "step": s["step"],
+                state_column: s[state_column],
+                "n_keys": s["n_keys_sum"].cast(pa.int64()),
+            }
+        )
+
+    cols = [key, *order_cols, state_column]
+    # order_cols may repeat ts; dedupe while preserving order
+    cols = list(dict.fromkeys(cols))
+    tagged = _tag_by_key(ds, cols, key, num_partitions)
+    partials = hash_partition_exchange(tagged, _PART, num_partitions, fold)
+    return hash_partition_exchange(partials, _PART, 1, total)
+
+
+def decayed_sum(
+    ds: ray.data.Dataset,
+    key: str,
+    ts_column: str,
+    value_column: str,
+    cutoff_us: int,
+    half_life_s: float,
+    alias: str = "decayed_value",
+    round_to: int = 4,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Per-key exponentially time-decayed value sum at a cutoff instant:
+    ``sum(value * 2^(-(cutoff - ts)/half_life))`` — the recency-weighted
+    engagement/frequency score used for freshness-aware sampling.
+
+    Scale shape: the weight is a stateless vectorized stamp; blocks
+    pre-reduce to one (key, partial_sum) row per distinct key per block,
+    so the exchange moves O(distinct keys) floats, never rows."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key: pa.array([], pa.int64()),
+                "s": pa.array([], pa.float64()),
+                _PART: pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        k = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        tsi = (
+            batch[ts_column]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        v = batch[value_column].to_numpy(zero_copy_only=False).astype(np.float64)
+        w = v * np.exp2(-(cutoff_us - tsi) / (half_life_s * 1e6))
+        uk, inv = np.unique(k, return_inverse=True)
+        sums = np.bincount(inv, weights=w, minlength=len(uk))
+        part = distinct_key_partition(uk, num_partitions)
+        return pa.table(
+            {
+                key: pa.array(uk),
+                "s": pa.array(sums),
+                _PART: pa.array(part),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {key: pa.array([], pa.int64()), alias: pa.array([], pa.float64())}
+        )
+        if group.num_rows == 0 or key not in group.column_names:
+            return empty
+        k = group[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = group["s"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(k, return_inverse=True)
+        sums = np.bincount(inv, weights=s, minlength=len(uk))
+        return pa.table(
+            {key: pa.array(uk), alias: pa.array(np.round(sums, round_to))}
+        )
+
+    pre = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return hash_partition_exchange(pre, _PART, num_partitions, fold)
+
+
+def moving_avg(
+    ds: ray.data.Dataset,
+    key: str,
+    order_column: str,
+    value_column: str,
+    window_rows: int,
+    alias: str = "moving_avg",
+    round_to: int = 6,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Per-key row-window moving average (SQL ``avg(value) OVER
+    (PARTITION BY key ORDER BY order ROWS BETWEEN window_rows-1 PRECEDING
+    AND CURRENT ROW)``): the same exchange + lexsort as
+    ``with_running_sum``, with the window sum taken as a difference of
+    two extended-precision cumsum reads — O(n) per partition, no
+    per-window loop."""
+    if window_rows < 1:
+        raise ValueError("window_rows must be >= 1")
+
+    def fold(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key: pa.array([], pa.int64()),
+                order_column: pa.array([], pa.int64()),
+                value_column: pa.array([], pa.float64()),
+                alias: pa.array([], pa.float64()),
+            }
+        )
+        if group.num_rows == 0 or key not in group.column_names:
+            return empty
+        k = group[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = group[order_column].to_numpy(zero_copy_only=False)
+        v = group[value_column].to_numpy(zero_copy_only=False).astype(np.float64)
+        perm = np.lexsort((o, k))
+        ks, vs = k[perm], v[perm]
+        n = len(ks)
+        cs = np.cumsum(vs, dtype=np.longdouble)
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        sizes = np.diff(np.r_[starts, n])
+        pos = np.arange(n) - np.repeat(starts, sizes)
+        wlen = np.minimum(pos + 1, window_rows)
+        lo = np.arange(n) - wlen + 1  # window start, always within the key
+        base = np.where(lo > 0, cs[np.maximum(lo - 1, 0)], np.longdouble(0))
+        avg = ((cs - base) / wlen).astype(np.float64)
+        out = group.drop_columns([_PART]).take(pa.array(perm))
+        return out.append_column(alias, pa.array(np.round(avg, round_to)))
+
+    tagged = _tag_by_key(ds, [key, order_column, value_column], key, num_partitions)
+    return hash_partition_exchange(tagged, _PART, num_partitions, fold)
+
+
+def rollup_counts(
+    ds: ray.data.Dataset,
+    dim_exprs: dict[str, "callable"],
+    value_column: str,
+    all_sentinel: str = "ALL",
+    round_to: int = 3,
+) -> ray.data.Dataset:
+    """ROLLUP cube over two derived dimensions: count + value sum at the
+    finest level plus every coarser prefix level, NULL-free (rollup rows
+    carry the ``all_sentinel`` string instead of SQL's NULL so the output
+    schema stays string-typed and unambiguous).
+
+    ``dim_exprs`` maps output dim name -> fn(pa.Table) returning a
+    string numpy array (the derived dimension per row).
+
+    Scale shape: blocks pre-reduce to finest-level (d1, d2, n, sv)
+    partials — rollup dimensions are low-cardinality by definition, so
+    P x |d1 x d2| partial rows fold in ONE single-partition reduce that
+    derives every coarser level by exact integer/float summation (a
+    count/sum rollup is distributive: coarse = sum of fine)."""
+    names = list(dim_exprs)
+    if len(names) != 2:
+        raise ValueError("rollup_counts supports exactly two dimensions")
+    d1, d2 = names
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                d1: pa.array([], pa.string()),
+                d2: pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "sv": pa.array([], pa.float64()),
+                _PART: pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        a = np.asarray(dim_exprs[d1](batch), dtype=object)
+        b = np.asarray(dim_exprs[d2](batch), dtype=object)
+        v = batch[value_column].to_numpy(zero_copy_only=False).astype(np.float64)
+        ua, ia = np.unique(a, return_inverse=True)
+        ub, ib = np.unique(b, return_inverse=True)
+        combo = ia * len(ub) + ib
+        uc, inv = np.unique(combo, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uc)).astype(np.int64)
+        sv = np.bincount(inv, weights=v, minlength=len(uc))
+        return pa.table(
+            {
+                d1: pa.array(ua[uc // len(ub)], pa.string()),
+                d2: pa.array(ub[uc % len(ub)], pa.string()),
+                "n": pa.array(n),
+                "sv": pa.array(sv),
+                _PART: pa.array(np.zeros(len(uc), np.int64)),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                d1: pa.array([], pa.string()),
+                d2: pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "sum_value": pa.array([], pa.float64()),
+            }
+        )
+        if group.num_rows == 0 or d1 not in group.column_names:
+            return empty
+        import pandas as pd
+
+        df = group.select([d1, d2, "n", "sv"]).to_pandas()
+        fine = df.groupby([d1, d2], as_index=False).sum()
+        lvl1 = fine.groupby(d1, as_index=False)[["n", "sv"]].sum()
+        lvl1[d2] = all_sentinel
+        grand = pd.DataFrame(
+            {d1: [all_sentinel], d2: [all_sentinel],
+             "n": [fine["n"].sum()], "sv": [fine["sv"].sum()]}
+        )
+        out = pd.concat([fine, lvl1, grand], ignore_index=True)
+        return pa.table(
+            {
+                d1: pa.array(out[d1].astype(str), pa.string()),
+                d2: pa.array(out[d2].astype(str), pa.string()),
+                "n": pa.array(out["n"].to_numpy(np.int64)),
+                "sum_value": pa.array(np.round(out["sv"].to_numpy(np.float64), round_to)),
+            }
+        )
+
+    pre = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return hash_partition_exchange(pre, _PART, 1, fold)
