@@ -736,6 +736,28 @@ def _q_top_bigrams(sf_dir: str):
     )
 
 
+def _q_bigram_pmi(sf_dir: str):
+    """Collocation PMI for the exact top-100 bigrams: pruned heavy-hitter
+    exchange + a closed-over 2n-word vocabulary unigram pass (O(blocks x
+    2n) partial rows)."""
+    from text_dedup_ray.pipelines.corpus import bigram_pmi
+
+    return ray.data.from_arrow(
+        bigram_pmi(_docs(sf_dir, ["doc_id", "text"]), n=100)
+    )
+
+
+def _q_lang_token_entropy(sf_dir: str):
+    """Per-language token Shannon entropy over the exact global token
+    distribution: ngram=1 shingle partials, token-hash exchange, two
+    floats per (partition, group) to the final fold."""
+    from text_dedup_ray.pipelines.corpus import token_entropy_by_group
+
+    return token_entropy_by_group(
+        _docs(sf_dir, ["doc_id", "text", "lang"]), group_column="lang"
+    )
+
+
 def _q_source_checksums(sf_dir: str):
     """Order-independent per-source integrity stamp: row count + wrap-sum
     (mod 2^64) of md5-prefix-64 per row — any partitioning reproduces it."""
@@ -3592,6 +3614,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_safe_split": _q_cluster_safe_split,
         "source_checksums": _q_source_checksums,
         "top_bigrams": _q_top_bigrams,
+        "bigram_pmi": _q_bigram_pmi,
+        "lang_token_entropy": _q_lang_token_entropy,
         "source_shingle_hll_registers": _q_shingle_hll,
         "shingle_hll_incremental": _q_shingle_hll_incremental,
         "events_user_cms_incremental": _q_cms_incremental,
@@ -3932,6 +3956,31 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
             "j -> array_to_string(ts[j:j+1], ' '))) AS g FROM tk WHERE len(ts) >= 2) "
             "SELECT g AS gram, count(*)::BIGINT AS cnt FROM w GROUP BY g "
             "ORDER BY cnt DESC, gram ASC LIMIT 50"
+        ),
+        "bigram_pmi": (
+            "WITH tk AS (SELECT regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts "
+            "FROM documents), "
+            "tok AS (SELECT unnest(ts) AS t FROM tk), "
+            "uni AS (SELECT t, count(*)::DOUBLE AS c FROM tok GROUP BY t), "
+            "t1 AS (SELECT count(*)::DOUBLE AS v FROM tok), "
+            "bg AS (SELECT unnest(list_transform(generate_series(1, len(ts) - 1), "
+            "j -> array_to_string(ts[j:j+1], ' '))) AS g FROM tk WHERE len(ts) >= 2), "
+            "bgc AS (SELECT g, count(*)::DOUBLE AS c FROM bg GROUP BY g), "
+            "t2 AS (SELECT count(*)::DOUBLE AS v FROM bg), "
+            "top AS (SELECT g, c FROM bgc ORDER BY c DESC, g ASC LIMIT 100) "
+            "SELECT top.g AS gram, top.c::BIGINT AS cnt, "
+            "round(ln((top.c / t2.v) / ((ua.c / t1.v) * (ub.c / t1.v))), 6) AS pmi "
+            "FROM top CROSS JOIN t1 CROSS JOIN t2 "
+            "JOIN uni ua ON ua.t = split_part(top.g, ' ', 1) "
+            "JOIN uni ub ON ub.t = split_part(top.g, ' ', 2)"
+        ),
+        "lang_token_entropy": (
+            "WITH tk AS (SELECT lang, unnest(regexp_extract_all(lower(text), "
+            "'[a-z0-9_]+')) AS t FROM documents), "
+            "c AS (SELECT lang, t, count(*)::DOUBLE AS c FROM tk GROUP BY lang, t), "
+            "g AS (SELECT lang, sum(c) AS T, sum(c * ln(c)) AS s FROM c GROUP BY lang) "
+            "SELECT lang, round(ln(T) - s / T, 6) AS token_entropy, "
+            "T::BIGINT AS n_tokens FROM g"
         ),
         "source_checksums": (
             "SELECT source, count(*)::BIGINT AS n_docs, "

@@ -789,3 +789,164 @@ def dup_mass_by_group(
     return out.map_batches(
         lambda t: t.drop_columns(["__np"]), batch_format="pyarrow"
     )
+
+
+def bigram_pmi(
+    ds: ray.data.Dataset,
+    text_column: str = "text",
+    n: int = 100,
+    num_partitions: int = 32,
+    round_to: int = 6,
+) -> pa.Table:
+    """Collocation scores: pointwise mutual information ``ln(p(ab) /
+    (p(a) p(b)))`` for the corpus-wide top-``n`` most frequent word
+    bigrams — the standard "is this phrase a real collocation or just two
+    frequent words" statistic for stop-phrase and boilerplate lists.
+
+    Scale shape: the bigram heavy hitters come from the pruned
+    :func:`top_frequent_ngrams` exchange; their <= 2n member words form a
+    tiny vocabulary that is CLOSED OVER once (broadcast, not re-shipped
+    per row), so the unigram pass emits only O(blocks x 2n) partial rows
+    plus two total counters per block; everything global the driver sees
+    is the (n + 2n + 2)-row fold."""
+    top = top_frequent_ngrams(ds, text_column, ngram=2, n=n,
+                              num_partitions=num_partitions)
+    grams = top["gram"].to_pylist()
+    cnts = np.asarray(top["cnt"].to_pylist(), np.int64)
+    vocab_arr = np.array(sorted({w for g in grams for w in g.split(" ")}), object)
+
+    # '#' is outside the [a-z0-9_]+ token class, so these keys can never
+    # collide with a real token (NB: NUL-prefixed sentinels are corrupted
+    # by Ray's block builder on this Ray version — stay printable)
+    _T1, _T2 = "#tokens", "#bigrams"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"k": pa.array([], pa.string()), "c": pa.array([], pa.int64())}
+        )
+        w = _block_windows(batch, text_column, 1)
+        if w is None:
+            return empty
+        uniq_toks, uwin_codes, winv, doc_idx = w
+        occ = np.bincount(winv, minlength=len(uwin_codes)).astype(np.int64)
+        tot_tokens = int(occ.sum())
+        # bigram-occurrence total: windows of size 2 = consecutive tokens
+        # within a doc; recompute cheaply from the same token stream
+        w2 = _block_windows(batch, text_column, 2)
+        tot_bigrams = 0 if w2 is None else int(len(w2[2]))
+        tok_of_win = uniq_toks[uwin_codes[:, 0]]
+        m = np.isin(tok_of_win, vocab_arr)
+        ks = tok_of_win[m].tolist()
+        cs = occ[m].tolist()
+        return pa.table(
+            {
+                "k": pa.array(ks + [_T1, _T2], pa.string()),
+                "c": pa.array(cs + [tot_tokens, tot_bigrams], pa.int64()),
+            }
+        )
+
+    # partial rows are O(blocks x 2n): a driver-side fold of the partials
+    # is the scale design, not a shortcut
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    agg = partials.to_pandas().groupby("k")["c"].sum()
+    t1 = float(agg.get(_T1, 0))
+    t2 = float(agg.get(_T2, 0))
+    pmi = np.empty(len(grams), np.float64)
+    for i, (g, c_ab) in enumerate(zip(grams, cnts)):
+        a, b = g.split(" ")
+        pmi[i] = np.log(
+            (c_ab / t2) / ((float(agg[a]) / t1) * (float(agg[b]) / t1))
+        )
+    return pa.table(
+        {
+            "gram": pa.array(grams, pa.string()),
+            "cnt": pa.array(cnts),
+            "pmi": pa.array(np.round(pmi, round_to)),
+        }
+    )
+
+
+def token_entropy_by_group(
+    ds: ray.data.Dataset,
+    text_column: str = "text",
+    group_column: str = "lang",
+    num_partitions: int = 16,
+    round_to: int = 6,
+) -> ray.data.Dataset:
+    """Per-group token Shannon entropy ``H = ln(T) - (sum c ln c) / T``
+    over the exact corpus-wide token distribution — the
+    lexical-diversity signal for mixture planning (a low-entropy source
+    is boilerplate-heavy even when its dedup rate is low).
+
+    Scale shape: the :func:`_shingle_partial` kernel (ngram=1) emits one
+    (group, token-md5, cnt) row per block-distinct token; the token-hash
+    exchange makes per-partition (group, token) sums exact, and each
+    partition folds them to TWO floats per group (``sum c`` and
+    ``sum c ln c``) — the entropy join is over O(P x groups) rows."""
+    group_type = ds.schema().base_schema.field(group_column).type
+
+    pre = ds.map_batches(
+        lambda b: _shingle_partial(
+            b, text_column, group_column, 1, num_partitions, group_type
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    def fold(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                group_column: pa.array([], group_type),
+                "T": pa.array([], pa.float64()),
+                "s": pa.array([], pa.float64()),
+                _PART: pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "key" not in group.column_names:
+            return empty
+        summed = (
+            group.select([group_column, "key", "cnt"])
+            .group_by([group_column, "key"])
+            .aggregate([("cnt", "sum")])
+        )
+        gvals = np.array(summed[group_column].to_pylist(), dtype=object)
+        c = summed["cnt_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        guniq, g = np.unique(gvals, return_inverse=True)
+        T = np.bincount(g, weights=c, minlength=len(guniq))
+        s = np.bincount(g, weights=c * np.log(c), minlength=len(guniq))
+        return pa.table(
+            {
+                group_column: pa.array(guniq.tolist(), group_type),
+                "T": pa.array(T),
+                "s": pa.array(s),
+                _PART: pa.array(np.zeros(len(guniq), np.int64)),
+            }
+        )
+
+    def total(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                group_column: pa.array([], group_type),
+                "token_entropy": pa.array([], pa.float64()),
+                "n_tokens": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "T" not in group.column_names:
+            return empty
+        gvals = np.array(group[group_column].to_pylist(), dtype=object)
+        T = group["T"].to_numpy(zero_copy_only=False)
+        s = group["s"].to_numpy(zero_copy_only=False)
+        guniq, g = np.unique(gvals, return_inverse=True)
+        Tg = np.bincount(g, weights=T, minlength=len(guniq))
+        sg = np.bincount(g, weights=s, minlength=len(guniq))
+        H = np.where(Tg > 0, np.log(np.maximum(Tg, 1)) - sg / np.maximum(Tg, 1), 0.0)
+        return pa.table(
+            {
+                group_column: pa.array(guniq.tolist(), group_type),
+                "token_entropy": pa.array(np.round(H, round_to)),
+                "n_tokens": pa.array(Tg.astype(np.int64)),
+            }
+        )
+
+    per_part = hash_partition_exchange(pre, _PART, num_partitions, fold)
+    return hash_partition_exchange(per_part, _PART, 1, total)
