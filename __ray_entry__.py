@@ -736,6 +736,33 @@ def _q_top_bigrams(sf_dir: str):
     )
 
 
+def _q_caption_ed1_pairs(sf_dir: str):
+    """Token-edit-distance-1 near-dup pairs over the pinned corpus
+    captions: deletion-neighborhood key join (SymSpell/PassJoin family) —
+    exact and verification-free; identical texts collapse first so hot
+    exact-dup groups never inflate a key bucket."""
+    from text_dedup_ray.pipelines.editdist import token_ed1_pairs
+    from text_dedup_ray.pipelines.images import image_ids_to_row_ids
+
+    ds = image_ids_to_row_ids(
+        _corpus_ds(_ORACLE_CORPUS_SF).select_columns(["image_id", "caption"])
+    )
+    return token_ed1_pairs(ds, "row_id", "caption")
+
+
+def _q_caption_ed1_dedup(sf_dir: str):
+    """Cluster map over the token-ed<=1 duplicate graph (identical-text
+    star edges + rep-level ed=1 pairs -> shared CC)."""
+    from text_dedup_ray.pipelines.editdist import token_ed1_dedup
+    from text_dedup_ray.pipelines.images import image_ids_to_row_ids
+    from text_dedup_ray.stages.cc import cluster_map_table
+
+    ds = image_ids_to_row_ids(
+        _corpus_ds(_ORACLE_CORPUS_SF).select_columns(["image_id", "caption"])
+    )
+    return cluster_map_table(token_ed1_dedup(ds, "row_id", "caption"))
+
+
 def _q_bigram_pmi(sf_dir: str):
     """Collocation PMI for the exact top-100 bigrams: pruned heavy-hitter
     exchange + a closed-over 2n-word vocabulary unigram pass (O(blocks x
@@ -3694,6 +3721,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_containment_pairs": _q_containment_pairs,
         "ngram_jaccard_dedup": _q_jaccard_dedup,
         "jaccard_incremental_docs": _q_jaccard_incremental,
+        "caption_ed1_pairs": _q_caption_ed1_pairs,
+        "caption_ed1_dedup": _q_caption_ed1_dedup,
         # --- similarity search ---
         "ann_topk": _q_ann_topk,
         "ann_ivf_topk": _q_ann_ivf,
@@ -4473,6 +4502,12 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
         # principles in SQL (text_dedup_ray/oracles.py builds these) ---
         "lang_id": _oracles.lang_id_sql(),
         "ngram_jaccard_dedup": _oracles.jaccard_dedup_sql(ngram_size=2, threshold=0.6),
+        "caption_ed1_pairs": _oracles.token_ed1_pairs_sql(
+            _corpus_path(_ORACLE_CORPUS_SF)
+        ),
+        "caption_ed1_dedup": _oracles.token_ed1_dedup_sql(
+            _corpus_path(_ORACLE_CORPUS_SF)
+        ),
         # tiered state == full batch run (tests/test_incremental_jaccard.py)
         "jaccard_incremental_docs": _oracles.jaccard_dedup_sql(ngram_size=2, threshold=0.6),
         "minhash_dedup_docs": _oracles.minhash_dedup_sql(_MINHASH_ORACLE_CFG()),

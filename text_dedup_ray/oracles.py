@@ -1489,3 +1489,55 @@ SELECT co.i AS src, co.j AS dst,
 FROM co JOIN sizes sa ON sa.doc_id = co.i JOIN sizes sb ON sb.doc_id = co.j
 WHERE co.co::DOUBLE / least(sa.sz, sb.sz) >= {threshold}
 """
+
+
+def _ed1_pair_ctes(corpus_path: str) -> str:
+    """Shared CTEs for token-edit-distance-1 over the pinned image corpus
+    captions: the deletion-neighborhood construction is exact (pipelines/
+    editdist.py module docstring) — ed=0 is caption equality, one indel is
+    deletion-of-longer = shorter, one substitution is same-position
+    deletions equal. NB: array_to_string([], ' ') is NULL in DuckDB and
+    str_split('', ' ') is [] — the coalesce and the engine's empty-text =
+    zero-tokens tokenizer keep both sides identical on degenerate rows."""
+    return f"""
+t AS (SELECT CAST(substr(image_id, 5) AS BIGINT) AS rid, caption,
+             str_split(caption, ' ') AS ts
+      FROM read_parquet('{corpus_path}')),
+dels AS (SELECT rid, caption, i AS pos,
+                coalesce(array_to_string(
+                    list_concat(ts[1:i-1], ts[i+1:]), ' '), '') AS k
+         FROM t, UNNEST(generate_series(1, len(ts))) AS u(i)),
+p0 AS (SELECT a.rid AS src, b.rid AS dst, 0 AS token_ed
+       FROM t a JOIN t b ON a.caption = b.caption AND a.rid < b.rid),
+pin AS (SELECT DISTINCT least(a.rid, b.rid) AS src,
+               greatest(a.rid, b.rid) AS dst, 1 AS token_ed
+        FROM dels a JOIN t b ON a.k = b.caption AND a.rid <> b.rid),
+psub AS (SELECT DISTINCT least(a.rid, b.rid) AS src,
+                greatest(a.rid, b.rid) AS dst, 1 AS token_ed
+         FROM dels a JOIN dels b ON a.pos = b.pos AND a.k = b.k
+         AND a.rid < b.rid AND a.caption <> b.caption)
+"""
+
+
+def token_ed1_pairs_sql(corpus_path: str) -> str:
+    """Member-level (src < dst, token_ed) pair set, ed in {0, 1}
+    (pipelines/editdist.token_ed1_pairs)."""
+    return f"""
+WITH {_ed1_pair_ctes(corpus_path)}
+SELECT * FROM p0 UNION SELECT * FROM pin UNION SELECT * FROM psub
+"""
+
+
+def token_ed1_dedup_sql(corpus_path: str) -> str:
+    """Cluster map (row_id, cluster_id) over the token-ed<=1 duplicate
+    graph (pipelines/editdist.token_ed1_dedup): min-id roots via the
+    shared recursive-CTE CC fragment."""
+    return f"""
+WITH RECURSIVE {_ed1_pair_ctes(corpus_path)},
+edges AS (
+  SELECT dst AS hi, src AS lo FROM p0
+  UNION SELECT dst, src FROM pin UNION SELECT dst, src FROM psub
+),
+{CC_FRAGMENT}
+SELECT node AS row_id, cluster_id FROM cc
+"""
