@@ -1506,6 +1506,75 @@ def _q_events_rollup(sf_dir: str):
     return rollup_counts(ev, {"event_type": d_type, "hour": d_hour}, "value")
 
 
+def _q_events_cohorts(sf_dir: str):
+    """Cohort-retention triangle: users grouped by first-event day,
+    counted once per (cohort, day-offset) active day — one keyed
+    exchange, per-partition vectorized chaining, tiny partial fold."""
+    from text_dedup_ray.pipelines.sequence import cohort_retention
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return cohort_retention(ev, "user_id", "ts")
+
+
+def _q_events_mad_outliers(sf_dir: str):
+    """Robust MAD outlier flags per event_type (|v - med| > 3 MAD):
+    exact per-group medians via one key-hash exchange; IEEE-deterministic
+    vs the SQL median."""
+    from text_dedup_ray.pipelines.agg import grouped_mad_outliers
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "event_id", "value"]
+    )
+    return grouped_mad_outliers(ev, "event_type", "event_id", "value")
+
+
+_RANK_MAXC = 1 << 20  # n_chars bound for the composite sort-key encoding
+
+
+def _q_docs_global_rank(sf_dir: str):
+    """Distributed global sort rank (row_number OVER (ORDER BY n_chars
+    DESC, doc_id)): composite int64 key + sample-based range exchange +
+    exclusive prefix-count (pack.global_rank)."""
+    from text_dedup_ray.pipelines.pack import global_rank
+
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+
+    def enc(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"key": pa.array([], pa.int64())})
+        nc = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"key": pa.array(((_RANK_MAXC - nc) << np.int64(32)) | did)}
+        )
+
+    ranked = global_rank(
+        docs.map_batches(enc, batch_format="pyarrow", batch_size=None), "key"
+    )
+
+    def dec(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_chars": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        kv = b["key"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array((kv & ((1 << 32) - 1)).astype(np.int64)),
+                "n_chars": pa.array((_RANK_MAXC - (kv >> 32)).astype(np.int64)),
+                "rank": b["rank"].combine_chunks(),
+            }
+        )
+
+    return ranked.map_batches(dec, batch_format="pyarrow", batch_size=None)
+
+
 def _q_embedding_cov(sf_dir: str):
     """Exact population covariance of the embedding table: every block
     reduces to ONE (sum d, outer-sum d x d, n) partial — movement is
@@ -3698,6 +3767,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_decayed_sum": _q_events_decayed_sum,
         "events_moving_avg": _q_events_moving_avg,
         "events_rollup": _q_events_rollup,
+        "events_cohort_retention": _q_events_cohorts,
+        "events_mad_outliers": _q_events_mad_outliers,
+        "docs_global_rank": _q_docs_global_rank,
         "embedding_covariance": _q_embedding_cov,
         "lang_length_psi": _q_lang_psi,
         "embedding_pca2": _q_embedding_pca,
@@ -4209,6 +4281,28 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
             "count(*)::BIGINT AS n, round(sum(value), 3) AS sum_value "
             "FROM (SELECT event_type, extract(hour FROM ts)::BIGINT AS hour, "
             "value FROM events) GROUP BY ROLLUP(event_type, hour)"
+        ),
+        "events_cohort_retention": (
+            "WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort "
+            "FROM events GROUP BY user_id), "
+            "e AS (SELECT ev.user_id, f.cohort, "
+            "date_diff('day', f.cohort, CAST(ev.ts AS DATE)) AS off "
+            "FROM events ev JOIN f USING (user_id)) "
+            "SELECT CAST(cohort AS VARCHAR) AS cohort_day, off::BIGINT AS day_offset, "
+            "count(DISTINCT user_id)::BIGINT AS n_keys FROM e GROUP BY 1, 2"
+        ),
+        "events_mad_outliers": (
+            "WITH m AS (SELECT event_type, median(value) AS med FROM events "
+            "GROUP BY event_type), "
+            "d AS (SELECT e.event_id, e.event_type, e.value, "
+            "abs(e.value - m.med) AS ad FROM events e JOIN m USING (event_type)), "
+            "m2 AS (SELECT event_type, median(ad) AS mad FROM d GROUP BY event_type) "
+            "SELECT d.event_id, d.event_type, d.value, "
+            "d.ad > 3.0 * m2.mad AS is_outlier FROM d JOIN m2 USING (event_type)"
+        ),
+        "docs_global_rank": (
+            "SELECT doc_id, n_chars, row_number() OVER "
+            "(ORDER BY n_chars DESC, doc_id)::BIGINT AS rank FROM documents"
         ),
         "lineitem_semi_urgent": (
             "SELECT l_orderkey, round(l_quantity, 2) AS l_quantity "

@@ -175,3 +175,83 @@ class TestRollup:
             "GROUP BY ROLLUP(etype, hour)"
         ).fetchdf()
         pd.testing.assert_frame_equal(_canon(got), _canon(exp), check_dtype=False)
+
+
+class TestCohortRetention:
+    def test_matches_duckdb(self):
+        from text_dedup_ray.pipelines.sequence import cohort_retention
+
+        tbl = _events()
+        got = cohort_retention(
+            ray.data.from_arrow(tbl).repartition(5), "uid", "ts",
+            num_partitions=4,
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("t", tbl)
+        exp = con.execute(
+            "WITH f AS (SELECT uid, min(CAST(ts AS DATE)) AS cohort FROM t GROUP BY uid), "
+            "e AS (SELECT t.uid, f.cohort, date_diff('day', f.cohort, CAST(t.ts AS DATE)) AS off "
+            "FROM t JOIN f USING (uid)) "
+            "SELECT CAST(cohort AS VARCHAR) AS cohort_day, off::BIGINT AS day_offset, "
+            "count(DISTINCT uid)::BIGINT AS n_keys FROM e GROUP BY 1, 2"
+        ).fetchdf()
+        pd.testing.assert_frame_equal(_canon(got), _canon(exp), check_dtype=False)
+
+    def test_day_zero_covers_every_key(self):
+        from text_dedup_ray.pipelines.sequence import cohort_retention
+
+        tbl = _events(500)
+        got = cohort_retention(ray.data.from_arrow(tbl), "uid", "ts").to_pandas()
+        n_keys_day0 = got[got.day_offset == 0].n_keys.sum()
+        assert n_keys_day0 == len(np.unique(tbl["uid"].to_numpy()))
+
+
+class TestMadOutliers:
+    def test_matches_duckdb(self):
+        from text_dedup_ray.pipelines.agg import grouped_mad_outliers
+
+        tbl = _events()
+        got = grouped_mad_outliers(
+            ray.data.from_arrow(tbl).repartition(5), "etype", "eid", "v",
+            num_partitions=4,
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("t", tbl)
+        exp = con.execute(
+            "WITH m AS (SELECT etype, median(v) AS med FROM t GROUP BY etype), "
+            "d AS (SELECT t.eid, t.etype, t.v, abs(t.v - m.med) AS ad "
+            "FROM t JOIN m USING (etype)), "
+            "m2 AS (SELECT etype, median(ad) AS mad FROM d GROUP BY etype) "
+            "SELECT d.eid, d.etype, d.v, d.ad > 3.0 * m2.mad AS is_outlier "
+            "FROM d JOIN m2 USING (etype)"
+        ).fetchdf()
+        pd.testing.assert_frame_equal(_canon(got), _canon(exp), check_dtype=False)
+
+    def test_extreme_value_flagged_mean_would_mask(self):
+        from text_dedup_ray.pipelines.agg import grouped_mad_outliers
+
+        v = [10.0, 11.0, 9.0, 10.5, 9.5, 1000.0]
+        tbl = pa.table({"g": ["a"] * 6, "i": list(range(6)), "v": v})
+        got = grouped_mad_outliers(
+            ray.data.from_arrow(tbl), "g", "i", "v"
+        ).to_pandas()
+        assert bool(got[got.i == 5].is_outlier.iloc[0])
+        assert not got[got.i != 5].is_outlier.any()
+
+
+class TestGlobalRank:
+    def test_matches_row_number(self):
+        from text_dedup_ray.pipelines.pack import global_rank
+
+        rng = np.random.default_rng(5)
+        keys = rng.permutation(5000).astype(np.int64)
+        ds = ray.data.from_arrow(pa.table({"key": keys})).repartition(7)
+        got = global_rank(ds, "key", num_partitions=5).to_pandas()
+        got = got.sort_values("key").reset_index(drop=True)
+        assert (got["rank"].to_numpy() == got["key"].to_numpy() + 1).all()
+
+    def test_empty(self):
+        from text_dedup_ray.pipelines.pack import global_rank
+
+        ds = ray.data.from_arrow(pa.table({"key": pa.array([], pa.int64())}))
+        assert global_rank(ds, "key").count() == 0

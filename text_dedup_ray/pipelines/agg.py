@@ -1216,3 +1216,67 @@ def debounce_events(
         num_partitions,
         fold,
     )
+
+
+def grouped_mad_outliers(
+    ds: ray.data.Dataset,
+    key: str,
+    id_column: str,
+    value_column: str,
+    k: float = 3.0,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Robust per-group outlier flags via median absolute deviation:
+    ``is_outlier = |v - median(v)| > k * median(|v - median(v)|)`` — the
+    outlier gate that, unlike the z-score, a few extreme values cannot
+    drag (median and MAD have a 50% breakdown point).
+
+    Exact medians need each group's values together: one key-hash
+    exchange co-locates them (same per-group-fits-a-partition contract as
+    ``grouped_quantiles``; groups here are low-cardinality categories).
+    Both medians and the flags are computed vectorized per group with a
+    loop over GROUPS only. IEEE-deterministic: median of doubles and the
+    single multiply/compare reproduce bit-identically in SQL."""
+    from ..stages.exchange import hash_partition_exchange as _hpe
+
+    def tag(batch: pa.Table) -> pa.Table:
+        t = batch.select([key, id_column, value_column])
+        if batch.num_rows == 0:
+            return t.append_column("__mp", pa.array([], pa.int64()))
+        kv = t[key].to_numpy(zero_copy_only=False)
+        part = distinct_key_partition(kv, num_partitions)
+        return t.append_column("__mp", pa.array(part))
+
+    def fold(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_column: pa.array([], pa.int64()),
+                key: pa.array([], pa.string()),
+                value_column: pa.array([], pa.float64()),
+                "is_outlier": pa.array([], pa.bool_()),
+            }
+        )
+        if group.num_rows == 0 or key not in group.column_names:
+            return empty
+        kv = np.asarray(group[key].to_pylist(), object)
+        ids = group[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = group[value_column].to_numpy(zero_copy_only=False).astype(np.float64)
+        uniq, kidx = np.unique(kv, return_inverse=True)
+        flags = np.zeros(len(v), bool)
+        for gi in range(len(uniq)):
+            m = kidx == gi
+            med = np.median(v[m])
+            ad = np.abs(v[m] - med)
+            mad = np.median(ad)
+            flags[m] = ad > k * mad
+        return pa.table(
+            {
+                id_column: pa.array(ids),
+                key: pa.array(kv.tolist(), pa.string()),
+                value_column: pa.array(v),
+                "is_outlier": pa.array(flags),
+            }
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", batch_size=None)
+    return _hpe(tagged, "__mp", num_partitions, fold)

@@ -204,3 +204,61 @@ def pack_sequences(
         )
 
     return stamped.map_batches(bins, batch_format="pyarrow", batch_size=None)
+
+
+def global_rank(
+    ds: ray.data.Dataset,
+    key_column: str,
+    alias: str = "rank",
+    num_partitions: int = 16,
+    samples_per_block: int = 32,
+) -> ray.data.Dataset:
+    """Global 1-based dense ordering rank over a UNIQUE int64 sort key —
+    the distributed ``row_number() OVER (ORDER BY key)`` (TPC-style
+    global sort): rank = exclusive prefix-COUNT over key order + 1,
+    computed by :func:`global_prefix_sum` with value=1 (sample-based
+    range partitioning, P partition totals to the driver, one range
+    exchange). Composite orderings encode into the int64 key (e.g.
+    ``(max - a) << 32 | b`` for ``ORDER BY a DESC, b``)."""
+
+    def one(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    key_column: pa.array([], pa.int64()),
+                    "__one": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                key_column: batch[key_column].combine_chunks().cast(pa.int64()),
+                "__one": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    stamped = global_prefix_sum(
+        ds.map_batches(one, batch_format="pyarrow", batch_size=None),
+        key_column,
+        "__one",
+        alias=alias,
+        num_partitions=num_partitions,
+        samples_per_block=samples_per_block,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    key_column: pa.array([], pa.int64()),
+                    alias: pa.array([], pa.int64()),
+                }
+            )
+        r = batch[alias].to_numpy(zero_copy_only=False) + 1
+        return pa.table(
+            {
+                key_column: batch[key_column].combine_chunks(),
+                alias: pa.array(r.astype(np.int64)),
+            }
+        )
+
+    return stamped.map_batches(finish, batch_format="pyarrow", batch_size=None)

@@ -419,3 +419,88 @@ def rollup_counts(
 
     pre = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
     return hash_partition_exchange(pre, _PART, 1, fold)
+
+
+def cohort_retention(
+    ds: ray.data.Dataset,
+    key: str,
+    ts_column: str,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Cohort-retention matrix: keys grouped by their FIRST-event day
+    (the cohort), counted once per (cohort, day-offset) they were active
+    on — the standard retention triangle.
+
+    Scale shape: one keyed exchange co-locates each key's events; the
+    partition derives the key's cohort day (vectorized per-key min) and
+    its DISTINCT day offsets in one unique() pass, then emits partial
+    (cohort, offset, n) counts — a key never needs a second exchange,
+    and the final fold sums O(P x cohorts x offsets) integers."""
+    _US_PER_DAY = 86_400_000_000
+
+    def fold(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "cohort_day": pa.array([], pa.string()),
+                "day_offset": pa.array([], pa.int64()),
+                "n_keys": pa.array([], pa.int64()),
+                _PART: pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or key not in group.column_names:
+            return empty
+        k = group[key].to_numpy(zero_copy_only=False)
+        tsi = (
+            group[ts_column]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        day = tsi // _US_PER_DAY
+        uk, kidx = np.unique(k, return_inverse=True)
+        cohort = np.full(len(uk), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(cohort, kidx, day)
+        offset = day - cohort[kidx]
+        # distinct (key, offset) -> then count keys per (cohort, offset)
+        span = offset.max() + 1 if len(offset) else 1
+        ku = np.unique(kidx * span + offset)
+        co_k = (ku // span).astype(np.int64)
+        co_off = (ku % span).astype(np.int64)
+        combo = cohort[co_k] * span + co_off
+        uc, cnt = np.unique(combo, return_counts=True)
+        days = (uc // span).astype("datetime64[D]")
+        return pa.table(
+            {
+                "cohort_day": pa.array(days.astype(str).tolist(), pa.string()),
+                "day_offset": pa.array((uc % span).astype(np.int64)),
+                "n_keys": pa.array(cnt.astype(np.int64)),
+                _PART: pa.array(np.zeros(len(uc), np.int64)),
+            }
+        )
+
+    def total(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "cohort_day": pa.array([], pa.string()),
+                "day_offset": pa.array([], pa.int64()),
+                "n_keys": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "cohort_day" not in group.column_names:
+            return empty
+        summed = (
+            group.select(["cohort_day", "day_offset", "n_keys"])
+            .group_by(["cohort_day", "day_offset"])
+            .aggregate([("n_keys", "sum")])
+        )
+        return pa.table(
+            {
+                "cohort_day": summed["cohort_day"],
+                "day_offset": summed["day_offset"],
+                "n_keys": summed["n_keys_sum"].cast(pa.int64()),
+            }
+        )
+
+    tagged = _tag_by_key(ds, [key, ts_column], key, num_partitions)
+    partials = hash_partition_exchange(tagged, _PART, num_partitions, fold)
+    return hash_partition_exchange(partials, _PART, 1, total)
