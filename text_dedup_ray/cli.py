@@ -728,6 +728,20 @@ def main(argv: list[str] | None = None) -> None:
         )
         assigned = assign_clusters(ds, parents)
         result_ds = assigned if skip_filtering else filter_cluster_roots(assigned)
+    elif name == "editdist":
+        # token-edit-distance-1 dedup (deletion-neighborhood key join)
+        from .pipelines.editdist import token_ed1_dedup
+        from .sources.io import ROW_ID
+        from .stages.assign import assign_clusters, filter_cluster_roots
+
+        parents = token_ed1_dedup(
+            ds,
+            id_column=ROW_ID,
+            text_column=text_column,
+            num_partitions=int(algo.get("num_partitions", 16)),
+        )
+        assigned = assign_clusters(ds, parents)
+        result_ds = assigned if skip_filtering else filter_cluster_roots(assigned)
     elif name == "decontaminate":
         from .pipelines.decontaminate import decontaminate
         from .sources.io import read_table
