@@ -652,6 +652,61 @@ def run_benchmarks() -> None:
             num_partitions=32,
         ).num_rows
 
+    def editdist_dedup_captions():
+        # token-ed<=1 dedup over the full caption corpus (deletion-
+        # neighborhood key join; ~L md5 keys per distinct caption)
+        from text_dedup_ray.pipelines.editdist import token_ed1_dedup
+        from text_dedup_ray.pipelines.images import image_ids_to_row_ids
+        from text_dedup_ray.stages.cc import cluster_map_table
+
+        ds = image_ids_to_row_ids(
+            ray.data.read_parquet(docs_path, columns=["image_id", "caption"])
+        )
+        cm = cluster_map_table(
+            token_ed1_dedup(ds, "row_id", "caption", num_partitions=32)
+        )
+        return cm.num_rows if hasattr(cm, "num_rows") else cm.count()
+
+    def sequence_analytics():
+        # one pass each: transitions + cohort retention over a synthetic
+        # 1M-event stream (derived deterministically from the corpus ids)
+        from text_dedup_ray.pipelines.sequence import (
+            cohort_retention,
+            transition_counts,
+        )
+
+        def to_events(batch):
+            import numpy as np
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            rid = (
+                pc.cast(pc.utf8_slice_codeunits(batch["image_id"], 4), pa.int64())
+                .to_numpy(zero_copy_only=False)
+            )
+            n_rep = 10
+            rid = np.repeat(rid, n_rep)
+            seq = np.tile(np.arange(n_rep, dtype=np.int64), batch.num_rows)
+            uid = rid % 997
+            tsi = (rid * 7919 + seq * 3571) % (30 * 86_400_000_000)
+            return pa.table(
+                {
+                    "uid": pa.array(uid),
+                    "eid": pa.array(rid * n_rep + seq),
+                    "ts": pa.array(tsi.astype("datetime64[us]")),
+                    "etype": pa.array(
+                        np.array(["a", "b", "c", "d"], object)[rid % 4], pa.string()
+                    ),
+                }
+            )
+
+        ev = ray.data.read_parquet(docs_path, columns=["image_id"]).map_batches(
+            to_events, batch_format="pyarrow", batch_size=None
+        )
+        n1 = transition_counts(ev, "uid", ("ts", "eid"), "etype", num_partitions=32).count()
+        n2 = cohort_retention(ev, "uid", "ts", num_partitions=32).count()
+        return n1 + n2
+
     if not headline_only:
         timed("multimodal_images", multimodal_images)
         timed("video_dedup_10pct_n", video_dedup)
@@ -669,6 +724,8 @@ def run_benchmarks() -> None:
         timed("dsir_select_captions", dsir_select_captions)
         timed("shuffle_export_100k", shuffle_export)
         timed("redundancy_by_fmt", redundancy_by_fmt)
+        timed("editdist_dedup_captions", editdist_dedup_captions)
+        timed("sequence_analytics_1m_events", sequence_analytics)
         timed("curate_e2e", curate_e2e)
 
     headline = timings["minhash_images"]
