@@ -1506,6 +1506,20 @@ def _q_events_rollup(sf_dir: str):
     return rollup_counts(ev, {"event_type": d_type, "hour": d_hour}, "value")
 
 
+def _q_events_props_extract(sf_dir: str):
+    """Semi-structured extraction: the integer 'k' field out of the JSON
+    props blob via one vectorized Arrow RE2 kernel (SQL json_extract
+    equivalence is the oracle)."""
+    from text_dedup_ray.pipelines.textops import with_extracted_int
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "props"]
+    )
+    return with_extracted_int(
+        ev, "props", '"k": (?P<v>[0-9]+)', "k", keep_columns=("event_id",)
+    )
+
+
 def _q_events_cohorts(sf_dir: str):
     """Cohort-retention triangle: users grouped by first-event day,
     counted once per (cohort, day-offset) active day — one keyed
@@ -3768,6 +3782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_moving_avg": _q_events_moving_avg,
         "events_rollup": _q_events_rollup,
         "events_cohort_retention": _q_events_cohorts,
+        "events_props_extract": _q_events_props_extract,
         "events_mad_outliers": _q_events_mad_outliers,
         "docs_global_rank": _q_docs_global_rank,
         "embedding_covariance": _q_embedding_cov,
@@ -4303,6 +4318,10 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
         "docs_global_rank": (
             "SELECT doc_id, n_chars, row_number() OVER "
             "(ORDER BY n_chars DESC, doc_id)::BIGINT AS rank FROM documents"
+        ),
+        "events_props_extract": (
+            "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) "
+            "AS k FROM events"
         ),
         "lineitem_semi_urgent": (
             "SELECT l_orderkey, round(l_quantity, 2) AS l_quantity "

@@ -81,3 +81,35 @@ def test_scrubbed_matches_duckdb():
     assert got["scrubbed"].tolist() == exp["s"].tolist()
     assert got["n_scrubbed"].tolist() == exp["n"].tolist()
     assert got["scrubbed"][3] == "a<NUM>b<NUM>c<NUM> <NUM>"
+
+
+class TestExtractedInt:
+    def test_matches_json_extract(self):
+        import duckdb
+        import pandas as pd
+        import pyarrow as pa
+        import ray
+
+        from text_dedup_ray.pipelines.textops import with_extracted_int
+
+        tbl = pa.table(
+            {
+                "i": [1, 2, 3, 4],
+                "props": ['{"k": 87}', '{"k": 0}', "not json", '{"j": 5}'],
+            }
+        )
+        got = with_extracted_int(
+            ray.data.from_arrow(tbl), "props", '"k": (?P<v>[0-9]+)', "k",
+            keep_columns=("i",),
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("t", tbl)
+        # RE2-equivalent oracle (json_extract_string raises on the
+        # deliberately malformed row; the gate corpus is all-valid JSON)
+        exp = con.execute(
+            "SELECT i, CAST(NULLIF(regexp_extract(props, '\"k\": ([0-9]+)', 1), '') "
+            "AS BIGINT) AS k FROM t"
+        ).fetchdf()
+        got = got.sort_values("i").reset_index(drop=True)
+        exp = exp.sort_values("i").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)

@@ -454,3 +454,36 @@ def chunk_text(
         )
 
     return ds.map_batches(explode, batch_format="pyarrow", batch_size=None)
+
+
+def with_extracted_int(
+    ds: ray.data.Dataset,
+    column: str,
+    pattern: str,
+    out_column: str,
+    keep_columns: tuple[str, ...] = (),
+) -> ray.data.Dataset:
+    """Semi-structured field extraction: pull one named integer group out
+    of a string column (e.g. a JSON props blob) with Arrow's RE2
+    ``extract_regex`` — the vectorized equivalent of SQL
+    ``json_extract``/``regexp_extract`` for flat fields. Rows without a
+    match get NULL (SQL LEFT-extract semantics). ``pattern`` must contain
+    exactly one named group called ``v``."""
+    import pyarrow.compute as pc
+
+    def add(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    **{c: batch[c] for c in keep_columns},
+                    out_column: pa.array([], pa.int64()),
+                }
+            )
+        st = pc.extract_regex(batch[column].combine_chunks(), pattern)
+        vals = pc.cast(pc.struct_field(st, "v"), pa.int64())
+        return pa.table(
+            {**{c: batch[c].combine_chunks() for c in keep_columns},
+             out_column: vals}
+        )
+
+    return ds.map_batches(add, batch_format="pyarrow")
