@@ -1299,6 +1299,104 @@ def _q_orders_lineitem_join(sf_dir: str):
     )
 
 
+_Q3_CUT = "1998-06-01"
+
+
+def _q_q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape (shipping-priority revenue top-10): segment-filtered
+    customer SEMI-joins orders, the survivors inner-join lineitem, partial
+    group-sums fold revenue per (order, date), and a constant-key top-k
+    prunes per block — three co-partition exchanges, no sort-based
+    shuffle, raw lineitem rows never leave their block unaggregated."""
+    import pyarrow.compute as pc
+
+    from text_dedup_ray.pipelines.agg import grouped_sum_count, grouped_top_k
+    from text_dedup_ray.pipelines.joins import hash_join
+
+    cut = np.datetime64(_Q3_CUT, "us")
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(
+            ["c_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(
+        lambda t: t.filter(
+            pc.less(t["o_orderdate"], pa.scalar(cut.item(), pa.timestamp("us")))
+        ),
+        batch_format="pyarrow",
+    )
+    bld_orders = hash_join(
+        orders, cust, "o_custkey", "c_custkey",
+        ["o_orderkey", "o_orderdate"], [], how="semi", num_partitions=8,
+    )
+
+    def li_rev(t: pa.Table) -> pa.Table:
+        keep = t.filter(
+            pc.greater(t["l_shipdate"], pa.scalar(cut.item(), pa.timestamp("us")))
+        )
+        rev = pc.multiply(
+            keep["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), keep["l_discount"]),
+        )
+        return pa.table({"l_orderkey": keep["l_orderkey"], "rev": rev})
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(li_rev, batch_format="pyarrow")
+
+    joined = hash_join(
+        li, bld_orders, "l_orderkey", "o_orderkey",
+        ["l_orderkey", "rev"], ["o_orderdate"], how="inner", num_partitions=8,
+    )
+    summed = grouped_sum_count(
+        joined, ["l_orderkey", "o_orderdate"], ["rev"], count_alias="__n"
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "o_orderdate": pa.array([], pa.string()),
+                    "revenue": pa.array([], pa.float64()),
+                    "__g": pa.array([], pa.int64()),
+                }
+            )
+        dates = (
+            t["o_orderdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]").astype(str)
+        )
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"].combine_chunks(),
+                "o_orderdate": pa.array(dates.tolist(), pa.string()),
+                "revenue": pc.round(t["rev"], ndigits=2),
+                "__g": pa.array(np.zeros(t.num_rows, np.int64)),
+            }
+        )
+
+    ranked = grouped_top_k(
+        summed.map_batches(prep, batch_format="pyarrow"),
+        "__g",
+        [("revenue", "descending"), ("l_orderkey", "ascending")],
+        k=10,
+        rank_alias=None,
+        num_partitions=1,
+    )
+    return ranked.map_batches(
+        lambda t: t.drop_columns(["__g"]) if "__g" in t.column_names else t,
+        batch_format="pyarrow",
+    )
+
+
 def _q_events_sliding(sf_dir: str):
     """Sliding 1h windows hopping every 15min: the 4x overlap explode
     happens INSIDE the block partial (one pre-aggregated row per distinct
@@ -1504,6 +1602,24 @@ def _q_events_rollup(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
     )
     return rollup_counts(ev, {"event_type": d_type, "hour": d_hour}, "value")
+
+
+_PROFILE_COLS = [
+    "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate",
+]
+
+
+def _q_lineitem_profile(sf_dir: str):
+    """Schema-health profile of lineitem: per-column null counts, EXACT
+    distinct counts (128-bit value keys, same birthday stance as exact
+    dedup), numeric/timestamp min-max — one narrow pass + one keyed
+    exchange; raw values never leave their block."""
+    from text_dedup_ray.pipelines.profile import profile_table
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=_PROFILE_COLS
+    )
+    return profile_table(ds, _PROFILE_COLS)
 
 
 def _q_events_props_extract(sf_dir: str):
@@ -3769,6 +3885,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pack_plan": _q_pack_plan,
         "mixed_corpus": _q_mixed_corpus,
         "orders_lineitem_join": _q_orders_lineitem_join,
+        "q3_shipping_priority": _q_q3_shipping_priority,
         "events_sliding_1h": _q_events_sliding,
         "orders_full_customers": _q_orders_full_customers,
         "doc_length_quantiles_approx": _q_approx_quantiles,
@@ -3783,6 +3900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": _q_events_rollup,
         "events_cohort_retention": _q_events_cohorts,
         "events_props_extract": _q_events_props_extract,
+        "lineitem_profile": _q_lineitem_profile,
         "events_mad_outliers": _q_events_mad_outliers,
         "docs_global_rank": _q_docs_global_rank,
         "embedding_covariance": _q_embedding_cov,
@@ -4322,6 +4440,34 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
         "events_props_extract": (
             "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) "
             "AS k FROM events"
+        ),
+        "lineitem_profile": (
+            " UNION ALL ".join(
+                f"SELECT '{c}' AS column, count(*)::BIGINT AS n_rows, "
+                f"(count(*) - count({c}))::BIGINT AS n_nulls, "
+                f"count(DISTINCT {c})::BIGINT AS n_distinct, "
+                f"{mn} AS min_value, {mx} AS max_value FROM lineitem"
+                for c, mn, mx in [
+                    ("l_orderkey", "min(l_orderkey)::DOUBLE", "max(l_orderkey)::DOUBLE"),
+                    ("l_quantity", "min(l_quantity)::DOUBLE", "max(l_quantity)::DOUBLE"),
+                    ("l_extendedprice", "min(l_extendedprice)::DOUBLE",
+                     "max(l_extendedprice)::DOUBLE"),
+                    ("l_returnflag", "NULL::DOUBLE", "NULL::DOUBLE"),
+                    ("l_shipdate", "epoch_us(min(l_shipdate))::DOUBLE",
+                     "epoch_us(max(l_shipdate))::DOUBLE"),
+                ]
+            )
+        ),
+        "q3_shipping_priority": (
+            f"SELECT l_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate, "
+            f"round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            f"FROM customer JOIN orders ON c_custkey = o_custkey "
+            f"JOIN lineitem ON l_orderkey = o_orderkey "
+            f"WHERE c_mktsegment = 'BUILDING' "
+            f"AND o_orderdate < TIMESTAMP '{_Q3_CUT}' "
+            f"AND l_shipdate > TIMESTAMP '{_Q3_CUT}' "
+            f"GROUP BY l_orderkey, o_orderdate "
+            f"ORDER BY revenue DESC, l_orderkey LIMIT 10"
         ),
         "lineitem_semi_urgent": (
             "SELECT l_orderkey, round(l_quantity, 2) AS l_quantity "
