@@ -101,3 +101,13 @@ class TestTokenEd1Pairs:
             {"rid": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
         )
         assert len(_pairs(empty)) == 0
+
+    def test_null_text_rows_never_pair(self):
+        tbl = pa.table(
+            {
+                "rid": [1, 2, 3, 4],
+                "text": ["a b", None, "a b", None],
+            }
+        )
+        got = _pairs(tbl)
+        assert {(int(r.src), int(r.dst)) for r in got.itertuples()} == {(1, 3)}

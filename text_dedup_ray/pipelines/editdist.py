@@ -74,6 +74,11 @@ def _collapse_identical(
         )
         if batch.num_rows == 0:
             return empty
+        # NULL text never pairs (SQL equality/join semantics) — drop here
+        if batch[text_column].null_count:
+            batch = batch.filter(batch[text_column].combine_chunks().is_valid())
+            if batch.num_rows == 0:
+                return empty
         ids = batch[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
         texts = batch[text_column].to_pylist()
         h = np.array([_md5_u64_pair(t.encode()) for t in texts], np.int64).reshape(
