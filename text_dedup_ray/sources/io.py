@@ -380,3 +380,77 @@ def write_partitioned(
         except (OSError, pa.ArrowInvalid):
             pass
     return {"written": written, "skipped": sorted(done)}
+
+
+def harmonize_schema(
+    ds: "ray.data.Dataset", target_schema: "pa.Schema"
+) -> "ray.data.Dataset":
+    """Cast every block to ``target_schema``: reorder columns, cast
+    compatible types, fill absent columns with NULLs, drop extras — the
+    mixed-shard ingestion normalizer (shards written by different
+    pipeline versions rarely agree on column order or int widths, and
+    a union of mismatched blocks fails at concat time otherwise).
+    Stateless per-block Arrow casts; zero shuffle."""
+
+    def fix(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = []
+        for field in target_schema:
+            if field.name in batch.column_names:
+                cols.append(batch[field.name].combine_chunks().cast(field.type))
+            else:
+                cols.append(pa.nulls(n, field.type))
+        return pa.table(dict(zip(target_schema.names, cols)))
+
+    return ds.map_batches(fix, batch_format="pyarrow")
+
+
+def compact_parquet_dir(
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+    delete_inputs: bool = False,
+) -> dict:
+    """Compact a directory of small parquet files into ~uniform bigger
+    ones — the post-dedup hygiene pass (a filtered write leaves one
+    shard per surviving block; thousands of KB-files destroy later read
+    planning). Streams through Ray Data (never materializes the corpus)
+    and writes `compact-*.parquet` files of ``target_rows_per_file``
+    rows; returns {files_in, files_out, rows}. With ``delete_inputs``
+    the original small files are removed AFTER the compacted write
+    succeeds (crash-safe order)."""
+    import glob as _glob
+
+    import ray.data as _rd
+
+    files_in = sorted(
+        f for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if not os.path.basename(f).startswith("compact-")
+    )
+    if not files_in:
+        return {"files_in": 0, "files_out": 0, "rows": 0}
+    ds = _rd.read_parquet(files_in)
+    rows = ds.count()
+    n_files = max(1, -(-rows // target_rows_per_file))
+    ds.repartition(n_files).write_parquet(
+        path, filename_provider=_CompactNames()
+    )
+    if delete_inputs:
+        for f in files_in:
+            os.remove(f)
+    files_out = len(
+        [f for f in os.listdir(path) if f.startswith("compact-")]
+    )
+    return {"files_in": len(files_in), "files_out": files_out, "rows": rows}
+
+
+class _CompactNames:
+    """Stable compact-file naming (ray FilenameProvider contract)."""
+
+    def get_filename_for_block(self, block, write_uuid, task_index, block_index):
+        return f"compact-{write_uuid}-{task_index:05d}-{block_index:05d}.parquet"
+
+    def get_filename_for_row(self, row, write_uuid, task_index, block_index, row_index):
+        return (
+            f"compact-{write_uuid}-{task_index:05d}-"
+            f"{block_index:05d}-{row_index:08d}.parquet"
+        )
