@@ -1609,6 +1609,16 @@ _PROFILE_COLS = [
 ]
 
 
+def _q_events_hot_users(sf_dir: str):
+    """Skew diagnostic (the input to a skew_salt decision): exact top-20
+    heaviest user keys with row counts + table share — pruned candidate
+    exchange, driver folds P x (n+1) rows."""
+    from text_dedup_ray.pipelines.agg import skew_report
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return skew_report(ev, "user_id", top_n=20)
+
+
 def _q_lineitem_profile(sf_dir: str):
     """Schema-health profile of lineitem: per-column null counts, EXACT
     distinct counts (128-bit value keys, same birthday stance as exact
@@ -3901,6 +3911,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cohort_retention": _q_events_cohorts,
         "events_props_extract": _q_events_props_extract,
         "lineitem_profile": _q_lineitem_profile,
+        "events_hot_users": _q_events_hot_users,
         "events_mad_outliers": _q_events_mad_outliers,
         "docs_global_rank": _q_docs_global_rank,
         "embedding_covariance": _q_embedding_cov,
@@ -4440,6 +4451,12 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
         "events_props_extract": (
             "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) "
             "AS k FROM events"
+        ),
+        "events_hot_users": (
+            "WITH c AS (SELECT user_id, count(*)::BIGINT AS cnt FROM events "
+            "GROUP BY user_id), t AS (SELECT sum(cnt) AS tot FROM c) "
+            "SELECT user_id, cnt, round(cnt / tot, 6) AS share "
+            "FROM c CROSS JOIN t ORDER BY cnt DESC, user_id LIMIT 20"
         ),
         "lineitem_profile": (
             " UNION ALL ".join(

@@ -234,3 +234,34 @@ class TestApproxQuantiles:
         tbl = pa.table({"id": pa.array([], pa.int64()), "v": pa.array([], pa.float64())})
         out = approx_quantiles(ray.data.from_arrow(tbl), "v", "id", {"p50": 0.5})
         assert out.to_pandas().p50.isna().all()
+
+
+class TestSkewReport:
+    def test_matches_duckdb(self):
+        import duckdb
+        import pandas as pd
+        import pyarrow as pa
+        import ray
+
+        from text_dedup_ray.pipelines.agg import skew_report
+
+        import numpy as np
+        rng = np.random.default_rng(9)
+        # zipf-ish: key 0 is hot
+        keys = np.concatenate([np.zeros(500, np.int64), rng.integers(1, 50, 1500)])
+        tbl = pa.table({"k": rng.permutation(keys).tolist()})
+        got = skew_report(
+            ray.data.from_arrow(tbl).repartition(5), "k", top_n=10,
+            num_partitions=4,
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("t", tbl)
+        exp = con.execute(
+            "WITH c AS (SELECT k, count(*)::BIGINT AS cnt FROM t GROUP BY k), "
+            "tt AS (SELECT sum(cnt) AS tot FROM c) "
+            "SELECT k, cnt, round(cnt / tot, 6) AS share FROM c CROSS JOIN tt "
+            "ORDER BY cnt DESC, k LIMIT 10"
+        ).fetchdf()
+        got = got.sort_values(["cnt", "k"], ascending=[False, True]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        assert got.iloc[0].k == 0 and abs(got.iloc[0].share - 0.25) < 0.01

@@ -1280,3 +1280,101 @@ def grouped_mad_outliers(
 
     tagged = ds.map_batches(tag, batch_format="pyarrow", batch_size=None)
     return _hpe(tagged, "__mp", num_partitions, fold)
+
+
+def skew_report(
+    ds: ray.data.Dataset,
+    key: str,
+    top_n: int = 20,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Hot-key diagnostic for choosing ``skew_salt`` before a big join or
+    group-by: the exact top-``top_n`` heaviest keys with their row counts
+    and share of the table. Blocks pre-reduce to one (key, cnt) row per
+    block-distinct key; the key-hash exchange makes per-partition sums
+    exact; each partition keeps its local top-n (the global top-n is a
+    subset of the union) plus ONE total-row partial, so the driver folds
+    P x (n + 1) rows."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key: pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+                "__sp": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        k = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        uk, inv = np.unique(k, return_inverse=True)
+        cnt = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        part = distinct_key_partition(uk, num_partitions)
+        return pa.table(
+            {key: pa.array(uk), "cnt": pa.array(cnt), "__sp": pa.array(part)}
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key: pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+                "total": pa.array([], pa.int64()),
+                "__pid": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or key not in group.column_names:
+            return empty
+        k = group[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = group["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uk, inv = np.unique(k, return_inverse=True)
+        sums = np.bincount(inv, weights=c, minlength=len(uk)).astype(np.int64)
+        order = np.lexsort((uk, -sums))[:top_n]
+        total = int(sums.sum())
+        pid = int(group["__sp"][0].as_py())
+        return pa.table(
+            {
+                key: pa.array(uk[order]),
+                "cnt": pa.array(sums[order]),
+                "total": pa.array(np.full(len(order), total, np.int64)),
+                "__pid": pa.array(np.full(len(order), pid, np.int64)),
+            }
+        )
+
+    from ..stages.exchange import hash_partition_exchange as _hpe
+
+    pre = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    cands = _hpe(pre, "__sp", num_partitions, fold)
+
+    def final(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key: pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+                "share": pa.array([], pa.float64()),
+            }
+        )
+        if batch.num_rows == 0 or key not in batch.column_names:
+            return empty
+        k = batch[key].to_numpy(zero_copy_only=False)
+        c = batch["cnt"].to_numpy(zero_copy_only=False)
+        # ONE total per source partition (each of its rows repeats it)
+        pid = batch["__pid"].to_numpy(zero_copy_only=False)
+        tv = batch["total"].to_numpy(zero_copy_only=False)
+        _, first = np.unique(pid, return_index=True)
+        total = int(tv[first].sum())
+        order = np.lexsort((k, -c))[:top_n]
+        return pa.table(
+            {
+                key: pa.array(k[order]),
+                "cnt": pa.array(c[order]),
+                "share": pa.array(np.round(c[order] / max(1, total), 6)),
+            }
+        )
+
+    def retag(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return batch.append_column("__sp2", pa.array(np.zeros(n, np.int64)))
+
+    tagged = cands.map_batches(retag, batch_format="pyarrow", batch_size=None)
+    return _hpe(tagged, "__sp2", 1, final)
