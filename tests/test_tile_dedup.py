@@ -128,3 +128,61 @@ def test_tile_stage_emits_k2_rows_per_image():
         )
     )
     assert out["tile_hash"].to_pylist() == again["tile_hash"].to_pylist()
+
+
+class TestVectorizedStackParity:
+    def test_stack_path_bit_identical_to_scalar(self):
+        """The shape-grouped vectorized tile hashing must reproduce the
+        scalar per-tile average_phash bit-for-bit (it feeds exact-match
+        bucketing — one flipped bit changes clusters)."""
+        import numpy as np
+        import pyarrow as pa
+
+        from text_dedup_ray.data.gen import generate_corpus
+        from text_dedup_ray.functions.codecs import decode_image
+        from text_dedup_ray.pipelines.images import TileHashStage
+        from text_dedup_ray.sources.io import ROW_ID
+
+        docs, _ = generate_corpus(300, seed=17)
+        st = TileHashStage(tiles=4)
+        batch = pa.table(
+            {
+                ROW_ID: list(range(300)),
+                "bytes": docs["bytes"],
+                "fmt": docs["fmt"],
+            }
+        )
+        out = st(batch)
+        got = {}
+        for rid, ti, th in zip(
+            out["row_id"].to_pylist(),
+            out["tile_idx"].to_pylist(),
+            out["tile_hash"].to_pylist(),
+        ):
+            got[(rid, ti)] = th
+        for i, (b, f) in enumerate(
+            zip(docs["bytes"].to_pylist(), docs["fmt"].to_pylist())
+        ):
+            ref = st._hash_tiles_scalar(decode_image(b, f))
+            for ti in range(16):
+                assert got[(i, ti)] == int(ref[ti])
+
+    def test_irregular_geometry_falls_back(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from text_dedup_ray.functions.codecs import encode_png
+        from text_dedup_ray.pipelines.images import TileHashStage
+        from text_dedup_ray.sources.io import ROW_ID
+
+        rng = np.random.default_rng(4)
+        pix = rng.integers(0, 256, (33, 31, 3), dtype=np.uint8)  # not /4 /8
+        batch = pa.table(
+            {
+                ROW_ID: [7],
+                "bytes": [encode_png(pix)],
+                "fmt": ["png"],
+            }
+        )
+        out = TileHashStage(tiles=4)(batch)
+        assert out.num_rows == 16

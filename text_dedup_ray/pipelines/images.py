@@ -247,6 +247,44 @@ class TileHashStage:
         self.tiles = tiles
         self.strict = strict
 
+    def _hash_tiles_scalar(self, pix: np.ndarray) -> np.ndarray:
+        k = self.tiles
+        h, w = pix.shape[0], pix.shape[1]
+        ys = (np.arange(k + 1) * h // k).astype(int)
+        xs = (np.arange(k + 1) * w // k).astype(int)
+        hashes = np.empty(k * k, np.int64)
+        for ti in range(k):
+            for tj in range(k):
+                tile = pix[
+                    ys[ti] : max(ys[ti + 1], ys[ti] + 1),
+                    xs[tj] : max(xs[tj + 1], xs[tj] + 1),
+                ]
+                hashes[ti * k + tj] = average_phash(tile)
+        return hashes
+
+    def _hash_tiles_stack(self, stack: np.ndarray) -> np.ndarray:
+        """Vectorized tile hashing for a SAME-SHAPE image stack
+        ``(n, h, w, 3) uint8`` -> ``(n, tiles^2) int64`` — bit-identical
+        to the scalar path (the uint8->float64 channel mean and the exact
+        block means reduce over the same element sets; the only float
+        compare is each cell against its own tile's 64-cell mean)."""
+        k = self.tiles
+        n, h, w = stack.shape[0], stack.shape[1], stack.shape[2]
+        th, tw = h // k, w // k
+        gray = stack.astype(np.float64).mean(axis=3)  # (n, h, w)
+        tiles = (
+            gray.reshape(n, k, th, k, tw)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(n * k * k, th, tw)
+        )
+        m = tiles.shape[0]
+        cells = tiles.reshape(m, 8, th // 8, 8, tw // 8).mean(axis=(2, 4))
+        bits = (cells > cells.mean(axis=(1, 2), keepdims=True)).astype(np.uint8)
+        packed = np.packbits(bits.reshape(m, 64), axis=1)  # (m, 8) big-endian
+        return (
+            packed.view(">i8").astype(np.int64).reshape(n, k * k)
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         k = self.tiles
         blobs = batch["bytes"].to_pylist()
@@ -255,6 +293,11 @@ class TileHashStage:
         out_id: list[np.ndarray] = []
         out_tile: list[np.ndarray] = []
         out_hash: list[np.ndarray] = []
+        # decode, then group same-shape grid-aligned images for ONE
+        # vectorized hashing pass per shape (48k tiny-array means per
+        # 1000 images otherwise — overhead-bound, measured 0.3 s/1000)
+        stack_pix: dict[tuple[int, int], list[np.ndarray]] = {}
+        stack_ids: dict[tuple[int, int], list[int]] = {}
         for i, (blob, fmt) in enumerate(zip(blobs, fmts)):
             try:
                 pix = decode_image(blob, fmt)
@@ -263,19 +306,20 @@ class TileHashStage:
                     raise
                 continue
             h, w = pix.shape[0], pix.shape[1]
-            ys = (np.arange(k + 1) * h // k).astype(int)
-            xs = (np.arange(k + 1) * w // k).astype(int)
-            hashes = np.empty(k * k, np.int64)
-            for ti in range(k):
-                for tj in range(k):
-                    tile = pix[
-                        ys[ti] : max(ys[ti + 1], ys[ti] + 1),
-                        xs[tj] : max(xs[tj + 1], xs[tj] + 1),
-                    ]
-                    hashes[ti * k + tj] = average_phash(tile)
-            out_id.append(np.full(k * k, ids[i], np.int64))
-            out_tile.append(np.arange(k * k, dtype=np.int32))
-            out_hash.append(hashes)
+            if h % k == 0 and w % k == 0 and (h // k) % 8 == 0 and (w // k) % 8 == 0:
+                key = (h, w)
+                stack_pix.setdefault(key, []).append(pix)
+                stack_ids.setdefault(key, []).append(int(ids[i]))
+            else:  # irregular geometry: exactness over speed
+                out_id.append(np.full(k * k, ids[i], np.int64))
+                out_tile.append(np.arange(k * k, dtype=np.int32))
+                out_hash.append(self._hash_tiles_scalar(pix))
+        for key, pix_list in stack_pix.items():
+            hs = self._hash_tiles_stack(np.stack(pix_list))
+            gids = np.asarray(stack_ids[key], np.int64)
+            out_id.append(np.repeat(gids, k * k))
+            out_tile.append(np.tile(np.arange(k * k, dtype=np.int32), len(gids)))
+            out_hash.append(hs.reshape(-1))
         if not out_id:
             return pa.table(
                 {
