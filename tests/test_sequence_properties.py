@@ -1,0 +1,97 @@
+"""Property-based invariants for the sequence-analytics kernels
+(hypothesis drives shapes; references are independent pandas/numpy)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from text_dedup_ray.pipelines.sequence import (
+    decayed_sum,
+    funnel_counts,
+    moving_avg,
+    transition_counts,
+)
+
+_SETTINGS = dict(max_examples=8, deadline=None)
+
+
+def _frame(draw):
+    n = draw(st.integers(5, 300))
+    seed = draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    base = np.datetime64("2024-01-01", "us")
+    return pa.table(
+        {
+            "uid": rng.integers(0, 12, n).tolist(),
+            "eid": rng.permutation(n).tolist(),
+            "ts": base + rng.integers(0, 10**8, n).astype("timedelta64[us]"),
+            "etype": rng.choice(["a", "b", "c"], n).tolist(),
+            "v": np.round(rng.normal(0, 5, n), 3).tolist(),
+        }
+    )
+
+
+class TestSequenceProperties:
+    @settings(**_SETTINGS)
+    @given(st.data())
+    def test_moving_avg_matches_pandas_rolling(self, data):
+        tbl = _frame(data.draw)
+        k = data.draw(st.integers(1, 6))
+        got = (
+            moving_avg(ray.data.from_arrow(tbl).repartition(3),
+                       "uid", "eid", "v", k, num_partitions=3)
+            .to_pandas()
+            .sort_values(["uid", "eid"])
+            .reset_index(drop=True)
+        )
+        df = tbl.to_pandas().sort_values(["uid", "eid"])
+        ref = (
+            df.groupby("uid")["v"]
+            .rolling(k, min_periods=1)
+            .mean()
+            .reset_index(drop=True)
+        )
+        assert np.allclose(got["moving_avg"].to_numpy(),
+                           np.round(ref.to_numpy(), 6), atol=1e-6)
+
+    @settings(**_SETTINGS)
+    @given(st.data())
+    def test_transitions_total_is_rows_minus_keys(self, data):
+        tbl = _frame(data.draw)
+        got = transition_counts(
+            ray.data.from_arrow(tbl).repartition(3),
+            "uid", ("ts", "eid"), "etype", num_partitions=3,
+        ).to_pandas()
+        df = tbl.to_pandas()
+        expected_total = len(df) - df.uid.nunique()
+        assert got.n.sum() == expected_total
+
+    @settings(**_SETTINGS)
+    @given(st.data())
+    def test_funnel_monotone_and_step1_exact(self, data):
+        tbl = _frame(data.draw)
+        got = (
+            funnel_counts(ray.data.from_arrow(tbl), "uid", "ts", "etype",
+                          ("a", "b", "c"), tiebreak_column="eid")
+            .to_pandas()
+            .sort_values("step")
+        )
+        df = tbl.to_pandas()
+        assert got.n_keys.is_monotonic_decreasing
+        assert got.iloc[0].n_keys == df[df.etype == "a"].uid.nunique()
+
+    @settings(**_SETTINGS)
+    @given(st.data())
+    def test_decayed_sum_infinite_halflife_is_plain_sum(self, data):
+        tbl = _frame(data.draw)
+        cutoff = int(pd.Timestamp("2024-06-01").value // 1000)
+        got = decayed_sum(
+            ray.data.from_arrow(tbl), "uid", "ts", "v",
+            cutoff, half_life_s=1e15,
+        ).to_pandas().set_index("uid")
+        ref = tbl.to_pandas().groupby("uid")["v"].sum()
+        for uid, s in ref.items():
+            assert abs(got.loc[uid, "decayed_value"] - round(s, 4)) < 1e-3
