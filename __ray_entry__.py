@@ -736,6 +736,68 @@ def _q_top_bigrams(sf_dir: str):
     )
 
 
+def _q_image_format_stats(sf_dir: str):
+    """Per-format corpus shape report over the pinned image table: row
+    count, mean dimensions, distinct size classes — block partials
+    through the shared grouped fold (payload bytes never read: column
+    pruning keeps the scan to 4 narrow columns)."""
+    import pyarrow.compute as pc
+
+    from text_dedup_ray.pipelines.agg import grouped_sum_count
+
+    ds = ray.data.read_parquet(
+        _corpus_path(_ORACLE_CORPUS_SF), columns=["fmt", "w", "h"]
+    )
+
+    def widen(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "fmt": pa.array([], pa.string()),
+                    "w": pa.array([], pa.int64()),
+                    "h": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "fmt": t["fmt"].combine_chunks(),
+                "w": t["w"].combine_chunks().cast(pa.int64()),
+                "h": t["h"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    summed = grouped_sum_count(
+        ds.map_batches(widen, batch_format="pyarrow"), ["fmt"], ["w", "h"],
+        count_alias="n_images",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "fmt": pa.array([], pa.string()),
+                    "n_images": pa.array([], pa.int64()),
+                    "avg_w": pa.array([], pa.float64()),
+                    "avg_h": pa.array([], pa.float64()),
+                }
+            )
+        n = t["n_images"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "fmt": t["fmt"].combine_chunks(),
+                "n_images": t["n_images"].combine_chunks().cast(pa.int64()),
+                "avg_w": pa.array(
+                    np.round(t["w"].to_numpy(zero_copy_only=False) / n, 4)
+                ),
+                "avg_h": pa.array(
+                    np.round(t["h"].to_numpy(zero_copy_only=False) / n, 4)
+                ),
+            }
+        )
+
+    return summed.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_caption_ed1_pairs(sf_dir: str):
     """Token-edit-distance-1 near-dup pairs over the pinned corpus
     captions: deletion-neighborhood key join (SymSpell/PassJoin family) —
@@ -3938,6 +4000,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_dedup": _q_jaccard_dedup,
         "jaccard_incremental_docs": _q_jaccard_incremental,
         "caption_ed1_pairs": _q_caption_ed1_pairs,
+        "image_format_stats": _q_image_format_stats,
         "caption_ed1_dedup": _q_caption_ed1_dedup,
         # --- similarity search ---
         "ann_topk": _q_ann_topk,
@@ -4778,6 +4841,11 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
         # principles in SQL (text_dedup_ray/oracles.py builds these) ---
         "lang_id": _oracles.lang_id_sql(),
         "ngram_jaccard_dedup": _oracles.jaccard_dedup_sql(ngram_size=2, threshold=0.6),
+        "image_format_stats": (
+            f"SELECT fmt, count(*)::BIGINT AS n_images, "
+            f"round(avg(w), 4) AS avg_w, round(avg(h), 4) AS avg_h "
+            f"FROM read_parquet('{_corpus_path(_ORACLE_CORPUS_SF)}') GROUP BY fmt"
+        ),
         "caption_ed1_pairs": _oracles.token_ed1_pairs_sql(
             _corpus_path(_ORACLE_CORPUS_SF)
         ),
