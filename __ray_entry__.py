@@ -738,11 +738,9 @@ def _q_top_bigrams(sf_dir: str):
 
 def _q_image_format_stats(sf_dir: str):
     """Per-format corpus shape report over the pinned image table: row
-    count, mean dimensions, distinct size classes — block partials
-    through the shared grouped fold (payload bytes never read: column
-    pruning keeps the scan to 4 narrow columns)."""
-    import pyarrow.compute as pc
-
+    count, mean dimensions — block partials through the shared grouped
+    fold (payload bytes never read: column pruning keeps the scan to 3
+    narrow columns)."""
     from text_dedup_ray.pipelines.agg import grouped_sum_count
 
     ds = ray.data.read_parquet(
