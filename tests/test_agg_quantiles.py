@@ -265,3 +265,19 @@ class TestSkewReport:
         got = got.sort_values(["cnt", "k"], ascending=[False, True]).reset_index(drop=True)
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
         assert got.iloc[0].k == 0 and abs(got.iloc[0].share - 0.25) < 0.01
+
+    def test_string_keys(self):
+        import pyarrow as pa
+        import ray
+
+        from text_dedup_ray.pipelines.agg import skew_report
+
+        tbl = pa.table({"url": ["a.com"] * 6 + ["b.com"] * 3 + ["c.com"]})
+        got = skew_report(
+            ray.data.from_arrow(tbl).repartition(3), "url", top_n=2,
+            num_partitions=3,
+        ).to_pandas()
+        got = got.sort_values("cnt", ascending=False).reset_index(drop=True)
+        assert got.url.tolist() == ["a.com", "b.com"]
+        assert got.cnt.tolist() == [6, 3]
+        assert abs(got.share.iloc[0] - 0.6) < 1e-9

@@ -66,3 +66,19 @@ class TestCompactParquetDir:
         # second run sees only compact-* files -> no-op
         stats = compact_parquet_dir(d, target_rows_per_file=10)
         assert stats["files_in"] == 0
+
+    def test_rerun_after_crash_window_never_doubles(self, tmp_path):
+        """Crash between write and delete leaves originals + compacts;
+        the re-run must reconcile, not double rows."""
+        d = str(tmp_path)
+        for i in range(4):
+            pq.write_table(pa.table({"x": list(range(i * 10, i * 10 + 10))}), f"{d}/part-{i}.parquet")
+        # simulate the crashed first run: compacted output exists, originals too
+        compact_parquet_dir(d, target_rows_per_file=40, delete_inputs=False)
+        assert [f for f in os.listdir(d) if f.startswith("compact-")]
+        stats = compact_parquet_dir(d, target_rows_per_file=40, delete_inputs=True)
+        assert stats["rows"] == 40
+        n, nd = duckdb.sql(
+            f"SELECT count(*), count(DISTINCT x) FROM read_parquet('{d}/*.parquet')"
+        ).fetchone()
+        assert (n, nd) == (40, 40)

@@ -57,3 +57,10 @@ class TestProfileTable:
         row = got.iloc[0]
         assert row.n_rows == 2 and row.n_nulls == 2 and row.n_distinct == 0
         assert pd.isna(row.min_value) and pd.isna(row.max_value)
+
+    def test_single_partition_distinct_exact(self):
+        tbl = pa.table({"a": pa.array([1, 2, 3, 2, 1, None], pa.int64())})
+        got = profile_table(
+            ray.data.from_arrow(tbl), ["a"], num_partitions=1
+        ).to_pandas()
+        assert got.iloc[0].n_distinct == 3

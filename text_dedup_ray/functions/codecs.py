@@ -158,7 +158,19 @@ def average_phash_stack(frames: np.ndarray, grid: int = 8) -> np.ndarray:
             dtype=np.int64,
             count=n,
         )
-    gray = frames.astype(np.float64)
+    return average_phash_gray_stack(frames.astype(np.float64), grid)
+
+
+def average_phash_gray_stack(gray: np.ndarray, grid: int = 8) -> np.ndarray:
+    """The shared mean-threshold hash kernel over a FLOAT64 grayscale
+    stack ``(n, h, w)`` with ``h % grid == 0 and w % grid == 0`` ->
+    ``int64[n]`` — the single home of the delicate cells->bits->packbits
+    bit layout (``average_phash_stack`` and the tile-hash stage both
+    reduce to it, so the bit parity cannot fork between frame and tile
+    hashes)."""
+    n, h, w = gray.shape
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
     cells = gray.reshape(n, grid, h // grid, grid, w // grid).mean(axis=(2, 4))
     bits = (cells > cells.mean(axis=(1, 2), keepdims=True)).astype(np.uint8)
     packed = np.packbits(bits.reshape(n, grid * grid), axis=1)

@@ -1290,34 +1290,37 @@ def skew_report(
 ) -> ray.data.Dataset:
     """Hot-key diagnostic for choosing ``skew_salt`` before a big join or
     group-by: the exact top-``top_n`` heaviest keys with their row counts
-    and share of the table. Blocks pre-reduce to one (key, cnt) row per
-    block-distinct key; the key-hash exchange makes per-partition sums
-    exact; each partition keeps its local top-n (the global top-n is a
-    subset of the union) plus ONE total-row partial, so the driver folds
-    P x (n + 1) rows."""
+    and share of the table, for ANY key type (int ids, url/domain
+    strings, binary digests — the common skew cases). Blocks pre-reduce
+    to one (key, cnt) row per block-distinct key; the key-hash exchange
+    makes per-partition sums exact; each partition keeps its local top-n
+    (the global top-n is a subset of the union) plus ONE total-row
+    partial, so the driver folds P x (n + 1) rows."""
+    key_type = ds.schema().base_schema.field(key).type
 
     def partial(batch: pa.Table) -> pa.Table:
         empty = pa.table(
             {
-                key: pa.array([], pa.int64()),
+                key: pa.array([], key_type),
                 "cnt": pa.array([], pa.int64()),
                 "__sp": pa.array([], pa.int64()),
             }
         )
         if batch.num_rows == 0:
             return empty
-        k = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
-        uk, inv = np.unique(k, return_inverse=True)
+        enc = batch[key].combine_chunks().dictionary_encode()
+        inv = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uk = enc.dictionary
         cnt = np.bincount(inv, minlength=len(uk)).astype(np.int64)
-        part = distinct_key_partition(uk, num_partitions)
+        part = distinct_key_partition(np.asarray(uk.to_pandas()), num_partitions)
         return pa.table(
-            {key: pa.array(uk), "cnt": pa.array(cnt), "__sp": pa.array(part)}
+            {key: uk.cast(key_type), "cnt": pa.array(cnt), "__sp": pa.array(part)}
         )
 
     def fold(group: pa.Table) -> pa.Table:
         empty = pa.table(
             {
-                key: pa.array([], pa.int64()),
+                key: pa.array([], key_type),
                 "cnt": pa.array([], pa.int64()),
                 "total": pa.array([], pa.int64()),
                 "__pid": pa.array([], pa.int64()),
@@ -1325,19 +1328,24 @@ def skew_report(
         )
         if group.num_rows == 0 or key not in group.column_names:
             return empty
-        k = group[key].to_numpy(zero_copy_only=False).astype(np.int64)
-        c = group["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
-        uk, inv = np.unique(k, return_inverse=True)
-        sums = np.bincount(inv, weights=c, minlength=len(uk)).astype(np.int64)
-        order = np.lexsort((uk, -sums))[:top_n]
-        total = int(sums.sum())
+        summed = (
+            group.select([key, "cnt"])
+            .group_by([key])
+            .aggregate([("cnt", "sum")])
+            .sort_by([("cnt_sum", "descending"), (key, "ascending")])
+        )
+        total = int(
+            summed["cnt_sum"].to_numpy(zero_copy_only=False).astype(np.int64).sum()
+        )
+        top = summed.slice(0, top_n)
+        m = top.num_rows
         pid = int(group["__sp"][0].as_py())
         return pa.table(
             {
-                key: pa.array(uk[order]),
-                "cnt": pa.array(sums[order]),
-                "total": pa.array(np.full(len(order), total, np.int64)),
-                "__pid": pa.array(np.full(len(order), pid, np.int64)),
+                key: top[key].combine_chunks().cast(key_type),
+                "cnt": top["cnt_sum"].cast(pa.int64()),
+                "total": pa.array(np.full(m, total, np.int64)),
+                "__pid": pa.array(np.full(m, pid, np.int64)),
             }
         )
 
@@ -1349,26 +1357,27 @@ def skew_report(
     def final(batch: pa.Table) -> pa.Table:
         empty = pa.table(
             {
-                key: pa.array([], pa.int64()),
+                key: pa.array([], key_type),
                 "cnt": pa.array([], pa.int64()),
                 "share": pa.array([], pa.float64()),
             }
         )
         if batch.num_rows == 0 or key not in batch.column_names:
             return empty
-        k = batch[key].to_numpy(zero_copy_only=False)
-        c = batch["cnt"].to_numpy(zero_copy_only=False)
         # ONE total per source partition (each of its rows repeats it)
         pid = batch["__pid"].to_numpy(zero_copy_only=False)
         tv = batch["total"].to_numpy(zero_copy_only=False)
         _, first = np.unique(pid, return_index=True)
         total = int(tv[first].sum())
-        order = np.lexsort((k, -c))[:top_n]
+        top = batch.sort_by(
+            [("cnt", "descending"), (key, "ascending")]
+        ).slice(0, top_n)
+        c = top["cnt"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                key: pa.array(k[order]),
-                "cnt": pa.array(c[order]),
-                "share": pa.array(np.round(c[order] / max(1, total), 6)),
+                key: top[key].combine_chunks().cast(key_type),
+                "cnt": top["cnt"].combine_chunks(),
+                "share": pa.array(np.round(c / max(1, total), 6)),
             }
         )
 

@@ -266,8 +266,10 @@ class TileHashStage:
         """Vectorized tile hashing for a SAME-SHAPE image stack
         ``(n, h, w, 3) uint8`` -> ``(n, tiles^2) int64`` — bit-identical
         to the scalar path (the uint8->float64 channel mean and the exact
-        block means reduce over the same element sets; the only float
-        compare is each cell against its own tile's 64-cell mean)."""
+        block means reduce over the same element sets; the threshold hash
+        itself is the shared ``average_phash_gray_stack`` kernel)."""
+        from ..functions.codecs import average_phash_gray_stack
+
         k = self.tiles
         n, h, w = stack.shape[0], stack.shape[1], stack.shape[2]
         th, tw = h // k, w // k
@@ -277,13 +279,7 @@ class TileHashStage:
             .transpose(0, 1, 3, 2, 4)
             .reshape(n * k * k, th, tw)
         )
-        m = tiles.shape[0]
-        cells = tiles.reshape(m, 8, th // 8, 8, tw // 8).mean(axis=(2, 4))
-        bits = (cells > cells.mean(axis=(1, 2), keepdims=True)).astype(np.uint8)
-        packed = np.packbits(bits.reshape(m, 64), axis=1)  # (m, 8) big-endian
-        return (
-            packed.view(">i8").astype(np.int64).reshape(n, k * k)
-        )
+        return average_phash_gray_stack(tiles).reshape(n, k * k)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         k = self.tiles

@@ -23,22 +23,24 @@ from ..stages.exchange import hash_partition_exchange
 _PART = "__pf_part"
 
 
-def _value_keys(col: pa.ChunkedArray) -> np.ndarray:
-    """md5-16B per DISTINCT non-null value of one column chunk."""
+def _value_keys(col: pa.ChunkedArray) -> list[bytes]:
+    """md5-16B per DISTINCT non-null value of one column chunk — the md5
+    loop is bounded by block-DISTINCT values (the lines.py contract),
+    with batched value extraction (one to_pylist, no per-value as_py)."""
     arr = col.combine_chunks()
     valid = arr.drop_null()
     if len(valid) == 0:
-        return np.empty(0, object)
+        return []
     enc = valid.dictionary_encode()
     uniq = enc.dictionary
     typ = uniq.type
     if pa.types.is_floating(typ):
-        raw = [v.as_py().hex() for v in uniq]
+        raw = [v.hex() for v in uniq.to_pylist()]
     elif pa.types.is_timestamp(typ):
-        raw = [str(v.as_py()) for v in uniq.cast(pa.int64())]
+        raw = [str(v) for v in uniq.cast(pa.int64()).to_pylist()]
     else:
-        raw = [str(v.as_py()) for v in uniq]
-    return np.array([hashlib.md5(s.encode()).digest() for s in raw], object)
+        raw = [str(v) for v in uniq.to_pylist()]
+    return [hashlib.md5(s.encode()).digest() for s in raw]
 
 
 def profile_table(
@@ -64,7 +66,7 @@ def profile_table(
         )
         if batch.num_rows == 0:
             return empty
-        names, keys, ns, nulls, mns, mxs, parts = [], [], [], [], [], [], []
+        tables = []
         for c in columns:
             col = batch[c]
             n = len(col)
@@ -81,36 +83,53 @@ def profile_table(
             else:
                 mn = mx = None
             # stats row: key NULL marks "this is the fixed-size partial"
-            names.append(c)
-            keys.append(None)
-            ns.append(n)
-            nulls.append(nn)
-            mns.append(None if mn is None else float(mn))
-            mxs.append(None if mx is None else float(mx))
-            parts.append(0)
-            # distinct-key rows: block-distinct md5 per value
-            vk = _value_keys(col)
-            for d in vk:
-                names.append(c)
-                keys.append(d)
-                ns.append(0)
-                nulls.append(0)
-                mns.append(None)
-                mxs.append(None)
-                parts.append(
-                    int.from_bytes(d[:8], "little") % max(1, num_partitions - 1) + 1
+            tables.append(
+                pa.table(
+                    {
+                        "column": pa.array([c], pa.string()),
+                        "key": pa.array([None], pa.binary(16)),
+                        "n": pa.array([n], pa.int64()),
+                        "nulls": pa.array([nn], pa.int64()),
+                        "mn": pa.array(
+                            [None if mn is None else float(mn)], pa.float64()
+                        ),
+                        "mx": pa.array(
+                            [None if mx is None else float(mx)], pa.float64()
+                        ),
+                        _PART: pa.array([0], pa.int64()),
+                    }
                 )
-        return pa.table(
-            {
-                "column": pa.array(names, pa.string()),
-                "key": pa.array(keys, pa.binary(16)),
-                "n": pa.array(ns, pa.int64()),
-                "nulls": pa.array(nulls, pa.int64()),
-                "mn": pa.array(mns, pa.float64()),
-                "mx": pa.array(mxs, pa.float64()),
-                _PART: pa.array(parts, pa.int64()),
-            }
-        )
+            )
+            # distinct-key rows: one md5 per block-DISTINCT value; constant
+            # columns built as arrays, never per-value appends. Key rows
+            # share partition 0 with the stats rows when P == 1.
+            vk = _value_keys(col)
+            if not vk:
+                continue
+            m = len(vk)
+            prefixes = np.frombuffer(
+                b"".join(d[:8] for d in vk), dtype=np.uint64
+            )
+            if num_partitions > 1:
+                parts = (prefixes % np.uint64(num_partitions - 1)).astype(
+                    np.int64
+                ) + 1
+            else:
+                parts = np.zeros(m, np.int64)
+            tables.append(
+                pa.table(
+                    {
+                        "column": pa.array([c] * m, pa.string()),
+                        "key": pa.array(vk, pa.binary(16)),
+                        "n": pa.array(np.zeros(m, np.int64)),
+                        "nulls": pa.array(np.zeros(m, np.int64)),
+                        "mn": pa.array([None] * m, pa.float64()),
+                        "mx": pa.array([None] * m, pa.float64()),
+                        _PART: pa.array(parts),
+                    }
+                )
+            )
+        return pa.concat_tables(tables)
 
     def fold(group: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -143,15 +162,20 @@ def profile_table(
                 out_mn.append(summed["mn_min"][i].as_py())
                 out_mx.append(summed["mx_max"][i].as_py())
         # distinct-key rows: count distinct (column, key) in this partition
+        # — vectorized over a (col_code, key_hi, key_lo) structured view
         if (~is_stat).any():
             kn = names[~is_stat]
-            kv = np.array([k for k, s in zip(keys, is_stat) if not s], object)
-            combo = np.array([n + "\x1f" + k.hex() for n, k in zip(kn, kv)], object)
-            ucombo = np.unique(combo)
-            cols = np.array([c.split("\x1f", 1)[0] for c in ucombo], object)
-            uc, cnt = np.unique(cols, return_counts=True)
-            for c, k in zip(uc, cnt):
-                out_names.append(c)
+            kv = [k for k, s in zip(keys, is_stat) if not s]
+            cu, ccode = np.unique(kn, return_inverse=True)
+            kb = np.frombuffer(b"".join(kv), dtype=np.uint64).reshape(-1, 2)
+            trip = np.empty(
+                (len(kv),), dtype=[("c", np.int64), ("h", np.uint64), ("l", np.uint64)]
+            )
+            trip["c"], trip["h"], trip["l"] = ccode, kb[:, 0], kb[:, 1]
+            utrip = np.unique(trip)
+            uc, cnt = np.unique(utrip["c"], return_counts=True)
+            for c, k in zip(cu[uc], cnt):
+                out_names.append(str(c))
                 out_n.append(0)
                 out_nulls.append(0)
                 out_d.append(int(k))

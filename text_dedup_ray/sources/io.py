@@ -417,17 +417,24 @@ def compact_parquet_dir(
     and writes `compact-*.parquet` files of ``target_rows_per_file``
     rows; returns {files_in, files_out, rows}. With ``delete_inputs``
     the original small files are removed AFTER the compacted write
-    succeeds (crash-safe order)."""
-    import glob as _glob
-
+    succeeds (crash-safe order). Idempotent: while any original input
+    remains, pre-existing compact-* files are STALE output (a crashed or
+    keep-inputs earlier run) and are deleted before re-compacting, so a
+    re-run can never double rows; once the originals are gone the
+    compact files ARE the data and the call is a no-op."""
     import ray.data as _rd
 
-    files_in = sorted(
-        f for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-        if not os.path.basename(f).startswith("compact-")
+    all_parquet = sorted(
+        glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
     )
+    files_in = [
+        f for f in all_parquet if not os.path.basename(f).startswith("compact-")
+    ]
     if not files_in:
         return {"files_in": 0, "files_out": 0, "rows": 0}
+    for f in all_parquet:
+        if os.path.basename(f).startswith("compact-"):
+            os.remove(f)  # stale: derived from inputs that still exist
     ds = _rd.read_parquet(files_in)
     rows = ds.count()
     n_files = max(1, -(-rows // target_rows_per_file))
