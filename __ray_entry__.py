@@ -1692,6 +1692,67 @@ def _q_lineitem_profile(sf_dir: str):
     return profile_table(ds, _PROFILE_COLS)
 
 
+def _q_join_cardinality(sf_dir: str):
+    """EXACT join-cardinality estimate WITHOUT running the join (the
+    blow-up/skew pre-check): per-side (key, count) partials through one
+    two-sided key exchange — only counts move."""
+    from text_dedup_ray.pipelines.joins import join_cardinality
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+    )
+    return join_cardinality(li, orders, "l_orderkey", "o_orderkey")
+
+
+def _q_events_gap_stats(sf_dir: str):
+    """Per-user median inter-event gap (seconds, quantile_disc): gap
+    stamping via the keyed lexsort kernel, exact per-group median via the
+    grouped histogram fold."""
+    import pyarrow.compute as pc
+
+    from text_dedup_ray.pipelines.agg import grouped_quantiles
+    from text_dedup_ray.pipelines.sequence import inter_event_gaps
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+    gaps = inter_event_gaps(ev, "user_id", "ts", "event_id")
+
+    def to_sec(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "gap_s": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "user_id": t["user_id"].combine_chunks(),
+                "gap_s": pc.divide(t["gap_us"], pa.scalar(1_000_000, pa.int64())),
+            }
+        )
+
+    return grouped_quantiles(
+        gaps.map_batches(to_sec, batch_format="pyarrow"),
+        "user_id", "gap_s", {"median_gap_s": 0.5},
+    )
+
+
+def _q_events_last_seen(sf_dir: str):
+    """Recency/churn report: every user's exact last-seen time + churned
+    flag vs a cutoff 36 hours before the horizon — per-block (user, max
+    ts) partials, one keyed exchange."""
+    from text_dedup_ray.pipelines.sequence import last_seen
+
+    cutoff = _DECAY_CUTOFF_US - 60 * 3_600_000_000  # 2024-01-29T12:00:00Z
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return last_seen(ev, "user_id", "ts", churn_cutoff_us=cutoff)
+
+
 def _q_events_props_extract(sf_dir: str):
     """Semi-structured extraction: the integer 'k' field out of the JSON
     props blob via one vectorized Arrow RE2 kernel (SQL json_extract
@@ -3972,6 +4033,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_extract": _q_events_props_extract,
         "lineitem_profile": _q_lineitem_profile,
         "events_hot_users": _q_events_hot_users,
+        "join_cardinality_orders": _q_join_cardinality,
+        "events_gap_stats": _q_events_gap_stats,
+        "events_last_seen": _q_events_last_seen,
         "events_mad_outliers": _q_events_mad_outliers,
         "docs_global_rank": _q_docs_global_rank,
         "embedding_covariance": _q_embedding_cov,
@@ -4518,6 +4582,27 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
             "GROUP BY user_id), t AS (SELECT sum(cnt) AS tot FROM c) "
             "SELECT user_id, cnt, round(cnt / tot, 6) AS share "
             "FROM c CROSS JOIN t ORDER BY cnt DESC, user_id LIMIT 20"
+        ),
+        "join_cardinality_orders": (
+            "WITH a AS (SELECT l_orderkey AS k, count(*)::BIGINT AS c "
+            "FROM lineitem GROUP BY 1), "
+            "b AS (SELECT o_orderkey AS k, count(*)::BIGINT AS c "
+            "FROM orders GROUP BY 1) "
+            "SELECT sum(a.c * b.c)::BIGINT AS est_rows, "
+            "count(*)::BIGINT AS matched_keys, max(a.c)::BIGINT AS max_left, "
+            "max(b.c)::BIGINT AS max_right FROM a JOIN b USING (k)"
+        ),
+        "events_gap_stats": (
+            "WITH g AS (SELECT user_id, (epoch_us(ts) - lag(epoch_us(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id)) // 1000000 AS gap_s "
+            "FROM events) "
+            "SELECT user_id, quantile_disc(gap_s, 0.5)::BIGINT AS median_gap_s "
+            "FROM g WHERE gap_s IS NOT NULL GROUP BY user_id"
+        ),
+        "events_last_seen": (
+            f"SELECT user_id, max(epoch_us(ts))::BIGINT AS last_seen_us, "
+            f"max(epoch_us(ts)) < {_DECAY_CUTOFF_US - 60 * 3_600_000_000} "
+            f"AS is_churned FROM events GROUP BY user_id"
         ),
         "lineitem_profile": (
             " UNION ALL ".join(

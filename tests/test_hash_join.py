@@ -196,3 +196,50 @@ class TestSemiAnti:
                 num_partitions=16, skew_salt=8,
             ).to_pandas()
             pd.testing.assert_frame_equal(_canon(salted), _canon(base))
+
+
+class TestJoinCardinality:
+    def test_exact_vs_duckdb(self):
+        import duckdb
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import ray
+
+        from text_dedup_ray.pipelines.joins import join_cardinality
+
+        rng = np.random.default_rng(2)
+        a = pa.table({"k": rng.integers(0, 50, 3000).tolist()})
+        b = pa.table({"k": rng.integers(25, 80, 2000).tolist()})
+        got = join_cardinality(
+            ray.data.from_arrow(a).repartition(4),
+            ray.data.from_arrow(b).repartition(3),
+            "k", "k", num_partitions=4,
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("a", a)
+        con.register("b", b)
+        exp = con.execute(
+            "WITH ca AS (SELECT k, count(*)::BIGINT AS c FROM a GROUP BY k), "
+            "cb AS (SELECT k, count(*)::BIGINT AS c FROM b GROUP BY k) "
+            "SELECT sum(ca.c * cb.c)::BIGINT AS est_rows, count(*)::BIGINT AS matched_keys, "
+            "max(ca.c)::BIGINT AS max_left, max(cb.c)::BIGINT AS max_right "
+            "FROM ca JOIN cb USING (k)"
+        ).fetchdf()
+        pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
+        # cardinality must equal the real join's row count
+        real = con.execute("SELECT count(*) FROM a JOIN b USING (k)").fetchone()[0]
+        assert got.iloc[0].est_rows == real
+
+    def test_disjoint_keys(self):
+        import pyarrow as pa
+        import ray
+
+        from text_dedup_ray.pipelines.joins import join_cardinality
+
+        a = pa.table({"k": [1, 2, 3]})
+        b = pa.table({"k": [10, 11]})
+        got = join_cardinality(
+            ray.data.from_arrow(a), ray.data.from_arrow(b), "k", "k"
+        ).to_pandas()
+        assert got.iloc[0].est_rows == 0 and got.iloc[0].matched_keys == 0

@@ -255,3 +255,38 @@ class TestGlobalRank:
 
         ds = ray.data.from_arrow(pa.table({"key": pa.array([], pa.int64())}))
         assert global_rank(ds, "key").count() == 0
+
+
+class TestGapsAndLastSeen:
+    def test_gaps_match_duckdb(self):
+        from text_dedup_ray.pipelines.sequence import inter_event_gaps
+
+        tbl = _events()
+        got = inter_event_gaps(
+            ray.data.from_arrow(tbl).repartition(4), "uid", "ts", "eid",
+            num_partitions=4,
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("t", tbl)
+        exp = con.execute(
+            "WITH g AS (SELECT uid, epoch_us(ts) - lag(epoch_us(ts)) OVER "
+            "(PARTITION BY uid ORDER BY ts, eid) AS gap_us FROM t) "
+            "SELECT uid, gap_us FROM g WHERE gap_us IS NOT NULL"
+        ).fetchdf()
+        pd.testing.assert_frame_equal(_canon(got), _canon(exp), check_dtype=False)
+
+    def test_last_seen_flags(self):
+        from text_dedup_ray.pipelines.sequence import last_seen
+
+        ts = pa.array(
+            [np.datetime64("2024-01-01T00:00:00", "us"),
+             np.datetime64("2024-01-20T00:00:00", "us"),
+             np.datetime64("2024-01-02T00:00:00", "us")],
+        )
+        tbl = pa.table({"uid": [1, 1, 2], "ts": ts})
+        cutoff = int(pd.Timestamp("2024-01-10").value // 1000)
+        got = (
+            last_seen(ray.data.from_arrow(tbl), "uid", "ts", churn_cutoff_us=cutoff)
+            .to_pandas().sort_values("uid").reset_index(drop=True)
+        )
+        assert got.is_churned.tolist() == [False, True]

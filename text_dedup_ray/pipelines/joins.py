@@ -530,3 +530,137 @@ def hash_join(
     return two_sided_hash_exchange(
         l_tag, r_tag, "part", num_partitions, join_partition
     )
+
+
+def join_cardinality(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_on: str,
+    right_on: str,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """EXACT equi-join cardinality WITHOUT running the join — the
+    blow-up detector a planner consults before committing to a big
+    shuffle: ``|A JOIN B|  =  sum over matched keys of cA(k) * cB(k)``,
+    plus the matched-key count and each side's max per-key multiplicity
+    (the skew signal).
+
+    Scale shape: both sides pre-reduce to one (key, count) row per
+    block-distinct key — only counts move, never rows; the two-sided
+    key-hash exchange multiplies matched counts per partition and the
+    driver folds P scalar partials."""
+    from ..stages.exchange import two_sided_hash_exchange
+
+    def side_partial(on: str):
+        def f(batch: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    "k": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                    "__jc_part": pa.array([], pa.int64()),
+                }
+            )
+            if batch.num_rows == 0:
+                return empty
+            k = batch[on].to_numpy(zero_copy_only=False).astype(np.int64)
+            uk, inv = np.unique(k, return_inverse=True)
+            c = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+            return pa.table(
+                {
+                    "k": pa.array(uk),
+                    "c": pa.array(c),
+                    "__jc_part": pa.array(
+                        (uk % num_partitions + num_partitions) % num_partitions
+                    ),
+                }
+            )
+
+        return f
+
+    def reduce(lt, rt) -> pa.Table:
+        empty = pa.table(
+            {
+                "est_rows": pa.array([], pa.int64()),
+                "matched_keys": pa.array([], pa.int64()),
+                "max_left": pa.array([], pa.int64()),
+                "max_right": pa.array([], pa.int64()),
+            }
+        )
+        if lt is None or rt is None or "k" not in lt.column_names:
+            return empty
+        lk = lt["k"].to_numpy(zero_copy_only=False)
+        lc = lt["c"].to_numpy(zero_copy_only=False)
+        rk = rt["k"].to_numpy(zero_copy_only=False)
+        rc = rt["c"].to_numpy(zero_copy_only=False)
+        # fold duplicate keys (multiple blocks contribute partials)
+        ulk, linv = np.unique(lk, return_inverse=True)
+        lsum = np.bincount(linv, weights=lc, minlength=len(ulk)).astype(np.int64)
+        urk, rinv = np.unique(rk, return_inverse=True)
+        rsum = np.bincount(rinv, weights=rc, minlength=len(urk)).astype(np.int64)
+        li = np.searchsorted(urk, ulk)
+        ok = (li < len(urk)) & (urk[np.minimum(li, len(urk) - 1)] == ulk)
+        matched_l = lsum[ok]
+        matched_r = rsum[li[ok]]
+        return pa.table(
+            {
+                "est_rows": pa.array([int((matched_l * matched_r).sum())]),
+                "matched_keys": pa.array([int(ok.sum())]),
+                "max_left": pa.array(
+                    [int(matched_l.max()) if len(matched_l) else 0]
+                ),
+                "max_right": pa.array(
+                    [int(matched_r.max()) if len(matched_r) else 0]
+                ),
+            }
+        )
+
+    lp = left.map_batches(
+        side_partial(left_on), batch_format="pyarrow", batch_size=None
+    )
+    rp = right.map_batches(
+        side_partial(right_on), batch_format="pyarrow", batch_size=None
+    )
+    parts = two_sided_hash_exchange(lp, rp, "__jc_part", num_partitions, reduce)
+
+    def total(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "est_rows" not in batch.column_names:
+            # no matched keys anywhere: a well-typed zero row (the join
+            # would produce 0 rows), never an empty schema-less result
+            return pa.table(
+                {
+                    "est_rows": pa.array([0], pa.int64()),
+                    "matched_keys": pa.array([0], pa.int64()),
+                    "max_left": pa.array([0], pa.int64()),
+                    "max_right": pa.array([0], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "est_rows": pa.array(
+                    [int(batch["est_rows"].to_numpy(zero_copy_only=False).sum())]
+                ),
+                "matched_keys": pa.array(
+                    [int(batch["matched_keys"].to_numpy(zero_copy_only=False).sum())]
+                ),
+                "max_left": pa.array(
+                    [int(batch["max_left"].to_numpy(zero_copy_only=False).max())]
+                ),
+                "max_right": pa.array(
+                    [int(batch["max_right"].to_numpy(zero_copy_only=False).max())]
+                ),
+            }
+        )
+
+    from ..stages.exchange import hash_partition_exchange
+
+    def retag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__jc2", pa.array(np.zeros(batch.num_rows, np.int64))
+        )
+
+    return hash_partition_exchange(
+        parts.map_batches(retag, batch_format="pyarrow", batch_size=None),
+        "__jc2",
+        1,
+        total,
+    )

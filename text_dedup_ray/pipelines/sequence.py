@@ -504,3 +504,105 @@ def cohort_retention(
     tagged = _tag_by_key(ds, [key, ts_column], key, num_partitions)
     partials = hash_partition_exchange(tagged, _PART, num_partitions, fold)
     return hash_partition_exchange(partials, _PART, 1, total)
+
+
+def inter_event_gaps(
+    ds: ray.data.Dataset,
+    key: str,
+    ts_column: str,
+    tiebreak_column: str,
+    alias: str = "gap_us",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Per-key inter-event gaps in microseconds (SQL ``epoch_us(ts) -
+    lag(epoch_us(ts)) OVER (PARTITION BY key ORDER BY ts, tiebreak)``,
+    first event per key dropped): the keyed-exchange + lexsort kernel
+    with one vectorized difference."""
+
+    def fold(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key: pa.array([], pa.int64()),
+                alias: pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or key not in group.column_names:
+            return empty
+        ks, perm = _order_arrays(group, key, (ts_column, tiebreak_column))
+        tsi = (
+            group[ts_column].to_numpy(zero_copy_only=False)[perm]
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        same = np.r_[False, ks[1:] == ks[:-1]]
+        gaps = np.empty(len(tsi), np.int64)
+        gaps[1:] = tsi[1:] - tsi[:-1]
+        return pa.table(
+            {
+                key: pa.array(np.asarray(ks[same], np.int64)),
+                alias: pa.array(gaps[same]),
+            }
+        )
+
+    tagged = _tag_by_key(ds, [key, ts_column, tiebreak_column], key, num_partitions)
+    return hash_partition_exchange(tagged, _PART, num_partitions, fold)
+
+
+def last_seen(
+    ds: ray.data.Dataset,
+    key: str,
+    ts_column: str,
+    churn_cutoff_us: int | None = None,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Recency / churn report: every key's LAST event time, plus an
+    ``is_churned`` flag when ``churn_cutoff_us`` is given (last seen
+    strictly before the cutoff) — per-block (key, max ts) partials, one
+    keyed exchange folds the exact max."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key: pa.array([], pa.int64()),
+                "m": pa.array([], pa.int64()),
+                _PART: pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        k = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        tsi = (
+            batch[ts_column].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        uk, inv = np.unique(k, return_inverse=True)
+        m = np.full(len(uk), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(m, inv, tsi)
+        return pa.table(
+            {
+                key: pa.array(uk),
+                "m": pa.array(m),
+                _PART: pa.array(distinct_key_partition(uk, num_partitions)),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        cols = {
+            key: pa.array([], pa.int64()),
+            "last_seen_us": pa.array([], pa.int64()),
+        }
+        if churn_cutoff_us is not None:
+            cols["is_churned"] = pa.array([], pa.bool_())
+        if group.num_rows == 0 or key not in group.column_names:
+            return pa.table(cols)
+        k = group[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = group["m"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(k, return_inverse=True)
+        mm = np.full(len(uk), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mm, inv, m)
+        out = {key: pa.array(uk), "last_seen_us": pa.array(mm)}
+        if churn_cutoff_us is not None:
+            out["is_churned"] = pa.array(mm < churn_cutoff_us)
+        return pa.table(out)
+
+    pre = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return hash_partition_exchange(pre, _PART, num_partitions, fold)
