@@ -1740,6 +1740,52 @@ def _q_events_gap_stats(sf_dir: str):
     )
 
 
+def _q_source_length_gini(sf_dir: str):
+    """Per-source Gini of document lengths (size-inequality planning
+    stat): computed from each source's (value, count) histogram — exact
+    int64 rank-sums until two final double divisions."""
+    from text_dedup_ray.pipelines.agg import grouped_gini
+
+    return grouped_gini(
+        _docs(sf_dir, ["source", "n_chars"]), "source", "n_chars"
+    )
+
+
+def _q_events_daily_active(sf_dir: str):
+    """Daily-active-user counts (the DAU report): stamp the event day
+    vectorized, then exact COUNT(DISTINCT user) per day via the pair-
+    dedup exchange (grouped_count_distinct)."""
+    from text_dedup_ray.pipelines.agg import grouped_count_distinct
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def stamp_day(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "day": pa.array([], pa.string()),
+                    "user_id": pa.array([], pa.int64()),
+                }
+            )
+        tsi = (
+            t["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype("datetime64[D]")
+        )
+        return pa.table(
+            {
+                "day": pa.array(tsi.astype(str).tolist(), pa.string()),
+                "user_id": t["user_id"].combine_chunks(),
+            }
+        )
+
+    return grouped_count_distinct(
+        ev.map_batches(stamp_day, batch_format="pyarrow"),
+        "day", "user_id", alias="dau",
+    )
+
+
 def _q_events_last_seen(sf_dir: str):
     """Recency/churn report: every user's exact last-seen time + churned
     flag vs a cutoff 36 hours before the horizon — per-block (user, max
@@ -4036,6 +4082,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_cardinality_orders": _q_join_cardinality,
         "events_gap_stats": _q_events_gap_stats,
         "events_last_seen": _q_events_last_seen,
+        "events_daily_active": _q_events_daily_active,
+        "source_length_gini": _q_source_length_gini,
         "events_mad_outliers": _q_events_mad_outliers,
         "docs_global_rank": _q_docs_global_rank,
         "embedding_covariance": _q_embedding_cov,
@@ -4603,6 +4651,18 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
             f"SELECT user_id, max(epoch_us(ts))::BIGINT AS last_seen_us, "
             f"max(epoch_us(ts)) < {_DECAY_CUTOFF_US - 60 * 3_600_000_000} "
             f"AS is_churned FROM events GROUP BY user_id"
+        ),
+        "events_daily_active": (
+            "SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, "
+            "count(DISTINCT user_id)::BIGINT AS dau FROM events GROUP BY 1"
+        ),
+        "source_length_gini": (
+            "WITH r AS (SELECT source, n_chars, row_number() OVER "
+            "(PARTITION BY source ORDER BY n_chars) AS i, "
+            "count(*) OVER (PARTITION BY source) AS n, "
+            "sum(n_chars) OVER (PARTITION BY source) AS s FROM documents) "
+            "SELECT source, round(2.0 * sum(i * n_chars) / (max(n) * max(s)) "
+            "- (max(n) + 1.0) / max(n), 6) AS gini FROM r GROUP BY source"
         ),
         "lineitem_profile": (
             " UNION ALL ".join(

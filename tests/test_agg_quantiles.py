@@ -281,3 +281,66 @@ class TestSkewReport:
         assert got.url.tolist() == ["a.com", "b.com"]
         assert got.cnt.tolist() == [6, 3]
         assert abs(got.share.iloc[0] - 0.6) < 1e-9
+
+
+class TestGroupedGini:
+    def test_matches_duckdb(self):
+        import duckdb
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import ray
+
+        from text_dedup_ray.pipelines.agg import grouped_gini
+
+        rng = np.random.default_rng(13)
+        tbl = pa.table(
+            {
+                "g": rng.choice(["a", "b", "c"], 3000).tolist(),
+                "v": rng.integers(1, 500, 3000).tolist(),
+            }
+        )
+        got = grouped_gini(
+            ray.data.from_arrow(tbl).repartition(5), "g", "v",
+            num_partitions=4,
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("t", tbl)
+        exp = con.execute(
+            "WITH r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS i, "
+            "count(*) OVER (PARTITION BY g) AS n, sum(v) OVER (PARTITION BY g) AS s FROM t) "
+            "SELECT g, round(2.0 * sum(i * v) / (max(n) * max(s)) "
+            "- (max(n) + 1.0) / max(n), 6) AS gini FROM r GROUP BY g"
+        ).fetchdf()
+        got = got.sort_values("g").reset_index(drop=True)
+        exp = exp.sort_values("g").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_extremes(self):
+        import pyarrow as pa
+        import ray
+
+        from text_dedup_ray.pipelines.agg import grouped_gini
+
+        # equal values -> gini 0; one owner of all mass -> near (n-1)/n
+        tbl = pa.table(
+            {
+                "g": ["eq"] * 10 + ["skew"] * 10,
+                "v": [5] * 10 + [0] * 9 + [1000],
+            }
+        )
+        got = grouped_gini(ray.data.from_arrow(tbl), "g", "v").to_pandas()
+        h = dict(zip(got.g, got.gini))
+        assert h["eq"] == 0.0
+        assert abs(h["skew"] - 0.9) < 1e-9
+
+    def test_overflow_guard(self):
+        import pyarrow as pa
+        import pytest
+        import ray
+
+        from text_dedup_ray.pipelines.agg import grouped_gini
+
+        tbl = pa.table({"g": ["a"] * 3, "v": [2**51, 2**51, 2**51]})
+        with pytest.raises(Exception, match="exact-integer bound"):
+            grouped_gini(ray.data.from_arrow(tbl), "g", "v").to_pandas()

@@ -1387,3 +1387,86 @@ def skew_report(
 
     tagged = cands.map_batches(retag, batch_format="pyarrow", batch_size=None)
     return _hpe(tagged, "__sp2", 1, final)
+
+
+def grouped_gini(
+    ds: ray.data.Dataset,
+    key: str,
+    value_column: str,
+    alias: str = "gini",
+    round_to: int = 6,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Per-group Gini coefficient of a non-negative value column —
+    the size-inequality statistic for corpus planning ("is this source a
+    few huge documents or many small ones"): ``G = 2·Σ i·x(i) / (n·Σx)
+    − (n+1)/n`` over each group's ascending-sorted values.
+
+    Exactness: ties contribute the same Σ i·x under any ordering (equal
+    x across the tied positions), so the statistic is computable from
+    the (key, value, count) HISTOGRAM — blocks pre-aggregate to one row
+    per distinct (key, value) per block, each key's histogram co-locates
+    by key hash, and the integer rank-sums stay exact int64 until the
+    two final double divisions (bit-identical in SQL)."""
+    from ..stages.exchange import hash_partition_exchange
+
+    key_type = ds.schema().base_schema.field(key).type
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tbl = batch.select([key, value_column])
+        out = tbl.group_by([key, value_column]).aggregate([(value_column, "count")])
+        out = out.rename_columns([key, value_column, "__cnt"])
+        kv = out[key].to_numpy(zero_copy_only=False)
+        part = distinct_key_partition(kv, num_partitions)
+        return out.append_column("part", pa.array(part))
+
+    pre = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+
+    def fold(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {key: pa.array([], key_type), alias: pa.array([], pa.float64())}
+        )
+        if group.num_rows == 0 or key not in group.column_names:
+            return empty
+        merged = (
+            group.select([key, value_column, "__cnt"])
+            .group_by([key, value_column])
+            .aggregate([("__cnt", "sum")])
+            .sort_by([(key, "ascending"), (value_column, "ascending")])
+        )
+        kv = np.asarray(merged[key].to_pandas(), dtype=object)
+        v = merged[value_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = merged["__cnt_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, kidx = np.unique(kv, return_inverse=True)
+        # per-key cumulative count offsets (positions o+1 .. o+c per bin)
+        starts = np.flatnonzero(np.r_[True, kidx[1:] != kidx[:-1]])
+        sizes = np.diff(np.r_[starts, len(kidx)])
+        gcs = np.cumsum(c)
+        base = np.repeat(np.r_[np.int64(0), gcs[starts[1:] - 1]], sizes)
+        o = gcs - c - base  # offset BEFORE this bin within its key
+        # Σ i·x over the bin = x · (c·(2o + c + 1) / 2); 2·Σ stays integer
+        two_rank_sum = v * c * (2 * o + c + 1)
+        n = np.bincount(kidx, weights=c, minlength=len(uniq)).astype(np.int64)
+        sx = np.bincount(kidx, weights=v * c, minlength=len(uniq)).astype(np.int64)
+        trs = np.bincount(
+            kidx, weights=two_rank_sum, minlength=len(uniq)
+        ).astype(np.int64)
+        # guard the integer contract (same stance as grouped_zscore):
+        # 2·Σ i·x ≤ ~n·Σx per group must stay under 2^52 so the float64
+        # bincount accumulation and the int64 cast are both exact
+        if len(n) and float(n.max()) * float(max(1, sx.max())) > 2**52:
+            raise ValueError(
+                "grouped_gini: n * sum(value) exceeds the exact-integer "
+                "bound (2^52) — rescale the value column first"
+            )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            g = trs / (n.astype(np.float64) * sx) - (n + 1.0) / n
+        g = np.where(sx > 0, g, 0.0)
+        return pa.table(
+            {
+                key: pa.array(uniq.tolist(), key_type),
+                alias: pa.array(np.round(g, round_to)),
+            }
+        )
+
+    return hash_partition_exchange(pre, "part", num_partitions, fold)
