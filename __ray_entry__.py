@@ -1692,6 +1692,28 @@ def _q_lineitem_profile(sf_dir: str):
     return profile_table(ds, _PROFILE_COLS)
 
 
+def _q_part_supplier_pagerank(sf_dir: str):
+    """Iterative graph computation: 3-iteration damped PageRank over the
+    distinct part->supplier edge list — synchronous message passing, two
+    narrow co-partition exchanges per iteration, contributions pre-summed
+    per destination inside each partition."""
+    from text_dedup_ray.pipelines.graph import pagerank
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+
+    def mk(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": t["l_partkey"].combine_chunks().cast(pa.int64()),
+                "dst": t["l_suppkey"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    return pagerank(li.map_batches(mk, batch_format="pyarrow"), iterations=3)
+
+
 def _q_join_cardinality(sf_dir: str):
     """EXACT join-cardinality estimate WITHOUT running the join (the
     blow-up/skew pre-check): per-side (key, count) partials through one
@@ -4080,6 +4102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_profile": _q_lineitem_profile,
         "events_hot_users": _q_events_hot_users,
         "join_cardinality_orders": _q_join_cardinality,
+        "part_supplier_pagerank": _q_part_supplier_pagerank,
         "events_gap_stats": _q_events_gap_stats,
         "events_last_seen": _q_events_last_seen,
         "events_daily_active": _q_events_daily_active,
@@ -4630,6 +4653,27 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
             "GROUP BY user_id), t AS (SELECT sum(cnt) AS tot FROM c) "
             "SELECT user_id, cnt, round(cnt / tot, 6) AS share "
             "FROM c CROSS JOIN t ORDER BY cnt DESC, user_id LIMIT 20"
+        ),
+        "part_supplier_pagerank": (
+            "WITH e AS (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst "
+            "FROM lineitem), "
+            "deg AS (SELECT src, count(*)::DOUBLE AS d FROM e GROUP BY src), "
+            "nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e), "
+            "r0 AS (SELECT v, 1.0 AS r FROM nodes), "
+            + " ".join(
+                f"r{k} AS (SELECT n.v, 0.15 + 0.85 * "
+                f"coalesce(sum(r{k-1}.r / deg.d), 0) AS r "
+                f"FROM nodes n LEFT JOIN e ON e.dst = n.v "
+                f"LEFT JOIN deg ON deg.src = e.src "
+                f"LEFT JOIN r{k-1} ON r{k-1}.v = e.src GROUP BY n.v),"
+                for k in (1, 2)
+            )
+            + " r3 AS (SELECT n.v, 0.15 + 0.85 * "
+            "coalesce(sum(r2.r / deg.d), 0) AS r "
+            "FROM nodes n LEFT JOIN e ON e.dst = n.v "
+            "LEFT JOIN deg ON deg.src = e.src "
+            "LEFT JOIN r2 ON r2.v = e.src GROUP BY n.v) "
+            "SELECT v AS node, round(r, 6) AS rank FROM r3"
         ),
         "join_cardinality_orders": (
             "WITH a AS (SELECT l_orderkey AS k, count(*)::BIGINT AS c "
