@@ -1714,6 +1714,18 @@ def _q_part_supplier_pagerank(sf_dir: str):
     return pagerank(li.map_batches(mk, batch_format="pyarrow"), iterations=3)
 
 
+def _q_copurchase_pairs(sf_dir: str):
+    """Market-basket top-20 co-occurring part pairs (frequently bought
+    together): per-basket pair emission bounded by basket_cap, pair-hash
+    exchange for exact counts, block-pruned top-k fold."""
+    from text_dedup_ray.pipelines.graph import cooccurrence_top_pairs
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return cooccurrence_top_pairs(li, "l_orderkey", "l_partkey", top_n=20)
+
+
 def _q_join_cardinality(sf_dir: str):
     """EXACT join-cardinality estimate WITHOUT running the join (the
     blow-up/skew pre-check): per-side (key, count) partials through one
@@ -4103,6 +4115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hot_users": _q_events_hot_users,
         "join_cardinality_orders": _q_join_cardinality,
         "part_supplier_pagerank": _q_part_supplier_pagerank,
+        "copurchase_top_pairs": _q_copurchase_pairs,
         "events_gap_stats": _q_events_gap_stats,
         "events_last_seen": _q_events_last_seen,
         "events_daily_active": _q_events_daily_active,
@@ -4653,6 +4666,14 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
             "GROUP BY user_id), t AS (SELECT sum(cnt) AS tot FROM c) "
             "SELECT user_id, cnt, round(cnt / tot, 6) AS share "
             "FROM c CROSS JOIN t ORDER BY cnt DESC, user_id LIMIT 20"
+        ),
+        "copurchase_top_pairs": (
+            "WITH d AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+            "FROM lineitem), "
+            "pr AS (SELECT least(x.p, y.p) AS a, greatest(x.p, y.p) AS b, "
+            "count(*)::BIGINT AS cnt FROM d x JOIN d y "
+            "ON x.o = y.o AND x.p < y.p GROUP BY 1, 2) "
+            "SELECT a, b, cnt FROM pr ORDER BY cnt DESC, a, b LIMIT 20"
         ),
         "part_supplier_pagerank": (
             "WITH e AS (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst "

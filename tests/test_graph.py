@@ -67,3 +67,40 @@ class TestPageRank:
         ra = pagerank(ray.data.from_arrow(a), iterations=2).to_pandas()
         rb = pagerank(ray.data.from_arrow(b), iterations=2).to_pandas()
         pd.testing.assert_frame_equal(_canon(ra), _canon(rb))
+
+
+class TestCooccurrence:
+    def test_matches_duckdb(self):
+        from text_dedup_ray.pipelines.graph import cooccurrence_top_pairs
+
+        rng = np.random.default_rng(6)
+        tbl = pa.table(
+            {
+                "o": rng.integers(0, 400, 5000).tolist(),
+                "p": rng.integers(0, 60, 5000).tolist(),
+            }
+        )
+        got = cooccurrence_top_pairs(
+            ray.data.from_arrow(tbl).repartition(5), "o", "p", top_n=15,
+            num_partitions=4,
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("t", tbl)
+        exp = con.execute(
+            "WITH d AS (SELECT DISTINCT o, p FROM t), "
+            "pr AS (SELECT least(x.p, y.p) AS a, greatest(x.p, y.p) AS b, "
+            "count(*)::BIGINT AS cnt FROM d x JOIN d y ON x.o = y.o AND x.p < y.p "
+            "GROUP BY 1, 2) "
+            "SELECT a, b, cnt FROM pr ORDER BY cnt DESC, a, b LIMIT 15"
+        ).fetchdf()
+        pd.testing.assert_frame_equal(_canon(got), _canon(exp), check_dtype=False)
+
+    def test_duplicate_items_in_basket_count_once(self):
+        from text_dedup_ray.pipelines.graph import cooccurrence_top_pairs
+
+        tbl = pa.table({"o": [1, 1, 1, 2, 2], "p": [7, 7, 8, 7, 8]})
+        got = cooccurrence_top_pairs(
+            ray.data.from_arrow(tbl), "o", "p", top_n=5
+        ).to_pandas()
+        assert len(got) == 1
+        assert got.iloc[0].tolist() == [7, 8, 2]

