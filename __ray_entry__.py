@@ -1714,6 +1714,39 @@ def _q_part_supplier_pagerank(sf_dir: str):
     return pagerank(li.map_batches(mk, batch_format="pyarrow"), iterations=3)
 
 
+def _q_part_components(sf_dir: str):
+    """Weakly-connected components over the co-purchase graph (parts
+    linked when >= 2 baskets contain both): pair emission reuses the
+    market-basket kernel, connectivity the shared CC fold — the
+    standalone graph-clustering surface of the dedup machinery."""
+    import pyarrow.compute as pc
+
+    from text_dedup_ray.pipelines.graph import cooccurrence_top_pairs
+    from text_dedup_ray.stages.cc import cluster_map_table, connected_components_auto
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    # top_n large enough to keep EVERY pair with cnt >= 2 (the filter
+    # below is the semantic gate; top_n only caps the candidate volume)
+    pairs = cooccurrence_top_pairs(
+        li, "l_orderkey", "l_partkey", top_n=1_000_000_000
+    )
+
+    def edges(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return pa.table(
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+            )
+        keep = t.filter(pc.greater_equal(t["cnt"], 2))
+        return pa.table({"src": keep["a"], "dst": keep["b"]})
+
+    parents = connected_components_auto(
+        pairs.map_batches(edges, batch_format="pyarrow")
+    )
+    return cluster_map_table(parents)
+
+
 def _q_copurchase_pairs(sf_dir: str):
     """Market-basket top-20 co-occurring part pairs (frequently bought
     together): per-basket pair emission bounded by basket_cap, pair-hash
@@ -1831,6 +1864,20 @@ def _q_events_last_seen(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
     )
     return last_seen(ev, "user_id", "ts", churn_cutoff_us=cutoff)
+
+
+def _q_events_funnel_durations(sf_dir: str):
+    """Time-to-convert: whole-funnel duration (view->click->purchase,
+    earliest chaining) in seconds for every converted user — one keyed
+    exchange, vectorized chaining, one row per converted key."""
+    from text_dedup_ray.pipelines.sequence import funnel_durations
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    return funnel_durations(
+        ev, "user_id", "ts", "event_type", ("view", "click", "purchase")
+    )
 
 
 def _q_events_props_extract(sf_dir: str):
@@ -4106,6 +4153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_row_number": _q_events_row_number,
         "events_transitions": _q_events_transitions,
         "events_funnel": _q_events_funnel,
+        "events_funnel_durations": _q_events_funnel_durations,
         "events_decayed_sum": _q_events_decayed_sum,
         "events_moving_avg": _q_events_moving_avg,
         "events_rollup": _q_events_rollup,
@@ -4116,6 +4164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_cardinality_orders": _q_join_cardinality,
         "part_supplier_pagerank": _q_part_supplier_pagerank,
         "copurchase_top_pairs": _q_copurchase_pairs,
+        "part_components": _q_part_components,
         "events_gap_stats": _q_events_gap_stats,
         "events_last_seen": _q_events_last_seen,
         "events_daily_active": _q_events_daily_active,
@@ -4617,6 +4666,19 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
             "UNION ALL SELECT 2, 'click', count(*) FROM s2 "
             "UNION ALL SELECT 3, 'purchase', count(*) FROM s3"
         ),
+        "events_funnel_durations": (
+            "WITH s1 AS (SELECT user_id, min(ts) AS t FROM events "
+            "WHERE event_type = 'view' GROUP BY user_id), "
+            "s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            "JOIN s1 USING (user_id) WHERE e.event_type = 'click' "
+            "AND e.ts > s1.t GROUP BY e.user_id), "
+            "s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            "JOIN s2 USING (user_id) WHERE e.event_type = 'purchase' "
+            "AND e.ts > s2.t GROUP BY e.user_id) "
+            "SELECT s1.user_id, "
+            "(epoch_us(s3.t) - epoch_us(s1.t)) // 1000000 AS duration_s "
+            "FROM s1 JOIN s3 USING (user_id)"
+        ),
         "events_decayed_sum": (
             f"SELECT user_id, round(sum(value * power(2.0, "
             f"-(({_DECAY_CUTOFF_US} - epoch_us(ts)) / (7.0 * 86400.0 * 1000000)))), 4) "
@@ -4666,6 +4728,16 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
             "GROUP BY user_id), t AS (SELECT sum(cnt) AS tot FROM c) "
             "SELECT user_id, cnt, round(cnt / tot, 6) AS share "
             "FROM c CROSS JOIN t ORDER BY cnt DESC, user_id LIMIT 20"
+        ),
+        "part_components": (
+            "WITH RECURSIVE d AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+            "FROM lineitem), "
+            "pr AS (SELECT least(x.p, y.p) AS lo, greatest(x.p, y.p) AS hi, "
+            "count(*) AS cnt FROM d x JOIN d y ON x.o = y.o AND x.p < y.p "
+            "GROUP BY 1, 2), "
+            "edges AS (SELECT hi, lo FROM pr WHERE cnt >= 2), "
+            + _oracles.CC_FRAGMENT
+            + " SELECT node AS row_id, cluster_id FROM cc"
         ),
         "copurchase_top_pairs": (
             "WITH d AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "

@@ -290,3 +290,36 @@ class TestGapsAndLastSeen:
             .to_pandas().sort_values("uid").reset_index(drop=True)
         )
         assert got.is_churned.tolist() == [False, True]
+
+
+class TestFunnelDurations:
+    def test_matches_duckdb(self):
+        from text_dedup_ray.pipelines.sequence import funnel_durations
+
+        tbl = _events()
+        got = funnel_durations(
+            ray.data.from_arrow(tbl).repartition(4), "uid", "ts", "etype",
+            ("a", "b", "c"), num_partitions=4,
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("t", tbl)
+        exp = con.execute(
+            "WITH s1 AS (SELECT uid, min(ts) AS t FROM t WHERE etype='a' GROUP BY uid), "
+            "s2 AS (SELECT e.uid, min(e.ts) AS t FROM t e JOIN s1 USING (uid) "
+            "WHERE e.etype='b' AND e.ts > s1.t GROUP BY e.uid), "
+            "s3 AS (SELECT e.uid, min(e.ts) AS t FROM t e JOIN s2 USING (uid) "
+            "WHERE e.etype='c' AND e.ts > s2.t GROUP BY e.uid) "
+            "SELECT s1.uid, (epoch_us(s3.t) - epoch_us(s1.t)) // 1000000 "
+            "AS duration_s FROM s1 JOIN s3 USING (uid)"
+        ).fetchdf()
+        pd.testing.assert_frame_equal(_canon(got), _canon(exp), check_dtype=False)
+
+    def test_incomplete_keys_absent(self):
+        from text_dedup_ray.pipelines.sequence import funnel_durations
+
+        ts = pa.array([1_000_000, 2_000_000, 3_000_000], pa.timestamp("us"))
+        tbl = pa.table({"uid": [1, 1, 2], "ts": ts, "etype": ["a", "b", "a"]})
+        got = funnel_durations(
+            ray.data.from_arrow(tbl), "uid", "ts", "etype", ("a", "b")
+        ).to_pandas()
+        assert got.uid.tolist() == [1] and got.duration_s.tolist() == [1]

@@ -606,3 +606,58 @@ def last_seen(
 
     pre = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
     return hash_partition_exchange(pre, _PART, num_partitions, fold)
+
+
+def funnel_durations(
+    ds: ray.data.Dataset,
+    key: str,
+    ts_column: str,
+    state_column: str,
+    steps: tuple[str, ...],
+    num_partitions: int = 16,
+    alias: str = "duration_s",
+) -> ray.data.Dataset:
+    """Time-to-convert: for every key that completes the earliest-chained
+    funnel (see :func:`funnel_counts`), the whole-funnel duration in
+    seconds (last chained step time minus first step time). Same single
+    keyed exchange and vectorized ``np.minimum.at`` chaining; emits one
+    row per CONVERTED key."""
+
+    def fold(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key: pa.array([], pa.int64()),
+                alias: pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or key not in group.column_names:
+            return empty
+        k = group[key].to_numpy(zero_copy_only=False)
+        tsi = (
+            group[ts_column].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        sv = np.asarray(group[state_column].to_pandas(), dtype=object)
+        uk, kidx = np.unique(k, return_inverse=True)
+        n_keys = len(uk)
+        prev = np.full(n_keys, np.iinfo(np.int64).min, np.int64)
+        first = np.full(n_keys, 0, np.int64)
+        reached = np.ones(n_keys, bool)
+        for si, s in enumerate(steps):
+            m = (sv == s) & reached[kidx] & (tsi > prev[kidx])
+            cand = np.full(n_keys, np.iinfo(np.int64).max, np.int64)
+            np.minimum.at(cand, kidx[m], tsi[m])
+            reached &= cand < np.iinfo(np.int64).max
+            prev = np.where(reached, cand, prev)
+            if si == 0:
+                first = np.where(reached, cand, first)
+        dur = (prev - first) // 1_000_000
+        return pa.table(
+            {
+                key: pa.array(np.asarray(uk[reached], np.int64)),
+                alias: pa.array(dur[reached]),
+            }
+        )
+
+    tagged = _tag_by_key(ds, [key, ts_column, state_column], key, num_partitions)
+    return hash_partition_exchange(tagged, _PART, num_partitions, fold)
