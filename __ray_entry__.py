@@ -1866,6 +1866,21 @@ def _q_events_last_seen(sf_dir: str):
     return last_seen(ev, "user_id", "ts", churn_cutoff_us=cutoff)
 
 
+def _q_events_peak_concurrency(sf_dir: str):
+    """Peak concurrent sessions (distributed sweep-line over the
+    sessionized intervals): +1/-1 points range-partition by time, each
+    partition folds its local prefix extremum, driver folds P pairs —
+    end-exclusive tie convention stated in both systems."""
+    from text_dedup_ray.pipelines.agg import sessionize
+    from text_dedup_ray.pipelines.sequence import peak_concurrency
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    sess = sessionize(ev, "ts", "user_id", gap_seconds=1800, value_column="value")
+    return peak_concurrency(sess, "session_start", "session_end")
+
+
 def _q_events_funnel_durations(sf_dir: str):
     """Time-to-convert: whole-funnel duration (view->click->purchase,
     earliest chaining) in seconds for every converted user — one keyed
@@ -4154,6 +4169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transitions": _q_events_transitions,
         "events_funnel": _q_events_funnel,
         "events_funnel_durations": _q_events_funnel_durations,
+        "events_peak_concurrency": _q_events_peak_concurrency,
         "events_decayed_sum": _q_events_decayed_sum,
         "events_moving_avg": _q_events_moving_avg,
         "events_rollup": _q_events_rollup,
@@ -4665,6 +4681,21 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
             "count(*)::BIGINT AS n_keys FROM s1 "
             "UNION ALL SELECT 2, 'click', count(*) FROM s2 "
             "UNION ALL SELECT 3, 'purchase', count(*) FROM s3"
+        ),
+        "events_peak_concurrency": (
+            "WITH b AS (SELECT user_id, ts, "
+            "CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY ts) <= 1800000000 THEN 0 ELSE 1 END "
+            "AS brk FROM events), "
+            "s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id "
+            "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM b), "
+            "sess AS (SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1 "
+            "FROM s GROUP BY user_id, sid), "
+            "pts AS (SELECT t0 AS t, 1 AS d FROM sess "
+            "UNION ALL SELECT t1, -1 FROM sess), "
+            "sw AS (SELECT sum(d) OVER (ORDER BY t, d "
+            "ROWS UNBOUNDED PRECEDING) AS conc FROM pts) "
+            "SELECT max(conc)::BIGINT AS peak_concurrency FROM sw"
         ),
         "events_funnel_durations": (
             "WITH s1 AS (SELECT user_id, min(ts) AS t FROM events "

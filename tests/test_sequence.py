@@ -323,3 +323,55 @@ class TestFunnelDurations:
             ray.data.from_arrow(tbl), "uid", "ts", "etype", ("a", "b")
         ).to_pandas()
         assert got.uid.tolist() == [1] and got.duration_s.tolist() == [1]
+
+
+class TestPeakConcurrency:
+    def test_matches_bruteforce(self):
+        from text_dedup_ray.pipelines.sequence import peak_concurrency
+
+        rng = np.random.default_rng(8)
+        n = 2000
+        s = rng.integers(0, 10**7, n)
+        e = s + rng.integers(1, 10**6, n)
+        tbl = pa.table(
+            {
+                "s": pa.array(s.astype("datetime64[us]")),
+                "e": pa.array(e.astype("datetime64[us]")),
+            }
+        )
+        got = peak_concurrency(
+            ray.data.from_arrow(tbl).repartition(5), "s", "e", num_partitions=4
+        ).to_pandas()
+        pts = sorted(
+            [(t, 1) for t in s] + [(t, -1) for t in e], key=lambda p: (p[0], p[1])
+        )
+        run = peak = 0
+        for _, d in pts:
+            run += d
+            peak = max(peak, run)
+        assert got.iloc[0].peak_concurrency == peak
+
+    def test_end_exclusive_ties(self):
+        from text_dedup_ray.pipelines.sequence import peak_concurrency
+
+        # [0, 10) and [10, 20): never concurrent
+        tbl = pa.table(
+            {
+                "s": pa.array(np.array([0, 10], "datetime64[us]")),
+                "e": pa.array(np.array([10, 20], "datetime64[us]")),
+            }
+        )
+        got = peak_concurrency(ray.data.from_arrow(tbl), "s", "e").to_pandas()
+        assert got.iloc[0].peak_concurrency == 1
+
+    def test_empty(self):
+        from text_dedup_ray.pipelines.sequence import peak_concurrency
+
+        tbl = pa.table(
+            {
+                "s": pa.array([], pa.timestamp("us")),
+                "e": pa.array([], pa.timestamp("us")),
+            }
+        )
+        got = peak_concurrency(ray.data.from_arrow(tbl), "s", "e").to_pandas()
+        assert got.iloc[0].peak_concurrency == 0

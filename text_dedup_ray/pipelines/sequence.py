@@ -661,3 +661,132 @@ def funnel_durations(
 
     tagged = _tag_by_key(ds, [key, ts_column, state_column], key, num_partitions)
     return hash_partition_exchange(tagged, _PART, num_partitions, fold)
+
+
+def peak_concurrency(
+    intervals: ray.data.Dataset,
+    start_column: str,
+    end_column: str,
+    num_partitions: int = 16,
+    samples_per_block: int = 32,
+) -> ray.data.Dataset:
+    """Maximum number of simultaneously-open intervals (peak concurrent
+    sessions) — the classic sweep-line, distributed: +1/-1 boundary
+    points range-partition by time (sample-derived cuts), each partition
+    computes its LOCAL prefix extremum and total delta, and the driver
+    folds P (total, max) pairs — the global running sum never
+    materializes. End-exclusive ties: a -1 at time t is processed before
+    a +1 at t (an interval ending exactly when another starts does not
+    overlap it)."""
+
+    def points(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"t": pa.array([], pa.int64()), "d": pa.array([], pa.int64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        s = (
+            batch[start_column].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        e = (
+            batch[end_column].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        return pa.table(
+            {
+                "t": pa.array(np.concatenate([s, e])),
+                "d": pa.array(
+                    np.concatenate(
+                        [np.ones(len(s), np.int64), -np.ones(len(e), np.int64)]
+                    )
+                ),
+            }
+        )
+
+    pts = intervals.map_batches(points, batch_format="pyarrow", batch_size=None)
+
+    # sample time keys -> range cuts (the pack.global_prefix_sum recipe)
+    def sample(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"k": pa.array([], pa.int64())})
+        v = np.sort(batch["t"].to_numpy(zero_copy_only=False))
+        step = max(1, len(v) // samples_per_block)
+        return pa.table({"k": pa.array(v[::step][:samples_per_block])})
+
+    pool_df = pts.map_batches(sample, batch_format="pyarrow", batch_size=None).to_pandas()
+    if pool_df.empty:
+        return ray.data.from_arrow(
+            pa.table({"peak_concurrency": pa.array([0], pa.int64())})
+        )
+    pool = np.sort(pool_df["k"].to_numpy())
+    cuts = np.unique(
+        pool[np.linspace(0, len(pool) - 1, num_partitions + 1).astype(int)][1:-1]
+    )
+    n_parts = len(cuts) + 1
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(_PART, pa.array([], pa.int64()))
+        t = batch["t"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            _PART, pa.array(np.searchsorted(cuts, t, "right").astype(np.int64))
+        )
+
+    def local(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "pid": pa.array([], pa.int64()),
+                "total": pa.array([], pa.int64()),
+                "mx": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "t" not in group.column_names:
+            return empty
+        t = group["t"].to_numpy(zero_copy_only=False)
+        d = group["d"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, t))  # -1 before +1 at equal t
+        cs = np.cumsum(d[order])
+        pid = int(group[_PART][0].as_py())
+        return pa.table(
+            {
+                "pid": pa.array([pid], pa.int64()),
+                "total": pa.array([int(cs[-1])], pa.int64()),
+                "mx": pa.array([int(cs.max())], pa.int64()),
+            }
+        )
+
+    parts = hash_partition_exchange(
+        pts.map_batches(stamp, batch_format="pyarrow", batch_size=None),
+        _PART,
+        n_parts,
+        local,
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "pid" not in batch.column_names:
+            return pa.table({"peak_concurrency": pa.array([0], pa.int64())})
+        pid = batch["pid"].to_numpy(zero_copy_only=False)
+        total = batch["total"].to_numpy(zero_copy_only=False)
+        mx = batch["mx"].to_numpy(zero_copy_only=False)
+        order = np.argsort(pid, kind="stable")
+        base = np.concatenate(([0], np.cumsum(total[order])[:-1]))
+        return pa.table(
+            {
+                "peak_concurrency": pa.array(
+                    [int((base + mx[order]).max())], pa.int64()
+                )
+            }
+        )
+
+    def retag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__pc2", pa.array(np.zeros(batch.num_rows, np.int64))
+        )
+
+    return hash_partition_exchange(
+        parts.map_batches(retag, batch_format="pyarrow", batch_size=None),
+        "__pc2",
+        1,
+        fold,
+    )
