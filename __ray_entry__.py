@@ -1866,6 +1866,57 @@ def _q_events_last_seen(sf_dir: str):
     return last_seen(ev, "user_id", "ts", churn_cutoff_us=cutoff)
 
 
+def _q_events_ab_welch(sf_dir: str):
+    """A/B readout: Welch t between user_id-parity arms — fixed-size
+    moment partials per block per arm, statistics derived in one fold."""
+    from text_dedup_ray.pipelines.stats import welch_ab_test
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    )
+
+    def variant(b: pa.Table):
+        return (b["user_id"].to_numpy(zero_copy_only=False) % 2).astype(np.int64)
+
+    return welch_ab_test(ev, variant, "value")
+
+
+def _q_events_value_regression(sf_dir: str):
+    """Per-event-type OLS of value on hour-of-day (regr_slope /
+    regr_intercept / regr_r2 semantics) from five moment sums per
+    (block, type)."""
+    from text_dedup_ray.pipelines.stats import grouped_ols
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def mk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "hour": pa.array([], pa.float64()),
+                    "value": pa.array([], pa.float64()),
+                }
+            )
+        tsi = (
+            t["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        return pa.table(
+            {
+                "event_type": t["event_type"].combine_chunks(),
+                "hour": pa.array(((tsi // 3_600_000_000) % 24).astype(np.float64)),
+                "value": t["value"].combine_chunks(),
+            }
+        )
+
+    return grouped_ols(
+        ev.map_batches(mk, batch_format="pyarrow"), "event_type", "hour", "value"
+    )
+
+
 def _q_events_peak_concurrency(sf_dir: str):
     """Peak concurrent sessions (distributed sweep-line over the
     sessionized intervals): +1/-1 points range-partition by time, each
@@ -4170,6 +4221,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": _q_events_funnel,
         "events_funnel_durations": _q_events_funnel_durations,
         "events_peak_concurrency": _q_events_peak_concurrency,
+        "events_ab_welch": _q_events_ab_welch,
+        "events_value_regression": _q_events_value_regression,
         "events_decayed_sum": _q_events_decayed_sum,
         "events_moving_avg": _q_events_moving_avg,
         "events_rollup": _q_events_rollup,
@@ -4681,6 +4734,24 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
             "count(*)::BIGINT AS n_keys FROM s1 "
             "UNION ALL SELECT 2, 'click', count(*) FROM s2 "
             "UNION ALL SELECT 3, 'purchase', count(*) FROM s3"
+        ),
+        "events_ab_welch": (
+            "WITH s AS (SELECT user_id % 2 AS v, value FROM events), "
+            "a AS (SELECT count(*) n, avg(value) m, var_samp(value) s "
+            "FROM s WHERE v = 0), "
+            "b AS (SELECT count(*) n, avg(value) m, var_samp(value) s "
+            "FROM s WHERE v = 1) "
+            "SELECT a.n::BIGINT AS n0, b.n::BIGINT AS n1, "
+            "round(a.m, 4) AS mean0, round(b.m, 4) AS mean1, "
+            "round((a.m - b.m) / sqrt(a.s / a.n + b.s / b.n), 4) AS welch_t "
+            "FROM a, b"
+        ),
+        "events_value_regression": (
+            "SELECT event_type, round(regr_slope(value, hour), 6) AS slope, "
+            "round(regr_intercept(value, hour), 6) AS intercept, "
+            "round(regr_r2(value, hour), 6) AS r2 FROM "
+            "(SELECT event_type, CAST(extract(hour FROM ts) AS DOUBLE) AS hour, "
+            "value FROM events) GROUP BY event_type"
         ),
         "events_peak_concurrency": (
             "WITH b AS (SELECT user_id, ts, "
