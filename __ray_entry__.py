@@ -2856,6 +2856,38 @@ def _q_clustering_ari(sf_dir: str):
     )
 
 
+def _q_clustering_bcubed(sf_dir: str):
+    """B-cubed precision/recall/F1 of the MinHashLSH clustering against
+    the exact identical-text clustering (same label construction as the
+    ARI query) — the per-item entity-resolution statistic next to the
+    pair-counting one."""
+    from text_dedup_ray.pipelines.eval_cluster import bcubed_components
+    from text_dedup_ray.pipelines.exact import exact_cluster_table
+    from text_dedup_ray.pipelines.joins import hash_join
+    from text_dedup_ray.pipelines.minhash import minhash_dedup
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    mh = minhash_dedup(
+        docs,
+        text_column="text",
+        id_column="doc_id",
+        cfg=_MINHASH_HALF_CFG(),
+        skip_filtering=True,
+    ).assigned
+    la = mh.select_columns(["doc_id", "__CLUSTER__"]).rename_columns(
+        {"__CLUSTER__": "mh_label"}
+    )
+    lb = exact_cluster_table(
+        mh.select_columns(["doc_id", "text"]), text_column="text", id_column="doc_id"
+    ).rename_columns({"row_id": "doc_id", "cluster_id": "exact_label"})
+    joined = hash_join(
+        la, lb, "doc_id", "doc_id", ["mh_label"], ["exact_label"], how="inner"
+    )
+    return ray.data.from_arrow(
+        bcubed_components(joined, "mh_label", "exact_label")
+    )
+
+
 def _q_minhash_verified(sf_dir: str):
     """MinHashLSH dedup WITH the false-positive Jaccard verify pass
     (check_false_positive=True): verified members regroup under min(verified)
@@ -4283,6 +4315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_bbit_docs": _q_minhash_bbit,
         "cluster_cohesion": _q_cluster_cohesion,
         "clustering_ari": _q_clustering_ari,
+        "clustering_bcubed": _q_clustering_bcubed,
         "minhash_verified_docs": _q_minhash_verified,
         "minhash_incremental_docs": _q_minhash_incremental,
         "minhash_union_docs": _q_minhash_union,
@@ -5244,6 +5277,7 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
         # incremental state == full batch run (tests/test_incremental.py),
         # so the same SQL is the oracle for the tiered path
         "clustering_ari": _oracles.clustering_ari_sql(_MINHASH_HALF_CFG()),
+        "clustering_bcubed": _oracles.clustering_bcubed_sql(_MINHASH_HALF_CFG()),
         "minhash_verified_docs": _oracles.minhash_verified_sql(_MINHASH_HALF_CFG()),
         "minhash_incremental_docs": _oracles.minhash_dedup_sql(_MINHASH_HALF_CFG()),
         # union-equivalence: two half-corpus states merged == one full run

@@ -91,3 +91,61 @@ def test_clustering_ari_joins_on_common_support(ray_session):
     expect = round(_ari_local([i % 2 for i in common], [i % 3 for i in common]), 6)
     assert out["n_items"][0].as_py() == 5
     assert out["ari"][0].as_py() == pytest.approx(expect, abs=1e-9)
+
+
+class TestBCubed:
+    def test_identical_partitions_score_one(self):
+        import pyarrow as pa
+        import ray
+
+        from text_dedup_ray.pipelines.eval_cluster import bcubed_components
+
+        labels = pa.table({"a": [1, 1, 2, 2, 3], "b": [7, 7, 8, 8, 9]})
+        got = bcubed_components(
+            ray.data.from_arrow(labels), "a", "b"
+        ).to_pandas().iloc[0]
+        assert got.bcubed_precision == 1.0 and got.bcubed_recall == 1.0
+        assert got.bcubed_f1 == 1.0 and got.n_items == 5
+
+    def test_textbook_example(self):
+        import pyarrow as pa
+        import ray
+
+        from text_dedup_ray.pipelines.eval_cluster import bcubed_components
+
+        # A merges everything; B has two clusters of 2 and 3
+        labels = pa.table({"a": [0] * 5, "b": [1, 1, 2, 2, 2]})
+        got = bcubed_components(
+            ray.data.from_arrow(labels), "a", "b"
+        ).to_pandas().iloc[0]
+        # precision per item: cluster A has 5 items, overlap 2 or 3
+        # -> (2*2/5 + 3*3/5)/5 = 13/25
+        assert abs(got.bcubed_precision - 13 / 25) < 1e-9
+        assert got.bcubed_recall == 1.0
+
+    def test_matches_bruteforce_random(self):
+        import numpy as np
+        import pyarrow as pa
+        import ray
+
+        from text_dedup_ray.pipelines.eval_cluster import bcubed_components
+
+        rng = np.random.default_rng(30)
+        n = 500
+        a = rng.integers(0, 40, n)
+        b = rng.integers(0, 25, n)
+        got = bcubed_components(
+            ray.data.from_arrow(pa.table({"a": a.tolist(), "b": b.tolist()}))
+            .repartition(4),
+            "a", "b",
+        ).to_pandas().iloc[0]
+        # brute force per item
+        import collections
+
+        ca = collections.Counter(a.tolist())
+        cb = collections.Counter(b.tolist())
+        cell = collections.Counter(zip(a.tolist(), b.tolist()))
+        p = sum(cell[(x, y)] / ca[x] for x, y in zip(a.tolist(), b.tolist())) / n
+        r = sum(cell[(x, y)] / cb[y] for x, y in zip(a.tolist(), b.tolist())) / n
+        assert abs(got.bcubed_precision - round(p, 6)) < 1e-6
+        assert abs(got.bcubed_recall - round(r, 6)) < 1e-6

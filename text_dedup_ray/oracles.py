@@ -1541,3 +1541,39 @@ edges AS (
 {CC_FRAGMENT}
 SELECT node AS row_id, cluster_id FROM cc
 """
+
+
+def clustering_bcubed_sql(cfg) -> str:
+    """B-cubed precision/recall/F1 of the MinHashLSH clustering vs the
+    exact identical-text clustering (pipelines/eval_cluster.
+    bcubed_components): same label CTEs as clustering_ari_sql, then the
+    per-cell nij^2 / cluster-size ratio sums."""
+    return f"""
+WITH RECURSIVE {_minhash_core(cfg, "documents")},
+la AS (
+  SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS a
+  FROM docs d LEFT JOIN cc ON cc.node = d.doc_id
+),
+lb AS (
+  SELECT t.doc_id, min(t.doc_id) OVER (PARTITION BY t.text) AS b
+  FROM documents t JOIN docs USING (doc_id)
+),
+labels AS (SELECT la.a, lb.b FROM la JOIN lb USING (doc_id)),
+cont AS (SELECT a, b, count(*)::BIGINT AS nij FROM labels GROUP BY a, b),
+asum AS (SELECT a, sum(nij)::BIGINT AS ca FROM cont GROUP BY a),
+bsum AS (SELECT b, sum(nij)::BIGINT AS cb FROM cont GROUP BY b),
+comp AS (
+  SELECT
+    (SELECT coalesce(sum(nij), 0)::BIGINT FROM cont) AS n_items,
+    (SELECT coalesce(sum(nij * nij::DOUBLE / ca), 0)
+     FROM cont JOIN asum USING (a)) AS ps,
+    (SELECT coalesce(sum(nij * nij::DOUBLE / cb), 0)
+     FROM cont JOIN bsum USING (b)) AS rs
+)
+SELECT n_items,
+  round(ps / n_items, 6) AS bcubed_precision,
+  round(rs / n_items, 6) AS bcubed_recall,
+  round(2 * (ps / n_items) * (rs / n_items)
+        / ((ps / n_items) + (rs / n_items)), 6) AS bcubed_f1
+FROM comp
+"""

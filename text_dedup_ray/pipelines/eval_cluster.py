@@ -325,3 +325,79 @@ def cluster_cohesion(
         num_partitions,
         cohesion_reduce,
     )
+
+
+def bcubed_components(
+    labels: ray.data.Dataset,
+    col_a: str = "label_a",
+    col_b: str = "label_b",
+    num_partitions: int = 16,
+) -> pa.Table:
+    """B-cubed precision/recall/F1 of clustering A against reference B —
+    the per-ITEM overlap average (Bagga & Baldwin), the standard
+    entity-resolution companion to pair-counting ARI:
+
+        precision = (1/N) Σ_cells nij² / a_i     (a_i = |cluster i in A|)
+        recall    = (1/N) Σ_cells nij² / b_j
+
+    Same distributed contingency as :func:`ari_components`; the per-cell
+    division needs each cell's row/column total, joined back through the
+    big-x-big hash join (cells are bounded by distinct label PAIRS). Only
+    scalars reach the driver; round-6 on the three statistics."""
+    from .joins import hash_join
+
+    cont = grouped_sum_count(
+        labels, [col_a, col_b], [], count_alias="nij"
+    ).materialize()
+
+    def side_sum(side_col: str) -> ray.data.Dataset:
+        s = grouped_sum_count(cont, [side_col], ["nij"], count_alias="__nc")
+        return s.map_batches(
+            lambda t: pa.table(
+                {side_col: t[side_col], "csz": t["nij"].cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+
+    def ratio_sum(side_col: str) -> tuple[float, int]:
+        joined = hash_join(
+            cont,
+            side_sum(side_col),
+            side_col,
+            side_col,
+            ["nij"],
+            ["csz"],
+            how="inner",
+            num_partitions=num_partitions,
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            nij = t["nij"].to_numpy(zero_copy_only=False).astype(np.float64)
+            csz = t["csz"].to_numpy(zero_copy_only=False).astype(np.float64)
+            return pa.table(
+                {
+                    "__rs": pa.array([float((nij * nij / csz).sum())]),
+                    "__n": pa.array([int(nij.sum())], pa.int64()),
+                }
+            )
+
+        p = joined.map_batches(partial, batch_format="pyarrow")
+        return float(p.sum("__rs") or 0.0), int(p.sum("__n") or 0)
+
+    ps, n = ratio_sum(col_a)
+    rs, _ = ratio_sum(col_b)
+    precision = ps / n if n else 1.0
+    recall = rs / n if n else 1.0
+    f1 = (
+        2 * precision * recall / (precision + recall)
+        if (precision + recall) > 0
+        else 0.0
+    )
+    return pa.table(
+        {
+            "n_items": pa.array([n], pa.int64()),
+            "bcubed_precision": pa.array([round(precision, 6)], pa.float64()),
+            "bcubed_recall": pa.array([round(recall, 6)], pa.float64()),
+            "bcubed_f1": pa.array([round(f1, 6)], pa.float64()),
+        }
+    )
