@@ -888,6 +888,16 @@ def _q_events_hourly(sf_dir: str):
     return _round_col(out, "value")
 
 
+def _q_events_hourly_dense(sf_dir: str):
+    """Gap-filled hourly counts: every hour between corpus min and max,
+    zero hours included — distinct-hour partials + one calendar-bounded
+    densify fold."""
+    from text_dedup_ray.pipelines.sequence import dense_hourly_counts
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    return dense_hourly_counts(ev, "ts")
+
+
 def _q_events_pivot(sf_dir: str):
     """Long->wide pivot: per event DAY, one count column per event_type —
     pivot values DISCOVERED from the data (per-block unique fold), widening
@@ -4215,6 +4225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_sources": _q_top_sources,
         "lang_counts": _q_lang_counts,
         "events_hourly": _q_events_hourly,
+        "events_hourly_dense": _q_events_hourly_dense,
         "events_type_pivot": _q_events_pivot,
         "events_value_pivot": _q_events_pivot_sum,
         "events_stats_unpivot": _q_events_unpivot,
@@ -4605,6 +4616,16 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
             "SELECT event_type, date_trunc('hour', ts) AS window_start, "
             "round(sum(value), 3) AS value, count(*)::BIGINT AS n FROM events "
             "GROUP BY event_type, window_start"
+        ),
+        "events_hourly_dense": (
+            "WITH bounds AS (SELECT date_trunc('hour', min(ts)) AS lo, "
+            "date_trunc('hour', max(ts)) AS hi FROM events), "
+            "cal AS (SELECT unnest(generate_series(lo, hi, "
+            "INTERVAL 1 HOUR)) AS hour FROM bounds), "
+            "c AS (SELECT date_trunc('hour', ts) AS hour, count(*)::BIGINT AS n "
+            "FROM events GROUP BY 1) "
+            "SELECT cal.hour, coalesce(c.n, 0)::BIGINT AS n "
+            "FROM cal LEFT JOIN c USING (hour)"
         ),
         # long->wide: dynamic PIVOT (columns = discovered event types)
         "events_type_pivot": (

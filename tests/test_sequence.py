@@ -375,3 +375,22 @@ class TestPeakConcurrency:
         )
         got = peak_concurrency(ray.data.from_arrow(tbl), "s", "e").to_pandas()
         assert got.iloc[0].peak_concurrency == 0
+
+
+class TestDenseHourly:
+    def test_gaps_filled_and_sums_match(self):
+        from text_dedup_ray.pipelines.sequence import dense_hourly_counts
+
+        # two clusters of events with a 10-hour silent gap between them
+        base = np.datetime64("2024-05-01T00:30:00", "us")
+        ts = np.concatenate(
+            [base + np.arange(5).astype("timedelta64[h]"),
+             base + (np.arange(3) + 15).astype("timedelta64[h]")]
+        )
+        tbl = pa.table({"ts": pa.array(ts.astype("datetime64[us]"))})
+        got = dense_hourly_counts(
+            ray.data.from_arrow(tbl).repartition(3), "ts"
+        ).to_pandas().sort_values("hour").reset_index(drop=True)
+        assert len(got) == 18  # hours 0..17 inclusive
+        assert got.n.sum() == 8
+        assert (got.n.iloc[5:15] == 0).all()  # the silent gap

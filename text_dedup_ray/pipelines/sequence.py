@@ -790,3 +790,70 @@ def peak_concurrency(
         1,
         fold,
     )
+
+
+def dense_hourly_counts(
+    ds: ray.data.Dataset,
+    ts_column: str,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Gap-filled hourly event counts: one row for EVERY hour between the
+    corpus min and max timestamp, zero-count hours included — the dense
+    calendar downstream time-series models require (a groupby alone
+    silently drops empty buckets).
+
+    Scale shape: blocks pre-reduce to (hour, n) partials; the fold
+    receives only the distinct-hour histogram and densifies against the
+    hour RANGE — calendar size is bounded by the time span (24*365 rows
+    per year), never by data volume."""
+    _US = 3_600_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "h": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                _PART: pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        tsi = (
+            batch[ts_column].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        h = tsi // _US
+        uh, cnt = np.unique(h, return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(uh),
+                "n": pa.array(cnt.astype(np.int64)),
+                _PART: pa.array(np.zeros(len(uh), np.int64)),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "hour": pa.array([], pa.timestamp("us")),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "h" not in group.column_names:
+            return empty
+        h = group["h"].to_numpy(zero_copy_only=False)
+        c = group["n"].to_numpy(zero_copy_only=False)
+        uh, inv = np.unique(h, return_inverse=True)
+        sums = np.bincount(inv, weights=c, minlength=len(uh)).astype(np.int64)
+        full = np.arange(uh[0], uh[-1] + 1, dtype=np.int64)
+        dense = np.zeros(len(full), np.int64)
+        dense[uh - uh[0]] = sums
+        return pa.table(
+            {
+                "hour": pa.array((full * _US).astype("datetime64[us]")),
+                "n": pa.array(dense),
+            }
+        )
+
+    pre = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return hash_partition_exchange(pre, _PART, 1, fold)
