@@ -145,12 +145,96 @@ def _collapse_identical(
     return hash_partition_exchange(pre, _PART, num_partitions, reduce)
 
 
+# empty text = ZERO tokens (DuckDB str_split semantics, so the SQL
+# oracle and the engine agree on degenerate rows)
+def default_tokenizer(s: str) -> list[str]:
+    return s.split(" ") if s else []
+
+
+def key_rows_for_text(text: str, gid: int, tokenizer=default_tokenizer):
+    """The deletion-neighborhood key rows of one distinct text:
+    ``[(k1, k2, pos, gid)]`` with pos == -1 for the full-text key."""
+    toks = tokenizer(text)
+    a, b = _md5_u64_pair(text.encode())
+    rows = [(a, b, -1, gid)]
+    for i in range(len(toks)):
+        a, b = _md5_u64_pair(" ".join(toks[:i] + toks[i + 1 :]).encode())
+        rows.append((a, b, i, gid))
+    return rows
+
+
+def pairs_from_key_rows(
+    k1: np.ndarray,
+    k2: np.ndarray,
+    pos: np.ndarray,
+    gid: np.ndarray,
+    side: np.ndarray | None = None,
+) -> np.ndarray:
+    """Emit the ed=1 pair set from co-located key rows — the single home
+    of the matching rules (INDEL: a deletion of A equals B's full key;
+    SUBSTITUTION: same deletion at the SAME position). With ``side``
+    (0 = old, 1 = new) only pairs involving at least one NEW gid are
+    emitted — the tiered-increment contract (old-old connectivity is
+    already folded into the prior cluster map). Returns a unique
+    (n, 2) int64 array with a < b per row."""
+    order = np.lexsort((gid, pos, k2, k1))
+    k1s, k2s, ps, gs = k1[order], k2[order], pos[order], gid[order]
+    sd = side[order] if side is not None else None
+    first = np.r_[True, (k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])]
+    starts = np.flatnonzero(first)
+    sizes = np.diff(np.r_[starts, len(k1s)])
+    out_a: list[int] = []
+    out_b: list[int] = []
+    for s, n in zip(starts[sizes > 1], sizes[sizes > 1]):
+        p = ps[s : s + n]
+        g = gs[s : s + n]
+        sv = sd[s : s + n] if sd is not None else None
+        is_full = p == -1
+        full = g[is_full]
+        full_sd = sv[is_full] if sv is not None else None
+        dels = g[~is_full]
+        dpos = p[~is_full]
+        dels_sd = sv[~is_full] if sv is not None else None
+        # INDEL: a deletion of A equals the full text of B
+        if len(full) and len(dels):
+            for fi, fb in enumerate(full.tolist()):
+                for di, da in enumerate(dels.tolist()):
+                    if da == fb:
+                        continue
+                    if sv is not None and not (full_sd[fi] or dels_sd[di]):
+                        continue  # old-old: already in the prior map
+                    out_a.append(min(da, fb))
+                    out_b.append(max(da, fb))
+        # SUBSTITUTION: same deletion at the SAME position
+        if len(dels) > 1:
+            du = np.lexsort((dels, dpos))
+            dp, dg = dpos[du], dels[du]
+            dsd = dels_sd[du] if sv is not None else None
+            pf = np.r_[True, dp[1:] != dp[:-1]]
+            pst = np.flatnonzero(pf)
+            psz = np.diff(np.r_[pst, len(dp)])
+            for s2, n2 in zip(pst[psz > 1], psz[psz > 1]):
+                mem = dg[s2 : s2 + n2]
+                msd = dsd[s2 : s2 + n2] if sv is not None else None
+                um, ui = np.unique(mem, return_index=True)
+                umsd = msd[ui] if sv is not None else None
+                iu, ju = np.triu_indices(len(um), k=1)
+                if sv is not None:
+                    keep = umsd[iu].astype(bool) | umsd[ju].astype(bool)
+                    iu, ju = iu[keep], ju[keep]
+                out_a += um[iu].tolist()
+                out_b += um[ju].tolist()
+    if not out_a:
+        return np.empty((0, 2), np.int64)
+    a = np.asarray(out_a, np.int64)
+    b = np.asarray(out_b, np.int64)
+    return np.unique(np.stack([a, b], 1), axis=0)
+
+
 def _rep_ed1_pairs(
     collapsed: ray.data.Dataset,
     num_partitions: int,
-    # empty text = ZERO tokens (DuckDB str_split semantics, so the SQL
-    # oracle and the engine agree on degenerate rows)
-    tokenizer=lambda s: s.split(" ") if s else [],
+    tokenizer=default_tokenizer,
 ) -> ray.data.Dataset:
     """Deletion-neighborhood key join over the distinct-text reps ->
     (ga < gb) pairs with token edit distance EXACTLY 1."""
@@ -176,18 +260,11 @@ def _rep_ed1_pairs(
         texts = reps["text"].to_pylist()
         k1, k2, pos, gid = [], [], [], []
         for g, t in zip(gids.tolist(), texts):
-            toks = tokenizer(t)
-            a, b = _md5_u64_pair(t.encode())
-            k1.append(a)
-            k2.append(b)
-            pos.append(-1)  # full key
-            gid.append(g)
-            for i in range(len(toks)):
-                a, b = _md5_u64_pair(" ".join(toks[:i] + toks[i + 1 :]).encode())
+            for a, b, i, gg in key_rows_for_text(t, g, tokenizer):
                 k1.append(a)
                 k2.append(b)
                 pos.append(i)
-                gid.append(g)
+                gid.append(gg)
         k1a = np.asarray(k1, np.int64)
         return pa.table(
             {
@@ -205,47 +282,14 @@ def _rep_ed1_pairs(
         )
         if group.num_rows == 0 or "k1" not in group.column_names:
             return empty
-        k1 = group["k1"].to_numpy(zero_copy_only=False)
-        k2 = group["k2"].to_numpy(zero_copy_only=False)
-        pos = group["pos"].to_numpy(zero_copy_only=False)
-        gid = group["gid"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((gid, pos, k2, k1))
-        k1s, k2s, ps, gs = k1[order], k2[order], pos[order], gid[order]
-        first = np.r_[True, (k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])]
-        starts = np.flatnonzero(first)
-        sizes = np.diff(np.r_[starts, len(k1s)])
-        out_a: list[int] = []
-        out_b: list[int] = []
-        for s, n in zip(starts[sizes > 1], sizes[sizes > 1]):
-            p = ps[s : s + n]
-            g = gs[s : s + n]
-            full = g[p == -1]
-            dels = g[p != -1]
-            dpos = p[p != -1]
-            # INDEL: a deletion of A equals the full text of B
-            if len(full) and len(dels):
-                for fb in full.tolist():
-                    for da in dels.tolist():
-                        if da != fb:
-                            out_a.append(min(da, fb))
-                            out_b.append(max(da, fb))
-            # SUBSTITUTION: same deletion at the SAME position
-            if len(dels) > 1:
-                du = np.lexsort((dels, dpos))
-                dp, dg = dpos[du], dels[du]
-                pf = np.r_[True, dp[1:] != dp[:-1]]
-                pst = np.flatnonzero(pf)
-                psz = np.diff(np.r_[pst, len(dp)])
-                for s2, n2 in zip(pst[psz > 1], psz[psz > 1]):
-                    mem = np.unique(dg[s2 : s2 + n2])
-                    iu, ju = np.triu_indices(len(mem), k=1)
-                    out_a += mem[iu].tolist()
-                    out_b += mem[ju].tolist()
-        if not out_a:
+        u = pairs_from_key_rows(
+            group["k1"].to_numpy(zero_copy_only=False),
+            group["k2"].to_numpy(zero_copy_only=False),
+            group["pos"].to_numpy(zero_copy_only=False),
+            group["gid"].to_numpy(zero_copy_only=False),
+        )
+        if not len(u):
             return empty
-        a = np.asarray(out_a, np.int64)
-        b = np.asarray(out_b, np.int64)
-        u = np.unique(np.stack([a, b], 1), axis=0)
         return pa.table({"ga": pa.array(u[:, 0]), "gb": pa.array(u[:, 1])})
 
     keyed = collapsed.map_batches(keys, batch_format="pyarrow", batch_size=None)
