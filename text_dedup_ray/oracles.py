@@ -685,7 +685,7 @@ kept AS (SELECT doc_id, n_tokens FROM sel WHERE so + n_tokens <= {budget}),
 packed AS (
   SELECT doc_id, n_tokens,
          coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS "offset"
   FROM kept
 )
 SELECT doc_id, n_tokens, "offset",
