@@ -80,7 +80,26 @@ class TestGroupedOLS:
         h = dict(zip(got.g, got.slope))
         assert abs(h["a"] - 2.0) < 0.1 and abs(h["b"] + 0.5) < 0.1
 
-    def test_constant_x_degenerate(self):
-        tbl = pa.table({"g": ["c"] * 5, "x": [3.0] * 5, "y": [1.0, 2, 3, 4, 5.0]})
+    def test_degenerate_groups_match_duckdb_regr(self):
+        # constant x -> NULL slope/intercept/r2; constant y (varying x) ->
+        # slope 0, r2 = 1.0 — both pinned against DuckDB itself
+        tbl = pa.table(
+            {
+                "g": ["cx"] * 5 + ["cy"] * 5,
+                "x": [3.0] * 5 + [1.0, 2, 3, 4, 5.0],
+                "y": [1.0, 2, 3, 4, 5.0] + [7.0] * 5,
+            }
+        )
         got = grouped_ols(ray.data.from_arrow(tbl), "g", "x", "y").to_pandas()
-        assert got.iloc[0].slope == 0.0 and got.iloc[0].intercept == 3.0
+        con = duckdb.connect()
+        con.register("t", tbl)
+        exp = con.execute(
+            "SELECT g, round(regr_slope(y, x), 6) AS slope, "
+            "round(regr_intercept(y, x), 6) AS intercept, "
+            "round(regr_r2(y, x), 6) AS r2 FROM t GROUP BY g"
+        ).fetchdf()
+        pd.testing.assert_frame_equal(_canon(got), _canon(exp), check_dtype=False)
+        cx = got.set_index("g").loc["cx"]
+        cy = got.set_index("g").loc["cy"]
+        assert pd.isna(cx.slope) and pd.isna(cx.intercept) and pd.isna(cx.r2)
+        assert cy.slope == 0.0 and cy.r2 == 1.0

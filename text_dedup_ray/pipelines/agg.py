@@ -220,7 +220,7 @@ def approx_quantiles(
     the standard sampling bound O(1/sqrt(k)). Returns one row with
     ``quantile_disc``-rule values over the sample."""
     from ..pipelines.sample import _hash_u32
-    from ..stages.exchange import hash_partition_exchange
+    from ..stages.exchange import tree_fold
 
     def bottom_k(batch: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -246,6 +246,31 @@ def approx_quantiles(
             }
         )
 
+    def combine(group: pa.Table) -> pa.Table:
+        # bottom-k is mergeable: bottom-k of concatenated bottom-ks ==
+        # global bottom-k, so each tree level keeps <= k rows (same schema)
+        if group.num_rows == 0 or "h" not in group.column_names:
+            return pa.table(
+                {
+                    "v": pa.array([], pa.float64()),
+                    "h": pa.array([], pa.int64()),
+                    "i": pa.array([], pa.int64()),
+                    "part": pa.array([], pa.int64()),
+                }
+            )
+        h = group["h"].to_numpy(zero_copy_only=False)
+        i = group["i"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, h))[:k]
+        sel = pa.array(order)
+        return pa.table(
+            {
+                "v": group["v"].take(sel),
+                "h": group["h"].take(sel),
+                "i": group["i"].take(sel),
+                "part": pa.array(np.zeros(len(order), np.int64)),
+            }
+        )
+
     def fold(group: pa.Table) -> pa.Table:
         if group.num_rows == 0 or "h" not in group.column_names:
             return pa.table({"v": pa.array([], pa.float64())})
@@ -256,7 +281,7 @@ def approx_quantiles(
         return pa.table({"v": pa.array(v[order])})
 
     pre = ds.map_batches(bottom_k, batch_format="pyarrow", batch_size=None)
-    sample = hash_partition_exchange(pre, "part", 1, fold).to_pandas()
+    sample = tree_fold(pre, combine, fold).to_pandas()
     if sample.empty:
         return pa.table({name: pa.array([None], pa.float64()) for name in quantiles})
     vals = np.sort(sample["v"].to_numpy())

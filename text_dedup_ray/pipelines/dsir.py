@@ -43,7 +43,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..stages.exchange import hash_partition_exchange
+from ..stages.exchange import tree_fold
 
 _PART = "__dsir_part"
 
@@ -141,6 +141,29 @@ def hashed_gram_counts(
             }
         )
 
+    def combine(group: pa.Table) -> pa.Table:
+        # associative sparse merge: sum c per bucket, stay sparse — each
+        # tree level emits ONE partial row-set of the same (b, c) schema
+        if group.num_rows == 0 or "b" not in group.column_names:
+            return pa.table(
+                {
+                    "b": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                    _PART: pa.array([], pa.int64()),
+                }
+            )
+        b = group["b"].to_numpy(zero_copy_only=False)
+        c = group["c"].to_numpy(zero_copy_only=False)
+        ub, inv = np.unique(b, return_inverse=True)
+        cc = np.bincount(inv, weights=c).astype(np.int64)
+        return pa.table(
+            {
+                "b": pa.array(ub.astype(np.int64)),
+                "c": pa.array(cc),
+                _PART: pa.array(np.zeros(len(ub), np.int64)),
+            }
+        )
+
     def fold(group: pa.Table) -> pa.Table:
         if group.num_rows == 0 or "b" not in group.column_names:
             return pa.table({"counts": pa.array([], pa.list_(pa.int64()))})
@@ -153,7 +176,7 @@ def hashed_gram_counts(
         return pa.table({"counts": pa.array([dense.tolist()])})
 
     pre = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-    rows = hash_partition_exchange(pre, _PART, 1, fold).take_all()
+    rows = tree_fold(pre, combine, fold).take_all()
     if not rows:
         return np.zeros(num_buckets, np.int64)
     return np.asarray(rows[0]["counts"], dtype=np.int64)
@@ -205,6 +228,34 @@ def hashed_gram_counts_pair(
             }
         )
 
+    def combine(group: pa.Table) -> pa.Table:
+        # associative sparse (b, c, ct) merge — same schema out as in
+        if group.num_rows == 0 or "b" not in group.column_names:
+            return pa.table(
+                {
+                    "b": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                    "ct": pa.array([], pa.int64()),
+                    _PART: pa.array([], pa.int64()),
+                }
+            )
+        b = group["b"].to_numpy(zero_copy_only=False)
+        ub, inv = np.unique(b, return_inverse=True)
+        cc = np.bincount(
+            inv, weights=group["c"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        cct = np.bincount(
+            inv, weights=group["ct"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "b": pa.array(ub.astype(np.int64)),
+                "c": pa.array(cc),
+                "ct": pa.array(cct),
+                _PART: pa.array(np.zeros(len(ub), np.int64)),
+            }
+        )
+
     def fold(group: pa.Table) -> pa.Table:
         if group.num_rows == 0 or "b" not in group.column_names:
             return pa.table(
@@ -226,7 +277,7 @@ def hashed_gram_counts_pair(
         )
 
     pre = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-    rows = hash_partition_exchange(pre, _PART, 1, fold).take_all()
+    rows = tree_fold(pre, combine, fold).take_all()
     if not rows:
         z = np.zeros(num_buckets, np.int64)
         return z, z.copy()

@@ -20,7 +20,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..stages.exchange import hash_partition_exchange
+from ..stages.exchange import tree_fold
 
 
 def _moment_partials(ds: ray.data.Dataset, vector_column: str) -> tuple:
@@ -47,6 +47,30 @@ def _moment_partials(ds: ray.data.Dataset, vector_column: str) -> tuple:
             }
         )
 
+    def combine(group: pa.Table) -> pa.Table:
+        # associative moment-sum: one (s, ss, n) partial row out per tree
+        # level, same schema as the map-side partials (incl. "part")
+        if group.num_rows == 0 or "s" not in group.column_names:
+            return pa.table(
+                {
+                    "s": pa.array([], pa.list_(pa.float64())),
+                    "ss": pa.array([], pa.list_(pa.float64())),
+                    "n": pa.array([], pa.int64()),
+                    "part": pa.array([], pa.int64()),
+                }
+            )
+        s = np.array(group["s"].to_pylist(), dtype=np.float64).sum(axis=0)
+        ss = np.array(group["ss"].to_pylist(), dtype=np.float64).sum(axis=0)
+        n = int(group["n"].to_numpy(zero_copy_only=False).sum())
+        return pa.table(
+            {
+                "s": pa.array([s.tolist()]),
+                "ss": pa.array([ss.tolist()]),
+                "n": pa.array([n], pa.int64()),
+                "part": pa.array([0], pa.int64()),
+            }
+        )
+
     def fold(group: pa.Table) -> pa.Table:
         if group.num_rows == 0 or "s" not in group.column_names:
             return pa.table(
@@ -68,7 +92,7 @@ def _moment_partials(ds: ray.data.Dataset, vector_column: str) -> tuple:
         )
 
     pre = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-    rows = hash_partition_exchange(pre, "part", 1, fold).take_all()
+    rows = tree_fold(pre, combine, fold).take_all()
     if not rows:
         return None, None, 0
     r = rows[0]

@@ -418,6 +418,8 @@ def rollup_counts(
         )
 
     pre = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    # single reducer is fine: partials are per-block rollup cells, bounded
+    # by the dims' cardinality product (small by construction)
     return hash_partition_exchange(pre, _PART, 1, fold)
 
 
@@ -856,4 +858,6 @@ def dense_hourly_counts(
         )
 
     pre = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    # single reducer is fine: partials are per-block (hour, n) pairs bounded
+    # by the calendar span (<= 8760 rows per block-year of 2 int64s)
     return hash_partition_exchange(pre, _PART, 1, fold)

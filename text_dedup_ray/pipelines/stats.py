@@ -101,6 +101,8 @@ def welch_ab_test(
         )
 
     pre = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    # single reducer is fine: each block's partial is <= 2 cohort rows of 5
+    # scalars, so the fold input is O(blocks) ~ tens of MB even at 10^6 blocks
     return hash_partition_exchange(pre, _PART, 1, fold)
 
 
@@ -181,17 +183,24 @@ def grouped_ols(
             intercept = sy / n - slope * sx / n
             r2 = (cov * cov) / (varx * vary)
         ok = varx > 0
+        # DuckDB regr_* degenerate semantics (the oracle this operator
+        # hash-compares against): constant x (varx==0) -> NULL slope/
+        # intercept/r2; constant y with varying x -> r2 = 1.0
         slope = np.where(ok, slope, 0.0)
-        intercept = np.where(ok, intercept, sy / n)
-        r2 = np.where(ok & (vary > 0), r2, 0.0)
+        intercept = np.where(ok, intercept, 0.0)
+        r2 = np.where(ok & (vary > 0), r2, np.where(ok, 1.0, 0.0))
+        null_mask = ~ok
         return pa.table(
             {
                 key: summed[key],
-                "slope": pa.array(np.round(slope, round_to)),
-                "intercept": pa.array(np.round(intercept, round_to)),
-                "r2": pa.array(np.round(r2, round_to)),
+                "slope": pa.array(np.round(slope, round_to), mask=null_mask),
+                "intercept": pa.array(np.round(intercept, round_to), mask=null_mask),
+                "r2": pa.array(np.round(r2, round_to), mask=null_mask),
             }
         )
 
     pre = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    # single reducer is fine: partials are per-block per-key 8-scalar moment
+    # rows, O(blocks x keys-per-block); for the low-cardinality keys this
+    # operator targets (lang/source) that is O(blocks) scalars
     return hash_partition_exchange(pre, _PART, 1, fold)

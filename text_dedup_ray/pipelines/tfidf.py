@@ -475,9 +475,40 @@ def bm25_topk(
             }
         )
 
-    from ..stages.exchange import hash_partition_exchange
+    def combine(group: pa.Table) -> pa.Table:
+        # per-query top-k is mergeable with the same (-score, id) tie-break,
+        # so each tree level keeps <= |queries| * k candidate rows
+        if group.num_rows == 0 or "query" not in group.column_names:
+            return pa.table(
+                {
+                    "query": pa.array([], pa.string()),
+                    id_column: pa.array([], id_type),
+                    "score": pa.array([], pa.float64()),
+                    "part": pa.array([], pa.int64()),
+                }
+            )
+        q = np.array(group["query"].to_pylist(), dtype=object)
+        ids = np.array(group[id_column].to_pylist(), dtype=object)
+        s = group["score"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -s, q))
+        sq = q[order]
+        newq = np.ones(len(sq), dtype=bool)
+        newq[1:] = sq[1:] != sq[:-1]
+        start = np.maximum.accumulate(np.where(newq, np.arange(len(sq)), 0))
+        rk = np.arange(len(sq)) - start + 1
+        sel = pa.array(order[rk <= k])
+        return pa.table(
+            {
+                "query": group["query"].take(sel),
+                id_column: group[id_column].take(sel),
+                "score": group["score"].take(sel),
+                "part": pa.array(np.zeros(len(sel), np.int64)),
+            }
+        )
 
-    return hash_partition_exchange(cands, "part", 1, fold)
+    from ..stages.exchange import tree_fold
+
+    return tree_fold(cands, combine, fold)
 
 
 def with_unigram_surprisal(

@@ -115,6 +115,39 @@ def _reduce_partition(reduce_fn, *tables: pa.Table) -> pa.Table:
     return reduce_fn(pa.concat_tables(parts))
 
 
+def tree_fold(
+    ds: ray.data.Dataset,
+    combine_fn: Callable[[pa.Table], pa.Table],
+    fold_fn: Callable[[pa.Table], pa.Table],
+    fan_in: int = 32,
+    reduce_num_cpus: float = 1.0,
+) -> ray.data.Dataset:
+    """Multi-level reduce of per-block partial tables down to ONE table.
+
+    The single-partition exchange fold (``hash_partition_exchange(pre, col,
+    1, fold)``) funnels EVERY block's partial into one reduce task — fine
+    when a partial is a few scalars, but at 10^5–10^6 blocks a partial of
+    tens of KB (DSIR's sparse 64k-bucket count vectors, PCA's d x d moment
+    rows) turns that lone reducer into a tens-of-GB concat. Here level k
+    concatenates at most ``fan_in`` partials per task and applies
+    ``combine_fn`` (must be associative: partials -> ONE partial row of the
+    SAME schema), repeating until <= ``fan_in`` remain; one final task
+    applies ``fold_fn`` (partials -> final table). Peak per-task input is
+    O(fan_in x |partial|) at every level, and the tree has
+    O(log_fan_in(blocks)) levels.
+    """
+    reduce_remote = ray.remote(num_cpus=reduce_num_cpus)(_reduce_partition)
+    refs = ds.to_arrow_refs()
+    if not refs:
+        return ray.data.from_arrow(fold_fn(pa.table({})))
+    while len(refs) > fan_in:
+        refs = [
+            reduce_remote.remote(combine_fn, *refs[i : i + fan_in])
+            for i in range(0, len(refs), fan_in)
+        ]
+    return ray.data.from_arrow_refs([reduce_remote.remote(fold_fn, *refs)])
+
+
 def _reduce_two_sided(reduce_fn, n_left: int, *tables: pa.Table) -> pa.Table:
     """Reduce one partition of a two-sided exchange: the first ``n_left``
     tables are the left side's sub-tables, the rest the right side's.
