@@ -4977,7 +4977,8 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
             "pr AS (SELECT least(x.p, y.p) AS a, greatest(x.p, y.p) AS b, "
             "count(*)::BIGINT AS cnt FROM d x JOIN d y "
             "ON x.o = y.o AND x.p < y.p GROUP BY 1, 2) "
-            "SELECT a, b, cnt FROM pr ORDER BY cnt DESC, a, b LIMIT 20"
+            "SELECT a, b, cnt, 0::BIGINT AS capped_baskets "
+            "FROM pr ORDER BY cnt DESC, a, b LIMIT 20"
         ),
         "part_supplier_pagerank": (
             "WITH e AS (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst "

@@ -344,3 +344,16 @@ class TestGroupedGini:
         tbl = pa.table({"g": ["a"] * 3, "v": [2**51, 2**51, 2**51]})
         with pytest.raises(Exception, match="exact-integer bound"):
             grouped_gini(ray.data.from_arrow(tbl), "g", "v").to_pandas()
+
+    def test_overflow_guard_fires_before_products_wrap(self):
+        import pyarrow as pa
+        import pytest
+        import ray
+
+        from text_dedup_ray.pipelines.agg import grouped_gini
+
+        # v*c here (2^55 * 300) wraps int64 — the guard must evaluate on
+        # the raw bounds BEFORE the products form, not on wrapped sums
+        tbl = pa.table({"g": ["a"] * 300, "v": [2**55] * 300})
+        with pytest.raises(Exception, match="exact-integer bound"):
+            grouped_gini(ray.data.from_arrow(tbl), "g", "v").to_pandas()

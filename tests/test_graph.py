@@ -91,7 +91,8 @@ class TestCooccurrence:
             "pr AS (SELECT least(x.p, y.p) AS a, greatest(x.p, y.p) AS b, "
             "count(*)::BIGINT AS cnt FROM d x JOIN d y ON x.o = y.o AND x.p < y.p "
             "GROUP BY 1, 2) "
-            "SELECT a, b, cnt FROM pr ORDER BY cnt DESC, a, b LIMIT 15"
+            "SELECT a, b, cnt, 0::BIGINT AS capped_baskets "
+            "FROM pr ORDER BY cnt DESC, a, b LIMIT 15"
         ).fetchdf()
         pd.testing.assert_frame_equal(_canon(got), _canon(exp), check_dtype=False)
 
@@ -103,4 +104,22 @@ class TestCooccurrence:
             ray.data.from_arrow(tbl), "o", "p", top_n=5
         ).to_pandas()
         assert len(got) == 1
-        assert got.iloc[0].tolist() == [7, 8, 2]
+        assert got.iloc[0].tolist() == [7, 8, 2, 0]
+
+    def test_capped_baskets_are_counted_not_silent(self):
+        from text_dedup_ray.pipelines.graph import cooccurrence_top_pairs
+
+        # basket 1 has 5 items (> cap of 3) -> all its pairs dropped, but
+        # the drop is surfaced in capped_baskets; basket 2 is under the cap
+        tbl = pa.table(
+            {
+                "o": [1, 1, 1, 1, 1, 2, 2],
+                "p": [10, 11, 12, 13, 14, 7, 8],
+            }
+        )
+        got = cooccurrence_top_pairs(
+            ray.data.from_arrow(tbl).repartition(3), "o", "p",
+            top_n=5, basket_cap=3, num_partitions=4,
+        ).to_pandas()
+        assert got["capped_baskets"].tolist() == [1]
+        assert got[["a", "b", "cnt"]].iloc[0].tolist() == [7, 8, 1]

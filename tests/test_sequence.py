@@ -56,6 +56,34 @@ class TestTransitions:
         ).fetchdf()
         pd.testing.assert_frame_equal(_canon(got), _canon(exp), check_dtype=False)
 
+    def test_null_states_dropped_before_pairing(self):
+        # NULL states never form transitions (docstring contract): the
+        # engine matches SQL with "WHERE etype IS NOT NULL" BEFORE the
+        # window, so a->NULL->b yields the a->b transition
+        tbl = pa.table(
+            {
+                "uid": [1, 1, 1, 2, 2],
+                "eid": [1, 2, 3, 4, 5],
+                "ts": pa.array([1, 2, 3, 4, 5], pa.timestamp("us")),
+                "etype": ["a", None, "b", None, "c"],
+            }
+        )
+        got = transition_counts(
+            ray.data.from_arrow(tbl).repartition(3),
+            "uid", ("ts", "eid"), "etype", num_partitions=4,
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("t", tbl)
+        exp = con.execute(
+            "WITH f AS (SELECT * FROM t WHERE etype IS NOT NULL), "
+            "nx AS (SELECT etype AS src, lead(etype) OVER "
+            "(PARTITION BY uid ORDER BY ts, eid) AS dst FROM f) "
+            "SELECT src, dst, count(*)::BIGINT AS n FROM nx "
+            "WHERE dst IS NOT NULL GROUP BY src, dst"
+        ).fetchdf()
+        pd.testing.assert_frame_equal(_canon(got), _canon(exp), check_dtype=False)
+        assert got.n.sum() == 1  # exactly the a->b pair; uid 2 has one state
+
     def test_single_event_keys_emit_nothing(self):
         tbl = pa.table(
             {

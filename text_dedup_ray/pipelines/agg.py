@@ -1469,21 +1469,27 @@ def grouped_gini(
         gcs = np.cumsum(c)
         base = np.repeat(np.r_[np.int64(0), gcs[starts[1:] - 1]], sizes)
         o = gcs - c - base  # offset BEFORE this bin within its key
+        n = np.bincount(kidx, weights=c, minlength=len(uniq)).astype(np.int64)
+        # guard BEFORE forming any product (same pre-multiplication stance
+        # as grouped_zscore's amax guard): every intermediate — v·c,
+        # v·c·(2o+c+1) with o < n, and their per-key float64 bincount sums
+        # — is bounded by max|v| · n_max · (2·n_max + 1); keeping that
+        # under 2^52 rules out silent int64 wrap in the products AND keeps
+        # the float64 accumulation exact. Checking after the fact (as the
+        # old n·Σx guard did) could itself evaluate on wrapped values.
+        amax_v = float(np.abs(v).max()) if len(v) else 0.0
+        n_max = float(n.max()) if len(n) else 0.0
+        if amax_v and n_max and amax_v * n_max * (2.0 * n_max + 1.0) > 2**52:
+            raise ValueError(
+                "grouped_gini: max|value| * n * (2n+1) exceeds the "
+                "exact-integer bound (2^52) — rescale the value column first"
+            )
         # Σ i·x over the bin = x · (c·(2o + c + 1) / 2); 2·Σ stays integer
         two_rank_sum = v * c * (2 * o + c + 1)
-        n = np.bincount(kidx, weights=c, minlength=len(uniq)).astype(np.int64)
         sx = np.bincount(kidx, weights=v * c, minlength=len(uniq)).astype(np.int64)
         trs = np.bincount(
             kidx, weights=two_rank_sum, minlength=len(uniq)
         ).astype(np.int64)
-        # guard the integer contract (same stance as grouped_zscore):
-        # 2·Σ i·x ≤ ~n·Σx per group must stay under 2^52 so the float64
-        # bincount accumulation and the int64 cast are both exact
-        if len(n) and float(n.max()) * float(max(1, sx.max())) > 2**52:
-            raise ValueError(
-                "grouped_gini: n * sum(value) exceeds the exact-integer "
-                "bound (2^52) — rescale the value column first"
-            )
         with np.errstate(divide="ignore", invalid="ignore"):
             g = trs / (n.astype(np.float64) * sx) - (n + 1.0) / n
         g = np.where(sx > 0, g, 0.0)

@@ -249,8 +249,11 @@ def cooccurrence_top_pairs(
 
     1. (basket, item) rows co-locate by BASKET hash; each partition
        dedups items per basket and emits its C(k,2) pairs — ``basket_cap``
-       bounds degenerate giant baskets (drops counted in the 'capped'
-       pair volume, not silent);
+       drops ALL pairs from degenerate baskets larger than the cap, and
+       the number of capped baskets is carried through the exchange and
+       surfaced as a constant ``capped_baskets`` output column, so any
+       divergence from an uncapped recomputation (e.g. the SQL oracle's
+       ``0 AS capped_baskets``) is visible, never silent;
     2. pairs co-locate by PAIR hash, so per-partition counts are exact;
        each partition keeps its local top-n (the global top-n is a subset
        of the union) and the driver folds P x n candidate rows.
@@ -268,11 +271,13 @@ def cooccurrence_top_pairs(
         )
 
     def emit_pairs(group: pa.Table) -> pa.Table:
+        # rows with capped > 0 are basket-cap counter rows, not pairs
         empty = pa.table(
             {
                 "a": pa.array([], pa.int64()),
                 "b": pa.array([], pa.int64()),
                 "cnt": pa.array([], pa.int64()),
+                "capped": pa.array([], pa.int64()),
                 _PART: pa.array([], pa.int64()),
             }
         )
@@ -284,6 +289,7 @@ def cooccurrence_top_pairs(
         bs, its = pairs_bi[:, 0], pairs_bi[:, 1]
         starts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
         sizes = np.diff(np.r_[starts, len(bs)])
+        n_capped = int((sizes > basket_cap).sum())
         out_a, out_b = [], []
         for s, n in zip(starts[(sizes > 1) & (sizes <= basket_cap)],
                         sizes[(sizes > 1) & (sizes <= basket_cap)]):
@@ -291,23 +297,35 @@ def cooccurrence_top_pairs(
             iu, ju = np.triu_indices(int(n), k=1)
             out_a.append(mem[iu])
             out_b.append(mem[ju])
-        if not out_a:
-            return empty
-        a = np.concatenate(out_a)
-        b = np.concatenate(out_b)
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        pairs = np.stack([lo, hi], 1)
-        uniq, cnt = np.unique(pairs, axis=0, return_counts=True)
-        part = (
-            (uniq[:, 0].astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-             + uniq[:, 1].astype(np.uint64))
-            % np.uint64(num_partitions)
-        ).astype(np.int64)
+        if out_a:
+            a = np.concatenate(out_a)
+            b = np.concatenate(out_b)
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            pairs = np.stack([lo, hi], 1)
+            uniq, cnt = np.unique(pairs, axis=0, return_counts=True)
+            part = (
+                (uniq[:, 0].astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                 + uniq[:, 1].astype(np.uint64))
+                % np.uint64(num_partitions)
+            ).astype(np.int64)
+            ua, ub, uc = uniq[:, 0], uniq[:, 1], cnt.astype(np.int64)
+        else:
+            ua = ub = uc = np.array([], np.int64)
+            part = np.array([], np.int64)
+        if n_capped:
+            ua = np.r_[ua, 0]
+            ub = np.r_[ub, 0]
+            uc = np.r_[uc, 0]
+            part = np.r_[part, 0]  # all counter rows meet in partition 0
+        capped = np.zeros(len(ua), np.int64)
+        if n_capped:
+            capped[-1] = n_capped
         return pa.table(
             {
-                "a": pa.array(uniq[:, 0]),
-                "b": pa.array(uniq[:, 1]),
-                "cnt": pa.array(cnt.astype(np.int64)),
+                "a": pa.array(ua),
+                "b": pa.array(ub),
+                "cnt": pa.array(uc),
+                "capped": pa.array(capped),
                 _PART: pa.array(part),
             }
         )
@@ -318,12 +336,16 @@ def cooccurrence_top_pairs(
                 "a": pa.array([], pa.int64()),
                 "b": pa.array([], pa.int64()),
                 "cnt": pa.array([], pa.int64()),
+                "capped": pa.array([], pa.int64()),
             }
         )
         if group.num_rows == 0 or "a" not in group.column_names:
             return empty
+        cap_np = group["capped"].to_numpy(zero_copy_only=False)
+        n_capped = int(cap_np.sum())
+        pairs_only = group.filter(pa.array(cap_np == 0))
         summed = (
-            group.select(["a", "b", "cnt"])
+            pairs_only.select(["a", "b", "cnt"])
             .group_by(["a", "b"])
             .aggregate([("cnt", "sum")])
             .sort_by(
@@ -331,11 +353,19 @@ def cooccurrence_top_pairs(
             )
             .slice(0, top_n)
         )
+        a = summed["a"].to_numpy(zero_copy_only=False)
+        b = summed["b"].to_numpy(zero_copy_only=False)
+        c = summed["cnt_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        capped = np.zeros(len(a), np.int64)
+        if n_capped:
+            a, b, c = np.r_[a, 0], np.r_[b, 0], np.r_[c, 0]
+            capped = np.r_[capped, n_capped]
         return pa.table(
             {
-                "a": summed["a"],
-                "b": summed["b"],
-                "cnt": summed["cnt_sum"].cast(pa.int64()),
+                "a": pa.array(a.astype(np.int64)),
+                "b": pa.array(b.astype(np.int64)),
+                "cnt": pa.array(c),
+                "capped": pa.array(capped),
             }
         )
 
@@ -345,16 +375,24 @@ def cooccurrence_top_pairs(
                 "a": pa.array([], pa.int64()),
                 "b": pa.array([], pa.int64()),
                 "cnt": pa.array([], pa.int64()),
+                "capped_baskets": pa.array([], pa.int64()),
             }
         )
         if group.num_rows == 0 or "a" not in group.column_names:
             return empty
-        return (
-            group.select(["a", "b", "cnt"])
+        cap_np = group["capped"].to_numpy(zero_copy_only=False)
+        n_capped = int(cap_np.sum())
+        top = (
+            group.filter(pa.array(cap_np == 0))
+            .select(["a", "b", "cnt"])
             .sort_by(
                 [("cnt", "descending"), ("a", "ascending"), ("b", "ascending")]
             )
             .slice(0, top_n)
+        )
+        return top.append_column(
+            "capped_baskets",
+            pa.array(np.full(top.num_rows, n_capped, np.int64)),
         )
 
     tagged = ds.map_batches(tag, batch_format="pyarrow", batch_size=None)

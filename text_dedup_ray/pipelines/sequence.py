@@ -37,6 +37,20 @@ def _tag_by_key(ds: ray.data.Dataset, cols: list[str], key: str, num_partitions:
     return ds.map_batches(tag, batch_format="pyarrow", batch_size=None)
 
 
+def _drop_null_states(group: pa.Table, state_column: str) -> pa.Table:
+    """NULL states never form transitions or funnel steps (same stance as
+    editdist's "NULL text never pairs") — without this, a null dictionary
+    index round-trips through float64 NaN to INT64_MIN and corrupts the
+    fancy-indexed state codes."""
+    if group.num_rows and state_column in group.column_names:
+        col = group[state_column]
+        if col.null_count:
+            import pyarrow.compute as pc
+
+            group = group.filter(pc.is_valid(col))
+    return group
+
+
 def _order_arrays(group: pa.Table, key: str, order_columns: tuple[str, ...]):
     """lexsort a co-located partition by (key, *order_columns)."""
     k = group[key].to_numpy(zero_copy_only=False)
@@ -60,6 +74,10 @@ def transition_counts(
     state)`` pairs corpus-wide (SQL: ``lead(state) OVER (PARTITION BY key
     ORDER BY ...)`` then ``GROUP BY src, dst``).
 
+    NULL handling: rows with a NULL state are dropped up front (never
+    form transitions) — equivalent to SQL with ``WHERE state IS NOT
+    NULL`` before the window, so two states separated by a NULL DO pair.
+
     Scale shape: a key's rows co-locate once; each partition counts its
     transitions with factorize + bincount (one row per DISTINCT (src,
     dst) per partition — at most |states|^2); the final fold sums P tiny
@@ -74,6 +92,7 @@ def transition_counts(
                 _PART: pa.array([], pa.int64()),
             }
         )
+        group = _drop_null_states(group, state_column)
         if group.num_rows < 2 or key not in group.column_names:
             return empty
         ks, perm = _order_arrays(group, key, order_columns)
@@ -153,6 +172,7 @@ def funnel_counts(
                 _PART: pa.array([], pa.int64()),
             }
         )
+        group = _drop_null_states(group, state_column)
         if group.num_rows == 0 or key not in group.column_names:
             return empty
         ks, perm = _order_arrays(group, key, order_cols)
@@ -632,6 +652,7 @@ def funnel_durations(
                 alias: pa.array([], pa.int64()),
             }
         )
+        group = _drop_null_states(group, state_column)
         if group.num_rows == 0 or key not in group.column_names:
             return empty
         k = group[key].to_numpy(zero_copy_only=False)
