@@ -15,6 +15,16 @@ environment, so:
 Plus ``psnr`` and ``average_phash`` (8x8 mean-threshold perceptual hash ->
 int64), the deterministic phash definition used by the synthetic corpus
 generator and the per-row invariant checks.
+
+Real codecs plug in through the adapter registries below
+(``register_image_codec`` / ``register_video_decoder`` /
+``register_audio_decoder``): when the PIL or PyAV wheel exists,
+``autoload_adapters`` / ``autoload_av_adapters`` register JPEG/WebP/MP4/FLAC
+decoders automatically — and because the autoload runs LAZILY at the first
+unknown-format decode, it fires inside every Ray worker process without any
+registration plumbing. Manual ``register_*`` calls are per-process: to use a
+custom adapter inside ``map_batches`` actors, register it in the stage's
+``__init__`` (once per actor), not on the driver.
 """
 
 from __future__ import annotations
@@ -94,20 +104,181 @@ def decode_fjpg(data: bytes) -> np.ndarray:
     return ((q << 2) | 2).astype(np.uint8)  # midpoint reconstruction
 
 
+# --- pluggable codec adapter registry ---------------------------------------
+# Real corpora are JPEG/WebP/MP4/FLAC. The deterministic built-ins above are
+# the sandbox fallback; production slots real wheels in through this registry
+# (one `pip install pillow` / `pip install av` away) and every pipeline decode
+# seam — images.py, video.py, audio.py — picks the adapter up without any
+# pipeline code change. Adapters are keyed by the table's ``fmt`` string.
+#
+# decode signature: (data: bytes) -> (h, w, 3) uint8   [images]
+#                   (data: bytes, meta: dict) -> np.ndarray  [video/audio]
+# encode signature: (pixels: (h, w, 3) uint8) -> bytes
+
+_IMAGE_DECODERS: dict = {}
+_IMAGE_ENCODERS: dict = {}
+_AUTOLOADED = False
+
+
+def register_image_codec(fmt: str, decode_fn, encode_fn=None) -> None:
+    """Plug a real codec in for ``fmt`` (e.g. PIL's JPEG). Registered
+    adapters take precedence over the deterministic built-ins."""
+    _IMAGE_DECODERS[fmt] = decode_fn
+    if encode_fn is not None:
+        _IMAGE_ENCODERS[fmt] = encode_fn
+
+
+def registered_image_codecs() -> tuple:
+    return tuple(sorted(_IMAGE_DECODERS))
+
+
+def autoload_adapters() -> bool:
+    """Try to register real-codec adapters from optional wheels (PIL for
+    images). Idempotent; returns True iff any adapter is registered. Called
+    lazily on the first unknown-format decode, so the sandbox (no wheels)
+    pays nothing and a PIL-equipped install decodes real JPEG/WebP with no
+    configuration."""
+    global _AUTOLOADED
+    if _AUTOLOADED:
+        return bool(_IMAGE_DECODERS)
+    _AUTOLOADED = True
+    try:
+        import io
+
+        from PIL import Image  # optional wheel, absent in this sandbox
+    except ImportError:
+        return bool(_IMAGE_DECODERS)
+
+    def _pil_decode(data: bytes) -> np.ndarray:
+        with Image.open(io.BytesIO(data)) as im:
+            return np.asarray(im.convert("RGB"), dtype=np.uint8)
+
+    def _pil_encode(fmt_name):
+        def enc(pixels: np.ndarray) -> bytes:
+            buf = io.BytesIO()
+            Image.fromarray(pixels, "RGB").save(buf, format=fmt_name)
+            return buf.getvalue()
+
+        return enc
+
+    for fmt, pil_name in (("jpeg", "JPEG"), ("webp", "WEBP"), ("bmp", "BMP")):
+        register_image_codec(fmt, _pil_decode, _pil_encode(pil_name))
+    # real-PNG decode stays with the stdlib codec above unless PIL is asked
+    # for explicitly — both produce identical RGB8 pixels for filter-0 files
+    return bool(_IMAGE_DECODERS)
+
+
 def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
+    if fmt in _IMAGE_ENCODERS:
+        return _IMAGE_ENCODERS[fmt](pixels)
     if fmt == "png":
         return encode_png(pixels)
-    if fmt in ("jpeg", "fjpg"):
+    if fmt == "fjpg":
         return encode_fjpg(pixels)
-    raise NotImplementedError(f"codec {fmt!r} not available in this environment")
+    if autoload_adapters() and fmt in _IMAGE_ENCODERS:
+        return _IMAGE_ENCODERS[fmt](pixels)
+    if fmt == "jpeg":
+        return encode_fjpg(pixels)  # sandbox fallback (no PIL): fake-JPEG stub
+    raise NotImplementedError(
+        f"codec {fmt!r} not available: no wheel registered an adapter "
+        "(pip install pillow, or register_image_codec)"
+    )
 
 
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    if fmt in _IMAGE_DECODERS:
+        return _IMAGE_DECODERS[fmt](data)
     if fmt == "png":
         return decode_png(data)
-    if fmt in ("jpeg", "fjpg"):
+    if fmt == "fjpg":
         return decode_fjpg(data)
-    raise NotImplementedError(f"codec {fmt!r} not available in this environment")
+    if autoload_adapters() and fmt in _IMAGE_DECODERS:
+        return _IMAGE_DECODERS[fmt](data)
+    if fmt == "jpeg":
+        # sandbox fallback: the deterministic fake-JPEG stub (see module
+        # docstring) — swapped for libjpeg automatically when PIL exists
+        return decode_fjpg(data)
+    raise NotImplementedError(
+        f"codec {fmt!r} not available: no wheel registered an adapter "
+        "(pip install pillow, or register_image_codec)"
+    )
+
+
+# --- video / audio adapter registries ----------------------------------------
+# Same seam as images: pipelines/video.py decodes through
+# ``get_video_decoder(fmt)`` -> (blob, meta) -> (n_frames, h, w) uint8
+# grayscale frames, pipelines/audio.py through ``get_audio_decoder(fmt)`` ->
+# (blob, meta) -> uint8 PCM sample vector. The deterministic rawv/rawa
+# containers are built into those pipelines; a PyAV adapter registers real
+# MP4/FLAC decode here when the wheel exists (absent in this sandbox, so
+# ``autoload_av_adapters`` cleanly no-ops and tests auto-skip).
+
+_VIDEO_DECODERS: dict = {}
+_AUDIO_DECODERS: dict = {}
+_AV_AUTOLOADED = False
+
+
+def register_video_decoder(fmt: str, decode_fn) -> None:
+    _VIDEO_DECODERS[fmt] = decode_fn
+
+
+def register_audio_decoder(fmt: str, decode_fn) -> None:
+    _AUDIO_DECODERS[fmt] = decode_fn
+
+
+def autoload_av_adapters() -> bool:
+    """Register PyAV-backed video/audio decoders when the ``av`` wheel is
+    importable. Idempotent; returns True iff any adapter is registered."""
+    global _AV_AUTOLOADED
+    if _AV_AUTOLOADED:
+        return bool(_VIDEO_DECODERS or _AUDIO_DECODERS)
+    _AV_AUTOLOADED = True
+    try:
+        import io
+
+        import av  # optional wheel, absent in this sandbox
+    except ImportError:
+        return bool(_VIDEO_DECODERS or _AUDIO_DECODERS)
+
+    def _av_video(blob: bytes, meta: dict) -> np.ndarray:
+        frames = []
+        with av.open(io.BytesIO(blob)) as container:
+            for frame in container.decode(video=0):
+                frames.append(
+                    np.asarray(frame.to_image().convert("L"), dtype=np.uint8)
+                )
+        return np.stack(frames) if frames else np.empty((0, 0, 0), np.uint8)
+
+    def _av_audio(blob: bytes, meta: dict) -> np.ndarray:
+        chunks = []
+        with av.open(io.BytesIO(blob)) as container:
+            for frame in container.decode(audio=0):
+                pcm = frame.to_ndarray()
+                mono = pcm.mean(axis=0) if pcm.ndim > 1 else pcm
+                chunks.append(((mono * 127.0) + 128.0).clip(0, 255))
+        if not chunks:
+            return np.empty(0, np.uint8)
+        return np.concatenate(chunks).astype(np.uint8)
+
+    for fmt in ("mp4", "webm", "mkv"):
+        register_video_decoder(fmt, _av_video)
+    for fmt in ("flac", "ogg", "mp3", "wav"):
+        register_audio_decoder(fmt, _av_audio)
+    return True
+
+
+def get_video_decoder(fmt: str):
+    """Registered real-codec video decoder for ``fmt`` or None (caller
+    falls back to its deterministic container or raises)."""
+    if fmt not in _VIDEO_DECODERS:
+        autoload_av_adapters()
+    return _VIDEO_DECODERS.get(fmt)
+
+
+def get_audio_decoder(fmt: str):
+    if fmt not in _AUDIO_DECODERS:
+        autoload_av_adapters()
+    return _AUDIO_DECODERS.get(fmt)
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

@@ -50,10 +50,18 @@ def audio_ids_to_row_ids(
 
 def _decode_rawa(blob: bytes, n_samples: int, fmt: str, aid) -> np.ndarray:
     if fmt != "rawa":
-        raise NotImplementedError(
-            f"audio format {fmt!r} unavailable in this environment "
-            "(only the deterministic 'rawa' container decodes here)"
-        )
+        # pluggable real-codec seam: a PyAV adapter registered in
+        # functions.codecs decodes FLAC/OGG here; sandbox has no wheel
+        from ..functions.codecs import get_audio_decoder
+
+        adapter = get_audio_decoder(fmt)
+        if adapter is None:
+            raise NotImplementedError(
+                f"audio format {fmt!r} unavailable: no codec wheel registered "
+                "an adapter (pip install av, or register_audio_decoder)"
+            )
+        pcm = adapter(blob, {"n_samples": n_samples, "id": aid})
+        return np.ascontiguousarray(pcm, dtype=np.uint8)
     if len(blob) != n_samples:
         raise ValueError(
             f"audio {aid}: payload {len(blob)}B != n_samples ({n_samples})"

@@ -53,10 +53,18 @@ def video_ids_to_row_ids(
 
 def _decode_rawv(blob: bytes, nf: int, w: int, h: int, fmt: str, vid) -> np.ndarray:
     if fmt != "rawv":
-        raise NotImplementedError(
-            f"video format {fmt!r} unavailable in this environment "
-            "(only the deterministic 'rawv' container decodes here)"
-        )
+        # pluggable real-codec seam: a PyAV adapter registered in
+        # functions.codecs decodes MP4/WebM here; sandbox has no wheel
+        from ..functions.codecs import get_video_decoder
+
+        adapter = get_video_decoder(fmt)
+        if adapter is None:
+            raise NotImplementedError(
+                f"video format {fmt!r} unavailable: no codec wheel registered "
+                "an adapter (pip install av, or register_video_decoder)"
+            )
+        frames = adapter(blob, {"n_frames": nf, "w": w, "h": h, "id": vid})
+        return np.ascontiguousarray(frames, dtype=np.uint8)
     if len(blob) != nf * w * h:
         raise ValueError(
             f"video {vid}: payload {len(blob)}B != n_frames*w*h ({nf}*{w}*{h})"
