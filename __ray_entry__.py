@@ -3000,6 +3000,29 @@ def _SIMHASH_ORACLE_CFG():
     return SimHashConfig(f=64, bit_diff=3, num_bucket=4, ngram_size=3, hash_func="md5")
 
 
+def _SIMHASH_ORACLE_CFG_F128():
+    from text_dedup_ray.functions.simhash import SimHashConfig
+
+    return SimHashConfig(f=128, bit_diff=3, num_bucket=4, ngram_size=3, hash_func="md5")
+
+
+def _q_simhash_docs_f128(sf_dir: str):
+    """SimHash dedup at the reference's OTHER fingerprint width
+    (f=128, config/algorithms/simhash.py:302-303): 128-bit signatures ride
+    as fixed_size_binary(16) through the same bucket/exchange/Hamming
+    kernels (stages/edges.py byte-matrix popcount); the oracle recomputes
+    the full pipeline in SQL over two UBIGINT signature lanes."""
+    from text_dedup_ray.pipelines.simhash import simhash_dedup
+
+    res = simhash_dedup(
+        _docs(sf_dir, ["doc_id", "text"]),
+        text_column="text",
+        id_column="doc_id",
+        cfg=_SIMHASH_ORACLE_CFG_F128(),
+    )
+    return res.deduped.select_columns(["doc_id"])
+
+
 def _q_simhash_docs(sf_dir: str):
     from text_dedup_ray.functions.simhash import SimHashConfig
     from text_dedup_ray.pipelines.simhash import simhash_dedup
@@ -4403,6 +4426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_union_docs": _q_minhash_union,
         "minhash_sweep_docs": _q_minhash_sweep,
         "simhash_dedup_docs": _q_simhash_docs,
+        "simhash_dedup_docs_f128": _q_simhash_docs_f128,
         "simhash_sweep_docs": _q_simhash_sweep,
         "simhash_incremental_docs": _q_simhash_incremental,
         "simhash_union_docs": _q_simhash_union,
@@ -5432,6 +5456,9 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
             for b, r in [(16, 4), (8, 8)]
         ),
         "simhash_dedup_docs": _oracles.simhash_dedup_sql(_SIMHASH_ORACLE_CFG()),
+        "simhash_dedup_docs_f128": _oracles.simhash_dedup_sql(
+            _SIMHASH_ORACLE_CFG_F128()
+        ),
         "simhash_sweep_docs": " UNION ALL ".join(
             f"SELECT {k}::BIGINT AS bit_diff, "
             f"(SELECT count(*) FROM ({_oracles.simhash_dedup_sql(_dc_replace(_SIMHASH_ORACLE_CFG(), bit_diff=k))}) s)::BIGINT "

@@ -20,8 +20,17 @@ signature as a Python/NumPy uint64 where bitarray index ``i`` is integer bit
 f bits. All mask/permute arithmetic below is in that integer domain and is
 bit-identical to the reference's bitarray version (unit-tested).
 
-Only f <= 64 is supported in the fast path (the reference default and all its
-published benchmark configs use f=64).
+f <= 64 rides the single-uint64 fast path (the reference default and all its
+published benchmark configs use f=64). f = 128 (the reference's other
+supported width, config/algorithms/simhash.py:302-303) is carried as raw
+big-endian signature BYTES — ``signatures_batch_bytes`` computes the (n,
+f//8) bit-majority matrix and ``permutation_keys_batch_bytes`` derives the
+uint64 bucket keys through the SAME Permutation tables via a precomputed
+bit-order gather (each permutation is a pure reordering of bitarray
+positions, so the permuted prefix is a column-gather + packbits away). The
+only constraint is that the search prefix ``sum(widths[:b-k])`` fits 64
+bits, true for every reference config (e.g. f=128, num_bucket=4 -> 32-bit
+prefix); wider prefixes raise at config time rather than mis-bucket.
 """
 
 from __future__ import annotations
@@ -137,6 +146,56 @@ def permutation_keys_batch(
     return out
 
 
+_BIT_ORDER_CACHE: dict = {}
+
+
+def permutation_bit_order(perm: Permutation) -> tuple[np.ndarray, int]:
+    """(idx, prefix_width): the permuted bitarray is ``orig_bits[idx]`` and
+    the bucket key is its first ``prefix_width`` bits. Derived by pushing
+    basis vectors through ``perm.permute`` — permutations only MOVE whole
+    blocks, so each source bit lands at exactly one target position."""
+    cached = _BIT_ORDER_CACHE.get(perm)
+    if cached is not None:
+        return cached
+    f = perm.f
+    idx = np.empty(f, dtype=np.int64)
+    for i in range(f):
+        y = perm.permute(1 << (f - 1 - i))  # bitarray index i as an int bit
+        j = f - y.bit_length()
+        idx[j] = i
+    prefix_width = int(perm.search_mask).bit_count()
+    _BIT_ORDER_CACHE[perm] = (idx, prefix_width)
+    return idx, prefix_width
+
+
+def permutation_keys_batch_bytes(
+    perms: list[Permutation], f: int, sig_bytes: np.ndarray
+) -> np.ndarray:
+    """(n, f//8) big-endian signature bytes -> (n, len(perms)) uint64 bucket
+    keys — the any-width analogue of :func:`permutation_keys_batch` (used for
+    f > 64). Requires every permutation's search prefix to fit 64 bits. The
+    prefix bits are LEFT-aligned in the uint64, matching the fast path's
+    ``permute(sig) & search_mask`` convention bit-for-bit at f = 64 (the
+    parity tests compare the two paths directly)."""
+    n = sig_bytes.shape[0]
+    out = np.empty((n, len(perms)), dtype=np.uint64)
+    if n == 0:
+        return out
+    bits = np.unpackbits(sig_bytes, axis=1)  # (n, f) — column j = bitarray idx j
+    for j, p in enumerate(perms):
+        idx, pw = permutation_bit_order(p)
+        if pw > 64:
+            raise NotImplementedError(
+                f"simhash search prefix {pw} bits > 64 unsupported "
+                "(reduce num_bucket - bit_diff or f)"
+            )
+        sel = bits[:, idx[:pw]]
+        padded = np.zeros((n, 64), dtype=np.uint8)
+        padded[:, :pw] = sel  # left-align (fast-path & search_mask parity)
+        out[:, j] = np.packbits(padded, axis=1).copy().view(">u8").reshape(-1)
+    return out
+
+
 def hamming_distance(a: int, b: int) -> int:
     return (a ^ b).bit_count()
 
@@ -174,6 +233,21 @@ class SimHashConfig:
             raise ValueError("num_bucket must be greater than bit_diff")
         if self.f % 8 != 0:
             raise ValueError("f must be a multiple of 8")
+        if self.f > 64:
+            # the bucket key must fit a uint64 column: prefix width is the
+            # first (num_bucket - bit_diff) blocks of ceil(f/num_bucket) bits
+            size = -(-self.f // self.num_bucket)
+            prefix = min(size * (self.num_bucket - self.bit_diff), self.f)
+            if prefix > 64:
+                raise NotImplementedError(
+                    f"f={self.f} with num_bucket={self.num_bucket}, "
+                    f"bit_diff={self.bit_diff} yields a {prefix}-bit bucket "
+                    "prefix (> 64 unsupported)"
+                )
+
+    @property
+    def sig_bytes(self) -> int:
+        return self.f // 8
 
     def base_hash(self) -> Callable[[bytes], int]:
         # reference uses the full-f-bit hash here (simhash.py:299-307)
@@ -204,10 +278,11 @@ class SimHasher:
         union, so only spurious cross-permutation candidates differ."""
         return [p.key(sig) for p in self.perms]
 
-    def signatures_batch(self, texts: list[str]) -> np.ndarray:
+    def signatures_batch_bytes(self, texts: list[str]) -> np.ndarray:
         """Vectorized across the batch (the reference computes one doc per
         call): flatten all shingles, hash once each, per-doc bit-majority via
-        ``np.add.reduceat`` over the unpacked bit matrix."""
+        ``np.add.reduceat`` over the unpacked bit matrix. Returns the raw
+        big-endian signature byte matrix ``(n, f//8) uint8`` — any f."""
         f = self.cfg.f
         nbytes = f // 8
         hfun = self.hash_func
@@ -225,7 +300,7 @@ class SimHasher:
                     h = hfun(s).to_bytes(nbytes, "big")
                     memo[s] = h
                 chunks.append(h)
-        out = np.zeros(len(texts), dtype=np.uint64)
+        out = np.zeros((len(texts), nbytes), dtype=np.uint8)
         if not chunks:
             return out
         raw = np.frombuffer(b"".join(chunks), dtype=np.uint8).reshape(len(chunks), nbytes)
@@ -243,10 +318,22 @@ class SimHasher:
             sums = np.add.reduceat(bits, starts, axis=0)
             slab_counts = counts[doc_idx[lo_doc:hi_doc]][:, None]
             maj = (2 * sums > slab_counts).astype(np.uint8)
-            packed = np.packbits(maj, axis=1).copy().view(">u8").reshape(-1).astype(np.uint64)
-            out[doc_idx[lo_doc:hi_doc]] = packed
+            out[doc_idx[lo_doc:hi_doc]] = np.packbits(maj, axis=1)
             lo_doc = hi_doc
         return out
+
+    def signatures_batch(self, texts: list[str]) -> np.ndarray:
+        """f <= 64 fast-path view: ``(n,) uint64`` signatures."""
+        if self.cfg.f != 64:
+            raise ValueError("signatures_batch is the f=64 path; use _bytes")
+        return (
+            self.signatures_batch_bytes(texts).copy().view(">u8")
+            .reshape(-1).astype(np.uint64)
+        )
+
+    def keys_batch_bytes(self, sig_bytes: np.ndarray) -> np.ndarray:
+        """(n, f//8) signature bytes -> (n, num_perms) uint64 bucket keys."""
+        return permutation_keys_batch_bytes(self.perms, self.cfg.f, sig_bytes)
 
     def keys_batch(self, sigs: np.ndarray) -> np.ndarray:
         """(n,) uint64 sigs -> (n, num_perms) uint64 bucket keys, vectorized

@@ -807,12 +807,109 @@ edges AS (
 )"""
 
 
+def _simhash_core128(cfg: SimHashConfig, table: str) -> str:
+    """f=128 WITH-body for ``cc``: the 128-bit signature rides as TWO
+    UBIGINT lanes (sig_hi = bitarray positions 0..63, sig_lo = 64..127 —
+    exactly the engine's big-endian byte split of the full md5 digest),
+    bit-majority per lane, bucket keys re-derived per permutation from the
+    lanes' block bits (left-aligned uint64, matching
+    ``permutation_keys_batch_bytes``), Hamming = popcount(hi) + popcount(lo).
+    Requires every block to sit inside one lane (true whenever 64 is a
+    multiple of the ceil(128/num_bucket) block size, e.g. num_bucket 2/4/8)."""
+    assert cfg.hash_func == "md5", "SQL oracle needs the md5 base hash"
+    assert cfg.f == 128
+    from .functions.simhash import block_masks, create_permutations
+
+    spans = block_masks(128, cfg.num_bucket)
+    for s, e in spans:
+        if s < 64 < e:
+            raise NotImplementedError(
+                "oracle: simhash block spans the 64-bit lane boundary"
+            )
+    perms = create_permutations(128, cfg.bit_diff, cfg.num_bucket)
+
+    def lane_bits(s: int, e: int) -> str:
+        # bitarray span [s, e) -> right-aligned block value from its lane
+        w = e - s
+        if e <= 64:
+            lane, rsh = "sig_hi", 64 - e
+        else:
+            lane, rsh = "sig_lo", 128 - e
+        expr = f"{lane}::HUGEINT // {1 << rsh}" if rsh else f"{lane}::HUGEINT"
+        return f"(({expr}) & {(1 << w) - 1})"
+
+    key_selects = []
+    n_fixed = cfg.num_bucket - cfg.bit_diff
+    from itertools import permutations as _iperm
+
+    for j, fixed in enumerate(_iperm(range(len(spans)), n_fixed)):
+        cum = 0
+        terms = []
+        for i in fixed:
+            s, e = spans[i]
+            w = e - s
+            lsh = 64 - cum - w
+            terms.append(f"({lane_bits(s, e)} * {1 << lsh})" if lsh else lane_bits(s, e))
+            cum += w
+        key_selects.append(
+            f"SELECT doc_id, {j} AS perm, "
+            f"((({' + '.join(terms)}) % {U64})::UBIGINT) AS key FROM all_sigs"
+        )
+    assert len(key_selects) == len(perms)
+    maj = {
+        "hh": " + ".join(
+            f"CASE WHEN 2 * sum(((hh >> {63 - b}) & 1::UBIGINT)::BIGINT) > count(*) "
+            f"THEN {1 << (63 - b)}::HUGEINT ELSE 0::HUGEINT END"
+            for b in range(64)
+        ),
+        "hl": " + ".join(
+            f"CASE WHEN 2 * sum(((hl >> {63 - b}) & 1::UBIGINT)::BIGINT) > count(*) "
+            f"THEN {1 << (63 - b)}::HUGEINT ELSE 0::HUGEINT END"
+            for b in range(64)
+        ),
+    }
+    hi_i, hi_j = _sig_ubigint_to_bigint("s1.sig_hi"), _sig_ubigint_to_bigint("s2.sig_hi")
+    lo_i, lo_j = _sig_ubigint_to_bigint("s1.sig_lo"), _sig_ubigint_to_bigint("s2.sig_lo")
+    return f"""{_grams_cte(cfg.ngram_size, cfg.min_length, table)},
+h128 AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(g), 1, 16))::UBIGINT AS hh,
+         ('0x' || substr(md5(g), 17, 16))::UBIGINT AS hl
+  FROM grams
+),
+sigs AS (
+  SELECT doc_id, ({maj["hh"]})::UBIGINT AS sig_hi, ({maj["hl"]})::UBIGINT AS sig_lo
+  FROM h128 GROUP BY doc_id
+),
+all_sigs AS (
+  SELECT d.doc_id, coalesce(s.sig_hi, 0::UBIGINT) AS sig_hi,
+         coalesce(s.sig_lo, 0::UBIGINT) AS sig_lo
+  FROM {table} d LEFT JOIN sigs s ON s.doc_id = d.doc_id
+),
+keys AS ({" UNION ALL ".join(key_selects)}),
+cand AS (
+  SELECT a.doc_id AS i, b.doc_id AS j
+  FROM keys a JOIN keys b ON a.perm = b.perm AND a.key = b.key AND a.doc_id > b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT c.i AS hi, c.j AS lo
+  FROM cand c JOIN all_sigs s1 ON s1.doc_id = c.i JOIN all_sigs s2 ON s2.doc_id = c.j
+  WHERE bit_count(xor({hi_i}, {hi_j})) + bit_count(xor({lo_i}, {lo_j}))
+        <= {cfg.bit_diff}
+),
+{CC_FRAGMENT}"""
+
+
 def _simhash_core(cfg: SimHashConfig, table: str) -> str:
     """WITH-body computing ``cc`` for SimHash dedup over ``table(doc_id,
     text)``: md5 f-bit hashes -> bit-majority signature (ties -> 0; empty
     shingle set -> 0) -> block-permutation prefix keys -> in-bucket Hamming
-    pairs -> CC."""
+    pairs -> CC. f=128 routes to :func:`_simhash_core128` (two UBIGINT
+    lanes)."""
     assert cfg.hash_func == "md5", "SQL oracle needs the md5 base hash"
+    if cfg.f == 128:
+        return _simhash_core128(cfg, table)
     assert cfg.f == 64
     perms = create_permutations(cfg.f, cfg.bit_diff, cfg.num_bucket)
     # bit-majority as 64 aggregate terms in ONE scan of the hash rows (a

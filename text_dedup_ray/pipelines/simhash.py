@@ -104,12 +104,13 @@ def simhash_dedup(
     # minhash.py / stages.exchange.tagged_split_exchange)
     from functools import partial
 
+    sig_bytes = cfg.sig_bytes if cfg.f > 64 else 8
     local_edges, cross_edges, _sig_rows, _reduced = tagged_split_exchange(
         local,
         "is_edge",
-        simhash_rep_part,
+        partial(simhash_rep_part, sig_bytes=sig_bytes),
         merge_partitions,
-        partial(simhash_rep_reduce, bit_diff=cfg.bit_diff),
+        partial(simhash_rep_reduce, bit_diff=cfg.bit_diff, sig_bytes=sig_bytes),
     )
     edges = local_edges.union(cross_edges)
     # simhash keeps only non-root members in the map (simhash.py:70-71), so

@@ -188,22 +188,31 @@ def minhash_merge_reps(reps: ray.data.Dataset, num_partitions: int = 64) -> ray.
 # ---------------------------------------------------------------- SimHash
 
 
-def simhash_local_buckets(batch: pa.Table) -> pa.Table:
+def simhash_local_buckets(batch: pa.Table, sig_bytes: int = 8) -> pa.Table:
     """Stage-1 kernel for SimHash signature rows (row_id, perm_idx, key, sig).
 
     Groups by (perm_idx, key, sig): identical signatures in the same bucket
     always union (hamming 0) -> star edges; one rep per distinct
     (bucket, sig) carries the sig for the cross-value Hamming check later.
+
+    ``sig_bytes`` is ``f // 8``: the packed key layout is perm_idx (4B) +
+    bucket key (8B) + signature (sig_bytes). At f = 64 the ``sig`` column is
+    uint64; wider fingerprints (f = 128) carry ``sig`` as
+    fixed_size_binary(f//8) big-endian — same kernels, wider rows.
     """
     n = batch.num_rows
+    width = 12 + sig_bytes
     row_ids = batch["row_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     perm_idx = batch["perm_idx"].to_numpy(zero_copy_only=False).astype(np.int32)
     key = batch["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
-    sig = batch["sig"].to_numpy(zero_copy_only=False).astype(np.uint64)
-    mat = np.empty((n, 20), dtype=np.uint8)
+    mat = np.empty((n, width), dtype=np.uint8)
     mat[:, :4] = perm_idx.view(np.uint8).reshape(n, 4)
     mat[:, 4:12] = key.view(np.uint8).reshape(n, 8)
-    mat[:, 12:] = sig.view(np.uint8).reshape(n, 8)
+    if sig_bytes == 8:
+        sig = batch["sig"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        mat[:, 12:] = sig.view(np.uint8).reshape(n, 8)
+    else:
+        mat[:, 12:] = _binary_to_u8(batch["sig"], sig_bytes, n)
     keys = _void_view(mat)
     order, starts, mins, inv_sorted = _group_min(keys, row_ids)
     rid_sorted = row_ids[order]
@@ -211,31 +220,34 @@ def simhash_local_buckets(batch: pa.Table) -> pa.Table:
     mask = rid_sorted != dst
     edge_src, edge_dst = rid_sorted[mask], dst[mask]
     n_edges, n_reps = len(edge_src), len(starts)
-    bucket_keys = keys[order][starts]  # 20B: bucket (12B) + sig (8B)
+    bucket_keys = keys[order][starts]  # bucket (12B) + sig (sig_bytes)
     return pa.table(
         {
             "is_edge": np.r_[np.ones(n_edges, dtype=bool), np.zeros(n_reps, dtype=bool)],
             "src": np.concatenate([edge_src, mins]),
             "dst": np.concatenate([edge_dst, np.full(n_reps, -1, dtype=np.int64)]),
             "key": _fixed_binary(
-                np.concatenate([np.zeros(n_edges, dtype="V20"), bucket_keys])
+                np.concatenate([np.zeros(n_edges, dtype=f"V{width}"), bucket_keys])
             ),
         }
     )
 
 
-def simhash_rep_part(reps: pa.Table, num_partitions: int) -> np.ndarray:
-    """Partition by the bucket prefix (12 bytes of the 20B key) only."""
-    keys = _binary_to_u8(reps["key"], 20, reps.num_rows)
+def simhash_rep_part(
+    reps: pa.Table, num_partitions: int, sig_bytes: int = 8
+) -> np.ndarray:
+    """Partition by the bucket prefix (first 12 bytes of the key) only."""
+    keys = _binary_to_u8(reps["key"], 12 + sig_bytes, reps.num_rows)
     return _hash_part(keys[:, :12], num_partitions)
 
 
 def simhash_rep_reduce(
-    group: pa.Table, bit_diff: int, max_distinct_sigs: int = 8192
+    group: pa.Table, bit_diff: int, max_distinct_sigs: int = 8192,
+    sig_bytes: int = 8,
 ) -> pa.Table:
     """Stage-2 kernel for SimHash reps: merge same-sig reps across scopes,
     then pairwise-Hamming the distinct signature values per bucket."""
-    return _simhash_per_partition(group, bit_diff, max_distinct_sigs)
+    return _simhash_per_partition(group, bit_diff, max_distinct_sigs, sig_bytes)
 
 
 def simhash_merge_reps(
@@ -275,9 +287,11 @@ def simhash_distinct_sig_edges(
     new_mask: np.ndarray | None = None,
 ) -> tuple[list[np.ndarray], list[np.ndarray]]:
     """Cross-signature Hamming edges among DISTINCT (bucket, sig) reps:
-    group the (n, 20) key matrix by its 12-byte bucket prefix and pairwise-
-    compare the distinct uint64 sigs per bucket (vectorized XOR+popcount).
-    Shared by the batch exchange and the incremental index reduce.
+    group the (n, 12 + f//8) key matrix by its 12-byte bucket prefix and
+    pairwise-compare the distinct sigs per bucket (vectorized byte-matrix
+    XOR + popcount — any signature width; at f=64 bit-identical to the old
+    uint64 kernel). Shared by the batch exchange and the incremental index
+    reduce; the signature width is inferred from the matrix width.
 
     ``new_mask`` (incremental path, ADVICE r2): marks reps that entered the
     index THIS increment. When given, only (new x new) and (new x old) pairs
@@ -292,7 +306,7 @@ def simhash_distinct_sig_edges(
     bk_sorted = bucket_keys[b_order]
     b_starts = np.flatnonzero(np.r_[True, bk_sorted[1:] != bk_sorted[:-1]])
     b_ends = np.r_[b_starts[1:], len(bk_sorted)]
-    sigs = rep_mat[:, 12:].copy().view(np.uint64).reshape(-1)
+    sig_mat = np.ascontiguousarray(rep_mat[:, 12:])  # (n, f//8) raw sig bytes
     truncated = 0
     for s, e in zip(b_starts, b_ends):
         m = e - s
@@ -318,15 +332,11 @@ def simhash_distinct_sig_edges(
             idx = np.concatenate([sel_old, sel_new])  # old first, new last
             m = len(idx)
             n_old = len(sel_old)
-            bucket_sigs = sigs[idx]
+            bucket_sigs = sig_mat[idx]
             bucket_ids = rep_min[idx]
             new_sigs = bucket_sigs[n_old:]
-            xor = new_sigs[:, None] ^ bucket_sigs[None, :]
-            ham = np.zeros(xor.shape, dtype=np.uint8)
-            x = xor.copy()
-            for _ in range(8):
-                ham += _POPCOUNT_TABLE[(x & np.uint64(0xFF)).astype(np.uint8)]
-                x >>= np.uint64(8)
+            xor = new_sigs[:, None, :] ^ bucket_sigs[None, :, :]
+            ham = _POPCOUNT_TABLE[xor].sum(axis=2, dtype=np.uint16)
             # row i is bucket position n_old+i; allow old cols always, new
             # cols only above the diagonal (dedupe new-new, skip self)
             cols = np.arange(m)[None, :]
@@ -343,14 +353,10 @@ def simhash_distinct_sig_edges(
             truncated += m - max_distinct_sigs
             idx = idx[np.argsort(rep_min[idx], kind="stable")[:max_distinct_sigs]]
             m = max_distinct_sigs
-        bucket_sigs = sigs[idx]
+        bucket_sigs = sig_mat[idx]
         bucket_ids = rep_min[idx]
-        xor = bucket_sigs[:, None] ^ bucket_sigs[None, :]
-        ham = np.zeros((m, m), dtype=np.uint8)
-        x = xor.copy()
-        for _ in range(8):
-            ham += _POPCOUNT_TABLE[(x & np.uint64(0xFF)).astype(np.uint8)]
-            x >>= np.uint64(8)
+        xor = bucket_sigs[:, None, :] ^ bucket_sigs[None, :, :]
+        ham = _POPCOUNT_TABLE[xor].sum(axis=2, dtype=np.uint16)
         ii, jj = np.nonzero(np.triu(ham <= bit_diff, k=1))
         if len(ii):
             a = bucket_ids[ii]
@@ -369,12 +375,12 @@ def simhash_distinct_sig_edges(
 
 
 def _simhash_per_partition(
-    group: pa.Table, bit_diff: int, max_distinct_sigs: int
+    group: pa.Table, bit_diff: int, max_distinct_sigs: int, sig_bytes: int = 8
 ) -> pa.Table:
     n = group.num_rows
     if n == 0:
         return _edge_table(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
-    mat = _binary_to_u8(group["key"], 20, n)
+    mat = _binary_to_u8(group["key"], 12 + sig_bytes, n)
     row_ids = group["src"].to_numpy(zero_copy_only=False).astype(np.int64)
     # 1) merge identical (bucket, sig) reps across blocks: star edges
     full_keys = _void_view(mat)

@@ -164,20 +164,35 @@ class SimHashFingerprinter:
         row_ids = batch["row_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(texts)
         nperm = len(self.sh.perms)
-        sigs = self.sh.signatures_batch(texts)
-        keys = self.sh.keys_batch(sigs)
+        f = self.sh.cfg.f
+        if f <= 64:
+            sigs = self.sh.signatures_batch(texts)
+            keys = self.sh.keys_batch(sigs)
+            sig_col = np.repeat(sigs, nperm)
+        else:
+            # wide fingerprints (f=128): raw big-endian signature bytes as a
+            # fixed_size_binary column; keys stay uint64 (prefix <= 64 bits,
+            # enforced by SimHashConfig)
+            sb = self.sh.cfg.sig_bytes
+            sig_bytes = self.sh.signatures_batch_bytes(texts)
+            keys = self.sh.keys_batch_bytes(sig_bytes)
+            rep = np.repeat(sig_bytes, nperm, axis=0)
+            sig_col = pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(sb), n * nperm,
+                [None, pa.py_buffer(np.ascontiguousarray(rep).tobytes())],
+            )
         out = pa.table(
             {
                 "row_id": np.repeat(row_ids, nperm),
                 "perm_idx": np.tile(np.arange(nperm, dtype=np.int32), n),
                 "key": keys.reshape(-1),
-                "sig": np.repeat(sigs, nperm),
+                "sig": sig_col,
             }
         )
         if self.emit == "buckets":
             from .edges import simhash_local_buckets
 
-            return simhash_local_buckets(out)
+            return simhash_local_buckets(out, sig_bytes=f // 8 if f > 64 else 8)
         return out
 
 
