@@ -65,6 +65,26 @@ class TestRegistry:
             "embedding_pca2",
         }, f"unexpected rows-only queries: {rows_only}"
 
+    def test_coverage_first_prefix(self):
+        # the driver's gate walks queries() in insertion order under a time
+        # budget (round 4 stopped at 50): the first 50 entries must stay the
+        # one-query-per-operator-family slate, every one full-oracle-checked
+        E = _entry()
+        qs = E.queries()
+        first50 = list(qs)[:50]
+        assert first50 == E._PRIORITY_QUERIES
+        oracles = E.oracle_sql()
+        no_oracle = [n for n in first50 if n not in oracles]
+        assert not no_oracle, f"priority queries without oracles: {no_oracle}"
+        # spot-pin the flagship operators the round-4 driver gate missed
+        for must in (
+            "minhash_dedup_docs", "simhash_dedup_docs",
+            "suffix_array_dedup_docs", "minhash_dedup_images",
+            "video_near_dedup_videos", "audio_near_dedup_audio",
+            "ann_topk", "clustering_ari",
+        ):
+            assert must in first50, must
+
     def test_every_oracle_plans_in_duckdb(self, duck):
         # EXPLAIN binds every table/column/function reference without
         # executing — a renamed column or broken generated SQL fails here
