@@ -92,6 +92,55 @@ class TestF128EndToEnd:
         theirs = sorted(con.execute(simhash_dedup_sql(cfg)).fetchdf()["doc_id"])
         assert ours == theirs
 
+    def test_incremental_f128_matches_full_rerun(self, tmp_path):
+        # the tiered index at f=128 (28-byte packed keys) must equal the
+        # batch run over old ∪ new — same guarantee as the f=64 path
+        import pyarrow as pa
+
+        from text_dedup_ray.pipelines.incremental import (
+            simhash_bootstrap,
+            simhash_increment,
+        )
+        from text_dedup_ray.pipelines.simhash import simhash_dedup
+
+        cfg = SimHashConfig(f=128, hash_func="md5")
+        # old batch: 9 planted duplicate groups; new batch: half duplicate
+        # the old groups, half are unique (so increments emit survivors)
+        texts = [
+            f"caption body variant {i % 9} with filler tokens {i % 4}"
+            for i in range(60)
+        ] + [
+            f"caption body variant {i % 9} with filler tokens {i % 4}"
+            if i % 2 == 0
+            else f"a wholly new unique caption number {i} with extra words {i * 7}"
+            for i in range(60, 80)
+        ]
+
+        def docs(ids, txts):
+            return ray.data.from_arrow(pa.table({"doc_id": ids, "text": txts}))
+
+        state = str(tmp_path / "state128")
+        simhash_bootstrap(
+            docs(list(range(60)), texts[:60]), state, cfg=cfg,
+            id_column="doc_id", num_partitions=8,
+        )
+        inc = simhash_increment(
+            docs(list(range(100, 120)), texts[60:]), state, cfg=cfg,
+            id_column="doc_id",
+        )
+        full = simhash_dedup(
+            docs(list(range(60)) + list(range(100, 120)), texts),
+            cfg=cfg, id_column="doc_id",
+        )
+        inc_survivors = set(
+            inc.deduped.select_columns(["doc_id"]).to_pandas()["doc_id"]
+        )
+        full_new = {
+            r for r in full.deduped.select_columns(["doc_id"]).to_pandas()["doc_id"]
+            if r >= 100
+        }
+        assert inc_survivors == full_new
+
     def test_identical_docs_collapse_at_f128(self):
         import pyarrow as pa
 

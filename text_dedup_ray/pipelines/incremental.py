@@ -49,6 +49,7 @@ import glob
 import json
 import os
 from dataclasses import asdict, dataclass, field
+from functools import partial
 
 import numpy as np
 import pyarrow as pa
@@ -1275,9 +1276,10 @@ def simhash_bootstrap(
     version = 1
     _clean_version_dir(state_dir, version)
     with timer("fingerprint+rep_index"):
+        sig_b = cfg.sig_bytes if cfg.f > 64 else 8
         local_edges, cross_edges, sig_rows = _split_and_reduce_reps(
-            local, state_dir, version, None, num_partitions, 20,
-            part_fn=simhash_rep_part,
+            local, state_dir, version, None, num_partitions, 12 + sig_b,
+            part_fn=partial(simhash_rep_part, sig_bytes=sig_b),
             cross_spec=(cfg.bit_diff, max_distinct_sigs),
         )
         edges = local_edges.union(cross_edges)
@@ -1384,9 +1386,10 @@ def simhash_increment(
     version = prior_version + 1
     _clean_version_dir(state_dir, version)
     with timer("fingerprint+rep_index"):
+        sig_b = cfg.sig_bytes if cfg.f > 64 else 8
         local_edges, cross_edges, sig_rows = _split_and_reduce_reps(
-            local, state_dir, version, prior_version, num_partitions, 20,
-            part_fn=simhash_rep_part,
+            local, state_dir, version, prior_version, num_partitions, 12 + sig_b,
+            part_fn=partial(simhash_rep_part, sig_bytes=sig_b),
             cross_spec=(cfg.bit_diff, max_distinct_sigs),
         )
         edges = local_edges.union(cross_edges)

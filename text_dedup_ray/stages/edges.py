@@ -255,6 +255,7 @@ def simhash_merge_reps(
     bit_diff: int,
     num_partitions: int = 64,
     max_distinct_sigs: int = 8192,
+    sig_bytes: int = 8,
 ) -> ray.data.Dataset:
     """Stage-2 for SimHash: per bucket, merge same-sig reps across blocks,
     then pairwise-Hamming the distinct signature values (vectorized
@@ -267,11 +268,11 @@ def simhash_merge_reps(
 
     def add_part(batch: pa.Table) -> pa.Table:
         return batch.append_column(
-            "part", pa.array(simhash_rep_part(batch, num_partitions))
+            "part", pa.array(simhash_rep_part(batch, num_partitions, sig_bytes))
         )
 
     def per_partition(group: pa.Table) -> pa.Table:
-        return _simhash_per_partition(group, bit_diff, max_distinct_sigs)
+        return _simhash_per_partition(group, bit_diff, max_distinct_sigs, sig_bytes)
 
     from .exchange import hash_partition_exchange
 
