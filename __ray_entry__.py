@@ -1204,11 +1204,13 @@ def _q_hll_registers(sf_dir: str):
 
 
 def _q_hll_estimate(sf_dir: str):
-    """User-facing HLL estimate per event type (p=12). Approximate by
-    design — rows-only at the driver gate; the estimate's error bound and
-    its exact partition invariance are pytest-proven (tests/test_sketch.py),
-    and the underlying register computation is fully SQL-oracled by
-    events_user_hll_registers."""
+    """User-facing HLL estimate per event type (p=12). The estimate is
+    approximate w.r.t. the TRUE distinct count, but fully DETERMINISTIC
+    given the data, so the gate oracle recomputes the whole estimator in
+    SQL (sparse registers -> alpha*m^2/(zeros + sum 2^-rank) with the
+    small-range correction) and hash-compares exactly; error bound and
+    partition invariance are additionally pytest-proven
+    (tests/test_sketch.py)."""
     from text_dedup_ray.pipelines.sketch import approx_count_distinct
 
     ev = ray.data.read_parquet(
@@ -5164,6 +5166,33 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
             "s6 AS (SELECT event_type, idx, x | (x >> 32) AS x FROM s5) "
             "SELECT event_type, idx, max((56 - bit_count(x))::BIGINT + 1) AS rank "
             "FROM s6 GROUP BY event_type, idx"
+        ),
+        # full SQL recompute of the p=12 HLL ESTIMATE (not just registers):
+        # sparse registers -> zeros = m - present, s = sum 2^-rank, raw =
+        # alpha*m^2/(zeros+s), small-range correction m*ln(m/zeros) —
+        # exactly pipelines/sketch.approx_count_distinct's estimator
+        "events_users_approx": (
+            "WITH h AS (SELECT event_type, ('0x' || substr(md5(CAST(user_id AS "
+            "VARCHAR)), 1, 16))::UBIGINT AS hv FROM events), "
+            "b AS (SELECT event_type, (hv >> 52)::BIGINT AS idx, "
+            "hv & ((1::UBIGINT << 52) - 1) AS low FROM h), "
+            "s1 AS (SELECT event_type, idx, low | (low >> 1) AS x FROM b), "
+            "s2 AS (SELECT event_type, idx, x | (x >> 2) AS x FROM s1), "
+            "s3 AS (SELECT event_type, idx, x | (x >> 4) AS x FROM s2), "
+            "s4 AS (SELECT event_type, idx, x | (x >> 8) AS x FROM s3), "
+            "s5 AS (SELECT event_type, idx, x | (x >> 16) AS x FROM s4), "
+            "s6 AS (SELECT event_type, idx, x | (x >> 32) AS x FROM s5), "
+            "regs AS (SELECT event_type, idx, "
+            "max((52 - bit_count(x))::BIGINT + 1) AS rank "
+            "FROM s6 GROUP BY event_type, idx), "
+            "agg AS (SELECT event_type, count(*)::DOUBLE AS present, "
+            "sum(pow(2.0, -rank)) AS s FROM regs GROUP BY event_type), "
+            "est AS (SELECT event_type, 4096.0 - present AS zeros, "
+            f"{0.7213 / (1.0 + 1.079 / 4096)!r}::DOUBLE * 4096.0 * 4096.0 "
+            "/ ((4096.0 - present) + s) AS raw FROM agg) "
+            "SELECT event_type, (CASE WHEN raw <= 2.5 * 4096.0 AND zeros > 0 "
+            "THEN round(4096.0 * ln(4096.0 / greatest(zeros, 1.0))) "
+            "ELSE round(raw) END)::BIGINT AS n_users_approx FROM est"
         ),
         "kmeans_assign_embeddings": (
             "SELECT vec_id, cid::BIGINT AS cell FROM ("

@@ -58,7 +58,6 @@ class TestRegistry:
         # explicit so an accidentally-dropped oracle is caught
         rows_only = set(qs) - set(oracles)
         assert rows_only <= {
-            "events_users_approx",
             "ann_lsh_topk",
             "ann_lsh_topk_ds",
             "embedding_cosine_dedup_lsh",
