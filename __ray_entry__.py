@@ -4243,9 +4243,10 @@ _PRIORITY_QUERIES: "list[str]" = [
     "minhash_union_docs",
     "exact_union_docs",
     "minhash_probe_vs_state",
-    # clustering evaluation / reporting
+    # clustering evaluation / reporting (bcubed shares ari's family and
+    # carries a ~25 s recursive-CTE oracle — it rides the tail instead)
     "clustering_ari",
-    "clustering_bcubed",
+    "part_supplier_pagerank",  # graph family representative
     "cluster_size_histogram",
     # text analysis / preprocessing (M2/M3/M4/M12)
     "doc_token_count",
