@@ -4872,9 +4872,14 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
             "lag(value, 1) OVER w AS lag_1, lead(value, 1) OVER w AS lead_1 "
             "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)"
         ),
+        # NULL states are filtered BEFORE the window (engine contract:
+        # NULL states never form transitions; two states separated by a
+        # NULL do pair) — gate data has no NULL event_type today, but the
+        # oracle must match the documented semantics if that changes
         "events_transitions": (
-            "WITH nx AS (SELECT event_type AS src, lead(event_type) OVER "
-            "(PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM events) "
+            "WITH f AS (SELECT * FROM events WHERE event_type IS NOT NULL), "
+            "nx AS (SELECT event_type AS src, lead(event_type) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM f) "
             "SELECT src, dst, count(*)::BIGINT AS n FROM nx "
             "WHERE dst IS NOT NULL GROUP BY src, dst"
         ),

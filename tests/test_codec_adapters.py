@@ -49,6 +49,19 @@ class TestImageAdapters:
         out = codecs.decode_image(b"\x00\x01\x02", "webp")
         assert out.shape == (2, 2, 3) and calls == [3]
 
+    def test_stub_bytes_win_over_registered_jpeg_adapter(self):
+        # synthetic corpora label fjpg-stub bytes fmt="jpeg": a registered
+        # real-JPEG adapter (e.g. PIL) must never swallow them — the FJPG
+        # magic routes to the deterministic stub regardless of adapters
+        def exploding(data: bytes):
+            raise AssertionError("adapter must not see stub bytes")
+
+        codecs.register_image_codec("jpeg", exploding)
+        pix = np.full((4, 4, 3), 77, np.uint8)
+        stub = codecs.encode_fjpg(pix)
+        out = codecs.decode_image(stub, "jpeg")
+        assert codecs.psnr(pix, out) >= 40.0
+
     def test_unknown_format_raises_with_adapter_hint(self):
         with pytest.raises(NotImplementedError, match="register_image_codec"):
             codecs.decode_image(b"xx", "tiff")

@@ -186,6 +186,12 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
 
 
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    # magic sniff FIRST: synthetic corpora label deterministic fjpg-stub
+    # bytes fmt="jpeg", so a registered real-JPEG adapter (PIL) must not
+    # swallow them — stub bytes always decode via the stub, real JPEG
+    # (FFD8) / PNG bytes go to whatever codec is registered for the fmt
+    if data[:4] == _FJPG_MAGIC:
+        return decode_fjpg(data)
     if fmt in _IMAGE_DECODERS:
         return _IMAGE_DECODERS[fmt](data)
     if fmt == "png":
@@ -254,6 +260,12 @@ def autoload_av_adapters() -> bool:
         with av.open(io.BytesIO(blob)) as container:
             for frame in container.decode(audio=0):
                 pcm = frame.to_ndarray()
+                # normalize to float [-1, 1] by SOURCE dtype: s16/s32 frames
+                # come back as integer arrays, not floats
+                if np.issubdtype(pcm.dtype, np.integer):
+                    pcm = pcm.astype(np.float64) / float(
+                        np.iinfo(pcm.dtype).max + 1
+                    )
                 mono = pcm.mean(axis=0) if pcm.ndim > 1 else pcm
                 chunks.append(((mono * 127.0) + 128.0).clip(0, 255))
         if not chunks:

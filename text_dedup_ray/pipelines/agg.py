@@ -1470,19 +1470,21 @@ def grouped_gini(
         base = np.repeat(np.r_[np.int64(0), gcs[starts[1:] - 1]], sizes)
         o = gcs - c - base  # offset BEFORE this bin within its key
         n = np.bincount(kidx, weights=c, minlength=len(uniq)).astype(np.int64)
-        # guard BEFORE forming any product (same pre-multiplication stance
-        # as grouped_zscore's amax guard): every intermediate — v·c,
-        # v·c·(2o+c+1) with o < n, and their per-key float64 bincount sums
-        # — is bounded by max|v| · n_max · (2·n_max + 1); keeping that
-        # under 2^52 rules out silent int64 wrap in the products AND keeps
-        # the float64 accumulation exact. Checking after the fact (as the
-        # old n·Σx guard did) could itself evaluate on wrapped values.
-        amax_v = float(np.abs(v).max()) if len(v) else 0.0
-        n_max = float(n.max()) if len(n) else 0.0
-        if amax_v and n_max and amax_v * n_max * (2.0 * n_max + 1.0) > 2**52:
+        # guard BEFORE forming any int64 product (ADVICE r4: the old n·Σx
+        # check could evaluate on already-wrapped values). The bound is
+        # computed per key in FLOAT64 — float products cannot wrap, and
+        # their ~1e-16 relative error is irrelevant against the 2^52
+        # threshold: per key, every int64 intermediate (each v·c, each
+        # v·c·(2o+c+1) with o < n, and the bincount accumulations sx and
+        # trs) is <= Σ|v|·c · (2n+1), so one data-dependent check covers
+        # products AND float64-bincount exactness without rejecting large-
+        # but-computable inputs the way a max|v|·n_max worst case would.
+        vf = np.abs(v).astype(np.float64)
+        sx_f = np.bincount(kidx, weights=vf * c, minlength=len(uniq))
+        if len(n) and float((sx_f * (2.0 * n + 1.0)).max()) > 2**52:
             raise ValueError(
-                "grouped_gini: max|value| * n * (2n+1) exceeds the "
-                "exact-integer bound (2^52) — rescale the value column first"
+                "grouped_gini: sum|value|*(2n+1) exceeds the exact-integer "
+                "bound (2^52) — rescale the value column first"
             )
         # Σ i·x over the bin = x · (c·(2o + c + 1) / 2); 2·Σ stays integer
         two_rank_sum = v * c * (2 * o + c + 1)
