@@ -49,6 +49,24 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
 
 
+def exact_hash(df: pd.DataFrame) -> str:
+    """Driver-style order-insensitive value hash: stringified cells (so
+    int64 100 vs float64 100.0 differ — the round-4 failure mode), float
+    columns rounded to 6 decimals first (the round-4 driver hashed
+    527868276.59000003 vs 527868276.59 as EQUAL on lineitem_pricing, so
+    its canonicalization absorbs last-ulp summation-order noise), rows
+    sorted. Predicts the driver's hash_match verdict."""
+    import hashlib
+
+    df = df.copy()
+    for c in df.columns:
+        if df[c].dtype.kind == "f":
+            df[c] = df[c].round(6)
+    s = df.astype(str)
+    rows = sorted("\x1f".join(r) for r in s.itertuples(index=False, name=None))
+    return hashlib.md5("\x1e".join(rows).encode()).hexdigest()
+
+
 def main(sf_dir: str, only: set | None = None, budget_seconds: float | None = None) -> None:
     import __ray_entry__ as entrymod
 
@@ -93,6 +111,11 @@ def main(sf_dir: str, only: set | None = None, budget_seconds: float | None = No
                         report[name] = {"status": "VALUE_MISMATCH", "detail": str(e)[:300]}
                 if ok_rows and ok_cols and ok_vals:
                     report[name] = {"status": "OK", "rows": len(ours)}
+                    if exact_hash(ours) != exact_hash(theirs):
+                        # values equal at rtol but stringified cells differ
+                        # (dtype or float-formatting drift) — the driver's
+                        # exact hash would flag this as a mismatch
+                        report[name]["status"] = "OK_HASH_DRIFT"
                 elif not ok_rows:
                     report[name] = {"status": "ROWS", "ours": len(ours), "theirs": len(theirs)}
                 elif not ok_cols:
@@ -117,8 +140,14 @@ def main(sf_dir: str, only: set | None = None, budget_seconds: float | None = No
             file=sys.stderr, flush=True,
         )
     print(json.dumps(report, indent=1, default=str))
-    bad = [k for k, v in report.items() if v["status"] not in ("OK", "ROWS_ONLY")]
+    bad = [
+        k for k, v in report.items()
+        if v["status"] not in ("OK", "OK_HASH_DRIFT", "ROWS_ONLY")
+    ]
+    drift = [k for k, v in report.items() if v["status"] == "OK_HASH_DRIFT"]
     print("FAILURES:", bad if bad else "none")
+    print("HASH_DRIFT (values equal, exact driver hash would differ):",
+          drift if drift else "none")
     if budget_seconds is not None:
         print(
             f"BUDGET: {budget_seconds:.0f}s, verified {len(report)} queries in "
