@@ -510,6 +510,34 @@ def _q_normalize(sf_dir: str):
     )
 
 
+def _q_fix_text(sf_dir: str):
+    """ftfy-seam encoding repair (reference utils/ftfy_utils.py:5-8) proven
+    end-to-end: corrupt the pure-ASCII gate corpus deterministically IN
+    ARROW (mojibake 'a'->'Ã¡', entity 'e'->'&quot;', control byte
+    after 'o', CRLF for spaces), run the native fixer, and the oracle
+    recomputes the expected repaired text as a pure SQL replace chain —
+    so unescape, cp1252 mojibake repair, line-break normalization and
+    control-strip are each value-hash-checked against DuckDB."""
+    import pyarrow.compute as pc
+
+    from text_dedup_ray.pipelines.textops import with_fixed_text
+
+    def corrupt(t):
+        s = t["text"]
+        s = pc.replace_substring(s, "o", "o\x01")
+        s = pc.replace_substring(s, "a", "Ã¡")  # mojibake of 'á'
+        s = pc.replace_substring(s, "e", "&quot;")
+        s = pc.replace_substring(s, " ", "\r\n")
+        return t.set_column(t.schema.get_field_index("text"), "text", s)
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        corrupt, batch_format="pyarrow"
+    )
+    return with_fixed_text(ds, fixer="native").select_columns(
+        ["doc_id", "text_fixed"]
+    )
+
+
 def _q_lang_id(sf_dir: str):
     from text_dedup_ray.pipelines.textops import with_language
 
@@ -4279,6 +4307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": _q_quality,
         "doc_fingerprint_md5": _q_md5,
         "doc_normalize_ccnet": _q_normalize,
+        "fix_text_docs": _q_fix_text,
         "min_length_filter": _q_min_length,
         "gopher_quality_docs": _q_gopher,
         "scrub_events_props": _q_scrub_events,
@@ -4541,6 +4570,14 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
         "doc_normalize_ccnet": (
             r"SELECT doc_id, regexp_replace(regexp_replace(lower(trim(text)), '\d', '0', 'g'), "
             r"'[\p{P}\p{C}\p{S}]+', '', 'g') AS text_norm FROM documents"
+        ),
+        # expected output of _q_fix_text's corrupt->fix round trip: the
+        # fixer must invert the mojibake/entity/control corruptions exactly
+        # ('a'->á, 'e'->", control byte stripped) and normalize the injected
+        # CRLFs to \n — a pure replace chain over the original ASCII text
+        "fix_text_docs": (
+            "SELECT doc_id, replace(replace(replace(text, 'a', chr(225)), "
+            "'e', chr(34)), ' ', chr(10)) AS text_fixed FROM documents"
         ),
         "min_length_filter": (
             "SELECT doc_id, text FROM documents "

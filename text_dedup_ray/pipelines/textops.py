@@ -271,15 +271,80 @@ def concat_text_columns(
     return ds.map_batches(add, batch_format="pyarrow")
 
 
+def _ccnet_normalize_vector(col: pa.Array) -> pa.Array:
+    """Arrow-kernel ccnet normalize — identical to functions.preprocess.
+    normalize on ASCII input (hypothesis-pinned in tests/test_textfix.py):
+    ASCII lower == str.lower, RE2 \\d == Python \\d on ASCII digits, and the
+    trim/strip divergence candidates (\\t \\n \\x1c-\\x1f) are all \\p{C} so
+    the final strip removes them on both paths."""
+    import pyarrow.compute as pc
+
+    s = pc.utf8_trim_whitespace(col)
+    s = pc.utf8_lower(s)
+    s = pc.replace_substring_regex(s, r"\d", "0")
+    return pc.replace_substring_regex(s, r"[\p{P}\p{C}\p{S}]+", "")
+
+
 def with_normalized(
     ds: ray.data.Dataset, text_column: str = "text", mode: str = "ccnet"
 ) -> ray.data.Dataset:
-    """Reference normalizers as a pre-stage (SURVEY M12)."""
+    """Reference normalizers as a pre-stage (SURVEY M12). The ccnet mode
+    runs fully vectorized for ASCII rows (the overwhelming majority of a
+    web-text corpus) and falls back to the reference Python kernel only for
+    the non-ASCII minority, where Python-regex vs RE2 Unicode-category
+    tables could drift."""
     fn = normalize if mode == "ccnet" else news_copy_preprocessing
 
     def add(batch: pa.Table) -> pa.Table:
         return batch.append_column(
             "text_norm", pa.array([fn(t) for t in batch[text_column].to_pylist()], pa.string())
+        )
+
+    if mode != "ccnet":
+        return ds.map_batches(add, batch_format="pyarrow")
+
+    def add_ccnet(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = batch[text_column].combine_chunks()
+        is_ascii = pc.match_substring_regex(col, r"^[\x00-\x7f]*$")
+        out = _ccnet_normalize_vector(col)
+        dirty_idx = np.flatnonzero(
+            np.logical_not(is_ascii.fill_null(True).to_numpy(zero_copy_only=False))
+        )
+        if len(dirty_idx):
+            fixed = [
+                normalize(s)
+                for s in col.take(pa.array(dirty_idx)).to_pylist()
+            ]
+            vals = out.to_pandas().to_numpy(dtype=object, copy=True)
+            vals[dirty_idx] = fixed
+            out = pa.array(vals, pa.string())
+        return batch.append_column("text_norm", out)
+
+    return ds.map_batches(add_ccnet, batch_format="pyarrow")
+
+
+def with_fixed_text(
+    ds: ray.data.Dataset,
+    text_column: str = "text",
+    out_column: str = "text_fixed",
+    fixer: str = "native",
+) -> ray.data.Dataset:
+    """Encoding-repair stage (reference ftfy seam, utils/ftfy_utils.py:5-8):
+    HTML-entity unescape, cp1252/latin-1 mojibake repair, line-break
+    normalization, control-char strip, NFC — see functions/textfix.py.
+
+    ``fixer="native"`` pins the deterministic built-in (what gate queries
+    use); ``"auto"`` picks up an installed ftfy wheel per worker process.
+    Clean printable-ASCII rows are proven fixed points and pass through
+    zero-copy, so on a mostly-clean corpus the stage is a cheap masked scan.
+    """
+    from ..functions.textfix import fix_text_array
+
+    def add(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            out_column, fix_text_array(batch[text_column], fixer=fixer)
         )
 
     return ds.map_batches(add, batch_format="pyarrow")
