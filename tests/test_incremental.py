@@ -117,6 +117,48 @@ class TestIncrementalEquivalence:
         assert 104 not in inc_survivors and 105 not in inc_survivors
         assert {101, 103} <= inc_survivors
 
+    def test_known_watermarks_skip_scan_same_result(self, tmp_path):
+        # callers with an ingest manifest pass max_row_id / batch_id_range;
+        # results and persisted state must be identical to the scanning path
+        old_ids, old_texts, new_ids, new_texts = _corpus()
+        s1, s2 = str(tmp_path / "scan"), str(tmp_path / "hint")
+
+        b1 = minhash_bootstrap(
+            _docs(old_ids, old_texts), s1, cfg=_cfg(), id_column="doc_id",
+            num_partitions=8,
+        )
+        b2 = minhash_bootstrap(
+            _docs(old_ids, old_texts), s2, cfg=_cfg(), id_column="doc_id",
+            num_partitions=8, max_row_id=max(old_ids),
+        )
+        assert b1.deduped.count() == b2.deduped.count()
+
+        i1 = minhash_increment(
+            _docs(new_ids, new_texts), s1, cfg=_cfg(), id_column="doc_id"
+        )
+        i2 = minhash_increment(
+            _docs(new_ids, new_texts), s2, cfg=_cfg(), id_column="doc_id",
+            batch_id_range=(min(new_ids), max(new_ids)),
+        )
+        assert _state_clusters(s1, i1.state_version) == _state_clusters(
+            s2, i2.state_version
+        )
+        assert set(
+            i1.deduped.select_columns(["doc_id"]).to_pandas()["doc_id"]
+        ) == set(i2.deduped.select_columns(["doc_id"]).to_pandas()["doc_id"])
+
+        # a hinted range that violates the watermark still raises
+        s3 = str(tmp_path / "bad")
+        minhash_bootstrap(
+            _docs(old_ids, old_texts), s3, cfg=_cfg(), id_column="doc_id",
+            num_partitions=8,
+        )
+        with pytest.raises(ValueError, match="must exceed"):
+            minhash_increment(
+                _docs(new_ids, new_texts), s3, cfg=_cfg(), id_column="doc_id",
+                batch_id_range=(min(old_ids), max(new_ids)),
+            )
+
     def test_chained_increments(self, tmp_path):
         old_ids, old_texts, new_ids, new_texts = _corpus()
         state = str(tmp_path / "state")

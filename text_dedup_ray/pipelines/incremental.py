@@ -351,6 +351,17 @@ def _rep_reduce_write(
     )
 
 
+def _batch_id_bounds(ds: ray.data.Dataset) -> tuple[int | None, int | None]:
+    """(min, max) of ROW_ID in ONE execution (fused Min/Max aggregate) —
+    the watermark checks previously ran two full passes over the id chain."""
+    from ray.data.aggregate import Max, Min
+
+    res = ds.select_columns([ROW_ID]).aggregate(Min(ROW_ID), Max(ROW_ID))
+    lo = res.get(f"min({ROW_ID})") if res else None
+    hi = res.get(f"max({ROW_ID})") if res else None
+    return (None if lo is None else int(lo)), (None if hi is None else int(hi))
+
+
 def _split_and_reduce_reps(
     local: ray.data.Dataset,
     state_dir: str,
@@ -501,9 +512,15 @@ def minhash_bootstrap(
     fingerprint_batch_size: int = 2048,
     num_partitions: int = 64,
     driver_threshold: int = 2_000_000,
+    max_row_id: int | None = None,
 ) -> IncrementResult:
     """Full MinHashLSH dedup over the initial corpus, persisting the LSH
-    state (partitioned rep index + cluster rows + meta) to ``state_dir``."""
+    state (partitioned rep index + cluster rows + meta) to ``state_dir``.
+
+    ``max_row_id``: the corpus id watermark (must cover EVERY input row,
+    including sub-min_length docs the dedup drops). Pass it when the caller
+    knows it — an ingest manifest, parquet footer stats — to skip the
+    otherwise-required extra scan over the id column."""
     cfg = cfg or MinHashConfig()
     timer = Timer()
     if id_column is not None:
@@ -511,8 +528,9 @@ def minhash_bootstrap(
     elif ROW_ID not in ds.schema().names:
         raise ValueError("dataset must have a row_id column or pass id_column")
 
-    ds_max = ds.select_columns([ROW_ID]).max(ROW_ID)
-    max_row_id = -1 if ds_max is None else int(ds_max)
+    if max_row_id is None:
+        ds_max = ds.select_columns([ROW_ID]).max(ROW_ID)
+        max_row_id = -1 if ds_max is None else int(ds_max)
     filtered = min_length_filter(ds, text_column, cfg.min_length)
     narrow = filtered.select_columns([ROW_ID, text_column])
     local = narrow.map_batches(
@@ -574,9 +592,14 @@ def minhash_increment(
     fingerprint_batch_size: int = 2048,
     driver_threshold: int = 2_000_000,
     validate_ids: bool = True,
+    batch_id_range: tuple[int, int] | None = None,
 ) -> IncrementResult:
     """Dedup ``new_ds`` against the saved state AND itself; persist the next
-    state version. Cluster assignments equal a full re-run over old ∪ new."""
+    state version. Cluster assignments equal a full re-run over old ∪ new.
+
+    ``batch_id_range``: (min, max) of the batch's row ids when the caller
+    knows them (ingest manifest / footer stats) — skips the watermark scan;
+    the min is still validated against the saved ``max_row_id``."""
     cfg = cfg or MinHashConfig()
     meta = load_meta(state_dir)
     if meta["cfg_hash"] != _cfg_hash(cfg, text_column):
@@ -593,16 +616,15 @@ def minhash_increment(
         new_ds = stamp_row_ids_from_key(new_ds, id_column)
     elif ROW_ID not in new_ds.schema().names:
         raise ValueError("dataset must have a row_id column or pass id_column")
-    ids_narrow = new_ds.select_columns([ROW_ID])
-    batch_max = ids_narrow.max(ROW_ID)
+    batch_min, batch_max = (
+        batch_id_range if batch_id_range is not None else _batch_id_bounds(new_ds)
+    )
     new_max = prior_max if batch_max is None else int(batch_max)
-    if validate_ids:
-        new_min = ids_narrow.min(ROW_ID)
-        if new_min is not None and int(new_min) <= prior_max:
-            raise ValueError(
-                f"new row ids must exceed the saved max_row_id={prior_max} "
-                f"(got min={int(new_min)}); old ids must win min-tie-breaks"
-            )
+    if validate_ids and batch_min is not None and int(batch_min) <= prior_max:
+        raise ValueError(
+            f"new row ids must exceed the saved max_row_id={prior_max} "
+            f"(got min={int(batch_min)}); old ids must win min-tie-breaks"
+        )
 
     filtered = min_length_filter(new_ds, text_column, cfg.min_length)
     narrow = filtered.select_columns([ROW_ID, text_column])
@@ -1232,6 +1254,7 @@ def simhash_bootstrap(
     driver_threshold: int = 2_000_000,
     max_distinct_sigs: int = 8192,
     signature_column: str | None = None,
+    max_row_id: int | None = None,
 ) -> IncrementResult:
     """SimHash twin of :func:`minhash_bootstrap`: the persisted rep index
     holds one (bucket||sig, min row_id) row per distinct (bucket, signature)
@@ -1253,8 +1276,9 @@ def simhash_bootstrap(
         ds = stamp_row_ids_from_key(ds, id_column)
     elif ROW_ID not in ds.schema().names:
         raise ValueError("dataset must have a row_id column or pass id_column")
-    ds_max = ds.select_columns([ROW_ID]).max(ROW_ID)
-    max_row_id = -1 if ds_max is None else int(ds_max)
+    if max_row_id is None:
+        ds_max = ds.select_columns([ROW_ID]).max(ROW_ID)
+        max_row_id = -1 if ds_max is None else int(ds_max)
     if signature_column is not None:
         narrow = ds.select_columns([ROW_ID, signature_column])
         local = narrow.map_batches(
@@ -1328,6 +1352,7 @@ def simhash_increment(
     max_distinct_sigs: int = 8192,
     validate_ids: bool = True,
     signature_column: str | None = None,
+    batch_id_range: tuple[int, int] | None = None,
 ) -> IncrementResult:
     """Dedup ``new_ds`` against a saved SimHash state AND itself; persist the
     next state version. Same full-rerun-equivalence guarantee as the MinHash
@@ -1355,16 +1380,15 @@ def simhash_increment(
         new_ds = stamp_row_ids_from_key(new_ds, id_column)
     elif ROW_ID not in new_ds.schema().names:
         raise ValueError("dataset must have a row_id column or pass id_column")
-    ids_narrow = new_ds.select_columns([ROW_ID])
-    batch_max = ids_narrow.max(ROW_ID)
+    batch_min, batch_max = (
+        batch_id_range if batch_id_range is not None else _batch_id_bounds(new_ds)
+    )
     new_max = prior_max if batch_max is None else int(batch_max)
-    if validate_ids:
-        new_min = ids_narrow.min(ROW_ID)
-        if new_min is not None and int(new_min) <= prior_max:
-            raise ValueError(
-                f"new row ids must exceed the saved max_row_id={prior_max} "
-                f"(got min={int(new_min)}); old ids must win min-tie-breaks"
-            )
+    if validate_ids and batch_min is not None and int(batch_min) <= prior_max:
+        raise ValueError(
+            f"new row ids must exceed the saved max_row_id={prior_max} "
+            f"(got min={int(batch_min)}); old ids must win min-tie-breaks"
+        )
     if signature_column is not None:
         narrow = new_ds.select_columns([ROW_ID, signature_column])
         local = narrow.map_batches(

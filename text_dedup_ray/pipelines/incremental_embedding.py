@@ -248,16 +248,15 @@ def embedding_increment(
         new_ds = stamp_row_ids_from_key(new_ds, id_column)
     elif ROW_ID not in new_ds.schema().names:
         raise ValueError("dataset must have a row_id column or pass id_column")
-    ids_narrow = new_ds.select_columns([ROW_ID])
-    batch_max = ids_narrow.max(ROW_ID)
+    from .incremental import _batch_id_bounds
+
+    batch_min, batch_max = _batch_id_bounds(new_ds)  # one fused pass
     new_max = prior_max if batch_max is None else int(batch_max)
-    if validate_ids:
-        new_min = ids_narrow.min(ROW_ID)
-        if new_min is not None and int(new_min) <= prior_max:
-            raise ValueError(
-                f"new row ids must exceed the saved max_row_id={prior_max} "
-                f"(got min={int(new_min)}); old ids must win min-tie-breaks"
-            )
+    if validate_ids and batch_min is not None and int(batch_min) <= prior_max:
+        raise ValueError(
+            f"new row ids must exceed the saved max_row_id={prior_max} "
+            f"(got min={int(batch_min)}); old ids must win min-tie-breaks"
+        )
 
     version = prior_version + 1
     _clean_version_dir(state_dir, version)
