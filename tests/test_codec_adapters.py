@@ -127,3 +127,50 @@ class TestVideoAudioAdapters:
         assert out.shape == (2, 2, 2)
         pcm = np.arange(10, dtype=np.uint8)
         assert np.array_equal(_decode_rawa(pcm.tobytes(), 10, "rawa", "aud-1"), pcm)
+
+
+class TestPcmFrameToU8:
+    """The PyAV audio adapter's frame kernel, testable without the wheel."""
+
+    def test_u8_silence_centers_at_128(self):
+        import numpy as np
+
+        from text_dedup_ray.functions.codecs import pcm_frame_to_u8
+
+        # unsigned 8-bit PCM: zero point is 128, not 0
+        silence = np.full((1, 64), 128, np.uint8)
+        out = pcm_frame_to_u8(silence, nch=1)
+        assert np.allclose(out, 128.0)
+        full_neg = pcm_frame_to_u8(np.zeros((1, 4), np.uint8), nch=1)
+        assert np.allclose(full_neg, 1.0)  # -1.0 * 127 + 128
+
+    def test_s16_silence_and_scale(self):
+        import numpy as np
+
+        from text_dedup_ray.functions.codecs import pcm_frame_to_u8
+
+        silence = np.zeros((1, 64), np.int16)
+        assert np.allclose(pcm_frame_to_u8(silence, nch=1), 128.0)
+        # u8 and s16 encodings of the SAME signal agree
+        sig = np.sin(np.linspace(0, 6.28, 256))
+        as_s16 = (sig * 32767).astype(np.int16)[None, :]
+        as_u8 = ((sig * 127) + 128).clip(0, 255).astype(np.uint8)[None, :]
+        a, b = pcm_frame_to_u8(as_s16, 1), pcm_frame_to_u8(as_u8, 1)
+        assert np.abs(a - b).max() < 2.0
+
+    def test_packed_stereo_deinterleaves(self):
+        import numpy as np
+
+        from text_dedup_ray.functions.codecs import pcm_frame_to_u8
+
+        # packed (1, n*2) interleaved L/R; planar (2, n) equivalent must
+        # produce the same mono stream
+        left = np.arange(8, dtype=np.int16) * 1000
+        right = -left
+        packed = np.empty((1, 16), np.int16)
+        packed[0, 0::2], packed[0, 1::2] = left, right
+        planar = np.stack([left, right])
+        p1 = pcm_frame_to_u8(packed, nch=2)
+        p2 = pcm_frame_to_u8(planar, nch=2)
+        assert p1.shape == (8,) and np.allclose(p1, p2)
+        assert np.allclose(p1, 128.0)  # L+R cancel -> silence

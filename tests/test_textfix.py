@@ -114,13 +114,44 @@ class TestArrayKernel:
         # installed ftfy wheel) can never shift oracle-checked output
         register_text_fixer("shouty", str.upper)
         try:
-            arr = pa.array(["a\rb"])
-            assert fix_text_array(arr, fixer="native").to_pylist() == ["a\nb"]
-            assert fix_text_array(arr, fixer="shouty").to_pylist() == ["A\rB"]
+            arr = pa.array(["a\rb", "clean"])
+            assert fix_text_array(arr, fixer="native").to_pylist() == [
+                "a\nb",
+                "clean",
+            ]
+            # a custom adapter has NO fixed-point guarantee on clean ASCII,
+            # so it must be applied to EVERY row (no fast-path bypass)
+            assert fix_text_array(arr, fixer="shouty").to_pylist() == [
+                "A\rB",
+                "CLEAN",
+            ]
         finally:
             from text_dedup_ray.functions import textfix
 
             textfix._TEXT_FIXERS.pop("shouty", None)
+
+    def test_masked_transform_stitching(self):
+        from text_dedup_ray.functions.textfix import masked_transform
+
+        # interleaved clean/dirty runs, nulls, dirty at both ends
+        col = pa.chunked_array(
+            [pa.array(["X1", "aa", None, "X2", "bb", "X3"])]
+        )
+        out = masked_transform(
+            col, r"^[a-z]*$", lambda s: s.lower(), vector_fn=None
+        )
+        assert out.to_pylist() == ["x1", "aa", None, "x2", "bb", "x3"]
+        # with a vector_fn, clean rows take the vectorized result and dirty
+        # rows the scalar path
+        import pyarrow.compute as pc
+
+        out2 = masked_transform(
+            col,
+            r"^[a-z]*$",
+            lambda s: "D:" + s,
+            vector_fn=lambda c: pc.utf8_upper(c),
+        )
+        assert out2.to_pylist() == ["D:X1", "AA", None, "D:X2", "BB", "D:X3"]
 
     def test_unknown_fixer_raises(self):
         with pytest.raises(KeyError):

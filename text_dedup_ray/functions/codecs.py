@@ -232,6 +232,27 @@ def register_audio_decoder(fmt: str, decode_fn) -> None:
     _AUDIO_DECODERS[fmt] = decode_fn
 
 
+def pcm_frame_to_u8(pcm: np.ndarray, nch: int) -> np.ndarray:
+    """One decoded PCM frame -> the engine's mono uint8 sample stream.
+    Handles the layouts PyAV's ``frame.to_ndarray()`` produces:
+
+    - PACKED (non-planar) multichannel frames arrive as (1, samples*ch)
+      with channels interleaved — de-interleave BEFORE any channel math
+      (``mean(axis=0)`` on the singleton axis is a no-op and would leave
+      ch*n interleaved samples);
+    - integer PCM is signed except u8, whose zero point is 2^(bits-1) —
+      dividing u8 by the signed max would shift silence by half scale."""
+    if pcm.ndim > 1 and pcm.shape[0] == 1 and nch > 1:
+        pcm = pcm.reshape(-1, nch).T
+    if np.issubdtype(pcm.dtype, np.unsignedinteger):
+        half = float(np.iinfo(pcm.dtype).max + 1) / 2.0
+        pcm = (pcm.astype(np.float64) - half) / half
+    elif np.issubdtype(pcm.dtype, np.integer):
+        pcm = pcm.astype(np.float64) / float(np.iinfo(pcm.dtype).max + 1)
+    mono = pcm.mean(axis=0) if pcm.ndim > 1 else pcm
+    return ((mono * 127.0) + 128.0).clip(0, 255)
+
+
 def autoload_av_adapters() -> bool:
     """Register PyAV-backed video/audio decoders when the ``av`` wheel is
     importable. Idempotent; returns True iff any adapter is registered."""
@@ -259,15 +280,10 @@ def autoload_av_adapters() -> bool:
         chunks = []
         with av.open(io.BytesIO(blob)) as container:
             for frame in container.decode(audio=0):
-                pcm = frame.to_ndarray()
-                # normalize to float [-1, 1] by SOURCE dtype: s16/s32 frames
-                # come back as integer arrays, not floats
-                if np.issubdtype(pcm.dtype, np.integer):
-                    pcm = pcm.astype(np.float64) / float(
-                        np.iinfo(pcm.dtype).max + 1
-                    )
-                mono = pcm.mean(axis=0) if pcm.ndim > 1 else pcm
-                chunks.append(((mono * 127.0) + 128.0).clip(0, 255))
+                nch = getattr(frame.layout, "nb_channels", None) or len(
+                    frame.layout.channels
+                )
+                chunks.append(pcm_frame_to_u8(frame.to_ndarray(), nch))
         if not chunks:
             return np.empty(0, np.uint8)
         return np.concatenate(chunks).astype(np.uint8)

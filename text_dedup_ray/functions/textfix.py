@@ -154,23 +154,59 @@ def get_text_fixer(name: str = "auto"):
     return fn
 
 
-def fix_text_array(arr: pa.ChunkedArray | pa.Array, fixer: str = "native") -> pa.Array:
-    """Vectorized kernel: clean printable-ASCII rows (fixed points of the
-    native fixer) pass through untouched; only suspicious rows pay the
-    per-string repair. NULLs stay NULL."""
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    clean = pc.match_substring_regex(arr, _CLEAN_RE)
-    # NULL text: keep NULL (treat as clean / untouched)
+def masked_transform(
+    col: pa.ChunkedArray | pa.Array,
+    clean_regex: str,
+    scalar_fn,
+    vector_fn=None,
+) -> pa.Array:
+    """Shared masked-scatter kernel: rows matching ``clean_regex`` take the
+    vectorized path (``vector_fn(col)``, or zero-copy passthrough when
+    None); the non-matching minority goes through ``scalar_fn`` per string.
+    The results are stitched by slicing the base array around the dirty
+    positions — O(clean) zero-copy + O(dirty) work, never an O(batch)
+    Python-object materialization. NULL rows count as clean (stay NULL /
+    take the vector path, which must preserve them)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    clean = pc.match_substring_regex(col, clean_regex)
     dirty_idx = np.flatnonzero(
         np.logical_not(clean.fill_null(True).to_numpy(zero_copy_only=False))
     )
+    base = col if vector_fn is None else vector_fn(col)
+    if isinstance(base, pa.ChunkedArray):
+        base = base.combine_chunks()
     if len(dirty_idx) == 0:
-        return arr
-    fn = get_text_fixer(fixer)
+        return base
     fixed = pa.array(
-        [fn(s) for s in arr.take(pa.array(dirty_idx)).to_pylist()], pa.string()
+        [scalar_fn(s) for s in col.take(pa.array(dirty_idx)).to_pylist()],
+        base.type,
     )
-    np_vals = arr.to_pandas().to_numpy(dtype=object, copy=True)
-    np_vals[dirty_idx] = fixed.to_pylist()
-    return pa.array(np_vals, pa.string())
+    parts: list[pa.Array] = []
+    prev = 0
+    for k, i in enumerate(dirty_idx.tolist()):
+        if i > prev:
+            parts.append(base.slice(prev, i - prev))
+        parts.append(fixed.slice(k, 1))
+        prev = i + 1
+    if prev < len(base):
+        parts.append(base.slice(prev, len(base) - prev))
+    return pa.concat_arrays(parts)
+
+
+def fix_text_array(arr: pa.ChunkedArray | pa.Array, fixer: str = "native") -> pa.Array:
+    """Vectorized kernel: clean printable-ASCII rows are PROVEN fixed
+    points of the native fixer and pass through zero-copy; only suspicious
+    rows pay the per-string repair. NULLs stay NULL.
+
+    The fast path applies ONLY when the resolved fixer is the native one —
+    a registered adapter (ftfy or custom) carries no fixed-point guarantee
+    on clean ASCII, so it is applied to every row."""
+    fn = get_text_fixer(fixer)
+    if fn is fix_text_native:
+        return masked_transform(arr, _CLEAN_RE, fn)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return pa.array(
+        [None if s is None else fn(s) for s in arr.to_pylist()], pa.string()
+    )

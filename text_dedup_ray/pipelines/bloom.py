@@ -483,6 +483,7 @@ def bloom_increment(
     text_column: str = "text",
     id_column: str | None = None,
     validate_ids: bool = True,
+    batch_id_range: tuple[int, int] | None = None,
 ) -> BloomIncrementResult:
     """Resume the walk over ``new_ds`` from the saved register state; persist
     the next version. Flags equal the batch run over old ∪ new restricted to
@@ -499,15 +500,11 @@ def bloom_increment(
         new_ds = stamp_row_ids_from_key(new_ds, id_column)
     elif ROW_ID not in new_ds.schema().names:
         raise ValueError("dataset must have a row_id column or pass id_column")
-    from .incremental import _batch_id_bounds
+    from .incremental import _resolve_batch_bounds
 
-    batch_min, batch_max = _batch_id_bounds(new_ds)  # one fused pass
-    new_max = prior_max if batch_max is None else int(batch_max)
-    if validate_ids and batch_min is not None and int(batch_min) <= prior_max:
-        raise ValueError(
-            f"new row ids must exceed the saved max_row_id={prior_max} "
-            f"(got min={int(batch_min)}); the walk is ordered by row_id"
-        )
+    new_max = _resolve_batch_bounds(
+        new_ds, prior_max, validate_ids, batch_id_range, msg_tail='; the walk is ordered by row_id'
+    )
     version = prior_version + 1
     result = _bloom_run(
         new_ds, state_dir, version, prior_version, text_column, m_shard, k, num_shards

@@ -362,6 +362,30 @@ def _batch_id_bounds(ds: ray.data.Dataset) -> tuple[int | None, int | None]:
     return (None if lo is None else int(lo)), (None if hi is None else int(hi))
 
 
+def _resolve_batch_bounds(
+    new_ds: ray.data.Dataset,
+    prior_max: int,
+    validate_ids: bool,
+    batch_id_range: tuple[int, int] | None = None,
+    msg_tail: str = "; old ids must win min-tie-breaks",
+) -> int:
+    """Shared watermark step for every ``*_increment`` family: resolve the
+    batch's (min, max) row-id bounds — from the caller's hint when given
+    (ingest manifest / footer stats), else ONE fused scan — validate the
+    min against the saved watermark, and return the new max. Keeping this
+    in one place stops the seven per-family copies from drifting."""
+    batch_min, batch_max = (
+        batch_id_range if batch_id_range is not None else _batch_id_bounds(new_ds)
+    )
+    new_max = prior_max if batch_max is None else int(batch_max)
+    if validate_ids and batch_min is not None and int(batch_min) <= prior_max:
+        raise ValueError(
+            f"new row ids must exceed the saved max_row_id={prior_max} "
+            f"(got min={int(batch_min)}){msg_tail}"
+        )
+    return new_max
+
+
 def _split_and_reduce_reps(
     local: ray.data.Dataset,
     state_dir: str,
@@ -616,15 +640,7 @@ def minhash_increment(
         new_ds = stamp_row_ids_from_key(new_ds, id_column)
     elif ROW_ID not in new_ds.schema().names:
         raise ValueError("dataset must have a row_id column or pass id_column")
-    batch_min, batch_max = (
-        batch_id_range if batch_id_range is not None else _batch_id_bounds(new_ds)
-    )
-    new_max = prior_max if batch_max is None else int(batch_max)
-    if validate_ids and batch_min is not None and int(batch_min) <= prior_max:
-        raise ValueError(
-            f"new row ids must exceed the saved max_row_id={prior_max} "
-            f"(got min={int(batch_min)}); old ids must win min-tie-breaks"
-        )
+    new_max = _resolve_batch_bounds(new_ds, prior_max, validate_ids, batch_id_range)
 
     filtered = min_length_filter(new_ds, text_column, cfg.min_length)
     narrow = filtered.select_columns([ROW_ID, text_column])
@@ -1380,15 +1396,7 @@ def simhash_increment(
         new_ds = stamp_row_ids_from_key(new_ds, id_column)
     elif ROW_ID not in new_ds.schema().names:
         raise ValueError("dataset must have a row_id column or pass id_column")
-    batch_min, batch_max = (
-        batch_id_range if batch_id_range is not None else _batch_id_bounds(new_ds)
-    )
-    new_max = prior_max if batch_max is None else int(batch_max)
-    if validate_ids and batch_min is not None and int(batch_min) <= prior_max:
-        raise ValueError(
-            f"new row ids must exceed the saved max_row_id={prior_max} "
-            f"(got min={int(batch_min)}); old ids must win min-tie-breaks"
-        )
+    new_max = _resolve_batch_bounds(new_ds, prior_max, validate_ids, batch_id_range)
     if signature_column is not None:
         narrow = new_ds.select_columns([ROW_ID, signature_column])
         local = narrow.map_batches(

@@ -531,6 +531,7 @@ def exact_increment(
     id_column: str | None = None,
     driver_threshold: int = 2_000_000,
     validate_ids: bool = True,
+    batch_id_range: tuple[int, int] | None = None,
 ) -> IncrementResult:
     """Dedup ``new_ds`` against the saved index AND itself; persist the next
     version. ``deduped`` holds exactly the new rows a full batch re-run over
@@ -547,15 +548,11 @@ def exact_increment(
         new_ds = stamp_row_ids_from_key(new_ds, id_column)
     elif ROW_ID not in new_ds.schema().names:
         raise ValueError("dataset must have a row_id column or pass id_column")
-    from .incremental import _batch_id_bounds
+    from .incremental import _resolve_batch_bounds
 
-    batch_min, batch_max = _batch_id_bounds(new_ds)  # one fused pass
-    new_max = prior_max if batch_max is None else int(batch_max)
-    if validate_ids and batch_min is not None and int(batch_min) <= prior_max:
-        raise ValueError(
-            f"new row ids must exceed the saved max_row_id={prior_max} "
-            f"(got min={int(batch_min)}); old ids must win min-tie-breaks"
-        )
+    new_max = _resolve_batch_bounds(
+        new_ds, prior_max, validate_ids, batch_id_range
+    )
 
     version = prior_version + 1
     _clean_version_dir(state_dir, version)

@@ -715,6 +715,7 @@ def posting_state_increment(
     postings_of,
     driver_threshold: int = 2_000_000,
     validate_ids: bool = True,
+    batch_id_range: tuple[int, int] | None = None,
 ) -> IncrementResult:
     """Family-agnostic tiered increment over the posting-index contract
     (counterpart of :func:`posting_state_bootstrap`): explode ONLY the new
@@ -731,15 +732,11 @@ def posting_state_increment(
     threshold = float(meta["threshold"])
     df_cap = int(meta["df_cap"])
 
-    from .incremental import _batch_id_bounds
+    from .incremental import _resolve_batch_bounds
 
-    batch_min, batch_max = _batch_id_bounds(new_ds)  # one fused pass
-    new_max = prior_max if batch_max is None else int(batch_max)
-    if validate_ids and batch_min is not None and int(batch_min) <= prior_max:
-        raise ValueError(
-            f"new row ids must exceed the saved max_row_id={prior_max} "
-            f"(got min={int(batch_min)}); old ids must win min-tie-breaks"
-        )
+    new_max = _resolve_batch_bounds(
+        new_ds, prior_max, validate_ids, batch_id_range
+    )
 
     version = prior_version + 1
     _clean_version_dir(state_dir, version)

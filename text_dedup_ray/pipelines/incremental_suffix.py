@@ -308,6 +308,7 @@ def suffix_increment(
     max_group: int = 4096,
     driver_threshold: int = 2_000_000,
     validate_ids: bool = True,
+    batch_id_range: tuple[int, int] | None = None,
 ):
     """Cut from each NEW doc every byte run >= length_threshold that also
     appears in the old corpus or elsewhere in the new batch; old docs are
@@ -333,15 +334,11 @@ def suffix_increment(
             sch = d.schema()
             if sch is not None and ROW_ID not in sch.names:
                 raise ValueError(f"{name} must have a row_id column or pass id_column")
-    from .incremental import _batch_id_bounds
+    from .incremental import _resolve_batch_bounds
 
-    batch_min, batch_max = _batch_id_bounds(new_ds)  # one fused pass
-    new_max = prior_max if batch_max is None else int(batch_max)
-    if validate_ids and batch_min is not None and int(batch_min) <= prior_max:
-        raise ValueError(
-            f"new row ids must exceed the saved max_row_id={prior_max} "
-            f"(got min={int(batch_min)})"
-        )
+    new_max = _resolve_batch_bounds(
+        new_ds, prior_max, validate_ids, batch_id_range, msg_tail=''
+    )
 
     # prune to the two columns the kernel needs BEFORE the tag/fetch pass —
     # the membership semi-join must never carry payload columns

@@ -304,22 +304,14 @@ def with_normalized(
         return ds.map_batches(add, batch_format="pyarrow")
 
     def add_ccnet(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+        from ..functions.textfix import masked_transform
 
-        col = batch[text_column].combine_chunks()
-        is_ascii = pc.match_substring_regex(col, r"^[\x00-\x7f]*$")
-        out = _ccnet_normalize_vector(col)
-        dirty_idx = np.flatnonzero(
-            np.logical_not(is_ascii.fill_null(True).to_numpy(zero_copy_only=False))
+        out = masked_transform(
+            batch[text_column],
+            r"^[\x00-\x7f]*$",
+            normalize,
+            vector_fn=_ccnet_normalize_vector,
         )
-        if len(dirty_idx):
-            fixed = [
-                normalize(s)
-                for s in col.take(pa.array(dirty_idx)).to_pylist()
-            ]
-            vals = out.to_pandas().to_numpy(dtype=object, copy=True)
-            vals[dirty_idx] = fixed
-            out = pa.array(vals, pa.string())
         return batch.append_column("text_norm", out)
 
     return ds.map_batches(add_ccnet, batch_format="pyarrow")
