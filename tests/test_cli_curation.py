@@ -206,3 +206,42 @@ num_bucket = 4
     t = pq.read_table(str(out))
     assert 0 < t.num_rows < 1000
     assert "__CLUSTER__" not in t.column_names
+
+
+def test_cli_fix_text(tmp_path):
+    # corrupt a copy of the gate docs, run the fix_text mode, and check the
+    # text column is repaired in place
+    import pyarrow as pa
+
+    src = pq.read_table(DOCS)
+    mojibake = "Café".encode("utf-8").decode("latin-1")  # 'CafÃ©'
+    texts = src["text"].to_pylist()
+    texts[0] = mojibake + " &amp; x\r\n" + texts[0]
+    corrupted = src.set_column(
+        src.schema.get_field_index("text"), "text", pa.array(texts)
+    )
+    inp = tmp_path / "docs.parquet"
+    pq.write_table(corrupted, str(inp))
+
+    config = tmp_path / "run.toml"
+    out = tmp_path / "out"
+    config.write_text(
+        f"""
+[input]
+path = "{inp}"
+id_column = "doc_id"
+
+[output]
+path = "{out}"
+
+[algorithm]
+name = "fix_text"
+"""
+    )
+    stats = _run(config)
+    assert stats["algorithm"] == "fix_text"
+    t = pq.read_table(str(out)).sort_by("doc_id")
+    fixed = t["text"].to_pylist()
+    assert fixed[0].startswith("Café & x\n")
+    # clean rows untouched
+    assert fixed[1:] == src["text"].to_pylist()[1:]

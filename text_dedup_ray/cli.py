@@ -23,7 +23,7 @@ reference's config.toml):
     [algorithm]
     name = "minhash"             # minhash | simhash | exact | bloom | suffix_array | jaccard
                                  # | *_incremental | decontaminate | line_dedup | mix
-                                 # | gopher_filter | scrub | token_budget | ari | dsir | shuffle
+                                 # | gopher_filter | scrub | fix_text | token_budget | ari | dsir | shuffle
     num_perm = 200
     ngram_size = 2
     keep_best_by = "n_tokens"    # minhash/simhash: per-cluster argmax survivor
@@ -942,6 +942,23 @@ def main(argv: list[str] | None = None) -> None:
                 lambda b: b.filter(_pc.equal(b["gopher_pass"], True)),
                 batch_format="pyarrow",
             )
+    elif name == "fix_text":
+        # in-place encoding repair (the reference's ftfy seam): entity
+        # unescape, cp1252 mojibake repair, CRLF normalize, control strip,
+        # NFC — text_column is rewritten in place
+        from .pipelines.textops import with_fixed_text
+
+        result_ds = with_fixed_text(
+            ds,
+            text_column,
+            out_column="__fixed",
+            fixer=algo.get("fixer", "native"),
+        ).map_batches(
+            lambda b: b.drop_columns([text_column]).append_column(
+                text_column, b["__fixed"]
+            ).drop_columns(["__fixed"]),
+            batch_format="pyarrow",
+        )
     elif name == "scrub":
         # in-place redaction: text_column is rewritten, n_scrubbed counts hits
         from .pipelines.textops import with_scrubbed
