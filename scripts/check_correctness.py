@@ -61,7 +61,10 @@ def exact_hash(df: pd.DataFrame) -> str:
     df = df.copy()
     for c in df.columns:
         if df[c].dtype.kind == "f":
-            df[c] = df[c].round(6)
+            # + 0.0 collapses -0.0 to 0.0 — a sign-of-zero flip is exactly
+            # the summation-order noise the rounding absorbs, but round()
+            # preserves it and "-0.0" != "0.0" once stringified
+            df[c] = df[c].round(6) + 0.0
     s = df.astype(str)
     rows = sorted("\x1f".join(r) for r in s.itertuples(index=False, name=None))
     return hashlib.md5("\x1e".join(rows).encode()).hexdigest()

@@ -65,6 +65,10 @@ class TestNativeFixer:
         assert fix_text_native("x &#233; &#x2019; y") == "x é ’ y"
         # bare ampersand is not an entity
         assert fix_text_native("AT&T r&d") == "AT&T r&d"
+        # semicolon-less legacy entities never rewrite, even when a real
+        # entity elsewhere trips the unescape stage (html.unescape applied
+        # wholesale would turn "AT&ampx" into "AT&x" here; ftfy does not)
+        assert fix_text_native("x &quot; and AT&ampx") == 'x " and AT&ampx'
 
     def test_line_breaks_and_controls(self):
         assert fix_text_native("a\r\nb\rc") == "a\nb\nc"

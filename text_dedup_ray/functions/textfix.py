@@ -105,9 +105,14 @@ def fix_mojibake(s: str) -> str:
 
 
 def fix_text_native(s: str) -> str:
-    """Dependency-free fixer: unescape -> mojibake -> breaks -> ctrl -> NFC."""
+    """Dependency-free fixer: unescape -> mojibake -> breaks -> ctrl -> NFC.
+
+    Unescape rewrites ONLY full ``&name;`` / ``&#d;`` / ``&#xh;`` tokens
+    (each through html.unescape individually) — a wholesale
+    ``html.unescape(s)`` would also rewrite semicolon-less legacy entities
+    ("AT&ampx" -> "AT&x"), which ftfy never does."""
     if _ENTITY_RE.search(s):
-        s = html.unescape(s)
+        s = _ENTITY_RE.sub(lambda m: html.unescape(m.group(0)), s)
     s = fix_mojibake(s)
     if "\r" in s:
         s = s.replace("\r\n", "\n").replace("\r", "\n")
@@ -207,6 +212,8 @@ def fix_text_array(arr: pa.ChunkedArray | pa.Array, fixer: str = "native") -> pa
         return masked_transform(arr, _CLEAN_RE, fn)
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    # preserve the input's string type (string vs large_string) so the
+    # output schema does not depend on which fixer is configured
     return pa.array(
-        [None if s is None else fn(s) for s in arr.to_pylist()], pa.string()
+        [None if s is None else fn(s) for s in arr.to_pylist()], arr.type
     )

@@ -444,6 +444,7 @@ def bloom_bootstrap(
     max_elements: int = 1_000_000,
     error_rate: float = 1e-9,
     num_shards: int = 32,
+    max_row_id: int | None = None,
 ) -> BloomIncrementResult:
     """Walk the initial corpus and persist the per-shard register state.
     ``max_elements`` must be sized for the EVENTUAL corpus (bootstrap + all
@@ -456,8 +457,9 @@ def bloom_bootstrap(
         ds = stamp_row_ids_from_key(ds, id_column)
     elif ROW_ID not in ds.schema().names:
         raise ValueError("dataset must have a row_id column or pass id_column")
-    ds_max = ds.select_columns([ROW_ID]).max(ROW_ID)
-    max_row_id = -1 if ds_max is None else int(ds_max)
+    if max_row_id is None:
+        ds_max = ds.select_columns([ROW_ID]).max(ROW_ID)
+        max_row_id = -1 if ds_max is None else int(ds_max)
     version = 1
     result = _bloom_run(
         ds, state_dir, version, None, text_column, m_shard, k, num_shards

@@ -164,6 +164,7 @@ def embedding_bootstrap(
     seed: int = 42,
     num_partitions: int = 32,
     driver_threshold: int = 2_000_000,
+    max_row_id: int | None = None,
 ) -> IncrementResult:
     """Full embedding-LSH dedup over the initial corpus, persisting the
     partitioned sig index + cluster rows + meta to ``state_dir``."""
@@ -172,8 +173,9 @@ def embedding_bootstrap(
         ds = stamp_row_ids_from_key(ds, id_column)
     elif ROW_ID not in ds.schema().names:
         raise ValueError("dataset must have a row_id column or pass id_column")
-    ds_max = ds.select_columns([ROW_ID]).max(ROW_ID)
-    max_row_id = -1 if ds_max is None else int(ds_max)
+    if max_row_id is None:
+        ds_max = ds.select_columns([ROW_ID]).max(ROW_ID)
+        max_row_id = -1 if ds_max is None else int(ds_max)
 
     version = 1
     _clean_version_dir(state_dir, version)

@@ -315,6 +315,7 @@ def exact_bootstrap(
     id_column: str | None = None,
     num_partitions: int = 64,
     driver_threshold: int = 2_000_000,
+    max_row_id: int | None = None,
 ) -> IncrementResult:
     """Full exact dedup over the initial corpus, persisting the partitioned
     ``(hash, winner)`` index + meta to ``state_dir``."""
@@ -323,8 +324,9 @@ def exact_bootstrap(
         ds = stamp_row_ids_from_key(ds, id_column)
     elif ROW_ID not in ds.schema().names:
         raise ValueError("dataset must have a row_id column or pass id_column")
-    ds_max = ds.select_columns([ROW_ID]).max(ROW_ID)
-    max_row_id = -1 if ds_max is None else int(ds_max)
+    if max_row_id is None:
+        ds_max = ds.select_columns([ROW_ID]).max(ROW_ID)
+        max_row_id = -1 if ds_max is None else int(ds_max)
 
     version = 1
     _clean_version_dir(state_dir, version)

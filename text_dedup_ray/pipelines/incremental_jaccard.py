@@ -269,6 +269,7 @@ def posting_state_bootstrap(
     meta_fields: dict,
     num_partitions: int = 32,
     driver_threshold: int = 2_000_000,
+    max_row_id: int | None = None,
 ) -> IncrementResult:
     """Family-agnostic tiered bootstrap over the posting-index contract.
 
@@ -281,8 +282,9 @@ def posting_state_bootstrap(
     n-gram family (:func:`jaccard_bootstrap`) and the video frame-phash
     family (pipelines/incremental_video.py)."""
     timer = Timer()
-    ds_max = ds.select_columns([ROW_ID]).max(ROW_ID)
-    max_row_id = -1 if ds_max is None else int(ds_max)
+    if max_row_id is None:
+        ds_max = ds.select_columns([ROW_ID]).max(ROW_ID)
+        max_row_id = -1 if ds_max is None else int(ds_max)
 
     version = 1
     _clean_version_dir(state_dir, version)
