@@ -1249,6 +1249,21 @@ def _q_hll_estimate(sf_dir: str):
     )
 
 
+def _q_dup_rate_estimate(sf_dir: str):
+    """Pre-flight dedup-savings estimator per source: exact row count +
+    HLL(p=12) approximate distinct count of text + implied dup rate
+    1 - least(est, n)/n. Approximate w.r.t. the true distinct count but
+    deterministic given the data, so the oracle recomputes the whole
+    estimator in SQL (same md5-based registers as events_users_approx)
+    and hash-compares exactly."""
+    from text_dedup_ray.pipelines.sketch import dup_rate_estimate
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    return dup_rate_estimate(ds, "text", key="source", precision=12)
+
+
 def _q_docs_cdf(sf_dir: str):
     """Exact corpus-wide cume_dist without a global sort: the (value,
     count) histogram folds through the exchange, the cumulative map
@@ -4370,6 +4385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_step_centroids": _q_kmeans_step,
         "events_user_hll_registers": _q_hll_registers,
         "events_users_approx": _q_hll_estimate,
+        "docs_dup_rate_est": _q_dup_rate_estimate,
         "docs_cdf": _q_docs_cdf,
         "docs_zscore_by_lang": _q_docs_zscore,
         "bm25_retrieval": _q_bm25,
@@ -5236,6 +5252,40 @@ WHERE sel_offset + n_tokens <= {TOKEN_BUDGET}
             "SELECT event_type, (CASE WHEN raw <= 2.5 * 4096.0 AND zeros > 0 "
             "THEN round(4096.0 * ln(4096.0 / greatest(zeros, 1.0))) "
             "ELSE round(raw) END)::BIGINT AS n_users_approx FROM est"
+        ),
+        # same deterministic-HLL recompute as events_users_approx, over
+        # md5(text) per source, joined with exact counts; the engine clamps
+        # est <= n (least) before the rate so over-estimates never go
+        # negative — mirrored here
+        "docs_dup_rate_est": (
+            "WITH h AS (SELECT source, ('0x' || substr(md5(text), 1, 16))"
+            "::UBIGINT AS hv FROM documents), "
+            "b AS (SELECT source, (hv >> 52)::BIGINT AS idx, "
+            "hv & ((1::UBIGINT << 52) - 1) AS low FROM h), "
+            "s1 AS (SELECT source, idx, low | (low >> 1) AS x FROM b), "
+            "s2 AS (SELECT source, idx, x | (x >> 2) AS x FROM s1), "
+            "s3 AS (SELECT source, idx, x | (x >> 4) AS x FROM s2), "
+            "s4 AS (SELECT source, idx, x | (x >> 8) AS x FROM s3), "
+            "s5 AS (SELECT source, idx, x | (x >> 16) AS x FROM s4), "
+            "s6 AS (SELECT source, idx, x | (x >> 32) AS x FROM s5), "
+            "regs AS (SELECT source, idx, "
+            "max((52 - bit_count(x))::BIGINT + 1) AS rank "
+            "FROM s6 GROUP BY source, idx), "
+            "agg AS (SELECT source, count(*)::DOUBLE AS present, "
+            "sum(pow(2.0, -rank)) AS s FROM regs GROUP BY source), "
+            "est AS (SELECT source, 4096.0 - present AS zeros, "
+            f"{0.7213 / (1.0 + 1.079 / 4096)!r}::DOUBLE * 4096.0 * 4096.0 "
+            "/ ((4096.0 - present) + s) AS raw FROM agg), "
+            "e2 AS (SELECT source, (CASE WHEN raw <= 2.5 * 4096.0 AND "
+            "zeros > 0 THEN round(4096.0 * ln(4096.0 / greatest(zeros, 1.0)))"
+            " ELSE round(raw) END)::BIGINT AS n_distinct_approx FROM est), "
+            "n AS (SELECT source, count(*)::BIGINT AS n_rows FROM documents "
+            "GROUP BY source) "
+            "SELECT n.source, n.n_rows, "
+            "coalesce(e2.n_distinct_approx, 0) AS n_distinct_approx, "
+            "round(1.0 - least(coalesce(e2.n_distinct_approx, 0), n.n_rows)"
+            "::DOUBLE / n.n_rows, 6) AS dup_rate_est "
+            "FROM n LEFT JOIN e2 USING (source)"
         ),
         "kmeans_assign_embeddings": (
             "SELECT vec_id, cid::BIGINT AS cell FROM ("

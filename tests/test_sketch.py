@@ -153,3 +153,50 @@ class TestCountMin:
         a = cms_registers(ds.repartition(1), "val", num_partitions=1).to_pandas()
         b = cms_registers(ds.repartition(8), "val", num_partitions=5).to_pandas()
         pd.testing.assert_frame_equal(_canon(a), _canon(b))
+
+
+class TestDupRateEstimate:
+    def test_duplicate_heavy_corpus(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from text_dedup_ray.pipelines.sketch import dup_rate_estimate
+
+        # 1000 rows, 100 distinct texts -> true dup rate 0.9; HLL(p=12)
+        # relative error ~1.6%, so the estimate must land within 5%
+        texts = [f"document number {i % 100} with some words" for i in range(1000)]
+        srcs = ["a" if i < 500 else "b" for i in range(1000)]
+        ds = ray.data.from_arrow(
+            pa.table({"source": pa.array(srcs), "text": pa.array(texts)})
+        )
+        t = dup_rate_estimate(ds, "text", key="source").to_pandas()
+        t = t.set_index("source")
+        assert int(t.loc["a", "n_rows"]) == 500
+        for s in ("a", "b"):
+            est = int(t.loc[s, "n_distinct_approx"])
+            assert abs(est - 100) <= 5
+            assert abs(float(t.loc[s, "dup_rate_est"]) - 0.8) < 0.02
+
+        g = dup_rate_estimate(ds, "text").to_pandas()
+        assert int(g["n_rows"].iloc[0]) == 1000
+        assert abs(int(g["n_distinct_approx"].iloc[0]) - 100) <= 5
+
+    def test_partition_invariance_and_clamp(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from text_dedup_ray.pipelines.sketch import dup_rate_estimate
+
+        texts = [f"t{i % 7}" for i in range(50)]
+        t1 = dup_rate_estimate(
+            ray.data.from_arrow(pa.table({"text": pa.array(texts)})), "text"
+        )
+        t2 = dup_rate_estimate(
+            ray.data.from_arrow(
+                pa.table({"text": pa.array(texts)})
+            ).repartition(13),
+            "text",
+        )
+        assert t1.to_pydict() == t2.to_pydict()
+        # rate never negative even if HLL over-estimates (est clamped <= n)
+        assert float(t1["dup_rate_est"][0].as_py()) >= 0.0

@@ -379,3 +379,96 @@ def cms_point_estimates(
             est = c if est is None else min(est, c)
         out[v] = int(est or 0)
     return out
+
+
+def dup_rate_estimate(
+    ds: ray.data.Dataset,
+    column: str,
+    key: str | None = None,
+    precision: int = 12,
+    num_partitions: int = 8,
+) -> pa.Table:
+    """Pre-flight dedup-savings estimator: per-``key`` (or global) row
+    count, HLL approximate distinct count of ``column``, and the implied
+    exact-duplicate rate ``1 - distinct/n`` — the number a 100 TB operator
+    wants BEFORE paying for a full dedup run (a corpus at ~1% estimated
+    dup rate does not justify an exact pass; 30% does).
+
+    Two narrow column-pruned passes (register partials + pre-aggregated
+    counts); both reductions are O(#keys) rows, joined on the driver.
+    The estimate is approximate w.r.t. the true distinct count but fully
+    deterministic given the data — the gate oracle (``docs_dup_rate_est``)
+    recomputes the whole estimator in SQL and hash-compares exactly."""
+    import pyarrow.compute as pc
+
+    acd = approx_count_distinct(
+        ds, column, key=key, precision=precision,
+        num_partitions=num_partitions, alias="n_distinct_approx",
+    ).to_pandas()
+
+    cols = [key] if key else []
+
+    def cpartial(b: pa.Table) -> pa.Table:
+        if key is None:
+            return pa.table({"n_rows": pa.array([b.num_rows], pa.int64())})
+        return b.select([key]).group_by(key).aggregate([([], "count_all")])
+
+    counts = ds.select_columns(cols + [column]).map_batches(
+        cpartial, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    if key is None:
+        n = (
+            int(counts["n_rows"].sum())
+            if "n_rows" in counts.columns and len(counts)
+            else 0
+        )
+        if n == 0:  # empty input: no rows, no duplicates, rate 0 by definition
+            return pa.table(
+                {
+                    "n_rows": pa.array([0], pa.int64()),
+                    "n_distinct_approx": pa.array([0], pa.int64()),
+                    "dup_rate_est": pa.array([0.0], pa.float64()),
+                }
+            )
+        est = int(acd["n_distinct_approx"].iloc[0]) if len(acd) else 0
+        merged = pa.table(
+            {
+                "n_rows": pa.array([n], pa.int64()),
+                "n_distinct_approx": pa.array([est], pa.int64()),
+            }
+        )
+    elif key not in counts.columns or not len(counts):
+        # empty keyed input: no groups at all
+        return pa.table(
+            {
+                key: pa.array([], pa.string()),
+                "n_rows": pa.array([], pa.int64()),
+                "n_distinct_approx": pa.array([], pa.int64()),
+                "dup_rate_est": pa.array([], pa.float64()),
+            }
+        )
+    else:
+        agg = counts.groupby(key, as_index=False)["count_all"].sum()
+        j = agg.merge(acd, on=key, how="left")
+        merged = pa.table(
+            {
+                key: pa.array(j[key].tolist()),
+                "n_rows": pa.array(j["count_all"].astype("int64")),
+                "n_distinct_approx": pa.array(
+                    j["n_distinct_approx"].fillna(0).astype("int64")
+                ),
+            }
+        )
+    rate = pc.round(
+        pc.subtract(
+            pa.scalar(1.0),
+            pc.divide(
+                pc.cast(pc.min_element_wise(
+                    merged["n_distinct_approx"], merged["n_rows"]
+                ), pa.float64()),
+                pc.cast(merged["n_rows"], pa.float64()),
+            ),
+        ),
+        ndigits=6,
+    )
+    return merged.append_column("dup_rate_est", rate)
