@@ -245,3 +245,29 @@ name = "fix_text"
     assert fixed[0].startswith("Café & x\n")
     # clean rows untouched
     assert fixed[1:] == src["text"].to_pylist()[1:]
+
+
+def test_cli_dup_rate(tmp_path):
+    config = tmp_path / "run.toml"
+    out = tmp_path / "out"
+    config.write_text(
+        f"""
+[input]
+path = "{DOCS}"
+id_column = "doc_id"
+text_column = "text"
+
+[output]
+path = "{out}"
+
+[algorithm]
+name = "dup_rate"
+key = "source"
+"""
+    )
+    stats = _run(config)
+    assert stats["algorithm"] == "dup_rate"
+    t = pq.read_table(str(out / "dup_rate.parquet"))
+    assert t.column_names == ["source", "n_rows", "n_distinct_approx", "dup_rate_est"]
+    assert t.num_rows == 20
+    assert sum(t["n_rows"].to_pylist()) == 500

@@ -23,7 +23,7 @@ reference's config.toml):
     [algorithm]
     name = "minhash"             # minhash | simhash | exact | bloom | suffix_array | jaccard
                                  # | *_incremental | decontaminate | line_dedup | mix
-                                 # | gopher_filter | scrub | fix_text | token_budget | ari | dsir | shuffle
+                                 # | gopher_filter | scrub | fix_text | dup_rate | token_budget | ari | dsir | shuffle
     num_perm = 200
     ngram_size = 2
     keep_best_by = "n_tokens"    # minhash/simhash: per-cluster argmax survivor
@@ -942,6 +942,34 @@ def main(argv: list[str] | None = None) -> None:
                 lambda b: b.filter(_pc.equal(b["gopher_pass"], True)),
                 batch_format="pyarrow",
             )
+    elif name == "dup_rate":
+        # dedup pre-flight: per-key (or global) row count + HLL approximate
+        # distinct + implied exact-dup rate — prints the report as JSON and
+        # writes it as parquet; no dedup state is built
+        from .pipelines.sketch import dup_rate_estimate
+
+        t = dup_rate_estimate(
+            ds,
+            text_column,
+            key=algo.get("key"),
+            precision=int(algo.get("precision", 12)),
+        )
+        import pyarrow.parquet as _pq
+
+        os_makedirs = __import__("os").makedirs
+        os_makedirs(out_path, exist_ok=True)
+        _pq.write_table(t, f"{out_path}/dup_rate.parquet")
+        print(
+            json.dumps(
+                {
+                    "algorithm": name,
+                    "rows": t.num_rows,
+                    "report": t.to_pydict(),
+                    "output": f"{out_path}/dup_rate.parquet",
+                }
+            )
+        )
+        return
     elif name == "fix_text":
         # in-place encoding repair (the reference's ftfy seam): entity
         # unescape, cp1252 mojibake repair, CRLF normalize, control strip,
