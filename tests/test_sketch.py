@@ -162,8 +162,9 @@ class TestDupRateEstimate:
 
         from text_dedup_ray.pipelines.sketch import dup_rate_estimate
 
-        # 1000 rows, 100 distinct texts -> true dup rate 0.9; HLL(p=12)
-        # relative error ~1.6%, so the estimate must land within 5%
+        # 1000 rows, 100 distinct texts: per-source true dup rate is
+        # 1 - 100/500 = 0.8, global is 1 - 100/1000 = 0.9; HLL(p=12)
+        # relative error ~1.6%, so estimates must land within a few %
         texts = [f"document number {i % 100} with some words" for i in range(1000)]
         srcs = ["a" if i < 500 else "b" for i in range(1000)]
         ds = ray.data.from_arrow(
@@ -180,6 +181,38 @@ class TestDupRateEstimate:
         g = dup_rate_estimate(ds, "text").to_pandas()
         assert int(g["n_rows"].iloc[0]) == 1000
         assert abs(int(g["n_distinct_approx"].iloc[0]) - 100) <= 5
+        assert abs(float(g["dup_rate_est"].iloc[0]) - 0.9) < 0.01
+
+    def test_null_semantics_and_rounding(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from text_dedup_ray.pipelines.sketch import dup_rate_estimate
+
+        # NULL text counts in n_rows, never in the distinct estimate (SQL
+        # COUNT(DISTINCT)); NULL-key rows are excluded from a keyed report
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "source": pa.array(["a", "a", None, "a"]),
+                    "text": pa.array(["x", None, "y", "x"]),
+                }
+            )
+        )
+        t = dup_rate_estimate(ds, "text", key="source").to_pandas()
+        assert list(t["source"]) == ["a"]
+        assert int(t["n_rows"].iloc[0]) == 3  # NULL text row still counts
+        assert int(t["n_distinct_approx"].iloc[0]) == 1  # just "x"
+
+        # half-away-from-zero rounding (DuckDB round parity): 1/128 is an
+        # exact dyadic tie at the 7th decimal — must come out 0.007813,
+        # not banker's 0.007812
+        texts = [f"u{i}" for i in range(127)] + ["u0"]
+        g = dup_rate_estimate(
+            ray.data.from_arrow(pa.table({"text": pa.array(texts)})), "text"
+        ).to_pandas()
+        if int(g["n_distinct_approx"].iloc[0]) == 127:  # HLL exact here
+            assert float(g["dup_rate_est"].iloc[0]) == 0.007813
 
     def test_partition_invariance_and_clamp(self, ray_session):
         import pyarrow as pa

@@ -954,17 +954,20 @@ def main(argv: list[str] | None = None) -> None:
             key=algo.get("key"),
             precision=int(algo.get("precision", 12)),
         )
+        import os as _os
+
         import pyarrow.parquet as _pq
 
-        os_makedirs = __import__("os").makedirs
-        os_makedirs(out_path, exist_ok=True)
+        _os.makedirs(out_path, exist_ok=True)
         _pq.write_table(t, f"{out_path}/dup_rate.parquet")
+        # stdout carries a bounded preview only — the full per-key report
+        # (unbounded in key cardinality) lives in the parquet file
         print(
             json.dumps(
                 {
                     "algorithm": name,
                     "rows": t.num_rows,
-                    "report": t.to_pydict(),
+                    "report_preview": t.slice(0, 50).to_pydict(),
                     "output": f"{out_path}/dup_rate.parquet",
                 }
             )

@@ -100,6 +100,17 @@ def _block_partial(
     )
     if batch.num_rows == 0:
         return empty
+    # NULL values never enter the sketch (SQL COUNT(DISTINCT) semantics;
+    # DuckDB md5(NULL) is NULL) — and pd.factorize's -1 sentinel would
+    # otherwise fancy-index the block's LAST distinct value's hash into
+    # null rows, breaking the module's exact partition-invariance contract
+    import pyarrow.compute as _pc
+
+    valid = _pc.is_valid(batch[column])
+    if not _pc.all(valid).as_py():
+        batch = batch.filter(valid)
+        if batch.num_rows == 0:
+            return empty
     # md5 only the DISTINCT values of the block (value columns like user
     # ids repeat heavily); hash-based factorize — never a sort of the
     # value column — maps the digests back through the codes
@@ -394,34 +405,33 @@ def dup_rate_estimate(
     wants BEFORE paying for a full dedup run (a corpus at ~1% estimated
     dup rate does not justify an exact pass; 30% does).
 
-    Two narrow column-pruned passes (register partials + pre-aggregated
-    counts); both reductions are O(#keys) rows, joined on the driver.
-    The estimate is approximate w.r.t. the true distinct count but fully
-    deterministic given the data — the gate oracle (``docs_dup_rate_est``)
-    recomputes the whole estimator in SQL and hash-compares exactly."""
+    Two narrow column-pruned passes (register partials read [key, column];
+    the count pass reads ONLY the key, or nothing at all globally —
+    ``ds.count()`` answers from metadata when it can); both reductions are
+    O(#keys) rows, joined on the driver. NULL semantics mirror SQL
+    COUNT(DISTINCT): NULL ``column`` values count in ``n_rows`` but never
+    in the distinct estimate; rows with a NULL ``key`` are excluded from
+    the keyed report (the sequence-analytics NULL-key precedent).
+    Rounding is half-away-from-zero to match DuckDB's ``round()`` — the
+    gate oracle (``docs_dup_rate_est``) recomputes the whole estimator in
+    SQL and hash-compares exactly, and rates like 1/128 are exact dyadic
+    7-decimal ties where banker's rounding would drift."""
     import pyarrow.compute as pc
+
+    if key is not None:
+        key_type = ds.schema().base_schema.field(key).type
+        ds = ds.map_batches(
+            lambda b, k=key: b.filter(pc.is_valid(b[k])),
+            batch_format="pyarrow",
+        )
 
     acd = approx_count_distinct(
         ds, column, key=key, precision=precision,
         num_partitions=num_partitions, alias="n_distinct_approx",
     ).to_pandas()
 
-    cols = [key] if key else []
-
-    def cpartial(b: pa.Table) -> pa.Table:
-        if key is None:
-            return pa.table({"n_rows": pa.array([b.num_rows], pa.int64())})
-        return b.select([key]).group_by(key).aggregate([([], "count_all")])
-
-    counts = ds.select_columns(cols + [column]).map_batches(
-        cpartial, batch_format="pyarrow", batch_size=None
-    ).to_pandas()
     if key is None:
-        n = (
-            int(counts["n_rows"].sum())
-            if "n_rows" in counts.columns and len(counts)
-            else 0
-        )
+        n = int(ds.count() or 0)
         if n == 0:  # empty input: no rows, no duplicates, rate 0 by definition
             return pa.table(
                 {
@@ -437,38 +447,39 @@ def dup_rate_estimate(
                 "n_distinct_approx": pa.array([est], pa.int64()),
             }
         )
-    elif key not in counts.columns or not len(counts):
-        # empty keyed input: no groups at all
-        return pa.table(
-            {
-                key: pa.array([], pa.string()),
-                "n_rows": pa.array([], pa.int64()),
-                "n_distinct_approx": pa.array([], pa.int64()),
-                "dup_rate_est": pa.array([], pa.float64()),
-            }
-        )
     else:
+        def cpartial(b: pa.Table) -> pa.Table:
+            return b.select([key]).group_by(key).aggregate([([], "count_all")])
+
+        counts = ds.select_columns([key]).map_batches(
+            cpartial, batch_format="pyarrow", batch_size=None
+        ).to_pandas()
+        if key not in counts.columns or not len(counts):
+            # empty keyed input: no groups at all (key column keeps its type)
+            return pa.table(
+                {
+                    key: pa.array([], key_type),
+                    "n_rows": pa.array([], pa.int64()),
+                    "n_distinct_approx": pa.array([], pa.int64()),
+                    "dup_rate_est": pa.array([], pa.float64()),
+                }
+            )
         agg = counts.groupby(key, as_index=False)["count_all"].sum()
         j = agg.merge(acd, on=key, how="left")
         merged = pa.table(
             {
-                key: pa.array(j[key].tolist()),
+                key: pa.array(j[key].tolist(), key_type),
                 "n_rows": pa.array(j["count_all"].astype("int64")),
                 "n_distinct_approx": pa.array(
                     j["n_distinct_approx"].fillna(0).astype("int64")
                 ),
             }
         )
-    rate = pc.round(
-        pc.subtract(
-            pa.scalar(1.0),
-            pc.divide(
-                pc.cast(pc.min_element_wise(
-                    merged["n_distinct_approx"], merged["n_rows"]
-                ), pa.float64()),
-                pc.cast(merged["n_rows"], pa.float64()),
-            ),
-        ),
-        ndigits=6,
-    )
-    return merged.append_column("dup_rate_est", rate)
+    clamped = np.minimum(
+        merged["n_distinct_approx"].to_numpy(zero_copy_only=False),
+        merged["n_rows"].to_numpy(zero_copy_only=False),
+    ).astype(np.float64)
+    raw = 1.0 - clamped / merged["n_rows"].to_numpy(zero_copy_only=False)
+    # half-away-from-zero at 6 decimals (DuckDB round parity); rate >= 0
+    rate = np.floor(raw * 1e6 + 0.5) / 1e6
+    return merged.append_column("dup_rate_est", pa.array(rate, pa.float64()))
