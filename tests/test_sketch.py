@@ -233,3 +233,21 @@ class TestDupRateEstimate:
         assert t1.to_pydict() == t2.to_pydict()
         # rate never negative even if HLL over-estimates (est clamped <= n)
         assert float(t1["dup_rate_est"][0].as_py()) >= 0.0
+
+    def test_rounding_parity_vs_duckdb(self):
+        # the engine's half-away-from-zero kernel must equal DuckDB's
+        # round(x, 6) for every rate the estimator can produce (x = 1-e/n)
+        import duckdb
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        ns = rng.integers(1, 5000, size=300)
+        es = (rng.random(300) * ns).astype(np.int64)
+        raw = 1.0 - es / ns
+        engine = np.floor(raw * 1e6 + 0.5) / 1e6
+        con = duckdb.connect()
+        con.register("t", __import__("pandas").DataFrame({"x": raw}))
+        oracle = [
+            r[0] for r in con.execute("SELECT round(x, 6) FROM t").fetchall()
+        ]
+        assert engine.tolist() == oracle
