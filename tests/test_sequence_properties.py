@@ -67,7 +67,11 @@ class TestSequenceProperties:
         ).to_pandas()
         df = tbl.to_pandas()
         expected_total = len(df) - df.uid.nunique()
-        assert got.n.sum() == expected_total
+        # zero-transition draws (every uid distinct) are valid: the engine
+        # returns a typed empty Dataset, but Ray's to_pandas() drops the
+        # columns of an all-empty dataset — treat missing column as 0
+        total = int(got["n"].sum()) if "n" in got.columns else 0
+        assert total == expected_total
 
     @settings(**_SETTINGS)
     @given(st.data())
@@ -95,3 +99,24 @@ class TestSequenceProperties:
         ref = tbl.to_pandas().groupby("uid")["v"].sum()
         for uid, s in ref.items():
             assert abs(got.loc[uid, "decayed_value"] - round(s, 4)) < 1e-3
+
+
+class TestZeroTransitionDraw:
+    def test_all_distinct_keys_give_typed_empty(self, ray_session):
+        # regression for the hypothesis draw n=5/seed=1: every uid appears
+        # once, so there are zero transitions; the engine must return a
+        # typed empty Dataset (schema src/dst/n), and the count is 0
+        tbl = pa.table(
+            {
+                "uid": [5, 6, 9, 11, 0],
+                "eid": [0, 1, 2, 3, 4],
+                "ts": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "etype": ["a", "b", "a", "c", "b"],
+            }
+        )
+        out = transition_counts(
+            ray.data.from_arrow(tbl).repartition(3),
+            "uid", ("ts", "eid"), "etype", num_partitions=3,
+        )
+        assert [f.name for f in out.schema().base_schema] == ["src", "dst", "n"]
+        assert out.count() == 0
